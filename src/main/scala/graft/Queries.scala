@@ -1,0 +1,463 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScalarOps._
+
+/** One registered operator query: Spark side + DuckDB oracle SQL.
+  *
+  * Oracle-parity rules (driver hash-compares values after sorting
+  * columns by name):
+  *  - every aggregate/computed column aliased identically both sides;
+  *  - floating aggregates rounded (2–6 dp) so IEEE summation-order
+  *    noise can't flip the hash;
+  *  - no raw TIMESTAMP outputs (events.ts is nanos in parquet; Spark
+  *    is micros) — emit DATE or epoch seconds instead;
+  *  - deterministic ORDER BY on non-null keys (Spark sorts nulls
+  *    first, DuckDB last — never sort on a nullable column);
+  *  - truncating casts spelled CAST(TRUNC(x) AS INT) in DuckDB
+  *    (DuckDB's double→int cast rounds; Spark non-ANSI truncates).
+  */
+final case class QSpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+object Queries {
+
+  private def q(name: String, oracle: String, bench: Boolean = true)(
+      fn: (SparkSession, String) => DataFrame): QSpec =
+    QSpec(
+      name,
+      (s, d) => { GraftSession.tune(s); fn(s, d) },
+      Option(oracle).map(_.trim).filter(_.nonEmpty),
+      bench)
+
+  /** Cross-engine-stable money sum: exact DECIMAL arithmetic, then one
+    * deterministic cast to double. `ROUND(SUM(double))` is NOT stable
+    * across engines (Spark rounds the exact binary value, DuckDB the
+    * shortest decimal repr — they disagree at x.x45 boundaries), and the
+    * raw double sum depends on partial-aggregation order. DuckDB
+    * spelling: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same, for SUM(a * b) with 2-decimal operands (exact product in
+    * decimal, exact sum, one final cast).
+    */
+  private def moneyDotSum(a: Column, b: Column): Column =
+    sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------
+  // Sources / projections / filters (SURVEY §2 S1, P1, P3)
+  // ---------------------------------------------------------------
+
+  /** S1+P1+P3: scan → filter → project, pushdown-friendly. */
+  val qS1ScanProject = q(
+    "q_s1_scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P3: exact double-literal equality filter (ref Detector == 1.2,
+    * extract_from_raw_data.py:21). */
+  val qP3FilterEq = q(
+    "q_p3_filter_eq_double",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem WHERE l_discount = 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") === 0.05)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---------------------------------------------------------------
+  // Aggregations (SURVEY §2 A1, A2)
+  // ---------------------------------------------------------------
+
+  /** A1: hash group-by + mean (ref hourly average,
+    * extract_from_raw_data.py:21,32). */
+  val qA1GroupAvg = q(
+    "q_a1_group_avg",
+    """SELECT l_returnflag, l_linestatus,
+      |       AVG(l_quantity) AS avg_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    // l_quantity is integer-valued: the double sum is exact in any
+    // order, so the unrounded avg is bitwise cross-engine stable.
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(avg("l_quantity").as("avg_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Canonical grouped sum (driver example shape). */
+  val q1Agg = q(
+    "q1_agg",
+    """SELECT l_returnflag, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+  }
+
+  /** A2: global min-max normalization of a measure to [0,1]
+    * (ref cell 6 json:80). Two-pass: grand agg broadcast back. */
+  val qA2MinMax = q(
+    "q_a2_minmax_normalize",
+    """SELECT o_orderkey,
+      |       (o_totalprice - MIN(o_totalprice) OVER ())
+      |       / (MAX(o_totalprice) OVER () - MIN(o_totalprice) OVER ())
+      |         AS norm_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // min/max of doubles are order-independent; elementwise -,/ on
+    // identical doubles are IEEE-deterministic → no rounding needed.
+    val o = Tables.orders(s, d)
+    val mm = o.agg(
+      min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    o.crossJoin(broadcast(mm))
+      .select(
+        col("o_orderkey"),
+        ((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")))
+          .as("norm_price"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------
+  // Joins (SURVEY §2 J1, J2, J3)
+  // ---------------------------------------------------------------
+
+  /** J1: inner equi-join + aggregate; small dim side broadcast. */
+  val qJ1JoinAgg = q(
+    "q_j1_join_agg",
+    """SELECT c_mktsegment,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J2: left join (decorrelated per-row lookup, dags/utils.py:270) —
+    * count of matches per left row survives as COUNT(non-null). */
+  val qJ2LeftJoin = q(
+    "q_j2_left_join",
+    """SELECT o_orderkey,
+      |       COUNT(l_orderkey) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(
+        count(col("l_orderkey")).as("n_items"),
+        moneyDotSum(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3: anti-join (ON CONFLICT DO NOTHING parity, dags/utils.py:210). */
+  val qJ3AntiJoin = q(
+    "q_j3_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // Scalar functions (SURVEY §2 F2, F3, F5, F7, F9, F10, F12)
+  // ---------------------------------------------------------------
+
+  /** F2: sentinel replace without other side effects (ref hour-24 → 0
+    * same-day quirk, cell 2 json:36). */
+  val qF2Replace = q(
+    "q_f2_replace_sentinel",
+    """SELECT CASE WHEN CAST(hour(ts) AS INT) = 23 THEN 0
+      |            ELSE CAST(hour(ts) AS INT) END AS h,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY h""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    ev.select(replaceValue(hour(col("ts")), 23, 0).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .orderBy("h")
+  }
+
+  /** F3: truncating double→int cast incl. negative operands
+    * (python int(); ref cell 2 json:37). */
+  val qF3TruncCast = q(
+    "q_f3_trunc_cast",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(TRUNC(l_extendedprice * 0.1) AS INT) AS deci,
+      |       CAST(TRUNC((l_discount - 0.05) * 100) AS INT) AS ddelta
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        tenthsToUnit(col("l_extendedprice")).as("deci"),
+        ((col("l_discount") - 0.05) * 100).cast("int").as("ddelta"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F5: Fahrenheit→Celsius truncating (dags/utils.py:139-140). */
+  val qF5F2C = q(
+    "q_f5_fahrenheit_to_celsius",
+    """SELECT event_id, CAST(TRUNC((value - 32) * 5 / 9) AS INT) AS celsius
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), f2c(col("value")).as("celsius"))
+      .orderBy("event_id")
+  }
+
+  /** F7: multi-format date parse with fallback
+    * (extract_from_raw_data.py:35-38). Round-trips o_orderdate
+    * through two text formats chosen by key parity, then parses with
+    * the coalesce chain. */
+  val qF7DateParse = q(
+    "q_f7_multiformat_date_parse",
+    """SELECT o_orderkey,
+      |       strftime(COALESCE(try_strptime(dstr, '%d-%m-%Y'),
+      |                         try_strptime(dstr, '%Y-%m-%d')),
+      |                '%Y-%m-%d') AS parsed
+      |FROM (SELECT o_orderkey,
+      |             CASE WHEN o_orderkey % 2 = 0
+      |                  THEN strftime(o_orderdate, '%d-%m-%Y')
+      |                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS dstr
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // Output as ISO string, not DATE: Spark's date32 and DuckDB's DATE
+    // reach the comparator as different dtypes.
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0,
+          date_format(col("o_orderdate"), "dd-MM-yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .as("dstr"))
+      .select(col("o_orderkey"),
+        date_format(parseDateMulti(col("dstr")), "yyyy-MM-dd").as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F9: calendar extraction with the pandas weekday shim Mon=0
+    * (cell 6 json:76-78; Spark dayofweek is Sun=1). */
+  val qF9Calendar = q(
+    "q_f9_calendar_extract",
+    """SELECT o_orderkey,
+      |       CAST(month(o_orderdate) AS INT) AS m,
+      |       CAST(day(o_orderdate) AS INT) AS dom,
+      |       CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        weekdayMon0(col("o_orderdate")).as("dow_mon0"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F10: fixed-date-list membership (holiday flag,
+    * dags/utils.py:21-30). */
+  private val holidayDates =
+    Seq("1995-01-01", "1995-12-25", "1996-04-27", "1997-01-01", "1998-12-25")
+  val qF10Holiday = q(
+    "q_f10_holiday_flag",
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+       |FROM orders
+       |WHERE CAST(o_orderdate AS DATE) IN (${holidayDates
+        .map(dt => s"DATE '$dt'").mkString(", ")})
+       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odd"))
+      .filter(inDateList(col("odd"), holidayDates))
+      .select(col("o_orderkey"),
+        date_format(col("odd"), "yyyy-MM-dd").as("od"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F12: nested/JSON field access (dags/utils.py:185-192) —
+    * events.props is a JSON text column. */
+  val qF12Json = q(
+    "q_f12_json_extract",
+    """SELECT event_type,
+      |       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"))
+        .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // Sorts / unions / splits (SURVEY §2 O1, O2, O3)
+  // ---------------------------------------------------------------
+
+  /** O2: schema-aligned union-all (pandas append,
+    * extract_from_raw_data.py:24,41). */
+  val qO2Union = q(
+    "q_o2_union_all",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+      |  UNION ALL
+      |  SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+      |) ORDER BY o_orderkey, bucket""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val hi = o.filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), lit("high").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 10000)
+      .select(col("o_orderkey"), lit("low").as("bucket"))
+    hi.unionByName(lo).orderBy("o_orderkey", "bucket")
+  }
+
+  /** O3: deterministic positional (temporal) split — first 1000 rows
+    * in (date, key) order (notebook cell 13 iloc split). At cluster
+    * scale the global row_number is the parity-exact rendering; the
+    * pipeline variant uses a cheap filter on a precomputed boundary. */
+  val qO3Split = q(
+    "q_o3_temporal_split",
+    """SELECT o_orderkey, rn FROM (
+      |  SELECT o_orderkey,
+      |         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 1000 ORDER BY rn""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 1000)
+      .orderBy("rn")
+  }
+
+  // ---------------------------------------------------------------
+  // Window / analytic functions over events
+  // ---------------------------------------------------------------
+
+  /** Tumbling 1-hour windowed aggregate (Structured-Streaming-shaped,
+    * run as batch). Window start emitted as epoch seconds (never raw
+    * timestamps: parquet ts is nanos, Spark is micros). */
+  val qWTumbling = q(
+    "q_w_tumbling_hour",
+    """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000 AS ws,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(
+          unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+  }
+
+  /** Ranking window: top-3 events per user by value. */
+  val qWRank = q(
+    "q_w_rank_topn",
+    """SELECT user_id, event_id, value, rn FROM (
+      |  SELECT user_id, event_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("user_id", "rn")
+  }
+
+  /** Lag/delta analytic: per-user value change between consecutive
+    * events (time-ordered, key tie-break). */
+  val qWLag = q(
+    "q_w_lag_delta",
+    """SELECT event_id, user_id,
+      |       CAST(CAST(value AS DECIMAL(18,2))
+      |            - LAG(CAST(value AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            AS DOUBLE) AS delta
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val vDec = col("value").cast("decimal(18,2)")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (vDec - lag(vDec, 1).over(w)).cast("double").as("delta"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Text analysis over documents
+  // ---------------------------------------------------------------
+
+  /** Whitespace token count per document. */
+  val qTTokens = q(
+    "q_t_token_count",
+    """SELECT doc_id,
+      |       len(list_filter(regexp_split_to_array(text, '\s+'),
+      |                       t -> len(t) > 0)) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact content dedup via md5 fingerprint groups (keeper = min id). */
+  val qDExact = q(
+    "q_d_exact_dedup",
+    """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .orderBy("h")
+  }
+
+  // ---------------------------------------------------------------
+
+  val specs: Seq[QSpec] = Seq(
+    qS1ScanProject, qP3FilterEq,
+    qA1GroupAvg, q1Agg, qA2MinMax,
+    qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin,
+    qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
+    qF10Holiday, qF12Json,
+    qO2Union, qO3Split,
+    qWTumbling, qWRank, qWLag,
+    qTTokens, qDExact,
+  )
+}
