@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib rendering of the notebook's model zoo (SURVEY §2 M1–M7).
+  *
+  *  - M1 feature assembly: the 8-column matrix of cell 6 (json:82),
+  *    order preserved (positional `np.array(df)`).
+  *  - M2 RandomForest (flagship; sklearn defaults are 100 unbounded
+  *    trees — MLlib defaults 20×depth-5 underfit badly, so we set
+  *    numTrees=100, maxDepth=15 to clear the BASELINE gate).
+  *  - M3 SVR(rbf): no kernel SVR in MLlib — documented capability gap;
+  *    GBTRegressor stands in as the third model family.
+  *  - M4 DecisionTree with the notebook's max_depth=13.
+  *  - M5 MAE via RegressionEvaluator, M6 Pearson via stat.corr,
+  *    M7 featureImportances.
+  *  - K4/S7 persistence: PipelineModel.save/load replaces pickle
+  *    (cell 16 json:253; dags/utils.py:230-234).
+  */
+object TrafficModel {
+
+  /** Cell 6 (json:82) feature order. */
+  val FeatureCols: Seq[String] = Seq(
+    "Month", "Day", "Hour", "DayofWeek", "isHoliday",
+    "Wind Speed", "Temperature", "Precipitation")
+
+  val LabelCol = "Count"
+
+  /** M1: cast bools to double (VectorAssembler needs numerics — the
+    * notebook's np.array upcasts the same way) and assemble.
+    */
+  def assembler: VectorAssembler = new VectorAssembler()
+    .setInputCols(FeatureCols.map(c => s"${c}_d").toArray)
+    .setOutputCol("features")
+    // malformed upstream records (missing nested JSON fields) score as
+    // absent instead of failing the batch — the reference would
+    // KeyError and lean on Airflow retries (dags/DAG.py:19-20)
+    .setHandleInvalid("skip")
+
+  private def withNumericFeatures(df: DataFrame): DataFrame =
+    FeatureCols.foldLeft(df)((acc, c) =>
+      acc.withColumn(s"${c}_d", col(c).cast("double")))
+
+  def prepare(df: DataFrame): DataFrame = withNumericFeatures(df)
+
+  def randomForest(numTrees: Int = 100, maxDepth: Int = 15): Pipeline =
+    new Pipeline().setStages(Array(
+      assembler,
+      new RandomForestRegressor()
+        .setFeaturesCol("features").setLabelCol(LabelCol)
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(42)))
+
+  def decisionTree(maxDepth: Int = 13): Pipeline =
+    new Pipeline().setStages(Array(
+      assembler,
+      new DecisionTreeRegressor()
+        .setFeaturesCol("features").setLabelCol(LabelCol)
+        .setMaxDepth(maxDepth).setSeed(42)))
+
+  /** M3 stand-in (no kernel SVR in MLlib). */
+  def gbt(maxIter: Int = 50): Pipeline =
+    new Pipeline().setStages(Array(
+      assembler,
+      new GBTRegressor()
+        .setFeaturesCol("features").setLabelCol(LabelCol)
+        .setMaxIter(maxIter).setSeed(42)))
+
+  def fit(pipeline: Pipeline, train: DataFrame): PipelineModel =
+    pipeline.fit(prepare(train))
+
+  def predict(model: PipelineModel, df: DataFrame): DataFrame =
+    model.transform(prepare(df))
+
+  /** M5: mean absolute error on a scored frame. */
+  def mae(scored: DataFrame): Double =
+    new RegressionEvaluator()
+      .setLabelCol(LabelCol).setPredictionCol("prediction")
+      .setMetricName("mae")
+      .evaluate(scored)
+
+  /** M6: Pearson correlation label↔prediction. */
+  def pearson(scored: DataFrame): Double =
+    scored.stat.corr(LabelCol, "prediction")
+
+  /** M7: per-feature importances, name → weight. */
+  def featureImportances(model: PipelineModel): Map[String, Double] = {
+    val imp = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+      .featureImportances.toArray
+    FeatureCols.zip(imp).toMap
+  }
+
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+}

@@ -1,0 +1,132 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The serving star schema (SURVEY §2 K1–K3; DDL at
+  * dags/utils.py:98-124):
+  *
+  *   weather(id PK, DateTime, WindSpeed, Temperature, Precipitation)
+  *   traffic(id PK, date_id UNIQUE → weather.id, Intensity)
+  *
+  * The reference loads Postgres row-at-a-time with
+  * `INSERT ... ON CONFLICT DO NOTHING` (one commit per row,
+  * dags/utils.py:206-215/267-276) and resolves the FK with a
+  * correlated subquery per row (:270). Spark rendering: set-based —
+  * within-batch dedup, anti-join against existing natural keys, one
+  * append; FK resolution is a single left join (J2). Backed by
+  * parquet tables; the same logic drives a JDBC sink unchanged.
+  *
+  * Surrogate ids: `max(existing)+row_number over natural-key order`.
+  * The global row_number is safe at dimension scale (forecast batches
+  * are 12 rows); a 100 TB fact table would use
+  * `monotonically_increasing_id` or a key derived from the natural key.
+  */
+object StarSchemaSink {
+
+  private def tablePath(warehouse: String, name: String) = s"$warehouse/$name"
+
+  private def readIfExists(s: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(s.read.parquet(path))
+      else None
+    } catch { case _: Throwable => None }
+
+  /** K1: create-if-not-exists — parquet tables materialize on first
+    * append; this just pre-creates empty frames for introspection.
+    */
+  def createTables(s: SparkSession, warehouse: String): Unit = {
+    import org.apache.spark.sql.types._
+    val weatherSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("DateTime", TimestampType),
+      StructField("WindSpeed", IntegerType),
+      StructField("Temperature", IntegerType),
+      StructField("Precipitation", BooleanType)))
+    val trafficSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("date_id", LongType),
+      StructField("Intensity", IntegerType)))
+    Seq("weather" -> weatherSchema, "traffic" -> trafficSchema).foreach {
+      case (name, schema) =>
+        val path = tablePath(warehouse, name)
+        if (readIfExists(s, path).isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+  }
+
+  /** K2 generalized: idempotent append with ON CONFLICT DO NOTHING
+    * parity. `naturalKeys` mirror the DB uniqueness constraints
+    * (weather.DateTime; traffic.date_id). Returns rows actually
+    * appended.
+    */
+  def idempotentAppend(
+      s: SparkSession,
+      warehouse: String,
+      table: String,
+      batch: DataFrame,
+      naturalKeys: Seq[String]): Long = {
+    val path = tablePath(warehouse, table)
+    val existing = readIfExists(s, path)
+
+    // within-batch dedup first (the DB constraint would reject the
+    // second row of a duplicate pair; dropDuplicates keeps one).
+    // Null-safe key comparison throughout: Postgres UNIQUE treats
+    // NULLs as non-conflicting (a null-FK row would re-insert on every
+    // run); we deliberately diverge and treat null as a key value so
+    // the sink is fully idempotent.
+    val deduped = batch.dropDuplicates(naturalKeys)
+    val fresh = existing match {
+      case Some(ex) =>
+        val exKeys = broadcast(
+          ex.select(naturalKeys.map(k => col(k).as(s"__ex_$k")): _*))
+        val cond = naturalKeys
+          .map(k => deduped(k) <=> exKeys(s"__ex_$k"))
+          .reduce(_ && _)
+        deduped.join(exKeys, cond, "left_anti")
+      case None => deduped
+    }
+
+    val maxId = existing
+      .flatMap(ex => Option(ex.agg(max("id")).first().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val w = Window.orderBy(naturalKeys.map(col): _*)
+    val withIds = fresh
+      .withColumn("id", row_number().over(w).cast("long") + lit(maxId))
+
+    val outCols = existing.map(_.columns.toSeq)
+      .getOrElse("id" +: batch.columns.toSeq.filterNot(_ == "id"))
+    val toWrite = withIds.select(outCols.map(col): _*).cache()
+    val n = toWrite.count()
+    if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(path)
+    toWrite.unpersist()
+    n
+  }
+
+  /** K3: FK-resolving traffic append — J2 left join replaces the
+    * reference's per-row `(SELECT id FROM weather WHERE datetime=…)`;
+    * a prediction whose DateTime has no weather row keeps a null
+    * date_id (the reference would insert NULL too). Then K2 semantics
+    * on the `date_id` unique key.
+    */
+  def appendTraffic(
+      s: SparkSession,
+      warehouse: String,
+      predictions: DataFrame // columns: DateTime, Intensity
+  ): Long = {
+    val weatherDim = s.read.parquet(tablePath(warehouse, "weather"))
+      .select(col("id").as("date_id"), col("DateTime"))
+    val resolved = predictions
+      .join(broadcast(weatherDim), Seq("DateTime"), "left")
+      .select("date_id", "Intensity")
+    idempotentAppend(s, warehouse, "traffic", resolved, Seq("date_id"))
+  }
+
+  def readTable(s: SparkSession, warehouse: String, name: String): DataFrame =
+    s.read.parquet(tablePath(warehouse, name))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ml.TrafficModel
+import graft.pipelines.HistoricalTraining
+
+/** BASELINE.md quality gate: MLlib RandomForest on the 2015 data with
+  * the reference's temporal 7000/1596 split must reach MAE ≤ 0.05 and
+  * Pearson R ≥ 0.90 (reference sklearn: 0.0385 / 0.9284).
+  */
+class MLQualitySpec extends SparkSpec {
+
+  lazy val split = {
+    val features = HistoricalTraining.fullData(spark,
+      s"$RefData/weatherdata2015.csv", s"$RefData/TrafficCounts2015.csv")
+    HistoricalTraining.temporalSplit(features, 7000)
+  }
+
+  test("M2/M5/M6: RandomForest clears the baseline gate") {
+    val (train, test) = split
+    val model = TrafficModel.fit(TrafficModel.randomForest(), train)
+    val scored = TrafficModel.predict(model, test)
+    val mae = TrafficModel.mae(scored)
+    val r = TrafficModel.pearson(scored)
+    info(f"RF  MAE=$mae%.5f  PearsonR=$r%.5f (ref 0.03850 / 0.92839)")
+    assert(mae <= 0.05, s"MAE $mae above gate 0.05")
+    assert(r >= 0.90, s"Pearson $r below gate 0.90")
+  }
+
+  test("M7: Hour dominates feature importances (ref: 78.65%)") {
+    val (train, _) = split
+    val model = TrafficModel.fit(TrafficModel.randomForest(), train)
+    val imp = TrafficModel.featureImportances(model)
+    val top = imp.maxBy(_._2)
+    info(imp.toSeq.sortBy(-_._2).map { case (k, v) => f"$k=$v%.3f" }
+      .mkString(", "))
+    assert(top._1 == "Hour", s"expected Hour dominant, got $top")
+    assert(top._2 > 0.5)
+  }
+
+  test("M4: DecisionTree(max_depth=13) also beats the reference DT MAE band") {
+    val (train, test) = split
+    val model = TrafficModel.fit(TrafficModel.decisionTree(13), train)
+    val scored = TrafficModel.predict(model, test)
+    val mae = TrafficModel.mae(scored)
+    val r = TrafficModel.pearson(scored)
+    info(f"DT  MAE=$mae%.5f  PearsonR=$r%.5f (ref 0.04440 / 0.91481)")
+    assert(mae <= 0.06)
+    assert(r >= 0.88)
+  }
+
+  test("K4/S7: model save/load round-trips and scores identically") {
+    val (train, test) = split
+    val model = TrafficModel.fit(
+      TrafficModel.randomForest(numTrees = 5, maxDepth = 5), train)
+    val p = tmpDir("model-rt") + "/rf"
+    TrafficModel.save(model, p)
+    val loaded = TrafficModel.load(p)
+    val a = TrafficModel.mae(TrafficModel.predict(model, test))
+    val b = TrafficModel.mae(TrafficModel.predict(loaded, test))
+    assert(a == b)
+  }
+}
