@@ -449,6 +449,276 @@ object Queries {
   }
 
   // ---------------------------------------------------------------
+  // Text analysis (training-data pipeline extensions)
+  // ---------------------------------------------------------------
+
+  /** Corpus quality features: exact-int ratios in one double division
+    * each (cross-engine deterministic; DuckDB regexp_replace needs the
+    * 'g' flag to match Spark's replace-all).
+    */
+  val qTQuality = q(
+    "q_t_quality_features",
+    """SELECT doc_id,
+      |       length(text) AS n_chars2,
+      |       len(toks) AS n_tokens,
+      |       CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+      |         / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+      |       CAST(len(list_filter(lotoks, t -> list_contains(
+      |              ['the','a','of','to','and','in','is','it','on','for'], t)))
+      |            AS DOUBLE) / CAST(len(lotoks) AS DOUBLE) AS stopword_ratio,
+      |       CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
+      |            AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+      |FROM (SELECT doc_id, text,
+      |        list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks,
+      |        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS lotoks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val feats = TextOps.qualityFeatures(col("text"))
+      .filterNot(_._1 == "n_chars")
+    Tables.documents(s, d)
+      .select(col("doc_id") +: (length(col("text")).as("n_chars2") +:
+        feats.map { case (n, c) => c.as(n) }): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID (stopword-profile argmax, deterministic
+    * tie-break). */
+  val qTLangId = q(
+    "q_t_langid",
+    """SELECT doc_id, lang,
+      |       CASE WHEN s_en = best AND best > 0 THEN 'en'
+      |            WHEN s_de = best AND best > 0 THEN 'de'
+      |            WHEN s_fr = best AND best > 0 THEN 'fr'
+      |            WHEN s_es = best AND best > 0 THEN 'es'
+      |            WHEN s_nl = best AND best > 0 THEN 'nl'
+      |            ELSE 'und' END AS lang_pred
+      |FROM (SELECT doc_id, lang,
+      |        len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+      |        len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+      |        len(list_filter(toks, t -> list_contains(['le','la','et','les','est'], t))) AS s_fr,
+      |        len(list_filter(toks, t -> list_contains(['el','los','que','y','es'], t))) AS s_es,
+      |        len(list_filter(toks, t -> list_contains(['de','het','een','en','van'], t))) AS s_nl,
+      |        greatest(
+      |          len(list_filter(toks, t -> list_contains(['the','and','of','to','is'], t))),
+      |          len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))),
+      |          len(list_filter(toks, t -> list_contains(['le','la','et','les','est'], t))),
+      |          len(list_filter(toks, t -> list_contains(['el','los','que','y','es'], t))),
+      |          len(list_filter(toks, t -> list_contains(['de','het','een','en','van'], t)))) AS best
+      |      FROM (SELECT doc_id, lang,
+      |              list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                          t -> len(t) > 0) AS toks
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Order-sensitive polynomial document fingerprint (rolling hash mod
+    * 1e9+7) — same left fold in both engines.
+    */
+  val qTFingerprint = q(
+    "q_t_fingerprint",
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(0::BIGINT,
+      |           list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Deduplication (training-data pipeline extensions)
+  // ---------------------------------------------------------------
+
+  /** n-gram Jaccard pairs via shingle inverted index (no cross join) —
+    * the exact-overlap dedup oracle. Restricted to doc_id < 120 to
+    * bound the pair count; jaccard is an int/int double division
+    * (deterministic, unrounded).
+    */
+  val qDNgramJaccard = q(
+    "q_d_ngram_jaccard",
+    """WITH tok AS (
+      |  SELECT doc_id AS id,
+      |         list_distinct(list_transform(range(len(toks) - 2),
+      |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ''))) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |        FROM documents WHERE doc_id < 120)),
+      |posts AS (SELECT id, len(sh) AS sz, unnest(sh) AS g FROM tok),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+      |         COUNT(*) AS inter
+      |  FROM posts a JOIN posts b USING (g)
+      |  WHERE a.id < b.id GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b,
+      |       CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) AS jaccard
+      |FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 120),
+      "doc_id", "text", n = 3, minJaccard = 0.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH band keys per document (the distributed candidate-
+    * generation structure; xxhash64-based → rows-only check).
+    */
+  val qDMinhashBands = q(
+    "q_d_minhash_bands", null) { (s, d) =>
+    import graft.operators.{Dedup, TextOps}
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
+    sh.select(col("doc_id"),
+      explode(Dedup.lshBandKeys(col("sig"), 16, 4)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .orderBy("doc_id", "band")
+  }
+
+  /** 64-bit SimHash per document (explode + columnar bit sums;
+    * xxhash64-based → rows-only).
+    */
+  val qDSimhash = q(
+    "q_d_simhash", null) { (s, d) =>
+    import graft.operators.Dedup
+    Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id")
+  }
+
+  /** Winnowing fingerprint count per doc (rows-only). */
+  val qDWinnow = q(
+    "q_d_winnow_fingerprints", null) { (s, d) =>
+    import graft.operators.TextOps
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.winnowingFingerprints(col("text"))).as("n_fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Similarity search over embeddings
+  // ---------------------------------------------------------------
+
+  /** Brute-force cosine top-5 for a 10-vector probe set. Cosine is an
+    * ordered double left fold (bitwise-reproducible and identical to
+    * the DuckDB list_reduce fold); output rounded 6dp.
+    */
+  val qECosineTopK = q(
+    "q_e_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT qid, cid,
+      |        list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(list_zip(qv, cv), x -> x[1] * x[2])), (a,b) -> a + b)
+      |        / sqrt(
+      |          list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(list_zip(qv, qv), x -> x[1] * x[2])), (a,b) -> a + b)
+      |          *
+      |          list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(list_zip(cv, cv), x -> x[1] * x[2])), (a,b) -> a + b))
+      |        AS cos_raw
+      |      FROM q, c WHERE qid <> cid)
+      |SELECT qid, cid, ROUND(cos_raw, 6) AS cos, rank FROM (
+      |  SELECT qid, cid, cos_raw,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY cos_raw DESC, cid) AS rank
+      |  FROM s)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.bruteForceTopK(queries, cands, 5)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed ANN top-5 for the same probe set (random-hyperplane
+    * buckets + multiprobe; rows-only — recall vs brute force is
+    * asserted in SimilaritySpec).
+    */
+  val qEAnnLsh = q(
+    "q_e_ann_lsh", null) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.lshTopK(queries, cands, dim = 64, k = 5,
+      bits = 8, probeBits = 4)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF (k-means inverted file) ANN top-5 — the scale path for
+    * generic top-k (rows-only; recall gate in SimilaritySpec).
+    */
+  val qEIvf = q(
+    "q_e_ivf_topk", null) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfTopK(queries, cands, k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // Multimodal binary columns
+  // ---------------------------------------------------------------
+
+  /** Binary payload metadata (encode → byte length): the oracle-able
+    * slice of the multimodal plumbing.
+    */
+  val qMmBinaryMeta = q(
+    "q_mm_binary_meta",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Stubbed media decode over binary payloads (mapPartitions batch
+    * plumbing; deterministic fake codec → rows-only).
+    */
+  val qMmDecodeStub = q(
+    "q_mm_decode_stub", null) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodeMeta(
+      Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
+      "doc_id")
+      .toDF().orderBy("id")
+  }
+
+  /** Frame-sampling stub: one row per sampled frame (rows-only). */
+  val qMmFrameSample = q(
+    "q_mm_frame_sample", null) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(
+      Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
+      "doc_id")
+      .toDF().orderBy("id", "frame_idx")
+  }
+
+  // ---------------------------------------------------------------
 
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
@@ -459,5 +729,9 @@ object Queries {
     qO2Union, qO3Split,
     qWTumbling, qWRank, qWLag,
     qTTokens, qDExact,
+    qTQuality, qTLangId, qTFingerprint,
+    qDNgramJaccard, qDMinhashBands, qDSimhash, qDWinnow,
+    qECosineTopK, qEAnnLsh, qEIvf,
+    qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
   )
 }

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, scale-first:
+  * every variant is shuffle-by-key (never a cross join), so it
+  * sharded across executors on the dedup key — the 100 TB path is the
+  * same plan with more partitions.
+  *
+  *  - exact: hash-groupBy on a content digest;
+  *  - n-gram Jaccard: shingle-inverted-index join, pairs generated
+  *    only for co-occurring shingles;
+  *  - MinHash+LSH: signature → band buckets → bucket join (candidate
+  *    generation linear in docs, never all-pairs);
+  *  - SimHash: 64-bit signature via explode + columnar bit sums.
+  */
+object Dedup {
+
+  /** Exact-content duplicate groups: digest → (count, keeper=min id). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(idCol).as("keeper"))
+
+  /** De-duplicated view: one row (min id) per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactDupGroups(df, idCol, textCol)
+      .select(col("keeper").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Pairwise n-gram Jaccard over an inverted index: explode distinct
+    * shingles, self-join on shingle (pairs only where they co-occur),
+    * count intersections, then |A∪B| = |A|+|B|−|A∩B|. Returns pairs
+    * (id_a < id_b) with jaccard ≥ minJaccard.
+    *
+    * Scale: the shuffle key is the shingle; hot shingles (stopword
+    * n-grams) are the skew risk — cap posting-list length via
+    * `maxShingleFreq` (standard positional-filtering trick; a shingle
+    * in >F docs contributes F² pairs and almost no Jaccard signal).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posts = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val rare = posts
+      .withColumn("freq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("freq") <= maxShingleFreq)
+      .drop("freq")
+    val a = rare.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val b = rare.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: k independent permutation approximations
+    * h_i(x) = (a_i·x + b_i) mod P over base-hashed shingles. Seeds are
+    * deterministic (fixed RNG seed) so signatures are reproducible
+    * across runs/executors. Returns array<long> of length k.
+    */
+  val MinhashP = 1000000007L
+
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val coefs = Seq.fill(k)((1 + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
+    // bind the base hashes: without it each of the k array_min branches
+    // would re-hash every shingle (k× work; trees, not DAGs)
+    graft.functions.ColumnOps.bind(
+      transform(shingles, s => pmod(xxhash64(s), lit(MinhashP)))) { base =>
+      array(coefs.map { case (a, b) =>
+        array_min(transform(base, x => (x * a + b) % MinhashP))
+      }: _*)
+    }
+  }
+
+  /** LSH band keys from a signature: `bands` hashes, each over
+    * `sigLen/bands` consecutive signature slots. Two docs sharing any
+    * band key are candidates (prob ≈ 1-(1-j^r)^b).
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(concat_ws("_",
+          slice(sig, bnd * rowsPerBand + 1, rowsPerBand))).as("key"))
+    }: _*)
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification:
+    * shingle → signature → band explode → bucket self-join →
+    * verify true Jaccard on the candidate set only.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val l = banded.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cands = l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: explode tokens, hash once, then 64
+    * columnar bit-sums (map-side partial agg; one shuffle on the id).
+    * Weighted variant would pass a weight column instead of ±1.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")
+    }
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates at Hamming distance ≤ maxHamming,
+    * blocked on 16-bit chunks (pigeonhole: distance ≤3 over 4 chunks
+    * guarantees one identical chunk — no all-pairs comparison).
+    */
+  def simhashNearDups(
+      sigs: DataFrame, // (id, simhash)
+      maxHamming: Int = 3): DataFrame = {
+    val chunked = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("ck"))
+    val l = chunked.select(col("ck"), col("id").as("id_a"),
+      col("simhash").as("sig_a"))
+    val r = chunked.select(col("ck"), col("id").as("id_b"),
+      col("simhash").as("sig_b"))
+    l.join(r, Seq("ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact, O(|Q|·|C|) — the correctness
+  *    baseline, fine when |Q| is small (scoring a probe set);
+  *  - random-hyperplane LSH buckets: candidates share a bucket key, so
+  *    the join is bucket-co-located (shuffle on bucket, not all-pairs)
+  *    — the 100 TB path; recall tunable via bits / multiprobe.
+  *
+  * All arithmetic is an ordered left fold in double precision
+  * (`aggregate` over `zip_with`), which is bitwise-reproducible — and
+  * matches a DuckDB `list_reduce` fold for the oracle.
+  */
+object Similarity {
+
+  /** Ordered-fold dot product in double (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact brute-force cosine top-k: for each query row, the k nearest
+    * candidates (ties broken by candidate id). Broadcast the query
+    * side — candidates stream, nothing shuffles except the final
+    * per-query top-k.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** Deterministic random hyperplanes (fixed seed), as literal columns. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*))
+  }
+
+  /** Sign-random-projection bucket id (SimHash for vectors): one bit
+    * per hyperplane. 2^bits buckets.
+    */
+  def lshBucket(vec: Column, dim: Int, bits: Int = 12, seed: Long = 42L): Column =
+    hyperplanes(dim, bits, seed).zipWithIndex.map { case (h, i) =>
+      when(dot(vec, h) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates considered only inside
+    * the query's bucket (exact cosine re-rank within). `probeBits=0`
+    * is pure bucket match; >0 multiprobes neighbors at Hamming
+    * distance 1 on the lowest `probeBits` planes to boost recall.
+    */
+  def lshTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      dim: Int,
+      k: Int,
+      bits: Int = 12,
+      probeBits: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cb = candidates.withColumn("bucket",
+      lshBucket(col("cvec"), dim, bits, seed))
+    val qBase = queries.withColumn("bucket0",
+      lshBucket(col("qvec"), dim, bits, seed))
+    // multiprobe expansion: original bucket + flips of low planes
+    val probes = array(
+      (col("bucket0") +: (0 until probeBits).map(i =>
+        col("bucket0").bitwiseXOR(lit(1L << i)))): _*)
+    val qb = qBase.select(col("qid"), col("qvec"),
+      explode(probes).as("bucket"))
+    val scored = qb.join(cb, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored
+      .dropDuplicates("qid", "cid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means centroids learned
+    * from the candidate set; each candidate indexed under its nearest
+    * centroid; a query probes its `nProbe` nearest centroids and
+    * exact-ranks only those lists. Unlike hyperplane LSH (whose recall
+    * collapses outside the near-duplicate regime), IVF adapts to the
+    * data distribution — the right structure for generic ANN top-k.
+    * At 100 TB the centroid model is tiny (trained on a sample) and
+    * the probe join shuffles on the centroid id.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val cand = candidates
+      .withColumn("fv", array_to_vector(col("cvec").cast("array<double>")))
+    val trainSet =
+      if (trainFraction >= 1.0) cand else cand.sample(trainFraction, seed)
+    val km = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(trainSet)
+    val indexed = km.transform(cand).drop("fv")
+
+    // nProbe nearest centroids per query: centroids are literals, the
+    // distance ranking is a pure column expression (no shuffle).
+    val centroidCols = km.clusterCenters.toSeq.zipWithIndex.map {
+      case (c, i) =>
+        val lits = array(c.toArray.map(lit).toSeq: _*)
+        val d2 = aggregate(
+          zip_with(col("qvec"), lits,
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d2.as("d2"), lit(i).as("cluster"))
+    }
+    val probed = queries
+      .withColumn("probe",
+        slice(array_sort(array(centroidCols: _*)), 1, nProbe))
+      .select(col("qid"), col("qvec"),
+        explode(col("probe.cluster")).as("cluster"))
+
+    val scored = probed.join(indexed, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (never all-pairs): pairs surface only when bucketed
+    * together under any probe.
+    */
+  def cosineNearDups(
+      vecs: DataFrame, // (id, vec)
+      dim: Int,
+      minCosine: Double,
+      bits: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val b = vecs.withColumn("bucket", lshBucket(col("vec"), dim, bits, seed))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+}

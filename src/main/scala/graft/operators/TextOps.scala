@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps.bind
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All are
+  * pure Catalyst column expressions (codegen'd higher-order functions,
+  * no UDFs), so they pipeline inside whole-stage codegen over a
+  * parquet scan of `documents`.
+  *
+  * Cross-engine determinism notes (for the DuckDB oracles): integer
+  * folds are exact; ratios are single double divisions of exact ints;
+  * the polynomial fingerprint stays below 2^60 via mod 1e9+7.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (split keeps leading empties). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword list used by quality scoring + language ID. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+  /** Language marker profiles (tiny n-gram/stopword heuristic — the
+    * classic cheap language-ID signal; deterministic, SQL-expressible).
+    * Tie-break order is the Seq order.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "que", "y", "es"),
+    "nl" -> Seq("de", "het", "een", "en", "van"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Heuristic language ID: argmax of profile-marker hits, 'und'
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * profile order.
+    */
+  def langId(text: Column): Column = {
+    // single pass over tokens: marker-word → profile-index map lookup,
+    // one 5-slot counter array folded along the way (vs 25
+    // array_contains scans per token)
+    val markerToIdx: Seq[(String, Int)] = LangProfiles.zipWithIndex
+      .flatMap { case ((_, ws), i) => ws.map(_ -> i) }
+    val lookup = map(markerToIdx.flatMap { case (w, i) =>
+      Seq(lit(w), lit(i))
+    }: _*)
+    val counts = aggregate(
+      tokens(lower(text)),
+      array((0 until LangProfiles.size).map(_ => lit(0)): _*),
+      (acc, t) =>
+        zip_with(acc, array((0 until LangProfiles.size).map(i => lit(i)): _*),
+          (a, i) => a + when(element_at(lookup, t) === i, 1).otherwise(0)))
+    bind(counts) { scores =>
+      val best = aggregate(scores, lit(0), (acc, x) => greatest(acc, x))
+      LangProfiles.map(_._1).zipWithIndex
+        .foldRight(lit("und"): Column) { case ((l, i), acc) =>
+          when(element_at(scores, i + 1) === best && best > 0, lit(l))
+            .otherwise(acc)
+        }
+    }
+  }
+
+  /** Quality features: char/token counts, mean token length, stopword
+    * ratio, punctuation ratio, uppercase-start ratio — the standard
+    * cheap corpus-quality signals.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val sumTokLen = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, x) => acc + x)
+    val nStop = countIn(tokens(lower(text)), EnglishStopwords)
+    val nPunct = nChars - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "mean_token_len" -> (sumTokLen.cast("double") / nTok.cast("double")),
+      "stopword_ratio" -> (nStop.cast("double") / nTok.cast("double")),
+      "punct_ratio" -> (nPunct.cast("double") / nChars.cast("double")))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * sane token lengths, penalizes extreme punctuation. Single double
+    * expression over exact-int ratios → cross-engine deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenOk = when(f("n_tokens") >= 10 && f("n_tokens") <= 1000, 1.0)
+      .otherwise(0.5)
+    val stop = least(f("stopword_ratio") * 4.0, lit(1.0))
+    val punct = greatest(lit(0.0), lit(1.0) - f("punct_ratio") * 5.0)
+    (lenOk * 0.4 + stop * 0.4 + punct * 0.2)
+  }
+
+  /** Polynomial rolling fingerprint of the full text
+    * (h = h*31 + code, mod 1e9+7): deterministic, SQL-expressible,
+    * order-sensitive (unlike a bag-of-words hash).
+    */
+  val FingerprintMod = 1000000007L
+
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % FingerprintMod)
+
+  /** Word n-gram shingles (joined with ''), the unit for
+    * Jaccard/MinHash dedup.
+    */
+  def shingles(text: Column, n: Int): Column =
+    bind(tokens(text)) { toks =>
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      array_distinct(
+        when(size(toks) >= n,
+          transform(idx, i => concat_ws("", slice(toks, i + 1, lit(n)))))
+          .otherwise(array(concat_ws("", toks))))
+    }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * k-gram rolling hashes, minimum per sliding window of w — the
+    * standard near-dup fingerprint set. Returns an array of selected
+    * hashes (distinct, sorted) per document.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    bind(transform(shingles(text, k),
+      g => pmod(xxhash64(g), lit(FingerprintMod)))) { hashes =>
+      val nWin = greatest(size(hashes) - w + 1, lit(1))
+      val mins = transform(sequence(lit(0), nWin - 1),
+        i => array_min(slice(hashes, i + 1, lit(w))))
+      array_sort(array_distinct(mins))
+    }
+}

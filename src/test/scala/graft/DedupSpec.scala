@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Dedup operators against planted duplicates: exact copies, token
+  * perturbations, and unrelated docs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1: exact dups; 2: near-dup of 0 (one token changed);
+  // 3: unrelated; 4: near-dup of 3 (two tokens appended)
+  lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark catalyst optimizer rules engine"),
+    (4L, "completely different content about spark catalyst optimizer rules engine here now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps one of the identical pair") {
+    val groups = Dedup.exactDupGroups(corpus, "doc_id", "text")
+    assert(groups.filter(col("n") === 2).count() == 1L)
+    val kept = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("ngram jaccard finds planted near-dups, not unrelated pairs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(0L, 1L, 2L)(a) && Set(3L, 4L)(b) })
+  }
+
+  test("minhash LSH surfaces the same near-dup pairs with exact verify") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      n = 3, k = 64, bands = 16, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(0L, 1L, 2L)(a) && Set(3L, 4L)(b) })
+  }
+
+  test("minhash signature approximates jaccard") {
+    val sh = corpus.select(col("doc_id"),
+      TextOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 128))
+    val sigs = sh.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+    assert(est(0L, 1L) == 1.0) // identical docs -> identical signatures
+    assert(est(0L, 2L) > 0.4)  // near-dup high
+    assert(est(0L, 3L) < 0.2)  // unrelated low
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sigs = Dedup.simhash64(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 1L) == 0)
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    val nd = Dedup.simhashNearDups(
+      Dedup.simhash64(corpus, "doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)))
+  }
+
+  test("winnowing fingerprints overlap strongly for near-dups only") {
+    val fps = corpus.select(col("doc_id"),
+      TextOps.winnowingFingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Long, b: Long) =
+      fps(a).intersect(fps(b)).size.toDouble / fps(a).union(fps(b)).size
+    assert(overlap(0L, 1L) == 1.0)
+    assert(overlap(0L, 2L) > overlap(0L, 3L))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextOps}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/quality: empty-safe counts and ratios") {
+    val df = Seq(
+      "the quick brown fox, it is on the mat!",
+      "  padded   whitespace   here  ").toDF("text")
+    val got = df.select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.qualityScore($"text").as("q")).collect()
+    assert(got(0).getInt(0) == 9)
+    assert(got(1).getInt(0) == 3)
+    assert(got.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("langId picks profile language; 'und' when no markers") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "der hund und die katze das ist gut",
+      "le chat et la maison les arbres est grand",
+      "xyzzy qwerty plugh").toDF("text")
+    val got = df.select(TextOps.langId($"text")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint: order-sensitive, deterministic") {
+    val df = Seq("ab c", "c ab", "ab c").toDF("text")
+    val got = df.select(TextOps.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(got(0) == got(2))
+    assert(got(0) != got(1)) // rolling hash is order-sensitive
+  }
+
+  test("shingles: n-grams with short-text fallback") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextOps.shingles($"text", 3)).collect()
+      .map(_.getSeq[Any](0).map(_.toString).toSet)
+    assert(got(0) == Set("abc", "bcd"))
+    assert(got(1) == Set("ab")) // shorter than n -> whole text
+  }
+
+  test("multimodal: stub decode meta is deterministic and typed") {
+    val docs = Tables.documents(spark, Sf0001).limit(50)
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id")
+    val rows = meta.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(m => m.n_bytes > 0 && m.width >= 64 && m.channels == 3))
+    // deterministic: run twice, same result
+    val rows2 = Multimodal.decodeMeta(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id").collect()
+    assert(rows.sortBy(_.id).toSeq == rows2.sortBy(_.id).toSeq)
+  }
+
+  test("multimodal: frame sampling explodes per-frame rows on executors") {
+    val docs = Tables.documents(spark, Sf0001).limit(10)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id", stride = 10)
+    val byDoc = frames.collect().groupBy(_.id)
+    assert(byDoc.size == 10)
+    assert(byDoc.values.forall(f => f.length >= 1 && f.length <= 8))
+    assert(byDoc.values.forall(f =>
+      f.map(_.frame_idx).toSeq == f.indices.map(_ * 10)))
+  }
+
+  test("multimodal: byte-histogram features have fixed length and sum") {
+    val docs = Tables.documents(spark, Sf0001).limit(5)
+    val feat = Multimodal.withBinaryPayload(docs, "text")
+      .select(col("doc_id"), Multimodal.byteHistogramFeatures(col("payload")).as("f"),
+        octet_length(col("payload")).as("nb"))
+    val rows = feat.collect()
+    assert(rows.forall(_.getSeq[Int](1).length == 16))
+    // histogram over hex chars: total count = 2 bytes of hex per byte
+    assert(rows.forall(r => r.getSeq[Int](1).sum == 2 * r.getInt(2)))
+  }
+}
