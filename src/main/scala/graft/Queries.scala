@@ -448,6 +448,38 @@ object Queries {
       .orderBy("h")
   }
 
+  /** Session windows (6 h inactivity gap) per user — Spark's native
+    * session_window; the oracle is the equivalent gaps-and-islands SQL
+    * (new-session flag → running sum → group). Start emitted as epoch
+    * seconds.
+    */
+  val qWSession = q(
+    "q_w_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_sess) OVER (PARTITION BY user_id
+      |                             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |       epoch_ms(CAST(MIN(ts) AS TIMESTAMP)) // 1000 AS sess_start,
+      |       COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+  }
+
   // ---------------------------------------------------------------
   // Text analysis (training-data pipeline extensions)
   // ---------------------------------------------------------------
@@ -727,7 +759,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qWTumbling, qWRank, qWLag,
+    qWTumbling, qWRank, qWLag, qWSession,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDSimhash, qDWinnow,

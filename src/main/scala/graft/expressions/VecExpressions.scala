@@ -1,0 +1,149 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The composable rendering (`aggregate` over `zip_with`, see
+  * operators/Similarity.scala) is semantically right but interpreted:
+  * higher-order functions don't participate in whole-stage codegen and
+  * allocate an intermediate array per row pair. These expressions
+  * compile to a tight fused loop over the two ArrayData buffers —
+  * same ordered left-fold double arithmetic, so results are bitwise
+  * identical to the HOF path (and to the DuckDB list_reduce oracle).
+  *
+  * Null elements are skipped (embeddings carry none; documented
+  * divergence from the HOF path, which nulls the whole result).
+  */
+trait VecBinaryLoop extends BinaryExpression {
+
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left.dataType) && okElem(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def getter(e: Expression, arr: String, i: String): String =
+    if (elemIsFloat(e)) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected def elemAt(e: Expression, a: ArrayData, i: Int): Double =
+    if (elemIsFloat(e)) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** dot(a, b) = Σ a_i·b_i in index order, double accumulation. */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryLoop {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += elemAt(left, a, i) * elemAt(right, b, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** cosine(a, b) = dot / √(Σa² · Σb²): one fused pass accumulates all
+  * three sums, then applies exactly the formula the composable
+  * three-fold version uses — values match it bitwise.
+  */
+case class VecCosine(left: Expression, right: Expression) extends VecBinaryLoop {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = elemAt(left, a, i); val y = elemAt(right, b, i)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = ${getter(left, a, i)};
+         |    double $y = ${getter(right, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_cosine"
+}
+
+object VecExpressions {
+  import GraftColumnBridge.{toColumn, toExpr}
+  def vec_dot(a: Column, b: Column): Column =
+    toColumn(VecDot(toExpr(a), toExpr(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    toColumn(VecCosine(toExpr(a), toExpr(b)))
+}

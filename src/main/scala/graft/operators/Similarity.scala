@@ -18,16 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Ordered-fold dot product in double (deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Ordered-fold dot product in double (deterministic). Composable
+    * HOF rendering — kept as the semantic reference; the hot path uses
+    * the codegen'd native expression below (bitwise-identical).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm2(a: Column): Column = dot(a, a)
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / sqrt(dotHof(a, a) * dotHof(b, b))
+
+  /** Native codegen'd versions (graft.expressions.VecDot/VecCosine):
+    * fused loop, no per-row intermediate arrays; same left-fold double
+    * arithmetic as the HOF path.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.expressions.VecExpressions.vec_dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    graft.expressions.VecExpressions.vec_cosine(a, b)
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
     * candidates (ties broken by candidate id). Broadcast the query

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration through spark.sql.extensions. Needs its
+  * own session (extensions bind at build time), so this spec builds a
+  * second SparkSession against the same local master.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("vec_cosine callable from SQL via extensions") {
+    // getOrCreate returns whatever session exists when suites share a
+    // JVM, so config-time injection can't be asserted here; register
+    // on a cloned session instead (the config path is exercised by
+    // GraftExtensions.apply over the same inject calls).
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    try {
+      GraftSession.tune(s2)
+      Tables.embeddings(s2, Sf0001).limit(20)
+        .createOrReplaceTempView("emb")
+      val out = s2.sql(
+        """SELECT a.vec_id, vec_cosine(a.embedding, a.embedding) AS c,
+          |       vec_dot(a.embedding, a.embedding) AS d
+          |FROM emb a""".stripMargin).collect()
+      assert(out.length == 20)
+      assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+      assert(out.forall(r => r.getDouble(2) > 0.0))
+    } finally {
+      // do not stop: getOrCreate may share the context with other suites
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: these assert the *shape* Catalyst produces —
+  * filters reaching the parquet scan, dims broadcast, partial
+  * aggregation — because at 100 TB the plan shape IS the performance.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = Queries.specs.find(_.name == name).get.fn(spark, Sf001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_s1: quantity filter is pushed into the parquet scan") {
+    val p = planOf("q_s1_scan_filter_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(l_quantity,10"), p)
+  }
+
+  test("q_s1: scan reads only the 3 projected columns") {
+    val p = planOf("q_s1_scan_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_linenumber") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q_j1: customer dim joins via BroadcastHashJoin") {
+    val p = planOf("q_j1_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_j3: anti join is broadcast, not sort-merge") {
+    val p = planOf("q_j3_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q1_agg: two-phase hash aggregation (partial then final)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("q_a2: min-max normalize broadcasts the grand aggregate (no global window)") {
+    val p = planOf("q_a2_minmax_normalize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), "should not single-partition via Window: " + p)
+  }
+
+  test("scan-heavy queries stay inside WholeStageCodegen") {
+    // AQE's formatted plan hides codegen pre-execution; codegen mode
+    // compiles the stages and reports the subtree count
+    val df = Queries.specs.find(_.name == "q_f3_trunc_cast").get
+      .fn(spark, Sf001)
+    df.collect() // finalize THIS plan's AQE (a write would clone it)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages carry the "*(n)" marker in the finalized plan
+    assert(p.contains("*("), p.take(800))
+  }
+
+  test("entry: flagship joins without cartesian products") {
+    val p = SparkEntry.entry(spark).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
