@@ -1,0 +1,47 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned parquet lake — the at-scale landing layout
+  * (SURVEY §4 "partition pruning" row: optional for the reference's
+  * 8.6k rows, load-bearing at 100 TB).
+  *
+  * Layout: `<root>/<table>/p_date=YYYY-MM-DD/part-*.parquet`. A
+  * reader filtering on `p_date` touches only matching directories
+  * (PartitionFilters in the scan, zero row-groups read elsewhere);
+  * the time-ordered feeds here (weather hours, forecast polls,
+  * events) all query by date range, so the partition key IS the
+  * access path. `maxRecordsPerFile` bounds file sizes; writes within
+  * a partition are append-only, so a re-poll lands new files without
+  * rewriting history (pair with the anti-join sink for exactly-once
+  * rows).
+  */
+object PartitionedLake {
+
+  def write(
+      df: DataFrame,
+      root: String,
+      table: String,
+      dateCol: String,
+      mode: SaveMode = SaveMode.Append,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("p_date", to_date(col(dateCol)))
+      .write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("p_date")
+      .parquet(s"$root/$table")
+
+  def read(s: SparkSession, root: String, table: String): DataFrame =
+    s.read.parquet(s"$root/$table")
+
+  /** Date-range scan: Catalyst prunes to the matching p_date
+    * directories before any file IO.
+    */
+  def readRange(
+      s: SparkSession, root: String, table: String,
+      fromDate: String, toDate: String): DataFrame =
+    read(s, root, table)
+      .filter(col("p_date") >= lit(fromDate) && col("p_date") <= lit(toDate))
+}

@@ -83,6 +83,12 @@ class ScalarOpsSpec extends SparkSpec {
     assert(NLHolidays.koningsdag(2013).toString == "2013-04-30")
   }
 
+  test("F8: timestamp -> SQL literal text with offset") {
+    val df = Seq(java.sql.Timestamp.valueOf("2022-01-25 12:00:00")).toDF("t")
+    val got = df.select(ScalarOps.timestampLiteral($"t")).first().getString(0)
+    assert(got == "2022-01-25 12:00:00 +0000") // session tz pinned UTC
+  }
+
   test("F13: prediction rescale truncates like int(pred*10)") {
     val df = Seq(0.999, 0.05, 1.0).toDF("p")
     val got = df.select(ScalarOps.rescalePrediction($"p").as("i"))

@@ -1,0 +1,114 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Introspect
+import graft.sinks.PartitionedLake
+import graft.sources.RestSource
+
+/** REST source (S4/S5) against a loopback HTTP server + file://,
+  * schema introspection (O4), and the partitioned lake (pruning
+  * evidence in the scan plan).
+  */
+class SourcesSinksSpec extends SparkSpec {
+
+  private def withServer(routes: Map[String, (Int, String)])(
+      f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, (code, body)) =>
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val bytes = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("S5: forecast fetched over HTTP parses with the pinned schema") {
+    val payload = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(resource("forecast_fixture.json"))), "UTF-8")
+    withServer(Map("/forecast" -> (200, payload))) { base =>
+      val df = RestSource.forecast(spark, s"$base/forecast")
+      assert(df.count() == 12L)
+      assert(df.schema("Temperature").dataType.isInstanceOf[StructType])
+    }
+  }
+
+  test("S4: location search picks the exact EnglishName match") {
+    val body =
+      """[{"EnglishName":"Utrecht","Key":"249758"},
+        |{"EnglishName":"Utrecht Heights","Key":"999"}]""".stripMargin
+    withServer(Map("/loc" -> (200, body))) { base =>
+      assert(RestSource.locationKey(spark, s"$base/loc", "Utrecht")
+        .contains("249758"))
+      assert(RestSource.locationKey(spark, s"$base/loc", "Nowhere").isEmpty)
+    }
+  }
+
+  test("S4/S5: retry recovers after transient 5xx; file:// replays") {
+    var calls = 0
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        calls += 1
+        val (code, body) =
+          if (calls < 3) (503, "busy") else (200, """[{"DateTime":"x"}]""")
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val got = RestSource.fetchString(
+        s"http://127.0.0.1:${server.getAddress.getPort}/flaky",
+        maxRetries = 2, backoffMs = 1)
+      assert(got.contains("DateTime") && calls == 3)
+    } finally server.stop(0)
+
+    // file:// replay of a landed payload
+    val got2 = RestSource.fetchString("file://" + resource("forecast_fixture.json"))
+    assert(got2.trim.startsWith("["))
+  }
+
+  test("O4: dtype-driven column selection mirrors select_dtypes") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("a", IntegerType), StructField("b", LongType),
+        StructField("c", BooleanType), StructField("d", StringType),
+        StructField("e", DoubleType))))
+    assert(Introspect.intCols(df) == Seq("a", "b"))
+    assert(Introspect.boolCols(df) == Seq("c"))
+    assert(Introspect.numericCols(df) == Seq("a", "b", "e"))
+  }
+
+  test("partitioned lake: date-range read prunes partitions in the scan") {
+    val root = tmpDir("lake")
+    PartitionedLake.write(
+      Tables.orders(spark, Sf0001), root, "orders", "o_orderdate")
+    val all = PartitionedLake.read(spark, root, "orders")
+    assert(all.count() == Tables.orders(spark, Sf0001).count())
+
+    val ranged = PartitionedLake.readRange(spark, root, "orders",
+      "1995-01-01", "1995-03-31")
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"), plan)
+    // partition count actually scanned is bounded by the date range
+    val expected = Tables.orders(spark, Sf0001)
+      .filter(to_date(col("o_orderdate")).between("1995-01-01", "1995-03-31"))
+      .count()
+    assert(ranged.count() == expected)
+  }
+}
