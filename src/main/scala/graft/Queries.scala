@@ -561,9 +561,11 @@ object Queries {
       |                          c -> CAST(ascii(c) AS BIGINT))),
       |         (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.operators.TextOps
+    // native codegen'd expression; VecExpressionsSpec-style equality
+    // with the HOF fold is asserted in TextMultimodalSpec
     Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        graft.expressions.TextFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
   }
 

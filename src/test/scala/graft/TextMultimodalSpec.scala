@@ -36,6 +36,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(0) != got(1)) // rolling hash is order-sensitive
   }
 
+  test("native fingerprint == HOF fingerprint on real documents") {
+    val diff = Tables.documents(spark, Sf0001)
+      .select(
+        TextOps.fingerprint($"text").as("hof"),
+        graft.expressions.TextFingerprint($"text").as("native"))
+      .filter($"hof" =!= $"native").count()
+    assert(diff == 0L)
+  }
+
   test("shingles: n-grams with short-text fallback") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextOps.shingles($"text", 3)).collect()
