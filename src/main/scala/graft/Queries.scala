@@ -480,6 +480,40 @@ object Queries {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Conversion funnel over the event stream: per user, first signup
+    * then first purchase strictly after it; one conditional-aggregate
+    * pass (no self-joins). Epoch-second comparisons keep ns/µs parity.
+    */
+  val qWFunnel = q(
+    "q_w_funnel",
+    """SELECT user_id,
+      |       MIN(CASE WHEN event_type = 'signup'
+      |                THEN epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 END) AS first_signup,
+      |       MIN(CASE WHEN event_type = 'purchase'
+      |                THEN epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 END) AS first_purchase,
+      |       CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+      |                          THEN epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 END)
+      |               > MIN(CASE WHEN event_type = 'signup'
+      |                          THEN epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 END)
+      |            THEN 1 ELSE 0 END AS converted
+      |FROM events GROUP BY user_id
+      |HAVING MIN(CASE WHEN event_type = 'signup'
+      |                THEN epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 END) IS NOT NULL
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val sec = unix_timestamp(col("ts"))
+    val firstSignup =
+      min(when(col("event_type") === "signup", sec)).as("first_signup")
+    val firstPurchase =
+      min(when(col("event_type") === "purchase", sec)).as("first_purchase")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(firstSignup, firstPurchase)
+      .withColumn("converted",
+        when(col("first_purchase") > col("first_signup"), 1).otherwise(0))
+      .filter(col("first_signup").isNotNull)
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------
   // Text analysis (training-data pipeline extensions)
   // ---------------------------------------------------------------
@@ -707,7 +741,10 @@ object Queries {
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    Similarity.ivfTopK(queries, cands, k = 5, nCentroids = 16, nProbe = 4)
+    // centroids fit on a sample — at 100 TB the model always trains on
+    // a sample; assignment still covers every candidate
+    Similarity.ivfTopK(queries, cands, k = 5, nCentroids = 16, nProbe = 4,
+      trainFraction = 0.5)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank"))
       .orderBy("qid", "rank")
@@ -761,7 +798,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qWTumbling, qWRank, qWLag, qWSession,
+    qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDSimhash, qDWinnow,

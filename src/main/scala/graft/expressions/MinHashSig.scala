@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native MinHash signature: k permutation minima over pre-hashed
+  * shingles (array<long>, produced by the codegen'd built-in
+  * `xxhash64` + `pmod`), in one compiled k×n loop.
+  *
+  * The composable rendering (Dedup.minhashSignature) builds k
+  * interpreted `array_min(transform(...))` branches — ~64·n lambda
+  * invocations per row with an allocated intermediate array each.
+  * Values are identical: same (a_i·x + b_i) mod P permutations from
+  * the same seeded coefficient stream.
+  */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> of base hashes, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // same coefficient stream as Dedup.minhashSignature
+  @transient private lazy val coefs: (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = 1 + rnd.nextLong(MinHashSig.P - 1)
+      bs(i) = rnd.nextLong(MinHashSig.P)
+      i += 1
+    }
+    (as, bs)
+  }
+
+  /** One fused loop; called from both eval and generated code. */
+  def compute(input: ArrayData): ArrayData = {
+    val (as, bs) = coefs
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      val x = input.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = (x * as(i) + bs(i)) % MinHashSig.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  val P: Long = 1000000007L
+
+  /** Column API over raw shingle strings: base-hash with the built-in
+    * codegen'd xxhash64 (seed 42, Spark default), then the native k-min
+    * loop. Drop-in for Dedup.minhashSignature.
+    */
+  def ofShingles(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.functions._
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(P)))
+    GraftColumnBridge.toColumn(
+      MinHashSig(GraftColumnBridge.toExpr(base), k, seed))
+  }
+}

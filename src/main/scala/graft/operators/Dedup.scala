@@ -75,7 +75,14 @@ object Dedup {
     */
   val MinhashP = 1000000007L
 
-  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+  /** Native fused loop (graft.expressions.MinHashSig) — the hot path. */
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    graft.expressions.MinHashSig.ofShingles(shingles, k, seed)
+
+  /** Composable HOF rendering — semantic reference; identical values
+    * (DedupSpec asserts equality against the native path).
+    */
+  def minhashSignatureHof(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val coefs = Seq.fill(k)((1 + rnd.nextLong(MinhashP - 1), rnd.nextLong(MinhashP)))
     // bind the base hashes: without it each of the k array_min branches

@@ -60,6 +60,16 @@ class DedupSpec extends SparkSpec {
     assert(est(0L, 3L) < 0.2)  // unrelated low
   }
 
+  test("native minhash signature == HOF signature on real documents") {
+    val sh = Tables.documents(spark, Sf0001)
+      .select(TextOps.shingles(col("text"), 3).as("sh"))
+    val diff = sh.select(
+      Dedup.minhashSignature(col("sh"), 64).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val sigs = Dedup.simhash64(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
