@@ -514,6 +514,37 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** As-of join: each purchase matched to the user's latest preceding
+    * signup. Spark composition = tag+union+per-key window (one shuffle);
+    * the oracle uses DuckDB's native ASOF JOIN — a strong cross-engine
+    * semantic check. Epoch seconds out (ns/µs parity).
+    */
+  val qJ4AsOf = q(
+    "q_j4_asof_join",
+    """SELECT l.event_id, l.user_id,
+      |       epoch_ms(CAST(l.ts AS TIMESTAMP)) // 1000 AS purchase_sec,
+      |       epoch_ms(CAST(r.ts AS TIMESTAMP)) // 1000 AS signup_sec,
+      |       r.value AS signup_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+      leftTs = "ts", rightTs = "ts", valueCols = Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_sec"),
+        unix_timestamp(col("matched_ts")).as("signup_sec"),
+        col("matched_value").as("signup_value"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------
   // Text analysis (training-data pipeline extensions)
   // ---------------------------------------------------------------
@@ -539,12 +570,17 @@ object Queries {
       |        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS lotoks
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.operators.TextOps
-    val feats = TextOps.qualityFeatures(col("text"))
-      .filterNot(_._1 == "n_chars")
+    // single-pass native struct (whole-stage CSE collapses the five
+    // field accesses to one compute); TextMultimodalSpec asserts
+    // equality with the composable TextOps.qualityFeatures rendering
+    val q = graft.expressions.TextQuality(col("text"))
     Tables.documents(s, d)
-      .select(col("doc_id") +: (length(col("text")).as("n_chars2") +:
-        feats.map { case (n, c) => c.as(n) }): _*)
+      .select(col("doc_id"),
+        q.getField("n_chars").as("n_chars2"),
+        q.getField("n_tokens").as("n_tokens"),
+        q.getField("mean_token_len").as("mean_token_len"),
+        q.getField("stopword_ratio").as("stopword_ratio"),
+        q.getField("punct_ratio").as("punct_ratio"))
       .orderBy("doc_id")
   }
 
@@ -794,7 +830,7 @@ object Queries {
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
-    qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin,
+    qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,

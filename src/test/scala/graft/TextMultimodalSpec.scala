@@ -36,6 +36,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(0) != got(1)) // rolling hash is order-sensitive
   }
 
+  test("native quality struct == HOF features on real documents") {
+    val q = graft.expressions.TextQuality($"text")
+    val hof = TextOps.qualityFeatures($"text").toMap
+    val diff = Tables.documents(spark, Sf0001)
+      .select(
+        q.getField("n_tokens").as("nt"), hof("n_tokens").as("nt2"),
+        q.getField("mean_token_len").as("m"), hof("mean_token_len").as("m2"),
+        q.getField("stopword_ratio").as("s"), hof("stopword_ratio").as("s2"),
+        q.getField("punct_ratio").as("p"), hof("punct_ratio").as("p2"))
+      .filter($"nt" =!= $"nt2" || $"m" =!= $"m2" ||
+        $"s" =!= $"s2" || $"p" =!= $"p2")
+      .count()
+    assert(diff == 0L)
+  }
+
   test("native fingerprint == HOF fingerprint on real documents") {
     val diff = Tables.documents(spark, Sf0001)
       .select(
