@@ -767,6 +767,41 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (exact over a bounded id
+    * range so the oracle is expressible; the LSH-bucketed variant —
+    * Similarity.cosineNearDups — is the unbounded scale path,
+    * recall-tested in SimilaritySpec). Ordered double folds → cosine
+    * values bitwise cross-engine; rounded 6dp on output.
+    */
+  val qDEmbeddingNearDup = q(
+    "q_d_embedding_neardup",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 200),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(list_zip(a.e, b.e), x -> x[1] * x[2])), (s,t) -> s + t)
+      |        / sqrt(
+      |          list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(list_zip(a.e, a.e), x -> x[1] * x[2])), (s,t) -> s + t)
+      |          *
+      |          list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(list_zip(b.e, b.e), x -> x[1] * x[2])), (s,t) -> s + t))
+      |        AS cos_raw
+      |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
+      |FROM p WHERE cos_raw >= 0.25 ORDER BY id_a, id_b""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Similarity
+      val v = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos_raw", Similarity.cosine(col("ea"), col("eb")))
+        .filter(col("cos_raw") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+  }
+
   /** IVF (k-means inverted file) ANN top-5 — the scale path for
     * generic top-k (rows-only; recall gate in SimilaritySpec).
     */
@@ -838,7 +873,7 @@ object Queries {
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDSimhash, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEIvf,
+    qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
   )
 }
