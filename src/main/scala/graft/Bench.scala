@@ -26,14 +26,19 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(10).write
       .format("noop").mode("overwrite").save()
 
+    // min of 2 runs per query: first run pays codegen/JIT/footer-cache
+    // noise; min is the steady-state cost the cluster would see.
     val results = Queries.specs.filter(_.bench).map { sp =>
-      val t0 = System.nanoTime()
-      try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      sp.name -> (System.nanoTime() - t0) / 1e9
+      sp.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -48,6 +48,17 @@ class MLQualitySpec extends SparkSpec {
     assert(r >= 0.88)
   }
 
+  test("M3 stand-in: GBT (third model family) beats the reference SVR band") {
+    val (train, test) = split
+    val model = TrafficModel.fit(TrafficModel.gbt(maxIter = 30), train)
+    val scored = TrafficModel.predict(model, test)
+    val mae = TrafficModel.mae(scored)
+    val r = TrafficModel.pearson(scored)
+    info(f"GBT MAE=$mae%.5f  PearsonR=$r%.5f (ref SVR: 0.08407 / 0.78202)")
+    assert(mae < 0.08407, s"GBT MAE $mae should beat the reference SVR")
+    assert(r > 0.78202)
+  }
+
   test("K4/S7: model save/load round-trips and scores identically") {
     val (train, test) = split
     val model = TrafficModel.fit(

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.ScalarOps
+import graft.sinks.StarSchemaSink
+
+/** Property tests (SURVEY §5.5) with plain scalacheck generators
+  * (scalatestplus isn't in the offline cache): fixed-seed sample
+  * batches evaluated data-parallel — one Spark job per property, the
+  * per-row assertion expressed as a column.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): List[A] =
+    Iterator.iterate((Seed(42L), List.empty[A])) { case (seed, acc) =>
+      val r = gen.pureApply(Gen.Parameters.default, seed)
+      (seed.next, r :: acc)
+    }.drop(n).next()._2
+
+  test("property: F5 truncation matches python int((f-32)*5/9) on 2000 samples") {
+    val xs = samples(Gen.choose(-200.0, 200.0), 2000)
+    val df = xs.map(f => (f, ((f - 32) * 5 / 9).toInt)).toDF("f", "expected")
+    val bad = df.filter(ScalarOps.f2c($"f") =!= $"expected").count()
+    assert(bad == 0L)
+  }
+
+  test("property: F3 tenth-rescale truncates toward zero for any int") {
+    val xs = samples(Gen.choose(-5000, 5000), 2000)
+    val df = xs.map(t => (t, (t * 0.1).toInt)).toDF("t", "expected")
+    val bad = df.filter(ScalarOps.tenthsToUnit($"t") =!= $"expected").count()
+    assert(bad == 0L)
+  }
+
+  test("property: min-max normalization spans exactly [0,1]") {
+    val lists = samples(
+      Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)).suchThat(_.toSet.size > 1), 10)
+    lists.foreach { xs =>
+      val df = xs.toDF("v")
+      val mm = df.agg(min("v").as("mn"), max("v").as("mx"))
+      val r = df.crossJoin(broadcast(mm))
+        .select((($"v" - $"mn") / ($"mx" - $"mn")).as("n"))
+        .agg(min("n"), max("n")).first()
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0, xs.take(5))
+    }
+  }
+
+  test("property: sink append is idempotent for arbitrary batches") {
+    val tsGen = Gen.choose(0, 99).map(h =>
+      Timestamp.valueOf(f"2022-01-${1 + h / 24}%02d ${h % 24}%02d:00:00"))
+    val rowGen = Gen.zip(tsGen, Gen.choose(0, 50), Gen.choose(-20, 40),
+      Gen.oneOf(true, false))
+    samples(Gen.nonEmptyListOf(rowGen), 5).foreach { rows =>
+      val wh = tmpDir("wh-prop")
+      StarSchemaSink.createTables(spark, wh)
+      val batch = rows.toDF("DateTime", "WindSpeed", "Temperature", "Precipitation")
+      val n1 = StarSchemaSink.idempotentAppend(
+        spark, wh, "weather", batch, Seq("DateTime"))
+      val n2 = StarSchemaSink.idempotentAppend(
+        spark, wh, "weather", batch, Seq("DateTime"))
+      assert(n1 == rows.map(_._1).distinct.size.toLong)
+      assert(n2 == 0L)
+    }
+  }
+
+  test("property: NL holiday calendar invariants for every year 1990-2035") {
+    (1990 to 2035).foreach { year =>
+      val h = graft.functions.NLHolidays.forYear(year)
+      assert(h.size == 11)
+      assert(h.contains(java.time.LocalDate.of(year, 1, 1)))
+      assert(h.contains(java.time.LocalDate.of(year, 12, 25)))
+      val easter = graft.functions.NLHolidays.easterSunday(year)
+      assert(easter.getDayOfWeek == java.time.DayOfWeek.SUNDAY)
+      assert(easter.getMonthValue == 3 || easter.getMonthValue == 4)
+      // King's Day is never a Sunday (shift rule)
+      assert(graft.functions.NLHolidays.koningsdag(year).getDayOfWeek
+        != java.time.DayOfWeek.SUNDAY)
+    }
+  }
+}
