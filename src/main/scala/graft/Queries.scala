@@ -612,10 +612,11 @@ object Queries {
       |                          t -> len(t) > 0) AS toks
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.operators.TextOps
+    // native single-pass expression; parity with the composable
+    // TextOps.langId asserted in TextMultimodalSpec
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        TextOps.langId(col("text")).as("lang_pred"))
+        graft.expressions.LangId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
   }
 

@@ -36,6 +36,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(0) != got(1)) // rolling hash is order-sensitive
   }
 
+  test("native langId == HOF langId on real documents and edge strings") {
+    val diff = Tables.documents(spark, Sf0001)
+      .select(TextOps.langId($"text").as("hof"),
+        graft.expressions.LangId($"text").as("native"))
+      .filter($"hof" =!= $"native").count()
+    assert(diff == 0L)
+    val edge = Seq("", "   ", "xyzzy", "the der le el de the der")
+      .toDF("text")
+      .select(TextOps.langId($"text").as("hof"),
+        graft.expressions.LangId($"text").as("native"))
+      .collect()
+    assert(edge.forall(r => r.getString(0) == r.getString(1)), edge.toSeq)
+  }
+
   test("native quality struct == HOF features on real documents") {
     val q = graft.expressions.TextQuality($"text")
     val hof = TextOps.qualityFeatures($"text").toMap
