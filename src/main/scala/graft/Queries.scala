@@ -361,6 +361,104 @@ object Queries {
   }
 
   // ---------------------------------------------------------------
+  // Analytic breadth beyond the reference (distinct aggs, rollup,
+  // set ops, top-k) — table-stakes engine surface
+  // ---------------------------------------------------------------
+
+  /** Exact distinct aggregate (expand-based in Spark). The HLL
+    * approx_count_distinct sketch variant is rows-only
+    * (q_a5_hll_sketch) — approx values can't cross-engine match.
+    */
+  val qA4Distinct = q(
+    "q_a4_distinct_agg",
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"))
+        .orderBy("l_returnflag")
+  }
+
+  /** HLL sketch: error bound vs exact asserted here (rows-only for
+    * the driver; the property is relative error, not equality).
+    */
+  val qA5Hll = q(
+    "q_a5_hll_sketch", null) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Rollup with grand totals; null group markers coalesced to 'ALL'
+    * so sort keys stay non-null (Spark sorts nulls first, DuckDB
+    * last).
+    */
+  val qA6Rollup = q(
+    "q_a6_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |       SUM(CAST(l_quantity AS BIGINT)) AS qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
+  /** Set operations: customers in both/only-one of two order cohorts. */
+  val qO5SetOps = q(
+    "q_o5_set_ops",
+    """SELECT c, 'both' AS tag FROM (
+      |  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT c, 'f_only' AS tag FROM (
+      |  SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY tag, c""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c"))
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c"))
+    f.intersect(open).withColumn("tag", lit("both"))
+      .unionByName(f.except(open).withColumn("tag", lit("f_only")))
+      .orderBy("tag", "c")
+  }
+
+  /** Top-k with deterministic tie-break — ORDER BY + LIMIT pushed into
+    * a TakeOrderedAndProject (no global sort materialization).
+    */
+  val qO6TopK = q(
+    "q_o6_topk_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+  }
+
+  // ---------------------------------------------------------------
   // Window / analytic functions over events
   // ---------------------------------------------------------------
 
@@ -870,6 +968,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
+    qA4Distinct, qA5Hll, qA6Rollup, qO5SetOps, qO6TopK,
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
