@@ -310,7 +310,7 @@ object Queries {
   val qF12Json = q(
     "q_f12_json_extract",
     """SELECT event_type,
-      |       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_sum
+      |       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
       Tables.events(s, d)
@@ -407,7 +407,7 @@ object Queries {
     "q_a6_rollup",
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
       |       COALESCE(l_linestatus, 'ALL') AS ls,
-      |       SUM(CAST(l_quantity AS BIGINT)) AS qty, COUNT(*) AS n
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)

@@ -68,6 +68,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             n_bad += 1
             continue
+        # Driver hashes value REPRS: int64 7 vs float64 7.0 mismatch
+        # (DuckDB SUM(BIGINT)->HUGEINT->float64 is the classic cause).
+        kind_bad = [c for c in a.columns
+                    if a[c].dtype.kind != b[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch {[(c, str(a[c].dtype), str(b[c].dtype)) for c in kind_bad]}")
+            n_bad += 1
+            continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             n_bad += 1
