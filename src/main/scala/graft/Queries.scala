@@ -788,34 +788,84 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash+LSH band keys per document (the distributed candidate-
-    * generation structure; xxhash64-based → rows-only check).
+  // Shared DuckDB fragments for the poly-hash text sketches (the SQL
+  // rendering of graft.expressions.TextSketchKernels):
+  private val duckToks =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
+  private def duckFold(base: Int, mod: Long, s: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(list_filter(string_split($s, ''), c -> len(c) > 0),
+       |            c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * $base + b) % $mod)""".stripMargin
+  private def duckShingleHashes(k: Int): String =
+    s"""g AS (SELECT doc_id, CASE WHEN len(toks) >= $k
+       |        THEN list_transform(range(len(toks) - ${k - 1}),
+       |               i -> array_to_string(list_slice(toks, i + 1, i + $k), ''))
+       |        ELSE [array_to_string(toks, '')] END AS sh FROM t),
+       |h AS (SELECT doc_id, list_transform(sh, s -> ${duckFold(31, 1000000007L, "s")}) AS hs FROM g)""".stripMargin
+
+  /** MinHash+LSH band keys per document — the distributed candidate-
+    * generation structure (two docs sharing any band key are near-dup
+    * candidates; the shuffle key at scale is (band, key)). Poly-hash
+    * base + poly band fold → the oracle replays the exact signature
+    * with the same seeded (a_i, b_i) stream inlined as SQL lists.
     */
-  val qDMinhashBands = q(
-    "q_d_minhash_bands", null) { (s, d) =>
-    import graft.operators.{Dedup, TextOps}
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
-      .withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
-    sh.select(col("doc_id"),
-      explode(Dedup.lshBandKeys(col("sig"), 16, 4)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .orderBy("doc_id", "band")
+  val qDMinhashBands = {
+    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
+    q(
+      "q_d_minhash_bands",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |${duckShingleHashes(3)},
+         |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
+         |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
+         |s AS (SELECT doc_id, list_transform(range(64), i ->
+         |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
+         |      FROM h CROSS JOIN coef),
+         |bands AS (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)
+         |SELECT doc_id, CAST(band AS INT) AS band,
+         |  list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
+         |    (a, v) -> (a * 31 + v) % 1000000007) AS key
+         |FROM bands ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+      import graft.operators.Dedup
+      import graft.expressions.{MinHashSig, TextShingleHashes}
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), TextShingleHashes(col("text"), 3).as("hs"))
+        .withColumn("sig", MinHashSig.ofHashes(col("hs"), 64))
+      sh.select(col("doc_id"),
+        explode(Dedup.lshBandKeysPoly(col("sig"), 16, 4)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .orderBy("doc_id", "band")
+    }
   }
 
-  /** 64-bit SimHash per document (explode + columnar bit sums;
-    * xxhash64-based → rows-only).
+  /** 60-bit SimHash per document via the native one-pass expression
+    * (map-only — no explode, no shuffle; TextMultimodalSpec asserts
+    * equality with the composable HOF rendering).
     */
   val qDSimhash = q(
-    "q_d_simhash", null) { (s, d) =>
-    import graft.operators.Dedup
-    Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+    "q_d_simhash",
+    s"""WITH t AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),
+       |h AS (SELECT id, list_transform(toks, s -> ${duckFold(31, 1000000007L, "s")}
+       |        + ${duckFold(131, 998244353L, "s")} * 1073741824) AS hs FROM t)
+       |SELECT id, CAST(list_sum(list_transform(range(60), b ->
+       |    CASE WHEN len(list_filter(hs, h -> (h >> b) & 1 = 1)) * 2 - len(hs) > 0
+       |         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |FROM h ORDER BY id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        graft.expressions.TextSimHash(col("text")).as("simhash"))
       .orderBy("id")
   }
 
-  /** Winnowing fingerprint count per doc (rows-only). */
+  /** Winnowing fingerprint count per doc (k=5 shingles, window w=4;
+    * poly shingle hashes → exact oracle).
+    */
   val qDWinnow = q(
-    "q_d_winnow_fingerprints", null) { (s, d) =>
+    "q_d_winnow_fingerprints",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |${duckShingleHashes(5)}
+       |SELECT doc_id, CAST(len(list_distinct(list_transform(range(greatest(len(hs) - 3, 1)),
+       |    i -> list_min(list_slice(hs, i + 1, i + 4))))) AS INT) AS n_fp
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.TextOps
     Tables.documents(s, d)
       .select(col("doc_id"),

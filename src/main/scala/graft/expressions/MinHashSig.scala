@@ -29,19 +29,9 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // same coefficient stream as Dedup.minhashSignature
-  @transient private lazy val coefs: (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val as = new Array[Long](k)
-    val bs = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      as(i) = 1 + rnd.nextLong(MinHashSig.P - 1)
-      bs(i) = rnd.nextLong(MinHashSig.P)
-      i += 1
-    }
-    (as, bs)
-  }
+  // same coefficient stream as Dedup.minhashSignature and the oracle
+  @transient private lazy val coefs: (Array[Long], Array[Long]) =
+    MinHashSig.coefficients(k, seed)
 
   /** One fused loop; called from both eval and generated code. */
   def compute(input: ArrayData): ArrayData = {
@@ -88,5 +78,30 @@ object MinHashSig {
     val base = transform(shingles, s => pmod(xxhash64(s), lit(P)))
     GraftColumnBridge.toColumn(
       MinHashSig(GraftColumnBridge.toExpr(base), k, seed))
+  }
+
+  /** Over pre-hashed shingles (e.g. the native TextShingleHashes poly
+    * fold — the DuckDB-replayable base). Duplicate base hashes don't
+    * change a min, so distinct and ordered shingle sets give the same
+    * signature.
+    */
+  def ofHashes(base: Column, k: Int = 64, seed: Long = 42L): Column =
+    GraftColumnBridge.toColumn(
+      MinHashSig(GraftColumnBridge.toExpr(base), k, seed))
+
+  /** The (a_i, b_i) permutation coefficients for a given (k, seed) —
+    * exposed so oracle SQL can inline the identical stream.
+    */
+  def coefficients(k: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = 1 + rnd.nextLong(P - 1)
+      bs(i) = rnd.nextLong(P)
+      i += 1
+    }
+    (as, bs)
   }
 }

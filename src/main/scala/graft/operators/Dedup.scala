@@ -106,6 +106,18 @@ object Dedup {
           slice(sig, bnd * rowsPerBand + 1, rowsPerBand))).as("key"))
     }: _*)
 
+  /** Deterministic-poly band keys: key = base-31 fold of the band's
+    * signature slots mod P — same bucketing power as the xxhash64
+    * variant but replayable in any engine (the DuckDB oracle runs the
+    * identical list_reduce fold).
+    */
+  def lshBandKeysPoly(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        aggregate(slice(sig, bnd * rowsPerBand + 1, rowsPerBand),
+          lit(0L), (acc, v) => (acc * 31L + v) % MinhashP).as("key"))
+    }: _*)
+
   /** MinHash+LSH candidate pairs with exact-Jaccard verification:
     * shingle → signature → band explode → bucket self-join →
     * verify true Jaccard on the candidate set only.

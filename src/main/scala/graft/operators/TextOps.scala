@@ -119,22 +119,79 @@ object TextOps {
     * Jaccard/MinHash dedup.
     */
   def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesAll(text, n))
+
+  /** Ordered, non-distinct shingles — the sequence form winnowing
+    * needs (window positions are meaningful). `shingles` is the set
+    * form for Jaccard.
+    */
+  def shinglesAll(text: Column, n: Int): Column =
     bind(tokens(text)) { toks =>
       val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-      array_distinct(
-        when(size(toks) >= n,
-          transform(idx, i => concat_ws("", slice(toks, i + 1, lit(n)))))
-          .otherwise(array(concat_ws("", toks))))
+      when(size(toks) >= n,
+        transform(idx, i => concat_ws("", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws("", toks)))
+    }
+
+  /** Base-31 polynomial fold of a string column mod 1e9+7 — the HOF
+    * rendering of TextSketchKernels' shingle hash (and of the DuckDB
+    * list_reduce oracle).
+    */
+  def polyFold31(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % FingerprintMod)
+
+  /** Ordered shingle-hash array, HOF rendering — semantic reference
+    * for the native graft.expressions.TextShingleHashes (equality
+    * asserted in TextMultimodalSpec).
+    */
+  def shingleHashesHof(text: Column, n: Int): Column =
+    transform(shinglesAll(text, n), s => polyFold31(s))
+
+  /** 60-bit per-token hash (two folds, bits 0..29 and 30..59) — HOF
+    * reference for TextSketchKernels.combined60.
+    */
+  def combined60Hof(t: Column): Column =
+    bind(filter(split(t, ""), c => length(c) > 0)) { cs =>
+      val h1 = aggregate(cs, lit(0L),
+        (acc, c) => (acc * 31L + ascii(c).cast("long")) % FingerprintMod)
+      val h2 = aggregate(cs, lit(0L),
+        (acc, c) => (acc * 131L + ascii(c).cast("long")) % 998244353L)
+      h1 + shiftleft(h2, 30)
+    }
+
+  /** SimHash, HOF rendering — semantic reference for the native
+    * graft.expressions.TextSimHash (bit b set when strictly more token
+    * hashes have it set than clear).
+    */
+  def simhashHof(text: Column): Column =
+    bind(transform(tokens(text), t => combined60Hof(t))) { hs =>
+      (0 until 60).map { b =>
+        val setCnt = size(filter(hs,
+          h => shiftright(h, b).bitwiseAND(1L) === 1L))
+        when(setCnt * 2 - size(hs) > 0, shiftleft(lit(1L), b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
     }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * k-gram rolling hashes, minimum per sliding window of w — the
     * standard near-dup fingerprint set. Returns an array of selected
-    * hashes (distinct, sorted) per document.
+    * hashes (distinct, sorted) per document. Hashes are the native
+    * one-pass shingle fold (poly mod 1e9+7 — deterministic and
+    * DuckDB-replayable, unlike xxhash64).
     */
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
-    bind(transform(shingles(text, k),
-      g => pmod(xxhash64(g), lit(FingerprintMod)))) { hashes =>
+    winnowFromHashes(graft.expressions.TextShingleHashes(text, k), w)
+
+  /** HOF-rendered reference (same values; TextMultimodalSpec). */
+  def winnowingFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowFromHashes(shingleHashesHof(text, k), w)
+
+  private def winnowFromHashes(hashCol: Column, w: Int): Column =
+    bind(hashCol) { hashes =>
       val nWin = greatest(size(hashes) - w + 1, lit(1))
       val mins = transform(sequence(lit(0), nWin - 1),
         i => array_min(slice(hashes, i + 1, lit(w))))

@@ -74,6 +74,45 @@ class TextMultimodalSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native shingle hashes == HOF poly fold on real documents") {
+    val df = Tables.documents(spark, Sf0001)
+      .select($"text").union(Seq("", "one", "a b", "x  y\tz\n").toDF("text"))
+    val diff = df.select(
+      graft.expressions.TextShingleHashes($"text", 3).as("native"),
+      TextOps.shingleHashesHof($"text", 3).as("hof"))
+      .filter(!($"native" <=> $"hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("native simhash == HOF simhash on real documents and edge strings") {
+    val df = Tables.documents(spark, Sf0001)
+      .select($"text").union(Seq("", "one", "der die und das ist").toDF("text"))
+    val diff = df.select(
+      graft.expressions.TextSimHash($"text").as("native"),
+      TextOps.simhashHof($"text").as("hof"))
+      .filter(!($"native" <=> $"hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("native winnow == HOF winnow; fingerprints stable under repeat") {
+    val df = Tables.documents(spark, Sf0001).select($"text")
+    val diff = df.select(
+      TextOps.winnowingFingerprints($"text").as("native"),
+      TextOps.winnowingFingerprintsHof($"text").as("hof"))
+      .filter(!($"native" <=> $"hof")).count()
+    assert(diff == 0L)
+  }
+
+  test("minhash over native shingle hashes == minhash over HOF hashes") {
+    import graft.expressions.{MinHashSig, TextShingleHashes}
+    val df = Tables.documents(spark, Sf0001).select($"text")
+    val diff = df.select(
+      MinHashSig.ofHashes(TextShingleHashes($"text", 3), 64).as("native"),
+      MinHashSig.ofHashes(TextOps.shingleHashesHof($"text", 3), 64).as("hof"))
+      .filter(!($"native" <=> $"hof")).count()
+    assert(diff == 0L)
+  }
+
   test("shingles: n-grams with short-text fallback") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(TextOps.shingles($"text", 3)).collect()
