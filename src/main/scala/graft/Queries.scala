@@ -392,25 +392,31 @@ object Queries {
         .orderBy("l_returnflag")
   }
 
-  /** HLL sketch: error bound vs exact asserted here (rows-only for
-    * the driver; the property is relative error, not equality).
+  /** HLL distinct sketch vs exact — our own deterministic HLL
+    * (graft.operators.Sketch: poly hashes, integer register state),
+    * so the ESTIMATE itself is exact-oracled: DuckDB rebuilds the
+    * identical 256 registers and harmonic fold. The exact side runs
+    * as an independent agg and joins the tiny results (one mixed agg
+    * would force an Expand duplicating every input row).
     */
   val qA5Hll = q(
-    "q_a5_hll_sketch", null) { (s, d) =>
-    // Mixing approx_count_distinct with an exact COUNT(DISTINCT) in
-    // one agg forces an Expand (every input row duplicated per
-    // distinct-agg group). Computing them as two independent aggs and
-    // joining the tiny results avoids the expand: 1.6s → 0.6s at
-    // sf0.1, and at scale the HLL pass stays a single map-side-
-    // combining shuffle of sketch bytes.
+    "q_a5_hll_sketch",
+    s"""WITH hll AS (${graft.operators.Sketch
+         .hllOracleSql("lineitem", "l_returnflag", "l_partkey")}),
+       |ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+       |         AS exact_parts FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, hll_est, exact_parts,
+       |       CAST(abs(hll_est - exact_parts) AS DOUBLE) / exact_parts AS rel_err
+       |FROM hll JOIN ex USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import graft.operators.Sketch
     val li = Tables.lineitem(s, d)
-    val approx = li.groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+    val est = Sketch.hllEstimate(li, Seq("l_returnflag"), "l_partkey")
     val exact = li.select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
-    approx.join(exact, Seq("l_returnflag"))
+    est.join(exact, Seq("l_returnflag"))
       .withColumn("rel_err",
-        abs(col("approx_parts") - col("exact_parts")).cast("double")
+        abs(col("hll_est") - col("exact_parts")).cast("double")
           / col("exact_parts"))
       .orderBy("l_returnflag")
   }
@@ -914,22 +920,65 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
-  /** LSH-bucketed ANN top-5 for the same probe set (random-hyperplane
-    * buckets + multiprobe; rows-only — recall vs brute force is
-    * asserted in SimilaritySpec).
+  // DuckDB fold fragments shared by the embedding oracles: ordered
+  // left folds in double are bitwise identical to VecDot/VecCosine.
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b), x -> x[1] * x[2])), (acc, v) -> acc + v)""".stripMargin
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
+  private def duckD2(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, v) -> acc + v)""".stripMargin
+
+  /** LSH-bucketed ANN top-5 for the same probe set: random-hyperplane
+    * buckets + Hamming-1 multiprobe, exact cosine re-rank inside the
+    * probed buckets. The planes are a seeded literal table, and bucket
+    * bits are signs of ordered double folds — so the oracle inlines
+    * the identical planes and replays the whole index bit-for-bit.
+    * (Recall vs brute force is asserted separately in SimilaritySpec.)
     */
-  val qEAnnLsh = q(
-    "q_e_ann_lsh", null) { (s, d) =>
-    import graft.operators.Similarity
-    val e = Tables.embeddings(s, d)
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    Similarity.lshTopK(queries, cands, dim = 64, k = 5,
-      bits = 8, probeBits = 4)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
-        col("rank"))
-      .orderBy("qid", "rank")
+  val qEAnnLsh = {
+    val planes = graft.operators.Similarity.hyperplaneValues(dim = 64, bits = 8)
+    val hsLit = planes
+      .map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]")
+    def bucket(v: String) =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(8), i ->
+         |  CASE WHEN ${duckDot(v, "hs[CAST(i AS INT) + 1]")} >= 0
+         |       THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (acc, v) -> acc + v)""".stripMargin
+    q(
+      "q_e_ann_lsh",
+      s"""WITH hp AS (SELECT $hsLit::DOUBLE[][] AS hs),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |cb AS (SELECT cid, ${bucket("cv")} AS bucket FROM c CROSS JOIN hp),
+         |q0 AS (SELECT qid, ${bucket("qv")} AS b0 FROM q CROSS JOIN hp),
+         |qb AS (SELECT qid, unnest([b0, xor(b0, 1::BIGINT), xor(b0, 2::BIGINT),
+         |                           xor(b0, 4::BIGINT), xor(b0, 8::BIGINT)]) AS bucket
+         |       FROM q0),
+         |pairs AS (SELECT DISTINCT qid, cid FROM qb JOIN cb USING (bucket)
+         |          WHERE qid <> cid),
+         |scored AS (SELECT qid, cid, ${duckCos("qv", "cv")} AS cos_raw
+         |           FROM pairs JOIN q USING (qid) JOIN c USING (cid))
+         |SELECT qid, cid, ROUND(cos_raw, 6) AS cos, rank FROM (
+         |  SELECT qid, cid, cos_raw,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY cos_raw DESC, cid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.lshTopK(queries, cands, dim = 64, k = 5,
+        bits = 8, probeBits = 4)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (exact over a bounded id
@@ -967,20 +1016,52 @@ object Queries {
         .orderBy("id_a", "id_b")
   }
 
-  /** IVF (k-means inverted file) ANN top-5 — the scale path for
-    * generic top-k (rows-only; recall gate in SimilaritySpec).
+  /** IVF (inverted-file) ANN top-5 — the scale path for generic
+    * top-k. This catalog entry pins the coarse quantizer to a
+    * deterministic centroid table (the embeddings with vec_id < 16)
+    * so the whole index — assignment, probe set, re-rank — replays
+    * exactly in the oracle; the sampled-Lloyd's production path
+    * (Similarity.ivfTopK) is recall-gated in SimilaritySpec. At
+    * 100 TB the quantizer is a tiny driver-side model either way;
+    * candidates shuffle once, on cluster id.
     */
   val qEIvf = q(
-    "q_e_ivf_topk", null) { (s, d) =>
+    "q_e_ivf_topk",
+    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |ca AS (SELECT cid, cl, ROW_NUMBER() OVER (PARTITION BY cid
+       |                         ORDER BY d2, cl) AS rn
+       |       FROM (SELECT cid, cl, ${duckD2("cv", "ce")} AS d2
+       |             FROM c CROSS JOIN cent)),
+       |idx AS (SELECT cid, cl FROM ca WHERE rn = 1),
+       |qa AS (SELECT qid, cl FROM (
+       |         SELECT qid, cl, ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY d2, cl) AS rn
+       |         FROM (SELECT qid, cl, ${duckD2("qv", "ce")} AS d2
+       |               FROM q CROSS JOIN cent))
+       |       WHERE rn <= 4),
+       |scored AS (SELECT qid, cid, ${duckCos("qv", "cv")} AS cos_raw
+       |           FROM qa JOIN idx USING (cl)
+       |                   JOIN q USING (qid) JOIN c USING (cid)
+       |           WHERE qid <> cid)
+       |SELECT qid, cid, ROUND(cos_raw, 6) AS cos, rank FROM (
+       |  SELECT qid, cid, cos_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cos_raw DESC, cid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
     import graft.operators.Similarity
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // centroids fit on a sample — at 100 TB the model always trains on
-    // a sample; assignment still covers every candidate
-    Similarity.ivfTopK(queries, cands, k = 5, nCentroids = 16, nProbe = 4,
-      trainFraction = 0.5)
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Similarity.ivfTopKWithCenters(queries, cands, k = 5, centers, nProbe = 4)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank"))
       .orderBy("qid", "rank")

@@ -60,11 +60,17 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
-  /** Deterministic random hyperplanes (fixed seed), as literal columns. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Column] = {
+  /** Deterministic random hyperplanes (fixed seed): the raw values —
+    * exposed so oracle SQL can inline the identical planes and replay
+    * bucket assignment bit-for-bit (sign of an ordered double fold).
+    */
+  def hyperplaneValues(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*))
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Column] =
+    hyperplaneValues(dim, bits, seed).toSeq.map(p => array(p.toSeq.map(lit): _*))
 
   /** Sign-random-projection bucket id (SimHash for vectors): one bit
     * per hyperplane. 2^bits buckets.
@@ -139,7 +145,21 @@ object Similarity {
         .limit(maxTrainRows).collect()
         .map(_.getSeq[Double](0).toArray)
     val centers = lloyd(sampled, nCentroids, maxIter, seed)
+    ivfTopKWithCenters(queries, candidates, k, centers, nProbe)
+  }
 
+  /** IVF probe/rank given an explicit coarse quantizer (the trained —
+    * or deterministically chosen — centroid table). Split out so a
+    * replayable centroid choice (e.g. "embeddings with vec_id < K")
+    * yields a cross-engine-exact query while `ivfTopK` keeps the
+    * sampled-Lloyd's production path.
+    */
+  def ivfTopKWithCenters(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      centers: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
     // Nearest-centroid ranking as a pure column expression: centroids
     // are literals, so both assignment and probing are map-side only —
     // the single shuffle in this operator is the probe join on cluster.

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketches.
+  *
+  * `hllEstimate` is a HyperLogLog (Flajolet et al. 2007) built from
+  * scratch on deterministic polynomial hashes instead of an opaque
+  * engine hash: the register state is a pure integer function of the
+  * input values, so the sketch — not just its error bound — is
+  * replayable in any engine (the DuckDB oracle rebuilds the identical
+  * registers with plain SQL).
+  *
+  * Scale shape: one map-side-combining shuffle of (group, bucket, max
+  * rank) — at most |groups|·m rows regardless of input size — then a
+  * tiny per-group fold. Identical register state under any
+  * partitioning (max is order-insensitive), asserted in SketchSpec.
+  *
+  * All float math is avoided until the final estimate: the harmonic
+  * denominator Σ 2^(−M_j) is kept as the exact integer
+  * Σ 2^(RankCap−M_j) (ranks capped at RankCap, so every term is a
+  * non-negative power of two and the sum stays < 2^53 — exact in
+  * BIGINT and in DOUBLE in every engine).
+  */
+object Sketch {
+  val P1 = 1000000007L // 30-bit prime (bits 0..29 of the hash)
+  val P2 = 998244353L // second prime (bits 30..59)
+  val A1 = 784320987L
+  val B1 = 423187231L
+  val A2 = 571992343L
+  val B2 = 129873211L
+  val RankCap = 45 // max trailing-zero rank; 2^(45-M) stays integral
+
+  /** 60-bit deterministic hash of an integer key: per 30-bit half, an
+    * affine transform mod P then a square-affine mix ((x² mod P)·c + x
+    * mod P). The square step is essential: a purely affine map is
+    * near-injective on the bucket bits for consecutive keys, which
+    * destroys the random-collision statistics HLL's estimator assumes
+    * (observed: 200 consecutive keys → 200 distinct buckets of 256,
+    * estimate 1.9× high). Every operand stays under 2^60 (x < 2^30, so
+    * x² < 2^60), exact in BIGINT in any engine, for any BIGINT key.
+    */
+  def hash60(key: Column): Column = {
+    val k = key.cast("long")
+    val x1 = (pmod(k, lit(P1)) * A1 + B1) % P1
+    val h1 = (x1 * x1 % P1 * 31L + x1) % P1
+    val x2 = (pmod(k, lit(P2)) * A2 + B2) % P2
+    val h2 = (x2 * x2 % P2 * 131L + x2) % P2
+    h1 + shiftleft(h2, 30)
+  }
+
+  /** HLL rank: 1 + trailing zeros of the hash bits above the bucket
+    * index (capped). ctz(r) = popcount((r & -r) - 1).
+    */
+  private def rank(r: Column): Column =
+    when(r === 0L, lit(RankCap))
+      .otherwise(least(bit_count(r.bitwiseAND(-r) - 1) + 1, lit(RankCap)))
+
+  /** Per-group HLL distinct estimate of `key`, m=256 registers.
+    * Output: groupCols ++ (hll_est BIGINT). Exactly reproducible
+    * across engines: bucket/rank/registers are integer arithmetic and
+    * the final estimate is a fixed sequence of correctly-rounded IEEE
+    * ops on exact inputs.
+    */
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], key: String): DataFrame = {
+    val m = 256
+    val h = hash60(col(key))
+    val reg = df
+      .select(groupCols.map(col) :+ h.bitwiseAND(m - 1).as("bucket")
+        :+ rank(shiftright(h, 8)).as("rnk"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rnk").as("mj"))
+    // Σ 2^(RankCap − M_j) over present buckets; absent buckets add 2^RankCap.
+    val agg = reg.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("present"),
+        // Column-API shiftleft only takes a literal shift; the SQL
+        // ShiftLeft expression accepts a column.
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RankCap - mj)"))
+          .as("sum_scaled"))
+    val scale = math.pow(2.0, RankCap) // 2^45, exact
+    val denomScaled =
+      col("sum_scaled") + (lit(m.toLong) - col("present")) * lit(1L << RankCap)
+    // alpha_256 * m^2, written as the same literal expression the
+    // oracle uses so both engines round identically at every step.
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+    val raw = alphaM2 / (denomScaled.cast("double") / lit(scale))
+    val zeros = lit(m.toLong) - col("present")
+    // Flajolet's small-range correction: linear counting on the count
+    // of untouched registers when the raw estimate is ≤ 2.5m. (Both
+    // engines evaluate ln over the identical double; the floor sits
+    // far from integer boundaries at every ulp-level discrepancy that
+    // a libm difference could produce.)
+    val linear = lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))
+    agg.select(groupCols.map(col)
+      :+ floor(when(raw <= m * 2.5 && zeros > 0, linear).otherwise(raw))
+        .cast("long").as("hll_est"): _*)
+  }
+
+  /** The oracle-SQL rendering of `hllEstimate` (same constants, same
+    * op order) — kept next to the Scala so they evolve together.
+    */
+  def hllOracleSql(table: String, groupCol: String, key: String): String =
+    s"""WITH x AS (SELECT $groupCol AS g,
+       |  (($key % $P1) * $A1 + $B1) % $P1 AS x1,
+       |  (($key % $P2) * $A2 + $B2) % $P2 AS x2 FROM $table),
+       |h AS (SELECT g,
+       |  ((x1 * x1 % $P1 * 31 + x1) % $P1)
+       |  + (((x2 * x2 % $P2 * 131 + x2) % $P2) << 30) AS h FROM x),
+       |b AS (SELECT g, h & 255 AS bucket,
+       |  CASE WHEN (h >> 8) = 0 THEN $RankCap
+       |       ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1, $RankCap)
+       |  END AS rnk FROM h),
+       |reg AS (SELECT g, bucket, MAX(rnk) AS mj FROM b GROUP BY g, bucket),
+       |agg AS (SELECT g, COUNT(*) AS present,
+       |        CAST(SUM(1::BIGINT << ($RankCap - mj)) AS BIGINT) AS sum_scaled
+       |        FROM reg GROUP BY g),
+       |est AS (SELECT g, 256 - present AS zeros,
+       |  (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+       |    / (CAST(sum_scaled + (256 - present) * (1::BIGINT << $RankCap) AS DOUBLE)
+       |       / ${1L << RankCap}.0) AS raw
+       |  FROM agg)
+       |SELECT g AS $groupCol,
+       |  CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+       |                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+       |                  ELSE raw END) AS BIGINT) AS hll_est
+       |FROM est""".stripMargin
+}
