@@ -443,6 +443,39 @@ object Queries {
       .orderBy("rf", "ls")
   }
 
+  /** A7: exact per-group discrete quantiles (operators/Stats) —
+    * element selection by ⌈p·n⌉ rank, so no float summation anywhere;
+    * the oracle replays the same selection rule. approx_percentile is
+    * the 100 TB path; this is its exact audit.
+    */
+  val qA7Quantiles = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    q(
+      "q_a7_quantiles",
+      graft.operators.Stats.quantilesOracleSql(
+        "lineitem", "l_returnflag", "l_extendedprice", ps)
+        + "\nORDER BY l_returnflag") { (s, d) =>
+      graft.operators.Stats.groupedQuantilesDisc(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice", ps)
+        .orderBy("l_returnflag")
+    }
+  }
+
+  /** A8: exact-input Pearson correlation (operators/Stats) — decimal
+    * sufficient statistics (order-free, partitioning-stable), fixed
+    * double finish. Unlike `corr`, bitwise-reproducible — and
+    * therefore exact-oracled.
+    */
+  val qA8Corr = q(
+    "q_a8_corr_exact",
+    graft.operators.Stats.pearsonOracleSql(
+      "lineitem", "l_returnflag", "l_quantity", "l_extendedprice")
+      + "\nORDER BY l_returnflag") { (s, d) =>
+    graft.operators.Stats.pearsonExact(
+      Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+  }
+
   /** Set operations: customers in both/only-one of two order cohorts. */
   val qO5SetOps = q(
     "q_o5_set_ops",
@@ -1170,7 +1203,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qA4Distinct, qA5Hll, qA6Rollup, qO5SetOps, qO6TopK,
+    qA4Distinct, qA5Hll, qA6Rollup, qA7Quantiles, qA8Corr, qO5SetOps, qO6TopK,
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,

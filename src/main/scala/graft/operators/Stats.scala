@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact statistics with cross-engine-reproducible
+  * results.
+  *
+  * Both operators avoid the float-summation-order trap: a plain
+  * SUM(double) is not associative, so its value depends on partition
+  * count — useless for an exact gate and flaky at scale. Quantiles
+  * never sum at all (they SELECT an element); correlation sums in
+  * DECIMAL (exact, order-free) and only then runs a fixed sequence of
+  * correctly-rounded double ops.
+  */
+object Stats {
+
+  /** Exact per-group discrete quantiles (percentile_disc semantics:
+    * the smallest element whose cumulative rank reaches ⌈p·n⌉).
+    *
+    * One sort-shuffle per group set (rank + count in a single window
+    * pass), then a conditional-min agg per fraction — no per-fraction
+    * rescan. This is the exact path; at 100 TB the approximate path is
+    * approx_percentile over the same grouping (one map-side-combining
+    * pass, no sort), with this as its audit.
+    */
+  def groupedQuantilesDisc(
+      df: DataFrame,
+      group: String,
+      value: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(value)
+    val ranked = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(group)))
+    ranked.groupBy(group)
+      .agg(
+        min(when(col("rn") ===
+          greatest(ceil(lit(ps.head) * col("n")), lit(1L)), col(value)))
+          .as(pName(ps.head)),
+        ps.tail.map(p =>
+          min(when(col("rn") ===
+            greatest(ceil(lit(p) * col("n")), lit(1L)), col(value)))
+            .as(pName(p))): _*)
+  }
+
+  def pName(p: Double): String = "p" + math.round(p * 100)
+
+  /** The DuckDB rendering (same ⌈p·n⌉ arithmetic rather than
+    * quantile_disc, so the selection rule is identical by
+    * construction).
+    */
+  def quantilesOracleSql(
+      table: String, group: String, value: String, ps: Seq[Double]): String = {
+    val cols = ps.map(p =>
+      s"""MIN(CASE WHEN rn = greatest(CAST(ceil($p * n) AS BIGINT), 1)
+         |    THEN $value END) AS ${pName(p)}""".stripMargin).mkString(",\n")
+    s"""SELECT $group, $cols FROM (
+       |  SELECT $group, $value,
+       |         ROW_NUMBER() OVER (PARTITION BY $group ORDER BY $value) AS rn,
+       |         COUNT(*) OVER (PARTITION BY $group) AS n
+       |  FROM $table)
+       |GROUP BY $group""".stripMargin
+  }
+
+  /** Exact-input Pearson correlation per group. The five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL —
+    * exact in any summation order, so one map-side-combining shuffle
+    * and bitwise-stable under repartitioning (unlike `corr`, whose
+    * double sums drift with partitioning). The final formula is fixed
+    * double arithmetic on those exact sums.
+    *
+    * Inputs are casted to DECIMAL(12,2); per-row products fit
+    * DECIMAL(25,4) and group sums DECIMAL(35,4) — no precision-loss
+    * rounding on either engine at any tested SF.
+    */
+  def pearsonExact(
+      df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val xd = col(x).cast("decimal(12,2)")
+    val yd = col(y).cast("decimal(12,2)")
+    val s = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * yd).as("sxy"), sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    s.select(col(group),
+      ((n * d("sxy") - d("sx") * d("sy"))
+        / (sqrt(n * d("sxx") - d("sx") * d("sx"))
+          * sqrt(n * d("syy") - d("sy") * d("sy")))).as("corr_xy"))
+  }
+
+  /** DuckDB rendering of `pearsonExact` (identical op order). */
+  def pearsonOracleSql(
+      table: String, group: String, x: String, y: String): String =
+    s"""SELECT $group,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+       |FROM (
+       |  SELECT $group, COUNT(*) AS n,
+       |    SUM(xd) AS sx, SUM(yd) AS sy,
+       |    SUM(xd * yd) AS sxy, SUM(xd * xd) AS sxx, SUM(yd * yd) AS syy
+       |  FROM (SELECT $group, CAST($x AS DECIMAL(12,2)) AS xd,
+       |               CAST($y AS DECIMAL(12,2)) AS yd FROM $table)
+       |  GROUP BY $group)""".stripMargin
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedQuantilesDisc matches a driver-side sorted reference") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val got = Stats.groupedQuantilesDisc(
+      li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byFlag = li.select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).map { case (f, rows) =>
+        val v = rows.map(_.getDouble(1)).sorted
+        def disc(p: Double) = v(math.max(math.ceil(p * v.length).toInt, 1) - 1)
+        f -> (disc(0.25), disc(0.5), disc(0.75))
+      }
+    assert(got == byFlag)
+  }
+
+  test("pearsonExact is bitwise-stable under repartitioning") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val a = Stats.pearsonExact(li, "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag").collect().toSeq
+    val b = Stats.pearsonExact(li.repartition(13),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag").collect().toSeq
+    assert(a == b)
+    // and close to MLlib's float-sum corr (sanity, not bitwise)
+    val c = li.groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.foreach(r =>
+      assert(math.abs(r.getDouble(1) - c(r.getString(0))) < 1e-9))
+  }
+}
