@@ -140,10 +140,62 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryLoop 
   override def prettyName: String = "vec_cosine"
 }
 
+/** d2(a, b) = Σ (a_i−b_i)² in index order, double accumulation —
+  * bitwise-identical to the zip_with((x−y)·(x−y)) + aggregate fold
+  * (and the DuckDB list_reduce oracle); IVF centroid assignment runs
+  * this 16× per row, where the HOF path allocated an intermediate
+  * array each time.
+  */
+case class VecD2(left: Expression, right: Expression) extends VecBinaryLoop {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = elemAt(left, a, i) - elemAt(right, b, i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = ${getter(left, a, i)} - ${getter(right, b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_d2"
+}
+
 object VecExpressions {
   import GraftColumnBridge.{toColumn, toExpr}
   def vec_dot(a: Column, b: Column): Column =
     toColumn(VecDot(toExpr(a), toExpr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     toColumn(VecCosine(toExpr(a), toExpr(b)))
+  def vec_d2(a: Column, b: Column): Column =
+    toColumn(VecD2(toExpr(a), toExpr(b)))
 }

@@ -166,10 +166,9 @@ object Similarity {
     def ranked(vec: Column): Column =
       array_sort(array(centers.zipWithIndex.map { case (c, i) =>
         val lits = array(c.map(lit).toSeq: _*)
-        val d2 = aggregate(
-          zip_with(vec, lits,
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v)
+        // native fused loop; same index-ordered fold as the HOF
+        // zip_with/aggregate rendering (bitwise-identical values)
+        val d2 = graft.expressions.VecExpressions.vec_d2(vec, lits)
         struct(d2.as("d2"), lit(i).as("cluster"))
       }.toSeq: _*))
 

@@ -26,6 +26,24 @@ class VecExpressionsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native d2 == HOF (x-y)^2 fold bitwise on real embeddings") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pairs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(q))
+    val hof = aggregate(
+      zip_with(col("qvec"), col("cvec"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = pairs.select(
+      vec_d2(col("qvec"), col("cvec")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("native dot on double arrays and mixed literals") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val got = df.select(vec_dot(col("a"), col("b"))).first().getDouble(0)
