@@ -7,16 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.expressions.{VecCosine, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions for SQL callers —
+  * expressions for SQL callers and its planner strategy —
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *   SELECT vec_cosine(a.embedding, b.embedding) FROM ...
   *
-  * Per SURVEY §4, the reference needs NO custom analyzer/optimizer
-  * rules or planner strategies — every operator compiles to built-in
-  * Catalyst constructs, and hand-authoring the joins (K2/K3
-  * decorrelation) happens at DataFrame-build time, not via a Rule.
-  * The extension surface is therefore function registration only.
+  * Per SURVEY §4, the reference itself needs NO custom planner
+  * surface — every reference operator compiles to built-in Catalyst
+  * constructs. The strategy below exists for a beyond-reference
+  * operator (graft.plans.TopKPerGroup, heap-based top-k-per-group)
+  * whose physical shape Spark's built-ins can't produce.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosine(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -545,12 +545,14 @@ object Queries {
       |                            ORDER BY value DESC, event_id) AS rn
       |  FROM events)
       |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("value").desc, col("event_id"))
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"),
-        row_number().over(w).as("rn"))
-      .filter(col("rn") <= 3)
+    // Custom TopKPerGroup plan (graft.plans): heap partial/final, so
+    // only ≤ k rows per (group, input-partition) shuffle — WindowExec
+    // would sort the whole table per partition. Same row_number
+    // semantics (TopKSpec asserts equality), same oracle.
+    graft.operators.TopK.perGroup(
+      Tables.events(s, d).select("user_id", "event_id", "value"),
+      Seq("user_id"), Seq(col("value").desc, col("event_id")), k = 3)
+      .select("user_id", "event_id", "value", "rn")
       .orderBy("user_id", "rn")
   }
 
