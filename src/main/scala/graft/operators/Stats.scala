@@ -31,9 +31,14 @@ object Stats {
       value: String,
       ps: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(group).orderBy(value)
+    // group sizes via a pre-agg broadcast join, NOT a second
+    // count-over-partition window: the count window has a different
+    // ordering requirement, so Spark would run (and sort for) two
+    // WindowExecs; the agg is map-side-combining and tiny
+    val counts = df.groupBy(group).agg(count(lit(1)).as("n"))
     val ranked = df
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(group)))
+      .join(broadcast(counts), group)
     ranked.groupBy(group)
       .agg(
         min(when(col("rn") ===

@@ -44,4 +44,43 @@ object PartitionedLake {
       fromDate: String, toDate: String): DataFrame =
     read(s, root, table)
       .filter(col("p_date") >= lit(fromDate) && col("p_date") <= lit(toDate))
+
+  /** Bin-pack small files in selected partitions — the append-only
+    * lake's maintenance pass. Every re-poll/micro-batch lands new
+    * small files; at 100 TB the scan's task count (and the namenode's
+    * metadata) is dominated by file count, so periodic compaction is
+    * load-bearing, not cosmetic.
+    *
+    * Rewrites ONLY the partitions named (one directory overwrite
+    * each, via dynamic partition overwrite — untouched dates keep
+    * their files byte-identical), coalescing each partition to
+    * ⌈rows/targetRowsPerFile⌉ files. Readers see either the old or
+    * the new complete file set (parquet dir overwrite is
+    * last-commit-wins; pair with date-scoped runs outside the live
+    * ingest window).
+    */
+  def compact(
+      s: SparkSession,
+      root: String,
+      table: String,
+      dates: Seq[String],
+      targetRowsPerFile: Long = 5000000L): Unit = {
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      read(s, root, table)
+        .filter(col("p_date").isInCollection(dates))
+        // one shuffle task per date ⇒ one file per date, except dates
+        // past targetRowsPerFile, which the writer splits further
+        .repartition(math.max(dates.size, 1), col("p_date"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRowsPerFile.toString)
+        .partitionBy("p_date")
+        .parquet(s"$root/$table")
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

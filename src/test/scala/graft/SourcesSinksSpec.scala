@@ -111,4 +111,28 @@ class SourcesSinksSpec extends SparkSpec {
       .count()
     assert(ranged.count() == expected)
   }
+
+  test("lake compaction bin-packs named partitions, leaves others untouched") {
+    val root = tmpDir("lake-compact")
+    val orders = Tables.orders(spark, Sf0001)
+    // land the same table three times (three polls) → 3+ files/date
+    (1 to 3).foreach { _ =>
+      PartitionedLake.write(orders.limit(300), root, "orders", "o_orderdate")
+    }
+    def files(date: String) =
+      new java.io.File(s"$root/orders/p_date=$date").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val dates = new java.io.File(s"$root/orders").listFiles()
+      .filter(_.getName.startsWith("p_date=")).map(_.getName.drop(7)).sorted
+    val (target, untouched) = (dates.head, dates.last)
+    assert(files(target).size >= 3)
+    val untouchedBefore = files(untouched)
+    val rowsBefore = PartitionedLake.read(spark, root, "orders").count()
+
+    PartitionedLake.compact(spark, root, "orders", Seq(target))
+
+    assert(files(target).size == 1, files(target))
+    assert(files(untouched) == untouchedBefore) // byte-identical dirs
+    assert(PartitionedLake.read(spark, root, "orders").count() == rowsBefore)
+  }
 }
