@@ -493,6 +493,28 @@ object Queries {
       .orderBy("rf", "ls")
   }
 
+  /** A6b: CUBE over (returnflag, linestatus) — all four grouping
+    * sets in one pass (Expand feeds a single map-side-combining agg;
+    * no per-set rescans). Null markers coalesced like the rollup.
+    */
+  val qA6bCube = q(
+    "q_a6b_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |       COALESCE(l_linestatus, 'ALL') AS ls,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
   /** A7: exact per-group discrete quantiles (operators/Stats) —
     * element selection by ⌈p·n⌉ rank, so no float summation anywhere;
     * the oracle replays the same selection rule. approx_percentile is
@@ -1255,7 +1277,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qA4Distinct, qA5Hll, qA6Rollup, qA7Quantiles, qA8Corr, qO5SetOps, qO6TopK,
+    qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA8Corr, qO5SetOps, qO6TopK,
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
