@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{VecCosine, VecDot}
+import graft.expressions.{TextSimHash, VecCosine, VecD2, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL callers and its planner strategy —
@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_d2"),
+      new ExpressionInfo(classOf[VecD2].getName, "vec_d2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecD2(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("text_simhash"),
+      new ExpressionInfo(classOf[TextSimHash].getName, "text_simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextSimHash(exprs(0))))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -44,5 +54,9 @@ object GraftExtensions {
       exprs => VecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => VecCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_d2",
+      exprs => VecD2(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("text_simhash",
+      exprs => TextSimHash(exprs(0)), "built-in")
   }
 }

@@ -30,4 +30,18 @@ class GraftExtensionsSpec extends SparkSpec {
       // do not stop: getOrCreate may share the context with other suites
     }
   }
+
+  test("vec_d2 and text_simhash callable from SQL") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftSession.tune(s2)
+    Tables.embeddings(s2, Sf0001).limit(5).createOrReplaceTempView("emb2")
+    val d2 = s2.sql(
+      "SELECT vec_d2(embedding, embedding) AS z FROM emb2").collect()
+    assert(d2.forall(_.getDouble(0) == 0.0))
+    Tables.documents(s2, Sf0001).limit(5).createOrReplaceTempView("docs2")
+    val sh = s2.sql(
+      "SELECT text_simhash(text) AS h FROM docs2").collect()
+    assert(sh.forall(_.getLong(0) >= 0L))
+  }
 }

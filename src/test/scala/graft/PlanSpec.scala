@@ -66,4 +66,25 @@ class PlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_j5: both dims broadcast; the fact table never sort-merges") {
+    val p = planOf("q_j5_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // fact scan reads only the 3 needed lineitem columns
+    val li = p.linesIterator.filter(_.contains("lineitem.parquet")).mkString
+    assert(!p.contains("l_quantity"), "fact scan over-reads: " + p)
+  }
+
+  test("q_a7: exactly one Window pass (count via pre-agg join, not a 2nd window)") {
+    val p = planOf("q_a7_quantiles")
+    assert("Window".r.findAllIn(p).size <= 2, p) // node + its detail section
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_a5: HLL registers aggregate partially map-side (two-phase)") {
+    val p = planOf("q_a5_hll_sketch")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_max") || p.contains("Partial"), p)
+  }
 }
