@@ -548,6 +548,33 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** O7: deterministic stratified sampling — n rows per stratum,
+    * chosen by rank over a seeded hash of the key (a reproducible
+    * "random" sample any engine can replay; `sample()` is
+    * partitioning-dependent and unauditable). Runs on the custom
+    * TopKPerGroup heap plan: no per-stratum sort of the full table,
+    * only ≤ n survivors per input partition shuffle — the balanced-
+    * dataset builder for training pipelines at any scale.
+    */
+  val qO7Stratified = q(
+    "q_o7_stratified_sample",
+    """SELECT o_orderstatus, o_orderkey, rn FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY (((o_orderkey % 1000000007) * 784320987 + 423187231) % 1000000007
+      |                                      * 31 + 7) % 1000000007, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 100 ORDER BY o_orderstatus, rn""".stripMargin) { (s, d) =>
+    val h = ((pmod(col("o_orderkey"), lit(1000000007L)) * 784320987L + 423187231L)
+      % 1000000007L * 31L + 7L) % 1000000007L
+    graft.operators.TopK.perGroup(
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), h.as("h")),
+      Seq("o_orderstatus"), Seq(col("h"), col("o_orderkey")), k = 100)
+      .select("o_orderstatus", "o_orderkey", "rn")
+      .orderBy("o_orderstatus", "rn")
+  }
+
   /** Set operations: customers in both/only-one of two order cohorts. */
   val qO5SetOps = q(
     "q_o5_set_ops",
@@ -1277,7 +1304,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA8Corr, qO5SetOps, qO6TopK,
+    qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA8Corr, qO5SetOps, qO6TopK, qO7Stratified,
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
