@@ -82,12 +82,19 @@ object Stats {
     */
   def pearsonExact(
       df: DataFrame, group: String, x: String, y: String): DataFrame = {
-    val xd = col(x).cast("decimal(12,2)")
-    val yd = col(y).cast("decimal(12,2)")
+    // cents-scaled longs: five of six sufficient statistics stay in
+    // integer registers (Pearson r is scale-invariant, and the
+    // scale cancels identically in both engines since the final
+    // float formula runs op-for-op the same). Only Σy² keeps a
+    // decimal accumulator — cents² per row is ~1e14, so a long SUM
+    // overflows past ~10^4 rows·group; per-row products stay long.
+    val xl = (col(x).cast("decimal(12,2)") * 100).cast("long")
+    val yl = (col(y).cast("decimal(12,2)") * 100).cast("long")
     val s = df.groupBy(group).agg(
       count(lit(1)).as("n"),
-      sum(xd).as("sx"), sum(yd).as("sy"),
-      sum(xd * yd).as("sxy"), sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+      sum(xl).as("sx"), sum(yl).as("sy"),
+      sum(xl * yl).as("sxy"), sum(xl * xl).as("sxx"),
+      sum((yl * yl).cast("decimal(38,0)")).as("syy"))
     val n = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     s.select(col(group),
@@ -108,9 +115,13 @@ object Stats {
        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
        |FROM (
        |  SELECT $group, COUNT(*) AS n,
-       |    SUM(xd) AS sx, SUM(yd) AS sy,
-       |    SUM(xd * yd) AS sxy, SUM(xd * xd) AS sxx, SUM(yd * yd) AS syy
-       |  FROM (SELECT $group, CAST($x AS DECIMAL(12,2)) AS xd,
-       |               CAST($y AS DECIMAL(12,2)) AS yd FROM $table)
+       |    CAST(SUM(xl) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
+       |    CAST(SUM(xl * yl) AS BIGINT) AS sxy,
+       |    CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+       |    SUM(CAST(yl * yl AS DECIMAL(38,0))) AS syy
+       |  FROM (SELECT $group,
+       |          CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT) AS xl,
+       |          CAST(CAST($y AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl
+       |        FROM $table)
        |  GROUP BY $group)""".stripMargin
 }
