@@ -977,6 +977,47 @@ object Queries {
     }
   }
 
+  /** End-to-end MinHash+LSH near-duplicate PAIRS, exact-oracled: the
+    * whole pipeline — shingle hashes → 64-slot signature → 16 band
+    * keys → bucket self-join → distinct candidates → exact Jaccard
+    * on the distinct hash sets → threshold — replays in DuckDB. The
+    * only shuffle wider than a key-join is the band-bucket join, and
+    * its key cardinality (band, key) is what bounds skew at scale.
+    */
+  val qDMinhashPairs = {
+    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
+    q(
+      "q_d_minhash_pairs",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |${duckShingleHashes(3)},
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+         |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
+         |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
+         |s AS (SELECT doc_id, list_transform(range(64), i ->
+         |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
+         |      FROM hd CROSS JOIN coef),
+         |b2 AS (SELECT doc_id, band,
+         |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
+         |           (a, v) -> (a * 31 + v) % 1000000007) AS key
+         |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key
+         |          WHERE a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |        len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS inter,
+         |        len(ha.hs) AS la, len(hb.hs) AS lb
+         |      FROM pairs JOIN hd ha ON ha.doc_id = id_a
+         |                 JOIN hd hb ON hb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.minhashNearDupsPoly(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   /** 60-bit SimHash per document via the native one-pass expression
     * (map-only — no explode, no shuffle; TextMultimodalSpec asserts
     * equality with the composable HOF rendering).
@@ -1308,7 +1349,7 @@ object Queries {
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
-    qDNgramJaccard, qDMinhashBands, qDSimhash, qDWinnow,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDSimhash, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
   )

@@ -118,6 +118,42 @@ object Dedup {
           lit(0L), (acc, v) => (acc * 31L + v) % MinhashP).as("key"))
     }: _*)
 
+  /** minhashNearDups over the deterministic poly sketch stack
+    * (native TextShingleHashes → MinHashSig → poly band keys):
+    * identical pipeline shape, but every stage replays in the DuckDB
+    * oracle. Jaccard is computed on the distinct shingle-HASH sets
+    * (engine-replayable; equal to string-shingle Jaccard modulo
+    * ~1e-9-probability hash collisions).
+    */
+  def minhashNearDupsPoly(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    import graft.expressions.{MinHashSig, TextShingleHashes}
+    val rowsPerBand = k / bands
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextShingleHashes(col(textCol), n)).as("hs"))
+      .withColumn("sig", MinHashSig.ofHashes(col("hs"), k))
+    val banded = sh.select(col("id"), col("hs"),
+      explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
+    val l = banded.select(col("bk"), col("id").as("id_a"), col("hs").as("hs_a"))
+    val r = banded.select(col("bk"), col("id").as("id_b"), col("hs").as("hs_b"))
+    val cands = l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hs_a", "hs_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash+LSH candidate pairs with exact-Jaccard verification:
     * shingle → signature → band explode → bucket self-join →
     * verify true Jaccard on the candidate set only.
