@@ -81,6 +81,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TopKPerGroup == window row_number on arbitrary data") {
+    // skewed groups (incl. dupe values for tie-break coverage), odd k
+    val gen = for {
+      g <- Gen.choose(0, 7)
+      v <- Gen.choose(-50, 50)
+      id <- Gen.choose(0L, 10000L)
+    } yield (g, v, id)
+    val rows = samples(gen, 3000).distinct
+    val df = rows.toDF("g", "v", "id")
+    for (k <- Seq(1, 4, 17)) {
+      val got = graft.operators.TopK.perGroup(df, Seq("g"),
+        Seq(col("v").desc, col("id")), k)
+        .orderBy("g", "rn").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).orderBy("g", "rn").collect().toSeq
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("property: HLL estimate within 3*rse for cardinalities 50..50k") {
+    for (n <- Seq(50, 500, 5000, 50000)) {
+      val df = spark.range(n.toLong).toDF("id").withColumn("g", lit("x"))
+      val est = graft.operators.Sketch.hllEstimate(df, Seq("g"), "id")
+        .collect().head.getAs[Long]("hll_est").toDouble
+      // m=256 → rse ≈ 1.04/16 ≈ 6.5%; linear counting tightens small n
+      assert(math.abs(est - n) / n < 0.195, s"n=$n est=$est")
+    }
+  }
+
   test("property: NL holiday calendar invariants for every year 1990-2035") {
     (1990 to 2035).foreach { year =>
       val h = graft.functions.NLHolidays.forYear(year)
