@@ -52,6 +52,88 @@ object Stats {
 
   def pName(p: Double): String = "p" + math.round(p * 100)
 
+  /** The same exact order statistics by distributed SELECTION instead
+    * of a per-group sort: three narrow passes —
+    *
+    *   1. per-group (n, min, max): map-side-combining agg, tiny
+    *   2. per-group value histogram (B buckets): same shape
+    *   3. driver walks the cumulative histogram to find each target
+    *      rank's bucket and within-bucket rank, then only rows in
+    *      those buckets (≈ n/B per group·target) are ranked
+    *
+    * A full sort of a 100 TB fact table to read off four order
+    * statistics is the thing to avoid; the histogram passes touch
+    * every row but shuffle only O(groups·B) counts. Returns the
+    * identical values as `groupedQuantilesDisc` (order statistics
+    * don't care how you select them — asserted in StatsSpec), so the
+    * same ⌈p·n⌉ oracle verifies both.
+    *
+    * Values must be non-null (matches the sort-based operator's
+    * assumption).
+    */
+  def groupedQuantilesSelect(
+      df: DataFrame,
+      group: String,
+      value: String,
+      ps: Seq[Double],
+      buckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // pass 1: per-group extent
+    val extent = df.groupBy(group).agg(
+      count(lit(1)).as("n"), min(value).as("mn"), max(value).as("mx"))
+    val meta = extent.collect().map { r =>
+      (r.get(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    }.toMap
+
+    val metaDf = broadcast(extent.select(col(group), col("mn"), col("mx")))
+    val withB = df.join(metaDf, group)
+      .withColumn("bkt",
+        least(greatest(
+          floor((col(value) - col("mn"))
+            / (col("mx") - col("mn") + lit(1e-300)) * buckets).cast("int"),
+          lit(0)), lit(buckets - 1)))
+
+    // pass 2: histogram
+    val hist = withB.groupBy(col(group), col("bkt")).count().collect()
+      .groupBy(_.get(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+
+    // driver: target bucket + within-bucket rank per (group, p)
+    val wanted = for {
+      (g, (n, _, _)) <- meta.toSeq
+      p <- ps
+    } yield {
+      val target = math.max(math.ceil(p * n).toLong, 1L)
+      val counts = hist(g)
+      var cum = 0L
+      var k = 0
+      while (cum + counts.getOrElse(k, 0L) < target) {
+        cum += counts.getOrElse(k, 0L); k += 1
+      }
+      (g.toString, k, p, target - cum)
+    }
+    val wantedDf = broadcast(
+      wanted.toDF(group + "_w", "bkt_w", "p", "rprime"))
+
+    // pass 3: rank only the targeted buckets
+    val cand = withB.join(wantedDf,
+      col(group).cast("string") === col(group + "_w")
+        && col("bkt") === col("bkt_w"))
+    val w = Window.partitionBy(col(group), col("p")).orderBy(col(value))
+    val picked = cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("rprime"))
+    picked.groupBy(group)
+      .agg(
+        min(when(col("p") === ps.head, col(value))).as(pName(ps.head)),
+        ps.tail.map(p =>
+          min(when(col("p") === p, col(value))).as(pName(p))): _*)
+  }
+
   /** The DuckDB rendering (same ⌈p·n⌉ arithmetic rather than
     * quantile_disc, so the selection rule is identical by
     * construction).

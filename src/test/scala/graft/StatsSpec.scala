@@ -22,6 +22,20 @@ class StatsSpec extends SparkSpec {
     assert(got == byFlag)
   }
 
+  test("selection-based quantiles == sort-based, at sf0.001 and sf0.01") {
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val li = Tables.lineitem(spark, sf)
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val sorted = Stats.groupedQuantilesDisc(
+        li, "l_returnflag", "l_extendedprice", ps)
+        .orderBy("l_returnflag").collect().toSeq
+      val selected = Stats.groupedQuantilesSelect(
+        li, "l_returnflag", "l_extendedprice", ps)
+        .orderBy("l_returnflag").collect().toSeq
+      assert(selected == sorted, sf)
+    }
+  }
+
   test("pearsonExact is bitwise-stable under repartitioning") {
     val li = Tables.lineitem(spark, Sf0001)
     val a = Stats.pearsonExact(li, "l_returnflag", "l_quantity", "l_extendedprice")
