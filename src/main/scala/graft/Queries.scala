@@ -1037,6 +1037,39 @@ object Queries {
       .orderBy("id")
   }
 
+  /** SimHash near-dup PAIRS at Hamming ≤ 3, end-to-end: native
+    * one-pass simhash → 16-bit pigeonhole chunks (distance ≤3 over 4
+    * chunks guarantees one identical chunk — never all-pairs) →
+    * bucket join → popcount(xor) verify. Deterministic poly hashes
+    * make the whole pipeline oracle-replayable.
+    */
+  val qDSimhashPairs = q(
+    "q_d_simhash_pairs",
+    s"""WITH t AS (SELECT doc_id AS id, $duckToks AS toks FROM documents),
+       |h AS (SELECT id, list_transform(toks, s -> ${duckFold(31, 1000000007L, "s")}
+       |        + ${duckFold(131, 998244353L, "s")} * 1073741824) AS hs FROM t),
+       |sg AS (SELECT id, CAST(list_sum(list_transform(range(60), b ->
+       |    CASE WHEN len(list_filter(hs, h -> (h >> b) & 1 = 1)) * 2 - len(hs) > 0
+       |         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |  FROM h),
+       |ck AS (SELECT id, simhash, CAST(chunk AS INT) AS chunk,
+       |         (simhash >> CAST(chunk * 16 AS INT)) & 65535 AS key
+       |       FROM (SELECT id, simhash, unnest(range(4)) AS chunk FROM sg)),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.key = b.key
+       |          WHERE a.id < b.id),
+       |j AS (SELECT id_a, id_b,
+       |        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |      FROM pairs JOIN sg sa ON sa.id = id_a JOIN sg sb ON sb.id = id_b)
+       |SELECT id_a, id_b, hamming FROM j WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        graft.expressions.TextSimHash(col("text")).as("simhash"))
+    graft.operators.Dedup.simhashNearDups(sigs, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Winnowing fingerprint count per doc (k=5 shingles, window w=4;
     * poly shingle hashes → exact oracle).
     */
@@ -1349,7 +1382,7 @@ object Queries {
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDSimhash, qDWinnow,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
   )
