@@ -1052,9 +1052,12 @@ object Queries {
        |    CASE WHEN len(list_filter(hs, h -> (h >> b) & 1 = 1)) * 2 - len(hs) > 0
        |         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
        |  FROM h),
-       |ck AS (SELECT id, simhash, CAST(chunk AS INT) AS chunk,
+       |ck0 AS (SELECT id, simhash, CAST(chunk AS INT) AS chunk,
        |         (simhash >> CAST(chunk * 16 AS INT)) & 65535 AS key
        |       FROM (SELECT id, simhash, unnest(range(4)) AS chunk FROM sg)),
+       |cool AS (SELECT chunk, key FROM ck0 GROUP BY chunk, key
+       |         HAVING COUNT(*) <= 200),
+       |ck AS (SELECT ck0.* FROM ck0 JOIN cool USING (chunk, key)),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |          FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.key = b.key
        |          WHERE a.id < b.id),

@@ -207,18 +207,30 @@ object Dedup {
   /** SimHash near-dup candidates at Hamming distance ≤ maxHamming,
     * blocked on 16-bit chunks (pigeonhole: distance ≤3 over 4 chunks
     * guarantees one identical chunk — no all-pairs comparison).
+    *
+    * Buckets larger than `maxBucket` are dropped from candidate
+    * generation (same hot-key cap as the n-gram Jaccard join):
+    * correlated corpora concentrate chunk values, and one 1000-doc
+    * bucket alone is 500k candidate pairs. A true pair is lost only
+    * if ALL of its ≥1 shared chunks are hot — near-identical docs
+    * share all four. The cap is part of the operator's definition,
+    * so the oracle replays it exactly.
     */
   def simhashNearDups(
       sigs: DataFrame, // (id, simhash)
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
     val chunked = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("ck"))
-    val l = chunked.select(col("ck"), col("id").as("id_a"),
+    val cool = chunked.groupBy("ck").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= maxBucket).select("ck")
+    val pruned = chunked.join(cool, Seq("ck")) // co-partitioned with the pair join
+    val l = pruned.select(col("ck"), col("id").as("id_a"),
       col("simhash").as("sig_a"))
-    val r = chunked.select(col("ck"), col("id").as("id_b"),
+    val r = pruned.select(col("ck"), col("id").as("id_b"),
       col("simhash").as("sig_b"))
     l.join(r, Seq("ck"))
       .filter(col("id_a") < col("id_b"))
