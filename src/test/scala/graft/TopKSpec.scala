@@ -50,6 +50,23 @@ class TopKSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("null ordering values rank exactly like the window (NULLS LAST on desc)") {
+    val df = Seq(
+      ("a", Some(3), 1L), ("a", None, 2L), ("a", Some(5), 3L),
+      ("b", None, 4L), ("b", None, 5L))
+      .toDF("g", "v", "id")
+    val got = TopK.perGroup(df, Seq("g"), Seq(col("v").desc, col("id")), k = 2)
+      .orderBy("g", "rn").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).orderBy("g", "rn").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == want)
+  }
+
   test("registered via SQL extensions strategy injection") {
     // session built by GraftSession already carries the strategy via
     // addStrategy; assert idempotent double-registration is safe
