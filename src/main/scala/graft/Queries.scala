@@ -533,6 +533,26 @@ object Queries {
     }
   }
 
+  /** A7b: the SAME exact quantiles by distributed selection
+    * (operators/Stats.groupedQuantilesSelect) — the 100 TB path: no
+    * per-group sort of the fact table, three narrow passes (extent,
+    * cumulative histogram, targeted-bucket rank), everything sharded
+    * by group. Order statistics don't care how you select them, so
+    * the identical ⌈p·n⌉ oracle verifies both renderings.
+    */
+  val qA7bQuantilesSelect = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    q(
+      "q_a7b_quantiles_select",
+      graft.operators.Stats.quantilesOracleSql(
+        "lineitem", "l_returnflag", "l_extendedprice", ps)
+        + "\nORDER BY l_returnflag") { (s, d) =>
+      graft.operators.Stats.groupedQuantilesSelect(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice", ps)
+        .orderBy("l_returnflag")
+    }
+  }
+
   /** A8: exact-input Pearson correlation (operators/Stats) — decimal
     * sufficient statistics (order-free, partitioning-stable), fixed
     * double finish. Unlike `corr`, bitwise-reproducible — and
@@ -979,10 +999,14 @@ object Queries {
 
   /** End-to-end MinHash+LSH near-duplicate PAIRS, exact-oracled: the
     * whole pipeline — shingle hashes → 64-slot signature → 16 band
-    * keys → bucket self-join → distinct candidates → exact Jaccard
-    * on the distinct hash sets → threshold — replays in DuckDB. The
-    * only shuffle wider than a key-join is the band-bucket join, and
-    * its key cardinality (band, key) is what bounds skew at scale.
+    * keys → capped bucket self-join → distinct candidates → exact
+    * Jaccard on the distinct hash sets → threshold — replays in
+    * DuckDB, INCLUDING the hot-bucket cap: buckets over 200 members
+    * pair members with the bucket's min-id representative only (star;
+    * O(F) not F² — see Dedup.bandCandidatePairs), and the oracle
+    * renders the identical cool/hot split. The only shuffle wider
+    * than a key-join is the band-bucket join, and the cap is what
+    * bounds its skew on duplicate-heavy corpora at scale.
     */
   val qDMinhashPairs = {
     val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
@@ -1000,9 +1024,19 @@ object Queries {
          |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
          |           (a, v) -> (a * 31 + v) % 1000000007) AS key
          |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM b2 a JOIN b2 b ON a.band = b.band AND a.key = b.key
-         |          WHERE a.doc_id < b.doc_id),
+         |bc AS (SELECT band, key, COUNT(*) AS cnt FROM b2 GROUP BY band, key),
+         |bb AS (SELECT b2.doc_id, b2.band, b2.key, bc.cnt
+         |       FROM b2 JOIN bc USING (band, key)),
+         |coolp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bb a JOIN bb b ON a.band = b.band AND a.key = b.key
+         |          WHERE a.cnt <= 200 AND a.doc_id < b.doc_id),
+         |reps AS (SELECT band, key, MIN(doc_id) AS id_a
+         |         FROM bb WHERE cnt > 200 GROUP BY band, key),
+         |hotp AS (SELECT reps.id_a, bb.doc_id AS id_b
+         |         FROM bb JOIN reps USING (band, key)
+         |         WHERE bb.cnt > 200 AND bb.doc_id <> reps.id_a),
+         |pairs AS (SELECT DISTINCT id_a, id_b
+         |          FROM (SELECT * FROM coolp UNION ALL SELECT * FROM hotp)),
          |j AS (SELECT id_a, id_b,
          |        len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS inter,
          |        len(ha.hs) AS la, len(hb.hs) AS lb
@@ -1381,7 +1415,8 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA8Corr, qO5SetOps, qO6TopK, qO7Stratified,
+    qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
+    qA8Corr, qO5SetOps, qO6TopK, qO7Stratified,
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,

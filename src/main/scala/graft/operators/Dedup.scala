@@ -118,12 +118,69 @@ object Dedup {
           lit(0L), (acc, v) => (acc * 31L + v) % MinhashP).as("key"))
     }: _*)
 
+  /** Candidate pairs from an exploded band table `(id, bk)` with a
+    * hot-bucket cap. A duplicate-heavy corpus — the exact workload
+    * dedup exists for — concentrates identical signatures into
+    * identical band keys, and an F-doc bucket self-join is F² pairs
+    * (one 10⁵-doc bucket alone is 10¹⁰). Buckets with ≤ `maxBucket`
+    * members self-join all-pairs; hotter buckets degrade to STAR
+    * pairing around the bucket's min-id representative — O(F)
+    * candidates, and (unlike dropping the bucket, as the SimHash
+    * pigeonhole blocker does) an exact-duplicate cluster stays one
+    * connected component: every member still pairs with the
+    * representative at Jaccard 1. Only non-representative hot-hot
+    * pairs are lost, and those only matter when a bucket mixes
+    * dissimilar docs — which the per-pair exact-Jaccard verify
+    * downstream would have to discard anyway. The cap is part of the
+    * operator's definition, so the oracle replays it exactly.
+    *
+    * Only ids ride the candidate shuffle — callers join signature /
+    * shingle arrays back AFTER `dropDuplicates`, so the wide arrays
+    * cross the wire once per surviving pair side, not once per
+    * band·bucket occupancy.
+    */
+  private[operators] def bandCandidatePairs(
+      banded: DataFrame, // (id, bk)
+      maxBucket: Int): DataFrame = {
+    val counts = banded.groupBy("bk").agg(count(lit(1)).as("cnt"))
+    val withCnt = banded.join(counts, Seq("bk")) // co-partitioned on bk
+    val cool = withCnt.filter(col("cnt") <= maxBucket)
+    val coolPairs = cool.select(col("bk"), col("id").as("id_a"))
+      .join(cool.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+    val hot = withCnt.filter(col("cnt") > maxBucket)
+    val reps = hot.groupBy("bk").agg(min("id").as("id_a"))
+    val hotPairs = hot.join(reps, Seq("bk")) // min-id rep ⇒ id_a < id_b
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+    coolPairs.select("id_a", "id_b").unionByName(hotPairs)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verify on candidate id pairs: join the per-doc
+    * element arrays back (post-dedup — see bandCandidatePairs) and
+    * threshold |A∩B| / |A∪B|.
+    */
+  private def verifyJaccard(
+      cands: DataFrame, // (id_a, id_b)
+      elems: DataFrame, // (id, es)
+      minJaccard: Double): DataFrame =
+    cands
+      .join(elems.select(col("id").as("id_a"), col("es").as("es_a")), Seq("id_a"))
+      .join(elems.select(col("id").as("id_b"), col("es").as("es_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("es_a"), col("es_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("es_a")) + size(col("es_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
   /** minhashNearDups over the deterministic poly sketch stack
     * (native TextShingleHashes → MinHashSig → poly band keys):
     * identical pipeline shape, but every stage replays in the DuckDB
-    * oracle. Jaccard is computed on the distinct shingle-HASH sets
-    * (engine-replayable; equal to string-shingle Jaccard modulo
-    * ~1e-9-probability hash collisions).
+    * oracle — including the `maxBucket` hot-bucket star cap (see
+    * bandCandidatePairs). Jaccard is computed on the distinct
+    * shingle-HASH sets (engine-replayable; equal to string-shingle
+    * Jaccard modulo ~1e-9-probability hash collisions).
     */
   def minhashNearDupsPoly(
       df: DataFrame,
@@ -132,31 +189,24 @@ object Dedup {
       n: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
     import graft.expressions.{MinHashSig, TextShingleHashes}
     val rowsPerBand = k / bands
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextShingleHashes(col(textCol), n)).as("hs"))
       .withColumn("sig", MinHashSig.ofHashes(col("hs"), k))
-    val banded = sh.select(col("id"), col("hs"),
+    val banded = sh.select(col("id"),
       explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
-    val l = banded.select(col("bk"), col("id").as("id_a"), col("hs").as("hs_a"))
-    val r = banded.select(col("bk"), col("id").as("id_b"), col("hs").as("hs_b"))
-    val cands = l.join(r, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "hs_a", "hs_b")
-      .dropDuplicates("id_a", "id_b")
-    cands
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(
+      bandCandidatePairs(banded, maxBucket),
+      sh.select(col("id"), col("hs").as("es")), minJaccard)
   }
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification:
-    * shingle → signature → band explode → bucket self-join →
-    * verify true Jaccard on the candidate set only.
+    * shingle → signature → band explode → capped bucket self-join
+    * (bandCandidatePairs) → verify true Jaccard on the candidate set
+    * only.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -165,25 +215,17 @@ object Dedup {
       n: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = k / bands
     val sh = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sh.select(col("id"), col("sh"),
+    val banded = sh.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val l = banded.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cands = l.join(r, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-    cands
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(
+      bandCandidatePairs(banded, maxBucket),
+      sh.select(col("id"), col("sh").as("es")), minJaccard)
   }
 
   /** 64-bit SimHash per document: explode tokens, hash once, then 64

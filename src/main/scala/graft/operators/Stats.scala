@@ -53,13 +53,17 @@ object Stats {
   def pName(p: Double): String = "p" + math.round(p * 100)
 
   /** The same exact order statistics by distributed SELECTION instead
-    * of a per-group sort: three narrow passes —
+    * of a per-group sort: three narrow passes, ALL distributed — the
+    * driver never materializes anything —
     *
     *   1. per-group (n, min, max): map-side-combining agg, tiny
-    *   2. per-group value histogram (B buckets): same shape
-    *   3. driver walks the cumulative histogram to find each target
-    *      rank's bucket and within-bucket rank, then only rows in
-    *      those buckets (≈ n/B per group·target) are ranked
+    *   2. per-group value histogram (B buckets) with a cumulative sum
+    *      (window over bkt: ≤B rows per group partition), joined to the
+    *      per-(group, p) target ranks to pick each target's bucket and
+    *      within-bucket rank — O(groups·B) rows end to end, sharded by
+    *      group across executors even at millions of groups
+    *   3. only rows in the targeted buckets (≈ n/B per group·target)
+    *      are ranked
     *
     * A full sort of a 100 TB fact table to read off four order
     * statistics is the thing to avoid; the histogram passes touch
@@ -77,15 +81,9 @@ object Stats {
       value: String,
       ps: Seq[Double],
       buckets: Int = 256): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-
     // pass 1: per-group extent
     val extent = df.groupBy(group).agg(
       count(lit(1)).as("n"), min(value).as("mn"), max(value).as("mx"))
-    val meta = extent.collect().map { r =>
-      (r.get(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    }.toMap
 
     val metaDf = broadcast(extent.select(col(group), col("mn"), col("mx")))
     val withB = df.join(metaDf, group)
@@ -95,34 +93,29 @@ object Stats {
             / (col("mx") - col("mn") + lit(1e-300)) * buckets).cast("int"),
           lit(0)), lit(buckets - 1)))
 
-    // pass 2: histogram
-    val hist = withB.groupBy(col(group), col("bkt")).count().collect()
-      .groupBy(_.get(0))
-      .map { case (g, rows) =>
-        g -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
-      }
+    // pass 2: per-(group, bucket) histogram + cumulative counts. The
+    // window partitions by group over ≤B rows each — never a global
+    // window, never a driver walk.
+    val wc = Window.partitionBy(group).orderBy("bkt")
+    val cumHist = withB.groupBy(col(group), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("cum0", col("cum") - col("c"))
 
-    // driver: target bucket + within-bucket rank per (group, p)
-    val wanted = for {
-      (g, (n, _, _)) <- meta.toSeq
-      p <- ps
-    } yield {
-      val target = math.max(math.ceil(p * n).toLong, 1L)
-      val counts = hist(g)
-      var cum = 0L
-      var k = 0
-      while (cum + counts.getOrElse(k, 0L) < target) {
-        cum += counts.getOrElse(k, 0L); k += 1
-      }
-      (g.toString, k, p, target - cum)
-    }
-    val wantedDf = broadcast(
-      wanted.toDF(group + "_w", "bkt_w", "p", "rprime"))
+    // target ranks, one row per (group, p); each target's bucket is
+    // the unique one whose cumulative range [cum0, cum) covers it,
+    // found by a group-key join + range filter (≤B candidates/group)
+    val targets = extent
+      .select(col(group), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("target", greatest(ceil(col("p") * col("n")), lit(1L)))
+    val wanted = targets.join(cumHist, Seq(group))
+      .filter(col("target") > col("cum0") && col("target") <= col("cum"))
+      .select(col(group), col("bkt"), col("p"),
+        (col("target") - col("cum0")).as("rprime"))
 
-    // pass 3: rank only the targeted buckets
-    val cand = withB.join(wantedDf,
-      col(group).cast("string") === col(group + "_w")
-        && col("bkt") === col("bkt_w"))
+    // pass 3: rank only the targeted buckets. `wanted` is O(groups·|ps|)
+    // rows — broadcast-joined so the fact table is touched map-side.
+    val cand = withB.join(broadcast(wanted), Seq(group, "bkt"))
     val w = Window.partitionBy(col(group), col("p")).orderBy(col(value))
     val picked = cand
       .withColumn("rn", row_number().over(w))

@@ -47,6 +47,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(0L, 1L, 2L)(a) && Set(3L, 4L)(b) })
   }
 
+  test("minhash LSH hot-bucket cap: 500 identical docs degrade to a " +
+      "star, not 124,750 pairs, and planted pairs elsewhere survive") {
+    // every band bucket of the identical cluster has 500 members —
+    // far over maxBucket=200 — so the cluster must yield exactly the
+    // 499 star pairs around its min id, all at jaccard 1.0, while the
+    // small (cool-bucket) corpus pairs are still found all-pairs.
+    val hotCluster = (100L until 600L).map(
+      (_, "duplicated boilerplate license header text repeated across the entire crawl corpus"))
+    val all = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      ++ hotCluster).toDF("doc_id", "text")
+    for (pairsDf <- Seq(
+        Dedup.minhashNearDupsPoly(all, "doc_id", "text", minJaccard = 0.3),
+        Dedup.minhashNearDups(all, "doc_id", "text", minJaccard = 0.3))) {
+      val pairs = pairsDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val hot = pairs.filter { case (a, _, _) => a >= 100L }
+      assert(hot.length == 499)
+      assert(hot.forall { case (a, b, j) => a == 100L && b > 100L && j == 1.0 })
+      val cool = pairs.collect { case (a, b, _) if a < 100L => (a, b) }.toSet
+      assert(cool.contains((0L, 1L)) && cool.contains((3L, 4L)))
+      assert(pairs.forall { case (a, b, _) => (a < 100L) == (b < 100L) })
+    }
+  }
+
   test("minhash signature approximates jaccard") {
     val sh = corpus.select(col("doc_id"),
       TextOps.shingles(col("text"), 3).as("sh"))
