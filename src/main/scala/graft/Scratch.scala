@@ -30,7 +30,9 @@ object Scratch {
     Tables.lineitem(spark, d).limit(10).write.format("noop").mode("overwrite").save()
 
     // ---- updated queries ----
-    time("ivf_new") { Queries.qEIvf.fn(spark, d) }
+    time("minhash_pairs") { Queries.qDMinhashPairs.fn(spark, d) }
+    time("a7_quantiles") { Queries.qA7Quantiles.fn(spark, d) }
+    time("a7b_select") { Queries.qA7bQuantilesSelect.fn(spark, d) }
     spark.stop()
   }
 }

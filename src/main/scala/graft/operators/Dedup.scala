@@ -142,18 +142,26 @@ object Dedup {
   private[operators] def bandCandidatePairs(
       banded: DataFrame, // (id, bk)
       maxBucket: Int): DataFrame = {
-    val counts = banded.groupBy("bk").agg(count(lit(1)).as("cnt"))
-    val withCnt = banded.join(counts, Seq("bk")) // co-partitioned on bk
-    val cool = withCnt.filter(col("cnt") <= maxBucket)
-    val coolPairs = cool.select(col("bk"), col("id").as("id_a"))
-      .join(cool.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+    // One window pass annotates every band row with its bucket size and
+    // min-id representative; the cool (all-pairs) and hot (star) cases
+    // then collapse into a single self-join: a row EMITS pairs if its
+    // bucket is cool OR it is the representative, and every row is a
+    // pair TARGET. id_a < id_b yields exactly all-pairs for cool
+    // buckets and rep-to-member stars for hot ones (rep = min id).
+    // Both join sides share the one exchange under the window
+    // (ReusedExchange), so the upstream signature computation — the
+    // expensive part — runs once, and only (id, bk) rides the shuffle.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    val ann = banded
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rep", min("id").over(w))
+    val emitters = ann
+      .filter(col("cnt") <= maxBucket || col("id") === col("rep"))
+      .select(col("bk"), col("id").as("id_a"))
+    val members = ann.select(col("bk"), col("id").as("id_b"))
+    emitters.join(members, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-    val hot = withCnt.filter(col("cnt") > maxBucket)
-    val reps = hot.groupBy("bk").agg(min("id").as("id_a"))
-    val hotPairs = hot.join(reps, Seq("bk")) // min-id rep ⇒ id_a < id_b
-      .filter(col("id") =!= col("id_a"))
-      .select(col("id_a"), col("id").as("id_b"))
-    coolPairs.select("id_a", "id_b").unionByName(hotPairs)
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
 
