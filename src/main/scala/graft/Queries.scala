@@ -402,9 +402,14 @@ object Queries {
   }
 
   /** O3: deterministic positional (temporal) split — first 1000 rows
-    * in (date, key) order (notebook cell 13 iloc split). At cluster
-    * scale the global row_number is the parity-exact rendering; the
-    * pipeline variant uses a cheap filter on a precomputed boundary. */
+    * in (date, key) order (notebook cell 13 iloc split). Runs on
+    * operators/PositionalSplit: per-date counts + driver prefix scan
+    * (bounded by |dates|) + TakeOrdered boundary key + a pure filter,
+    * with positions from a date-PARTITIONED window — value-identical
+    * to the global row_number the oracle replays, but nothing in the
+    * plan ever single-partitions the table. (The global-window
+    * rendering lives on in PlanSpec as the parity reference.)
+    */
   val qO3Split = q(
     "q_o3_temporal_split",
     """SELECT o_orderkey, rn FROM (
@@ -412,10 +417,9 @@ object Queries {
       |         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
       |  FROM orders)
       |WHERE rn <= 1000 ORDER BY rn""".stripMargin) { (s, d) =>
-    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), row_number().over(w).as("rn"))
-      .filter(col("rn") <= 1000)
+    graft.operators.PositionalSplit
+      .firstNWithRank(Tables.orders(s, d), "o_orderdate", "o_orderkey", 1000L)
+      .select(col("o_orderkey"), col("rn").cast("int").as("rn"))
       .orderBy("rn")
   }
 

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Deterministic positional (temporal) split WITHOUT a global window.
+  *
+  * The parity-exact rendering of "first n rows in (k1, k2) order"
+  * (reference notebook iloc split, Traffic-Prediction-Modelling.ipynb
+  * cell 13) is `row_number() OVER (ORDER BY k1, k2) <= n` — which
+  * single-partitions the whole table. At 100 TB that window IS the
+  * job. This operator computes the identical result with nothing
+  * global:
+  *
+  *   1. per-k1 counts: one map-side-combining agg, |distinct k1| rows
+  *      (dates/hours — bounded at any fact scale, like an IVF
+  *      codebook: a legitimate driver-side scalar);
+  *   2. driver prefix-scan finds the boundary k1 value D and the
+  *      residual rank r inside it;
+  *   3. the r-th smallest k2 within D via orderBy+limit — Spark's
+  *      TakeOrdered, a per-partition heap, never a full sort;
+  *   4. the split is then a pure FILTER `(k1 < D) or (k1 = D and
+  *      k2 <= K)` — pushdown-friendly, partition-prunable if the
+  *      table is partitioned by k1;
+  *   5. global positions (when wanted) come from a per-k1 PARTITIONED
+  *      window plus the broadcast per-k1 offsets — no single-partition
+  *      stage anywhere.
+  *
+  * Requires (k1, k2) non-null and unique per row (the same assumption
+  * the row_number rendering makes for determinism).
+  */
+object PositionalSplit {
+
+  /** Per-k1 cumulative offsets + the (D, K) boundary for rank n.
+    * Returns (offsets rows (k1, cum-before), boundary k1 D, boundary
+    * k2 K or None when the table has ≤ n rows).
+    */
+  private def boundary(
+      df: DataFrame, k1: String, k2: String, n: Long): (Seq[(Any, Long)], Option[(Any, Any)]) = {
+    val counts = df.groupBy(k1).agg(count(lit(1)).as("__c"))
+      .orderBy(k1).collect() // bounded by |distinct k1|
+    var cum = 0L
+    val offsets = Seq.newBuilder[(Any, Long)]
+    var bound: Option[(Any, Long)] = None
+    counts.foreach { row =>
+      if (bound.isEmpty) {
+        offsets += ((row.get(0), cum))
+        val c = row.getLong(1)
+        if (cum + c >= n) bound = Some((row.get(0), n - cum))
+        cum += c
+      }
+    }
+    bound match {
+      case None => (offsets.result(), None) // whole table fits in n
+      case Some((d, r)) =>
+        // r-th smallest k2 inside D: TakeOrdered (heap), then max
+        val k = df.filter(col(k1) === lit(d))
+          .select(col(k2)).orderBy(col(k2)).limit(r.toInt)
+          .agg(max(col(k2))).first().get(0)
+        (offsets.result(), Some((d, k)))
+    }
+  }
+
+  private def keepPred(k1: String, k2: String, b: Option[(Any, Any)]) =
+    b match {
+      case Some((d, k)) =>
+        col(k1) < lit(d) || (col(k1) === lit(d) && col(k2) <= lit(k))
+      case None => lit(true)
+    }
+
+  /** The first n rows in (k1, k2) order, with their 1-based global
+    * position `rn` — value-identical to the global-row_number
+    * rendering, built from the boundary filter + partitioned window.
+    */
+  def firstNWithRank(df: DataFrame, k1: String, k2: String, n: Long): DataFrame = {
+    val (offsets, b) = boundary(df, k1, k2, n)
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      df.schema(df.schema.fieldIndex(k1)).copy(name = k1),
+      StructField("__cum0", LongType, nullable = false)))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map { case (v, c) => Row(v, c) }, 1),
+      schema)
+    val wp = Window.partitionBy(k1).orderBy(k2)
+    df.filter(keepPred(k1, k2, b))
+      .join(broadcast(offsetsDf), Seq(k1))
+      .withColumn("rn", row_number().over(wp).cast("long") + col("__cum0"))
+      .drop("__cum0")
+  }
+
+  /** (first n rows, remainder) in (k1, k2) order — the train/test
+    * temporal split as two complementary filters over one boundary.
+    */
+  def splitAt(df: DataFrame, k1: String, k2: String, n: Long): (DataFrame, DataFrame) = {
+    val (_, b) = boundary(df, k1, k2, n)
+    val keep = keepPred(k1, k2, b)
+    (df.filter(keep), df.filter(!keep))
+  }
+}

@@ -1,7 +1,6 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -71,16 +70,12 @@ object HistoricalTraining {
 
   /** Cell 13 (O3): deterministic positional split — first `n` rows in
     * (Date, Hour) order train, rest test. NOT randomSplit: the
-    * reference's iloc split is temporal and must stay so. The global
-    * row_number is fine at dimension scale (8.8k rows); for a 100 TB
-    * fact you'd split on a date boundary predicate instead.
+    * reference's iloc split is temporal and must stay so. Runs on
+    * operators/PositionalSplit (boundary filter, no global window),
+    * so the same call works unchanged on a 100 TB fact table.
     */
-  def temporalSplit(features: DataFrame, n: Int): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col("Date"), col("Hour"))
-    val rn = features.withColumn("rn", row_number().over(w))
-    (rn.filter(col("rn") <= n).drop("rn"),
-      rn.filter(col("rn") > n).drop("rn"))
-  }
+  def temporalSplit(features: DataFrame, n: Int): (DataFrame, DataFrame) =
+    graft.operators.PositionalSplit.splitAt(features, "Date", "Hour", n.toLong)
 
   /** Full chain from the two 2015 CSVs. */
   def fullData(s: SparkSession, weatherCsv: String, trafficCsv: String): DataFrame = {

@@ -87,4 +87,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial_max") || p.contains("Partial"), p)
   }
+
+  test("q_o3: boundary-filter split == global-window rendering, no global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, Sf001)
+    // parity reference: the single-partition rendering the oracle replays
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ref = orders
+      .select(col("o_orderkey"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 1000).orderBy("rn").collect()
+    val got = Queries.specs.find(_.name == "q_o3_temporal_split").get
+      .fn(spark, Sf001).collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      === ref.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    // and the catalog plan never single-partitions: its only window is
+    // partitioned by o_orderdate
+    val p = planOf("q_o3_temporal_split")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("o_orderdate")), p)
+  }
+
+  test("temporalSplit: train/test boundary filter matches row_number split") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(spark, Sf001)
+      .select(col("o_orderdate").cast("string").as("Date"),
+        col("o_orderkey").as("Hour"), col("o_totalprice"))
+    val (train, test) = graft.pipelines.HistoricalTraining.temporalSplit(df, 700)
+    val w = Window.orderBy(col("Date"), col("Hour"))
+    val rn = df.withColumn("rn", row_number().over(w))
+    val refTrain = rn.filter(col("rn") <= 700).drop("rn")
+    assert(train.count() === 700)
+    assert(train.exceptAll(refTrain).isEmpty && refTrain.exceptAll(train).isEmpty)
+    assert(test.count() === df.count() - 700)
+    assert(train.intersect(test).isEmpty)
+  }
 }
