@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * append; FK resolution is a single left join (J2). Backed by
   * parquet tables; the same logic drives a JDBC sink unchanged.
   *
-  * Surrogate ids: `max(existing)+row_number over natural-key order`.
-  * The global row_number is safe at dimension scale (forecast batches
-  * are 12 rows); a 100 TB fact table would use
-  * `monotonically_increasing_id` or a key derived from the natural key.
+  * Surrogate ids: `max(existing) + position in natural-key order`,
+  * computed scale-safe — range-partition by the key, rank within each
+  * partition, add broadcast prefix-sum offsets (never a global
+  * single-partition window). Same dense SERIAL-like assignment at any
+  * batch size.
   */
 object StarSchemaSink {
 
@@ -95,16 +96,36 @@ object StarSchemaSink {
     val maxId = existing
       .flatMap(ex => Option(ex.agg(max("id")).first().get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val w = Window.orderBy(naturalKeys.map(col): _*)
-    val withIds = fresh
-      .withColumn("id", row_number().over(w).cast("long") + lit(maxId))
 
-    val outCols = existing.map(_.columns.toSeq)
-      .getOrElse("id" +: batch.columns.toSeq.filterNot(_ == "id"))
-    val toWrite = withIds.select(outCols.map(col): _*).cache()
-    val n = toWrite.count()
-    if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(path)
-    toWrite.unpersist()
+    // Dense sequential ids with no single-partition stage: range-
+    // partition by the natural key (partition i's keys all sort before
+    // partition i+1's), rank WITHIN each partition, and add the prefix
+    // sum of partition sizes — O(#partitions) driver rows, like any
+    // job's task stats. The assignment is identical to a global
+    // row_number over the natural-key order, and the same plan loads a
+    // dimension of any size.
+    val keyCols = naturalKeys.map(col)
+    val ranged = fresh.repartitionByRange(keyCols: _*)
+      .withColumn("__pid", spark_partition_id()).cache()
+    val sizes = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .orderBy("__pid").collect()
+    val n = sizes.map(_.getLong(1)).sum
+    if (n > 0) {
+      var cum = maxId
+      val offsets = sizes.map { r =>
+        val o = (r.getInt(0), cum); cum += r.getLong(1); o
+      }.toSeq
+      val offDf = broadcast(s.createDataFrame(offsets).toDF("__pid", "__off"))
+      val wp = Window.partitionBy("__pid").orderBy(keyCols: _*)
+      val withIds = ranged
+        .join(offDf, Seq("__pid"))
+        .withColumn("id", row_number().over(wp).cast("long") + col("__off"))
+      val outCols = existing.map(_.columns.toSeq)
+        .getOrElse("id" +: batch.columns.toSeq.filterNot(_ == "id"))
+      withIds.select(outCols.map(col): _*)
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+    ranged.unpersist()
     n
   }
 
