@@ -253,6 +253,87 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** X1: salted two-stage aggregation (operators/Skew) — spreads every
+    * group over 16 salt subgroups map-side, aggregates partials, then
+    * combines. The oracle is the PLAIN group-by: a decomposable
+    * aggregate is salt-invariant by construction, and the cents-scaled
+    * long sum makes the equality exact (not merely approximate) in any
+    * summation order. This is the rewrite that un-stalls a 100 TB agg
+    * whose hottest key owns 30% of the rows — AQE can't split a
+    * single-key group; salting can.
+    */
+  val qXSaltedAgg = q(
+    "q_x_salted_agg",
+    """SELECT l_suppkey,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_suppkey"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    graft.operators.Skew.saltedSumCount(li, Seq("l_suppkey"), "cents", salts = 16)
+      .select(col("l_suppkey"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("revenue"),
+        col("n"))
+      .orderBy("l_suppkey")
+  }
+
+  /** X2: salt-replicated join (operators/Skew) — the big side salts
+    * randomly in [0,16), the dim is replicated per salt value, and the
+    * join keys on (key, salt) so one hot key spreads over 16 shuffle
+    * partitions. Result rows are exactly the plain join's (the oracle
+    * replays the plain join); only the partitioning differs.
+    */
+  val qXSaltedJoin = q(
+    "q_x_salted_join",
+    """SELECT s_nationkey,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |       COUNT(*) AS n
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("k"), col("l_quantity"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(big, dim, "k", salts = 16)
+      .groupBy("s_nationkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+  }
+
+  /** X3: bucketed fact⋈fact join (sinks/Bucketed) — both tables
+    * pre-shuffled into 8 co-located buckets at write time, so the join
+    * itself plans with NO Exchange (asserted in SkewBucketSpec); at
+    * 100 TB that turns the recurring join's dominant shuffle into a
+    * local zip. The oracle replays the plain parquet join — bucketing
+    * is pure physical layout, invisible to results. Not benched: the
+    * timed work would be the one-off bucket write, not the join.
+    */
+  val qXBucketedJoin = q(
+    "q_x_bucketed_join",
+    """SELECT o_orderkey % 100 AS grp,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |       COUNT(*) AS n
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY grp ORDER BY grp""".stripMargin,
+    bench = false) { (s, d) =>
+    graft.sinks.Bucketed.write(
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+      "bx_orders", "o_orderkey", 8)
+    graft.sinks.Bucketed.write(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "bx_lineitem", "o_orderkey", 8)
+    graft.sinks.Bucketed.table(s, "bx_orders")
+      .join(graft.sinks.Bucketed.table(s, "bx_lineitem"), Seq("o_orderkey"))
+      .groupBy((col("o_orderkey") % 100).as("grp"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+      .orderBy("grp")
+  }
+
   // ---------------------------------------------------------------
   // Scalar functions (SURVEY §2 F2, F3, F5, F7, F9, F10, F12)
   // ---------------------------------------------------------------
@@ -1416,6 +1497,7 @@ object Queries {
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin,
+    qXSaltedAgg, qXSaltedJoin, qXBucketedJoin,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,

@@ -17,6 +17,14 @@ object Bucketed {
       bucketCol: String,
       buckets: Int,
       sortWithinBuckets: Boolean = true): Unit = {
+    val s = df.sparkSession
+    // A previous SESSION's managed-table dir can linger on disk with no
+    // entry in this session's in-memory catalog; CREATE would then trip
+    // LOCATION_ALREADY_EXISTS. Drop both the entry and the location.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, bucketCol)
