@@ -52,4 +52,41 @@ object Jdbc {
 
   def overwrite(df: DataFrame, url: String, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props())
+
+  /** K2 over JDBC: `INSERT ... ON CONFLICT DO NOTHING` parity against
+    * a LIVE table (ref dags/utils.py:206-215, one commit per row) as
+    * one set-based statement pair: scan the table's natural keys
+    * (projection pushes down to the remote DB — the wire carries keys,
+    * not rows), anti-join the deduped batch, append only what's new.
+    * Null-safe key equality, like the parquet sink: a null key value
+    * conflicts with itself, so re-runs are fully idempotent. Returns
+    * rows actually appended — 0 on a re-run of the same payload.
+    */
+  def idempotentAppend(
+      s: SparkSession,
+      url: String,
+      table: String,
+      batch: DataFrame,
+      naturalKeys: Seq[String],
+      batchSize: Int = 1000): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val deduped = batch.dropDuplicates(naturalKeys)
+    val existing =
+      try Some(read(s, url, table)) catch { case _: Throwable => None }
+    val fresh = existing match {
+      case Some(ex) =>
+        val exKeys = broadcast(
+          ex.select(naturalKeys.map(k => col(k).as(s"__ex_$k")): _*))
+        val cond = naturalKeys
+          .map(k => deduped(k) <=> exKeys(s"__ex_$k"))
+          .reduce(_ && _)
+        deduped.join(exKeys, cond, "left_anti")
+      case None => deduped
+    }
+    val toWrite = fresh.cache()
+    val n = toWrite.count()
+    if (n > 0) append(toWrite, url, table, batchSize)
+    toWrite.unpersist()
+    n
+  }
 }

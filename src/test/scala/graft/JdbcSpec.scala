@@ -46,6 +46,29 @@ class JdbcSpec extends SparkSpec {
     assert(df.count() == Tables.orders(spark, Sf0001).count())
   }
 
+  test("K2 over JDBC: idempotent append — re-run of same payload appends zero") {
+    val batch = Tables.supplier(spark, Sf0001)
+      .select("s_suppkey", "s_name", "s_nationkey")
+    // first load: table does not exist yet -> everything appends
+    Jdbc.overwrite(batch.limit(0), url, "supplier_jdbc") // create empty
+    val n1 = Jdbc.idempotentAppend(spark, url, "supplier_jdbc", batch,
+      Seq("s_suppkey"))
+    assert(n1 == batch.count())
+    // ON CONFLICT DO NOTHING parity: identical payload -> zero appended
+    val n2 = Jdbc.idempotentAppend(spark, url, "supplier_jdbc", batch,
+      Seq("s_suppkey"))
+    assert(n2 == 0L)
+    // overlapping horizon: half old + new keys -> only new rows append
+    val shifted = batch.withColumn("s_suppkey", col("s_suppkey") + 1000000)
+    val overlap = batch.limit(3).unionByName(shifted.limit(4))
+    val n3 = Jdbc.idempotentAppend(spark, url, "supplier_jdbc", overlap,
+      Seq("s_suppkey"))
+    assert(n3 == 4L)
+    val live = Jdbc.read(spark, url, "supplier_jdbc")
+    assert(live.count() == batch.count() + 4)
+    assert(live.select("s_suppkey").distinct().count() == live.count())
+  }
+
   test("J2 over JDBC: FK-resolving left join replaces per-row subqueries") {
     val cust = Tables.customer(spark, Sf0001)
       .select("c_custkey", "c_mktsegment")
