@@ -112,6 +112,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: IVF recall holds across seeds and distributions") {
+    // clustered (the regime IVF is built for) and uniform (its worst
+    // case) vectors, several RNG seeds each — recall vs brute force
+    // must clear the gate every time, not just on one fixture.
+    val dim = 16; val k = 5; val nQ = 15; val nC = 400
+    def recallFor(seed: Long, clustered: Boolean): Double = {
+      val rnd = new scala.util.Random(seed)
+      val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 3))
+      def vec(): Array[Float] = {
+        val base =
+          if (clustered) centers(rnd.nextInt(centers.length))
+          else Array.fill(dim)(0.0)
+        Array.tabulate(dim)(i => (base(i) + rnd.nextGaussian()).toFloat)
+      }
+      val cands = (0 until nC).map(i => (i.toLong, vec())).toDF("cid", "cvec")
+      val queries = (0 until nQ).map(i => (i.toLong + 100000, vec()))
+        .toDF("qid", "qvec")
+      val exact = graft.operators.Similarity
+        .bruteForceTopK(queries, cands, k)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = graft.operators.Similarity
+        .ivfTopK(queries, cands, k, nCentroids = 8, nProbe = 3, seed = seed)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(ivf).size.toDouble / exact.size
+    }
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rc = recallFor(seed, clustered = true)
+      val ru = recallFor(seed, clustered = false)
+      info(f"seed=$seed clustered recall@5=$rc%.2f uniform recall@5=$ru%.2f (nProbe=3/8)")
+      assert(rc >= 0.60, f"clustered recall $rc%.2f below gate (seed=$seed)")
+      assert(ru >= 0.40, f"uniform recall $ru%.2f below gate (seed=$seed)")
+    }
+  }
+
   test("property: NL holiday calendar invariants for every year 1990-2035") {
     (1990 to 2035).foreach { year =>
       val h = graft.functions.NLHolidays.forYear(year)
