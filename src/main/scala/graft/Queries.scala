@@ -1035,6 +1035,12 @@ object Queries {
 
   // Shared DuckDB fragments for the poly-hash text sketches (the SQL
   // rendering of graft.expressions.TextSketchKernels):
+
+  /** The ONE hot-bucket cap: the Scala operators default to this and
+    * the oracle SQL interpolates it, so they cannot silently drift.
+    */
+  private val dedupMaxBucket = graft.operators.Dedup.DefaultMaxBucket
+
   private val duckToks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
   private def duckFold(base: Int, mod: Long, s: String): String =
@@ -1114,12 +1120,12 @@ object Queries {
          |       FROM b2 JOIN bc USING (band, key)),
          |coolp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |          FROM bb a JOIN bb b ON a.band = b.band AND a.key = b.key
-         |          WHERE a.cnt <= 200 AND a.doc_id < b.doc_id),
+         |          WHERE a.cnt <= $dedupMaxBucket AND a.doc_id < b.doc_id),
          |reps AS (SELECT band, key, MIN(doc_id) AS id_a
-         |         FROM bb WHERE cnt > 200 GROUP BY band, key),
+         |         FROM bb WHERE cnt > $dedupMaxBucket GROUP BY band, key),
          |hotp AS (SELECT reps.id_a, bb.doc_id AS id_b
          |         FROM bb JOIN reps USING (band, key)
-         |         WHERE bb.cnt > 200 AND bb.doc_id <> reps.id_a),
+         |         WHERE bb.cnt > $dedupMaxBucket AND bb.doc_id <> reps.id_a),
          |pairs AS (SELECT DISTINCT id_a, id_b
          |          FROM (SELECT * FROM coolp UNION ALL SELECT * FROM hotp)),
          |j AS (SELECT id_a, id_b,
@@ -1175,7 +1181,7 @@ object Queries {
        |         (simhash >> CAST(chunk * 16 AS INT)) & 65535 AS key
        |       FROM (SELECT id, simhash, unnest(range(4)) AS chunk FROM sg)),
        |cool AS (SELECT chunk, key FROM ck0 GROUP BY chunk, key
-       |         HAVING COUNT(*) <= 200),
+       |         HAVING COUNT(*) <= $dedupMaxBucket),
        |ck AS (SELECT ck0.* FROM ck0 JOIN cool USING (chunk, key)),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |          FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.key = b.key

@@ -75,6 +75,12 @@ object Dedup {
     */
   val MinhashP = 1000000007L
 
+  /** Hot-bucket cap shared by the MinHash band join and the SimHash
+    * pigeonhole blocker — AND interpolated into their oracle SQL
+    * (Queries.scala), so Scala and oracle can never silently drift.
+    */
+  val DefaultMaxBucket = 200
+
   /** Native fused loop (graft.expressions.MinHashSig) — the hot path. */
   def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
     graft.expressions.MinHashSig.ofShingles(shingles, k, seed)
@@ -128,11 +134,13 @@ object Dedup {
     * candidates, and (unlike dropping the bucket, as the SimHash
     * pigeonhole blocker does) an exact-duplicate cluster stays one
     * connected component: every member still pairs with the
-    * representative at Jaccard 1. Only non-representative hot-hot
-    * pairs are lost, and those only matter when a bucket mixes
-    * dissimilar docs — which the per-pair exact-Jaccard verify
-    * downstream would have to discard anyway. The cap is part of the
-    * operator's definition, so the oracle replays it exactly.
+    * representative at Jaccard 1. The trade-off: non-representative
+    * hot-hot pairs are lost, which is free for EXACT-duplicate hot
+    * clusters (the star preserves the component) but can degrade
+    * connected-component recall for hot clusters of near-identical
+    * NON-equal docs whose pairs no other band bucket catches. The cap
+    * is part of the operator's definition, so the oracle replays it
+    * exactly.
     *
     * Only ids ride the candidate shuffle — callers join signature /
     * shingle arrays back AFTER `dropDuplicates`, so the wide arrays
@@ -198,7 +206,7 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.expressions.{MinHashSig, TextShingleHashes}
     val rowsPerBand = k / bands
     val sh = df.select(col(idCol).as("id"),
@@ -224,7 +232,7 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = k / bands
     val sh = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), n).as("sh"))
@@ -269,7 +277,7 @@ object Dedup {
   def simhashNearDups(
       sigs: DataFrame, // (id, simhash)
       maxHamming: Int = 3,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunked = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

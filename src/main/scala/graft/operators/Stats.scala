@@ -53,8 +53,8 @@ object Stats {
   def pName(p: Double): String = "p" + math.round(p * 100)
 
   /** The same exact order statistics by distributed SELECTION instead
-    * of a per-group sort: three narrow passes, ALL distributed — the
-    * driver never materializes anything —
+    * of a per-group sort: three narrow passes, none of which ever
+    * sorts or single-partitions the fact table —
     *
     *   1. per-group (n, min, max): map-side-combining agg, tiny
     *   2. per-group value histogram (B buckets) with a cumulative sum
@@ -72,8 +72,15 @@ object Stats {
     * don't care how you select them — asserted in StatsSpec), so the
     * same ⌈p·n⌉ oracle verifies both.
     *
-    * Values must be non-null (matches the sort-based operator's
-    * assumption).
+    * The `broadcast(extent)`/`broadcast(wanted)` hints do ship
+    * O(groups) and O(groups·|ps|) rows through the driver — fine up to
+    * ~10⁶ groups; past that, drop the two hints and the same plan runs
+    * those joins as shuffles on the group key (the SQL shape is
+    * unchanged).
+    *
+    * Values AND the group key must be non-null (matches the sort-based
+    * operator for values; a NULL group would be dropped by the
+    * non-null-safe extent join here while the window path keeps it).
     */
   def groupedQuantilesSelect(
       df: DataFrame,
