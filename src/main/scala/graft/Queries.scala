@@ -1054,6 +1054,47 @@ object Queries {
        |        ELSE [array_to_string(toks, '')] END AS sh FROM t),
        |h AS (SELECT doc_id, list_transform(sh, s -> ${duckFold(31, 1000000007L, "s")}) AS hs FROM g)""".stripMargin
 
+  /** The full MinHash+LSH near-dup CTE chain, `t(doc_id, toks)` →
+    * `j(id_a, id_b, inter, la, lb)`: 3-shingle poly hashes → 64-slot
+    * signature → 16 poly band keys → capped bucket self-join (cool
+    * all-pairs / hot star, same `$dedupMaxBucket` as the Scala
+    * operator) → distinct candidates → exact-Jaccard ingredients.
+    * Shared verbatim by q_d_minhash_pairs and the corpus-curation
+    * pipeline so the two oracles can't drift.
+    */
+  private lazy val duckMinhashPairChain: String = {
+    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
+    s"""${duckShingleHashes(3)},
+       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+       |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
+       |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
+       |s AS (SELECT doc_id, list_transform(range(64), i ->
+       |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
+       |      FROM hd CROSS JOIN coef),
+       |b2 AS (SELECT doc_id, band,
+       |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
+       |           (a, v) -> (a * 31 + v) % 1000000007) AS key
+       |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
+       |bc AS (SELECT band, key, COUNT(*) AS cnt FROM b2 GROUP BY band, key),
+       |bb AS (SELECT b2.doc_id, b2.band, b2.key, bc.cnt
+       |       FROM b2 JOIN bc USING (band, key)),
+       |coolp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bb a JOIN bb b ON a.band = b.band AND a.key = b.key
+       |          WHERE a.cnt <= $dedupMaxBucket AND a.doc_id < b.doc_id),
+       |reps AS (SELECT band, key, MIN(doc_id) AS id_a
+       |         FROM bb WHERE cnt > $dedupMaxBucket GROUP BY band, key),
+       |hotp AS (SELECT reps.id_a, bb.doc_id AS id_b
+       |         FROM bb JOIN reps USING (band, key)
+       |         WHERE bb.cnt > $dedupMaxBucket AND bb.doc_id <> reps.id_a),
+       |pairs AS (SELECT DISTINCT id_a, id_b
+       |          FROM (SELECT * FROM coolp UNION ALL SELECT * FROM hotp)),
+       |j AS (SELECT id_a, id_b,
+       |        len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS inter,
+       |        len(ha.hs) AS la, len(hb.hs) AS lb
+       |      FROM pairs JOIN hd ha ON ha.doc_id = id_a
+       |                 JOIN hd hb ON hb.doc_id = id_b)""".stripMargin
+  }
+
   /** MinHash+LSH band keys per document — the distributed candidate-
     * generation structure (two docs sharing any band key are near-dup
     * candidates; the shuffle key at scale is (band, key)). Poly-hash
@@ -1099,48 +1140,66 @@ object Queries {
     * than a key-join is the band-bucket join, and the cap is what
     * bounds its skew on duplicate-heavy corpora at scale.
     */
-  val qDMinhashPairs = {
-    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
-    q(
-      "q_d_minhash_pairs",
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |${duckShingleHashes(3)},
-         |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
-         |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
-         |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
-         |s AS (SELECT doc_id, list_transform(range(64), i ->
-         |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
-         |      FROM hd CROSS JOIN coef),
-         |b2 AS (SELECT doc_id, band,
-         |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
-         |           (a, v) -> (a * 31 + v) % 1000000007) AS key
-         |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
-         |bc AS (SELECT band, key, COUNT(*) AS cnt FROM b2 GROUP BY band, key),
-         |bb AS (SELECT b2.doc_id, b2.band, b2.key, bc.cnt
-         |       FROM b2 JOIN bc USING (band, key)),
-         |coolp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM bb a JOIN bb b ON a.band = b.band AND a.key = b.key
-         |          WHERE a.cnt <= $dedupMaxBucket AND a.doc_id < b.doc_id),
-         |reps AS (SELECT band, key, MIN(doc_id) AS id_a
-         |         FROM bb WHERE cnt > $dedupMaxBucket GROUP BY band, key),
-         |hotp AS (SELECT reps.id_a, bb.doc_id AS id_b
-         |         FROM bb JOIN reps USING (band, key)
-         |         WHERE bb.cnt > $dedupMaxBucket AND bb.doc_id <> reps.id_a),
-         |pairs AS (SELECT DISTINCT id_a, id_b
-         |          FROM (SELECT * FROM coolp UNION ALL SELECT * FROM hotp)),
-         |j AS (SELECT id_a, id_b,
-         |        len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS inter,
-         |        len(ha.hs) AS la, len(hb.hs) AS lb
-         |      FROM pairs JOIN hd ha ON ha.doc_id = id_a
-         |                 JOIN hd hb ON hb.doc_id = id_b)
-         |SELECT id_a, id_b,
-         |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
-         |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      graft.operators.Dedup.minhashNearDupsPoly(
-        Tables.documents(s, d), "doc_id", "text")
-        .orderBy("id_a", "id_b")
-    }
+  val qDMinhashPairs = q(
+    "q_d_minhash_pairs",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |$duckMinhashPairChain
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.minhashNearDupsPoly(
+      Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The full LLM corpus-curation pipeline (pipelines/CorpusCuration)
+    * as ONE oracle-exact query: exact dedup (min-id keeper per md5
+    * digest) → MinHash+LSH near-dup removal (greedy drop-larger-id
+    * survivor rule) → language gate → token-floor quality gate, with
+    * per-survivor token count and stopword ratio. Every stage is the
+    * already-oracled operator; this entry proves the COMPOSITION is
+    * engine-exact too — the DuckDB side replays all four stages,
+    * sharing the minhash CTE chain verbatim with q_d_minhash_pairs.
+    */
+  val qPipeCuration = q(
+    "q_pipe_corpus_curation",
+    s"""WITH keep0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d0 AS (SELECT dd.doc_id, dd.text FROM documents dd JOIN keep0 USING (doc_id)),
+       |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
+       |$duckMinhashPairChain,
+       |nd AS (SELECT DISTINCT id_b AS doc_id FROM j
+       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+       |d1 AS (SELECT d0.doc_id, d0.text FROM d0
+       |       WHERE d0.doc_id NOT IN (SELECT doc_id FROM nd)),
+       |tk AS (SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS lotoks
+       |       FROM d1),
+       |sc AS (SELECT doc_id, toks, lotoks,
+       |         len(list_filter(lotoks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+       |         len(list_filter(lotoks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+       |         len(list_filter(lotoks, t -> list_contains(['le','la','et','les','est'], t))) AS s_fr,
+       |         len(list_filter(lotoks, t -> list_contains(['el','los','que','y','es'], t))) AS s_es,
+       |         len(list_filter(lotoks, t -> list_contains(['de','het','een','en','van'], t))) AS s_nl
+       |       FROM tk),
+       |lp AS (SELECT doc_id, toks, lotoks,
+       |         CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_nl) AND greatest(s_en, s_de, s_fr, s_es, s_nl) > 0 THEN 'en'
+       |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_nl) AND greatest(s_en, s_de, s_fr, s_es, s_nl) > 0 THEN 'de'
+       |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_nl) AND greatest(s_en, s_de, s_fr, s_es, s_nl) > 0 THEN 'fr'
+       |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_nl) AND greatest(s_en, s_de, s_fr, s_es, s_nl) > 0 THEN 'es'
+       |              WHEN s_nl = greatest(s_en, s_de, s_fr, s_es, s_nl) AND greatest(s_en, s_de, s_fr, s_es, s_nl) > 0 THEN 'nl'
+       |              ELSE 'und' END AS lang_pred
+       |       FROM sc)
+       |SELECT doc_id, lang_pred,
+       |       len(toks) AS n_tokens,
+       |       CAST(len(list_filter(lotoks, t -> list_contains(
+       |              ['the','a','of','to','and','in','is','it','on','for'], t)))
+       |            AS DOUBLE) / CAST(len(lotoks) AS DOUBLE) AS stopword_ratio
+       |FROM lp WHERE lang_pred = 'en' AND len(toks) >= 10
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.pipelines.CorpusCuration.curate(Tables.documents(s, d))
+      .orderBy("doc_id")
   }
 
   /** 60-bit SimHash per document via the native one-pass expression
@@ -1512,7 +1571,8 @@ object Queries {
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDSimhash, qDSimhashPairs, qDWinnow,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qPipeCuration,
+    qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
   )

@@ -115,4 +115,23 @@ class DedupSpec extends SparkSpec {
     assert(overlap(0L, 1L) == 1.0)
     assert(overlap(0L, 2L) > overlap(0L, 3L))
   }
+
+  test("corpus curation: stages compose — survivors clean, gated, nonempty") {
+    val docs = Tables.documents(spark, Sf001)
+    val cur = graft.pipelines.CorpusCuration.curate(docs).cache()
+    assert(cur.count() > 0)
+    // gates hold for every survivor
+    assert(cur.filter(col("lang_pred") =!= "en").count() == 0L)
+    assert(cur.filter(col("n_tokens") < 10).count() == 0L)
+    // survivors are exact-dup free
+    val surv = docs.join(cur.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(surv.count() == surv.select("text").distinct().count())
+    // the greedy survivor rule removed every larger-id near-dup: no
+    // survivor appears as id_b of a ≥θ pair over the deduped input
+    val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+    val dropB = Dedup.minhashNearDupsPoly(deduped, "doc_id", "text")
+      .select(col("id_b").as("doc_id")).distinct()
+    assert(cur.join(dropB, Seq("doc_id"), "left_semi").count() == 0L)
+    cur.unpersist()
+  }
 }
