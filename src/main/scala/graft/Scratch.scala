@@ -29,10 +29,8 @@ object Scratch {
     GraftSession.tune(spark)
     Tables.lineitem(spark, d).limit(10).write.format("noop").mode("overwrite").save()
 
-    // ---- updated queries ----
-    time("minhash_pairs") { Queries.qDMinhashPairs.fn(spark, d) }
-    time("a7_quantiles") { Queries.qA7Quantiles.fn(spark, d) }
-    time("a7b_select") { Queries.qA7bQuantilesSelect.fn(spark, d) }
+    // ---- current experiment (edit freely) ----
+    time("pipe_curation") { Queries.qPipeCuration.fn(spark, d) }
     spark.stop()
   }
 }
