@@ -72,11 +72,10 @@ object Stats {
     * don't care how you select them — asserted in StatsSpec), so the
     * same ⌈p·n⌉ oracle verifies both.
     *
-    * The `broadcast(extent)`/`broadcast(wanted)` hints do ship
+    * With `broadcastMeta=true` (default) the extent/target joins ship
     * O(groups) and O(groups·|ps|) rows through the driver — fine up to
-    * ~10⁶ groups; past that, drop the two hints and the same plan runs
-    * those joins as shuffles on the group key (the SQL shape is
-    * unchanged).
+    * ~10⁶ groups; past that pass false and the same plan runs those
+    * joins as shuffles on the group key (the SQL shape is unchanged).
     *
     * Values AND the group key must be non-null (matches the sort-based
     * operator for values; a NULL group would be dropped by the
@@ -87,12 +86,14 @@ object Stats {
       group: String,
       value: String,
       ps: Seq[Double],
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256,
+      broadcastMeta: Boolean = true): DataFrame = {
+    def hint(d: DataFrame): DataFrame = if (broadcastMeta) broadcast(d) else d
     // pass 1: per-group extent
     val extent = df.groupBy(group).agg(
       count(lit(1)).as("n"), min(value).as("mn"), max(value).as("mx"))
 
-    val metaDf = broadcast(extent.select(col(group), col("mn"), col("mx")))
+    val metaDf = hint(extent.select(col(group), col("mn"), col("mx")))
     val withB = df.join(metaDf, group)
       .withColumn("bkt",
         least(greatest(
@@ -121,8 +122,9 @@ object Stats {
         (col("target") - col("cum0")).as("rprime"))
 
     // pass 3: rank only the targeted buckets. `wanted` is O(groups·|ps|)
-    // rows — broadcast-joined so the fact table is touched map-side.
-    val cand = withB.join(broadcast(wanted), Seq(group, "bkt"))
+    // rows — broadcast-joined (when broadcastMeta) so the fact table is
+    // touched map-side.
+    val cand = withB.join(hint(wanted), Seq(group, "bkt"))
     val w = Window.partitionBy(col(group), col("p")).orderBy(col(value))
     val picked = cand
       .withColumn("rn", row_number().over(w))

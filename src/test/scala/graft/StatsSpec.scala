@@ -33,6 +33,12 @@ class StatsSpec extends SparkSpec {
         li, "l_returnflag", "l_extendedprice", ps)
         .orderBy("l_returnflag").collect().toSeq
       assert(selected == sorted, sf)
+      // the high-group-cardinality rendering (shuffle joins instead of
+      // broadcasts) selects the identical elements
+      val shuffled = Stats.groupedQuantilesSelect(
+        li, "l_returnflag", "l_extendedprice", ps, broadcastMeta = false)
+        .orderBy("l_returnflag").collect().toSeq
+      assert(shuffled == sorted, sf)
     }
   }
 
