@@ -30,7 +30,7 @@ object Scratch {
     Tables.lineitem(spark, d).limit(10).write.format("noop").mode("overwrite").save()
 
     // ---- current experiment (edit freely) ----
-    time("pipe_curation") { Queries.qPipeCuration.fn(spark, d) }
+    time("simhash_pairs") { Queries.qDSimhashPairs.fn(spark, d) }
     spark.stop()
   }
 }

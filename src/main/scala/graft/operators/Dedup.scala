@@ -283,9 +283,14 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("ck"))
-    val cool = chunked.groupBy("ck").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") <= maxBucket).select("ck")
-    val pruned = chunked.join(cool, Seq("ck")) // co-partitioned with the pair join
+    // bucket-size annotation via one window over ck (not a groupBy +
+    // join): both sides of the pair self-join then share the single
+    // exchange (ReusedExchange), so the upstream signature computation
+    // runs once
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ck")
+    val pruned = chunked
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") <= maxBucket)
     val l = pruned.select(col("ck"), col("id").as("id_a"),
       col("simhash").as("sig_a"))
     val r = pruned.select(col("ck"), col("id").as("id_b"),
