@@ -1033,6 +1033,56 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup pairs → duplicate CLUSTERS: connected components over
+    * the ngram-Jaccard pair graph (threshold 0.02 — low on purpose:
+    * at sf0.01 it yields a 189-doc giant component plus ~50 smaller
+    * ones, so the contraction genuinely iterates), large-star/small-
+    * star contraction (graft.operators.ConnectedComponents). Oracle:
+    * DuckDB recursive CTE computing the min reachable id per node —
+    * the textbook CC definition, independent of our algorithm. Output
+    * is (doc_id, component = min member id, n_members).
+    */
+  val qDCcClusters = q(
+    "q_d_cc_clusters",
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id AS id,
+      |         list_distinct(list_transform(range(len(toks) - 2),
+      |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ''))) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |        FROM documents WHERE doc_id < 500)),
+      |posts AS (SELECT id, len(sh) AS sz, unnest(sh) AS g FROM tok),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+      |         COUNT(*) AS inter
+      |  FROM posts a JOIN posts b USING (g)
+      |  WHERE a.id < b.id GROUP BY 1, 2, 3, 4),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.02),
+      |und AS (SELECT id_a AS src, id_b AS dst FROM edges
+      |        UNION SELECT id_b, id_a FROM edges),
+      |vtx AS (SELECT DISTINCT src AS id FROM und),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM vtx
+      |  UNION
+      |  SELECT u.src, r.lab FROM und u JOIN reach r ON r.id = u.dst),
+      |comp AS (SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id)
+      |SELECT doc_id, component,
+      |       COUNT(*) OVER (PARTITION BY component) AS n_members
+      |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup}
+    val edges = Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 500),
+      "doc_id", "text", n = 3, minJaccard = 0.02)
+    val comp = ConnectedComponents.run(edges, "id_a", "id_b")
+      .localCheckpoint() // CC already ran its iterations; don't replay them per branch
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   // Shared DuckDB fragments for the poly-hash text sketches (the SQL
   // rendering of graft.expressions.TextSketchKernels):
 
@@ -1571,7 +1621,7 @@ object Queries {
     qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qPipeCuration,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,

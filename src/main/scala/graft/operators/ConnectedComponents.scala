@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair list — the step that
+  * turns near-duplicate PAIRS (ngram-Jaccard / MinHash-LSH / SimHash,
+  * see [[Dedup]]) into duplicate CLUSTERS with one canonical keeper
+  * per cluster. Reference scope: the reference dedups only exactly
+  * (pandas `drop_duplicates` has no transitive notion); this is the
+  * training-data-pipeline extension where A~B, B~C must collapse to
+  * one cluster {A,B,C} even when A~C was never emitted as a pair.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * standard O(log² n)-round formulation. Each half-round is one
+  * shuffle on node id (groupBy-min + join back); no per-node
+  * neighbor arrays are materialized, so hub nodes skew a groupBy
+  * (AQE-handled) rather than building a giant collect_list. Naive
+  * min-label propagation needs O(graph diameter) rounds — a 1M-long
+  * chain of near-dup shards would need 1M shuffles; star contraction
+  * collapses it in ~log² rounds, which is the property that matters
+  * at 100 TB.
+  *
+  * Driver-side footprint per round: one (count, hashsum) action for
+  * the convergence test — O(1) rows to the driver, never the edge
+  * set. `localCheckpoint` truncates lineage each round so plan depth
+  * stays constant across iterations.
+  */
+object ConnectedComponents {
+
+  /** Components of the undirected graph given by `edges(srcCol, dstCol)`
+    * (Long-compatible ids). Returns one row per distinct endpoint of a
+    * non-self-loop edge: `(id, component)` where `component` is the
+    * minimum node id in the component (deterministic, partitioning-
+    * invariant). Nodes appearing only in self-loops are dropped with
+    * the loops (trivial singleton components carry no dedup signal).
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 25): DataFrame = {
+    // Canonical undirected edge set: (src < dst), self-loops dropped.
+    // Checkpointed once so the (possibly expensive) upstream pair
+    // generation runs exactly once; `nodes` derives from this set.
+    val canonical = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("src"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    val nodes = canonical.select(col("src").as("id"))
+      .union(canonical.select(col("dst").as("id")))
+      .distinct()
+
+    var e = canonical
+
+    var prev = fingerprint(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val sig = fingerprint(next)
+      converged = sig == prev
+      prev = sig
+      e = next
+      it += 1
+    }
+
+    // Fixpoint edges form stars child→min-root. Roots (and isolated
+    // canonical nodes, if any) map to themselves.
+    nodes
+      .join(e.select(col("dst").as("id"), col("src").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Components plus per-cluster stats: size and keeper (= component
+    * id, the minimum member — the same keeper convention as
+    * [[Dedup.exactDedup]]).
+    */
+  def clusters(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    run(edges, srcCol, dstCol)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+
+  /** Large-star: every node u links each strictly-larger neighbor to
+    * m(u) = min(N(u) ∪ {u}). Directed edges both ways → per-node min
+    * via groupBy (one shuffle) → join back (same key, AQE-coalesced).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val dir = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = dir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    dir.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(
+        least(col("m"), col("v")).as("src"),
+        greatest(col("m"), col("v")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: every node u links its smaller-or-equal neighborhood
+    * (plus itself) to m(u) = min(N≤(u) ∪ {u}).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    // canonical edges already have src < dst: N≤(dst) ∋ src
+    val dir = e.select(col("dst").as("u"), col("src").as("v"))
+    val mins = dir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    val nbr = dir.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("m").as("src"), col("v").as("dst"))
+    val self = mins
+      .filter(col("u") =!= col("m"))
+      .select(col("m").as("src"), col("u").as("dst"))
+    nbr.union(self)
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** O(1)-to-driver convergence fingerprint: (edge count, xor-ish hash
+    * sum). A collision would need two distinct edge sets with equal
+    * count AND equal 64-bit hash sum mid-contraction — negligible, and
+    * `maxIter` bounds the loop regardless.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}
