@@ -253,6 +253,42 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** J6 (beyond-reference): range join with NO equi key — clicks by any
+    * user falling inside each error's 5-minute window [ts, ts+300 s).
+    * Expressed directly, Spark renders the inequality-only join as
+    * BroadcastNestedLoopJoin (O(|P|·|I|)); operators/RangeJoin turns it
+    * into an EQUI join on a 300 s overlap-bucket id + exact containment
+    * filter. Oracle: DuckDB's native IEJoin over the same inequality.
+    * LEFT join keeps zero-click windows.
+    */
+  val qJ6RangeJoin = q(
+    "q_j6_range_join",
+    """WITH e AS (SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS s,
+      |                  event_type
+      |           FROM events)
+      |SELECT a.event_id, a.s AS err_sec, COUNT(c.event_id) AS n_clicks
+      |FROM (SELECT event_id, s FROM e WHERE event_type = 'error') a
+      |LEFT JOIN (SELECT event_id, s FROM e WHERE event_type = 'click') c
+      |  ON c.s >= a.s AND c.s < a.s + 300
+      |GROUP BY 1, 2 ORDER BY a.event_id""".stripMargin) { (s, d) =>
+    import graft.operators.RangeJoin
+    val ev = Tables.events(s, d).withColumn("sec", unix_timestamp(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("sec").as("w_start"),
+        (col("sec") + 300).as("w_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("sec").as("click_sec"))
+    val matched = RangeJoin.pointInInterval(
+      clicks, errors, "click_sec", "w_start", "w_end", bucket = 300L)
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+    errors.join(matched, Seq("err_id"), "left")
+      .select(
+        col("err_id").as("event_id"),
+        col("w_start").as("err_sec"),
+        coalesce(col("n"), lit(0L)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** X1: salted two-stage aggregation (operators/Skew) — spreads every
     * group over 16 salt subgroups map-side, aggregates partials, then
     * combines. The oracle is the PLAIN group-by: a decomposable
@@ -1611,7 +1647,7 @@ object Queries {
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
-    qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin,
+    qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
