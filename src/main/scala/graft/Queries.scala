@@ -753,6 +753,32 @@ object Queries {
         .limit(20)
   }
 
+  /** O8: pivot (wide reshape) — sum of quantity by return flag, one
+    * column per line status. Spark's relational pivot IS conditional
+    * aggregation (one shuffle, map-side combined); the oracle spells
+    * the same thing as SUM(CASE WHEN …). Value list pinned explicitly
+    * ((F, O)) — at scale an unpinned pivot adds a distinct-values job
+    * and a driver collect before the real agg can even be planned.
+    */
+  val qO8Pivot = q(
+    "q_o8_pivot",
+    """SELECT l_returnflag,
+      |       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+      |       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+      |       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+      |       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+        .withColumnsRenamed(Map(
+          "F_qty" -> "qty_f", "O_qty" -> "qty_o",
+          "F_n" -> "n_f", "O_n" -> "n_o"))
+        .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------
   // Window / analytic functions over events
   // ---------------------------------------------------------------
@@ -811,6 +837,29 @@ object Queries {
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         (vDec - lag(vDec, 1).over(w)).cast("double").as("delta"))
+      .orderBy("event_id")
+  }
+
+  /** Rolling-frame window: 4-row trailing moving average of value per
+    * user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). Cents-scaled
+    * long inside the frame so the sliding sum is exact integer
+    * arithmetic in both engines — a double running sum with
+    * subtract-on-evict would drift — then one deterministic division.
+    */
+  val qWMovingAvg = q(
+    "q_w_moving_avg",
+    """SELECT event_id, user_id,
+      |       ROUND(AVG(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |             / 100.0, 4) AS ma4
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(avg(cents).over(w) / 100.0, 4).as("ma4"))
       .orderBy("event_id")
   }
 
@@ -1653,8 +1702,8 @@ object Queries {
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
     qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
-    qA8Corr, qO5SetOps, qO6TopK, qO7Stratified,
-    qWTumbling, qWRank, qWLag, qWSession, qWFunnel,
+    qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
+    qWTumbling, qWRank, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
