@@ -26,9 +26,16 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(10).write
       .format("noop").mode("overwrite").save()
 
+    // Optional comma-separated name filter for targeted iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); full catalog when unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
     // min of 2 runs per query: first run pays codegen/JIT/footer-cache
     // noise; min is the steady-state cost the cluster would see.
-    val results = Queries.specs.filter(_.bench).map { sp =>
+    val results = Queries.specs
+      .filter(sp => sp.bench && only.forall(_.contains(sp.name)))
+      .map { sp =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

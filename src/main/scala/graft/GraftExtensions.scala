@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{TextSimHash, VecCosine, VecD2, VecDot}
+import graft.expressions.{TextRepetition, TextSimHash, VecCosine, VecD2, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL callers and its planner strategy —
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextSimHash].getName, "text_simhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TextSimHash(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("text_repetition"),
+      new ExpressionInfo(classOf[TextRepetition].getName, "text_repetition"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextRepetition(exprs(0))))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -58,5 +63,7 @@ object GraftExtensions {
       exprs => VecD2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("text_simhash",
       exprs => TextSimHash(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_repetition",
+      exprs => TextRepetition(exprs(0)), "built-in")
   }
 }

@@ -1028,6 +1028,51 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition quality signals (top-2-gram fraction,
+    * duplicated-3-gram fraction) via the single-pass native
+    * expression — map-only, vs the composable explode→count→re-agg
+    * rendering that shuffles every n-gram of the corpus twice. The
+    * oracle replays the n-gram counting relationally; fractions are
+    * exact-int divisions so no rounding is needed.
+    */
+  val qTRepetition = q(
+    "q_t_repetition",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+      |           i -> toks[i + 1] || ' ' || toks[i + 2])) AS g
+      |  FROM tok WHERE len(toks) >= 2),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n2 FROM c2 GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+      |           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS g
+      |  FROM tok WHERE len(toks) >= 3),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+      |a3 AS (SELECT doc_id,
+      |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS n3
+      |       FROM c3 GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(COALESCE(a2.n2, 0) AS INT) AS n_2grams,
+      |       CAST(a2.mx AS DOUBLE) / CAST(a2.n2 AS DOUBLE) AS top_2gram_frac,
+      |       CAST(COALESCE(a3.n3, 0) AS INT) AS n_3grams,
+      |       CAST(a3.dup AS DOUBLE) / CAST(a3.n3 AS DOUBLE) AS dup_3gram_frac
+      |FROM tok t
+      |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val r = graft.expressions.TextRepetition(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        r.getField("n_2grams").as("n_2grams"),
+        r.getField("top_2gram_frac").as("top_2gram_frac"),
+        r.getField("n_3grams").as("n_3grams"),
+        r.getField("dup_3gram_frac").as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID (stopword-profile argmax, deterministic
     * tie-break). */
   val qTLangId = q(
@@ -1705,7 +1750,7 @@ object Queries {
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qWTumbling, qWRank, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
-    qTQuality, qTLangId, qTFingerprint,
+    qTQuality, qTRepetition, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,

@@ -98,13 +98,16 @@ object ConnectedComponents {
     val dir = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val mins = dir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    // No distinct here: smallStar's groupBy-min is duplicate-insensitive
+    // and its final distinct dedups the round's output, so the cross-node
+    // duplicate edges this emits (bounded by 2|e|) ride one extra shuffle
+    // instead of paying a whole extra dedup shuffle per round.
     dir.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(
         least(col("m"), col("v")).as("src"),
         greatest(col("m"), col("v")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star: every node u links its smaller-or-equal neighborhood

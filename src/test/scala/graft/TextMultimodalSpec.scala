@@ -145,6 +145,36 @@ class TextMultimodalSpec extends SparkSpec {
       f.map(_.frame_idx).toSeq == f.indices.map(_ * 10)))
   }
 
+  test("repetition: hand-computed n-gram fractions and edge cases") {
+    val df = Seq(
+      // 2-grams: [a b, b a, a b, b a, a b] -> top "a b" 3/5
+      // 3-grams: [a b a, b a b, a b a, b a b] -> all dup: 4/4
+      "a b a b a b",
+      // 2-grams all distinct: top 1/4; 3-grams distinct: dup 0/3
+      "v w x y z",
+      // one token: no 2-grams/3-grams
+      "solo",
+      "").toDF("text")
+    val r = graft.expressions.TextRepetition($"text")
+    val got = df.select(
+      r.getField("n_2grams"), r.getField("top_2gram_frac"),
+      r.getField("n_3grams"), r.getField("dup_3gram_frac")).collect()
+    assert(got(0).getInt(0) == 5 && got(0).getDouble(1) == 3.0 / 5.0)
+    assert(got(0).getInt(2) == 4 && got(0).getDouble(3) == 1.0)
+    assert(got(1).getDouble(1) == 0.25 && got(1).getDouble(3) == 0.0)
+    assert(got(2).getInt(0) == 0 && got(2).isNullAt(1) && got(2).isNullAt(3))
+    assert(got(3).getInt(0) == 0 && got(3).isNullAt(1))
+  }
+
+  test("repetition: whitespace runs don't split equal token sequences") {
+    val df = Seq("a  b a b", "a b a b").toDF("text")
+    val r = graft.expressions.TextRepetition($"text")
+    val got = df.select(r.getField("top_2gram_frac")).collect()
+    // both texts are the token stream [a b a b]: top 2-gram "a b" 2/3
+    assert(got(0).getDouble(0) == got(1).getDouble(0))
+    assert(got(0).getDouble(0) == 2.0 / 3.0)
+  }
+
   test("multimodal: byte-histogram features have fixed length and sum") {
     val docs = Tables.documents(spark, Sf0001).limit(5)
     val feat = Multimodal.withBinaryPayload(docs, "text")
