@@ -370,6 +370,32 @@ object Queries {
       .orderBy("grp")
   }
 
+  /** X4: bloom-pruned selective fact⋈dim join (operators/BloomPrune).
+    * Only 1.9% of parts pass p_size = 1, so ~98% of lineitem rows
+    * can't match; the bloom probe rejects them AT THE SCAN, before
+    * the join shuffle — at 100 TB that's the difference between
+    * shuffling the whole fact table and shuffling 2% of it. The
+    * oracle replays the plain join: false positives are removed by
+    * the exact join, so the bloom is result-invisible by
+    * construction (BloomPruneSpec asserts the pruning itself).
+    */
+  val qXBloomPrune = q(
+    "q_x_bloom_prune",
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size = 1
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val dim = Tables.part(s, d).filter(col("p_size") === 1)
+      .select("p_partkey", "p_brand")
+    graft.operators.BloomPrune
+      .prunedJoin(Tables.lineitem(s, d), dim, "l_partkey", "p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   // ---------------------------------------------------------------
   // Scalar functions (SURVEY §2 F2, F3, F5, F7, F9, F10, F12)
   // ---------------------------------------------------------------
@@ -1742,7 +1768,7 @@ object Queries {
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
-    qXSaltedAgg, qXSaltedJoin, qXBucketedJoin,
+    qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
