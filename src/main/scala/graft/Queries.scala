@@ -618,6 +618,35 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Count-Min frequency sketch (operators/Sketch.cmsSketch): d·w
+    * integer counters summarize any input size in one map-side-
+    * combining shuffle; point estimates are min-over-d broadcast
+    * probes. Like the HLL entry, the sketch itself is deterministic
+    * integer arithmetic, so the ESTIMATES (not just bounds) are
+    * oracle-exact; the exact counts ride along to exhibit the
+    * one-sided est ≥ exact guarantee in the output.
+    */
+  val qA9Cms = q(
+    "q_a9_cms_freq",
+    s"""WITH est AS (${graft.operators.Sketch.cmsOracleSql(
+           "lineitem", "l_partkey",
+           "SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 40")}),
+       |ex AS (SELECT l_partkey, COUNT(*) AS exact_n
+       |       FROM lineitem WHERE l_partkey <= 40 GROUP BY 1)
+       |SELECT l_partkey, cms_est, exact_n
+       |FROM est JOIN ex USING (l_partkey)
+       |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    import graft.operators.Sketch
+    val li = Tables.lineitem(s, d)
+    val sk = Sketch.cmsSketch(li, "l_partkey")
+    val targets = li.filter(col("l_partkey") <= 40)
+      .select("l_partkey").distinct()
+    val est = Sketch.cmsEstimate(sk, targets, "l_partkey")
+    val exact = li.filter(col("l_partkey") <= 40)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("l_partkey")).orderBy("l_partkey")
+  }
+
   /** Rollup with grand totals; null group markers coalesced to 'ALL'
     * so sort keys stay non-null (Spark sorts nulls first, DuckDB
     * last).
@@ -1772,7 +1801,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qA4Distinct, qA5Hll, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
+    qA4Distinct, qA5Hll, qA9Cms, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qWTumbling, qWRank, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,

@@ -97,6 +97,78 @@ object Sketch {
         .cast("long").as("hll_est"): _*)
   }
 
+  // ----------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005): fixed-size
+  // frequency summary with one-sided error (est ≥ true count;
+  // overshoot ≤ εN with probability 1−δ at w=⌈e/ε⌉, d=⌈ln 1/δ⌉).
+  // ----------------------------------------------------------------
+
+  /** depth (independent hash rows) and width (buckets per row). */
+  val CmsD = 4
+  val CmsW = 1024
+  private val CmsA = Seq(633910099L, 742938285L, 950706376L, 129749723L)
+  private val CmsB = Seq(362436069L, 521288629L, 88675123L, 5783321L)
+
+  /** Row-i bucket of `key`: affine 2-universal hash mod P1, then mod
+    * w. Every operand < 2⁶⁰ — exact BIGINT in any engine. (CMS needs
+    * only pairwise independence, so the affine family is the textbook
+    * choice here — unlike HLL above, which needs bit-level mixing.)
+    */
+  def cmsBucket(key: Column, i: Int, w: Int = CmsW): Column =
+    pmod(pmod(key.cast("long"), lit(P1)) * CmsA(i) + CmsB(i), lit(P1)) % w
+
+  /** Build the d×w sketch: ≤ d·w counter rows regardless of input
+    * size, via one map-side-combining shuffle (rows explode map-side,
+    * partial counts combine before the exchange). The sketch is a
+    * pure integer function of the input multiset — replayable
+    * cross-engine, mergeable across shards by bucket-wise SUM.
+    */
+  def cmsSketch(df: DataFrame, key: String,
+      d: Int = CmsD, w: Int = CmsW): DataFrame =
+    df.select(posexplode(array((0 until d).map(i =>
+        cmsBucket(col(key), i, w)): _*)).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `targets(keyCol)`: min over the d counters.
+    * The sketch side is ≤ d·w rows — broadcast — so the probe is
+    * map-side however large the target set is. Keys the sketch never
+    * saw estimate 0 via the left-join coalesce.
+    */
+  def cmsEstimate(sketch: DataFrame, targets: DataFrame, keyCol: String,
+      d: Int = CmsD, w: Int = CmsW): DataFrame = {
+    val probes = targets
+      .select(col(keyCol), posexplode(array((0 until d).map(i =>
+        cmsBucket(col(keyCol), i, w)): _*)).as(Seq("i", "bucket")))
+    probes.join(broadcast(sketch), Seq("i", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
+
+  /** Oracle-SQL rendering of sketch+estimate over one table (same
+    * constants and op order; DuckDB's % on positives == pmod here
+    * because P1 > 0 and key-mod is wrapped non-negative).
+    */
+  def cmsOracleSql(table: String, key: String, targetsSql: String,
+      d: Int = CmsD, w: Int = CmsW): String = {
+    def bucket(i: Int, k: String) =
+      s"((((($k % $P1) + $P1) % $P1) * ${CmsA(i)} + ${CmsB(i)}) % $P1) % $w"
+    val rows = (0 until d).map(i =>
+      s"SELECT $i AS i, ${bucket(i, key)} AS bucket FROM $table")
+      .mkString("\n  UNION ALL ")
+    val probes = (0 until d).map(i =>
+      s"SELECT $key, $i AS i, ${bucket(i, key)} AS bucket FROM t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sk AS (
+       |  SELECT i, bucket, COUNT(*) AS c FROM (
+       |  $rows) GROUP BY i, bucket),
+       |t AS ($targetsSql),
+       |pr AS (
+       |  $probes)
+       |SELECT pr.$key, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS cms_est
+       |FROM pr LEFT JOIN sk USING (i, bucket)
+       |GROUP BY pr.$key""".stripMargin
+  }
+
   /** The oracle-SQL rendering of `hllEstimate` (same constants, same
     * op order) — kept next to the Scala so they evolve together.
     */

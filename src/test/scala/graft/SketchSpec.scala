@@ -35,6 +35,54 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cms: one-sided error — estimate >= exact for every key") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val sk = Sketch.cmsSketch(li, "l_partkey")
+    val targets = li.select("l_partkey").distinct()
+    val est = Sketch.cmsEstimate(sk, targets, "l_partkey")
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+    val bad = est.join(exact, Seq("l_partkey"))
+      .filter(col("cms_est") < col("exact_n")).count()
+    assert(bad == 0L)
+    // and the total overshoot stays within the εN bound (ε = e/w)
+    val rows = est.join(exact, Seq("l_partkey")).collect()
+    val n = li.count().toDouble
+    val eps = math.E / Sketch.CmsW
+    rows.foreach { r =>
+      val over = r.getAs[Long]("cms_est") - r.getAs[Long]("exact_n")
+      assert(over <= 3 * eps * n,
+        s"key ${r.get(0)}: overshoot $over vs bound ${eps * n}")
+    }
+  }
+
+  test("cms: sketch is partitioning-invariant and shard-mergeable") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val a = Sketch.cmsSketch(li, "l_partkey")
+      .orderBy("i", "bucket").collect().toSeq
+    val b = Sketch.cmsSketch(li.repartition(13, col("l_orderkey")), "l_partkey")
+      .orderBy("i", "bucket").collect().toSeq
+    assert(a == b)
+    // merge = bucket-wise sum: sketch(all) == sketch(half1) ⊎ sketch(half2)
+    val h1 = li.filter(col("l_orderkey") % 2 === 0)
+    val h2 = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = Sketch.cmsSketch(h1, "l_partkey")
+      .unionAll(Sketch.cmsSketch(h2, "l_partkey"))
+      .groupBy("i", "bucket").agg(sum("c").as("c"))
+      .orderBy("i", "bucket").collect().toSeq
+    assert(merged == a)
+  }
+
+  test("cms: unseen keys estimate small (bucket collisions only)") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val sk = Sketch.cmsSketch(li, "l_partkey")
+    val unseen = spark.range(1000000, 1000020).toDF("l_partkey")
+    val est = Sketch.cmsEstimate(sk, unseen, "l_partkey").collect()
+    val n = li.count().toDouble
+    est.foreach { r =>
+      assert(r.getAs[Long]("cms_est") <= 3 * (math.E / Sketch.CmsW) * n)
+    }
+  }
+
   test("hash60 spreads: 600 distinct keys hit >200 of 256 buckets") {
     val n = spark.range(600)
       .select(Sketch.hash60(col("id")).bitwiseAND(255).as("b"))
