@@ -771,6 +771,48 @@ object Queries {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** Deterministic train/val/test assignment (operators/Sampling):
+    * a row's split is a pure integer function of its key — map-only,
+    * partitioning-independent, stable under append/re-shard. The
+    * property a 100 TB corpus actually needs: re-running assignment
+    * after ingesting a new shard never moves an existing document.
+    */
+  val qO9HashSplit = q(
+    "q_o9_hash_split",
+    s"""SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       WHEN b < 100 THEN 'test' ELSE 'rest' END AS split
+       |FROM (SELECT doc_id,
+       |        ${graft.operators.Sampling.hashBucketSql("doc_id", 100)} AS b
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.hashSplit(
+      Tables.documents(s, d),
+      "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic ~10% Bernoulli sample as a pure filter on the row
+    * key's hash — pushes toward the scan, zero shuffle, identical
+    * surviving rows on any cluster (unlike df.sample, which depends
+    * on partition layout).
+    */
+  val qO10HashSample = q(
+    "q_o10_hash_sample",
+    s"""SELECT l_orderkey, l_linenumber, l_quantity
+       |FROM (SELECT *,
+       |        ${graft.operators.Sampling.hashBucketSql(
+               "(l_orderkey * 8 + l_linenumber)", 10)} AS b
+       |      FROM lineitem)
+       |WHERE b < 1 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .withColumn("__k", col("l_orderkey") * 8 + col("l_linenumber"))
+    graft.operators.Sampling.bernoulliSample(li, "__k", num = 1, den = 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Set operations: customers in both/only-one of two order cohorts. */
   val qO5SetOps = q(
     "q_o5_set_ops",
@@ -875,6 +917,32 @@ object Queries {
       Seq("user_id"), Seq(col("value").desc, col("event_id")), k = 3)
       .select("user_id", "event_id", "value", "rn")
       .orderBy("user_id", "rn")
+  }
+
+  /** Rank-family breadth in one partitioned window pass: ntile,
+    * percent_rank, cume_dist share the same sort, so Catalyst plans
+    * ONE WindowExec (partitioned — never global). All three are
+    * rank-based (frame-free) and their values are exact-int ratios,
+    * so they cross-engine match without rounding.
+    */
+  val qWDistrib = q(
+    "q_w_rank_distrib",
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |       NTILE(4) OVER w AS quartile,
+      |       PERCENT_RANK() OVER w AS pr,
+      |       CUME_DIST() OVER w AS cd
+      |FROM lineitem WHERE l_quantity <= 2
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
   }
 
   /** Lag/delta analytic: per-user value change between consecutive
@@ -1803,7 +1871,8 @@ object Queries {
     qO2Union, qO3Split,
     qA4Distinct, qA5Hll, qA9Cms, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qWTumbling, qWRank, qWLag, qWMovingAvg, qWSession, qWFunnel,
+    qO9HashSplit, qO10HashSample,
+    qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment.
+  *
+  * Training-data pipelines need splits and samples that are (a)
+  * reproducible run-over-run, (b) independent of partitioning and
+  * executor count, and (c) stable when the corpus is re-sharded or
+  * appended to — a row's assignment must depend on the ROW, not on
+  * where it happened to land. `df.sample()` / `rand()` give none of
+  * those. Hashing the row's key gives all three: assignment is a pure
+  * integer function of the key, map-only at any scale, and replayable
+  * in any engine (the oracle recomputes the identical arithmetic).
+  *
+  * The affine hash (x·A + B mod P, P prime) is 2-universal — unbiased
+  * bucket frequencies for any key set — and every operand stays below
+  * 2⁶⁰ (exact BIGINT everywhere). Same family as [[Sketch.cmsBucket]],
+  * different constants so a CMS row and a split never correlate.
+  */
+object Sampling {
+  val P = 1000000007L
+  private val A = 906488655L
+  private val B = 217728422L
+
+  /** Uniform bucket in [0, buckets) as a pure function of `key`. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(pmod(key.cast("long"), lit(P)) * A + B, lit(P)) % buckets
+
+  /** SQL rendering of [[hashBucket]] (DuckDB `%` is signed — wrap the
+    * inner mod non-negative first, exactly like pmod).
+    */
+  def hashBucketSql(key: String, buckets: Int): String =
+    s"(((($key % $P) + $P) % $P) * $A + $B) % $P % $buckets"
+
+  /** Assign every row to a named split by hash bucket: `weights` are
+    * integer percentages summing to ≤ 100 (e.g. train 80 / val 10 /
+    * test 10); rows hash into 100 buckets and take the first split
+    * whose cumulative range covers their bucket. Map-only; appending
+    * new data never reassigns existing rows.
+    */
+  def hashSplit(df: DataFrame, key: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum <= 100, "weights must sum to <= 100")
+    val b = hashBucket(col(key), 100)
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val expr = weights.zip(cum).foldRight(lit("rest"): Column) {
+      case (((name, _), hi), acc) => when(b < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep ~num/den of rows, deterministically: the rows whose hash
+    * bucket mod `den` falls below `num`. A pure filter — pushes to the
+    * scan, never shuffles, and the SAME rows survive on any cluster.
+    */
+  def bernoulliSample(df: DataFrame, key: String,
+      num: Int, den: Int): DataFrame =
+    df.filter(hashBucket(col(key), den) < num)
+}
