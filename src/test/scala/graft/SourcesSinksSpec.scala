@@ -135,4 +135,43 @@ class SourcesSinksSpec extends SparkSpec {
     assert(files(untouched) == untouchedBefore) // byte-identical dirs
     assert(PartitionedLake.read(spark, root, "orders").count() == rowsBefore)
   }
+
+  test("format breadth: ORC round-trip is exact and pushes filters to the scan") {
+    val dir = tmpDir("orc") + "/lineitem"
+    val li = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == li.schema)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("l_quantity") < 5).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(l_quantity,5"), plan.take(2000))
+  }
+
+  test("format breadth: JSON-lines round-trip with explicit schema") {
+    import spark.implicits._
+    val dir = tmpDir("jsonl") + "/docs"
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang")
+    docs.write.mode("overwrite").json(dir)
+    // explicit StructType — no inference pass over 100 TB of JSON
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // corrupt lines must not kill a 1000-executor job: PERMISSIVE null-row
+    val mixed = dir + "_mixed"
+    spark.read.text(dir).unionAll(
+      Seq("{not json", "{\"doc_id\": \"noise\"}").toDF("value"))
+      .write.mode("overwrite").text(mixed)
+    val lenient = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(mixed)
+    assert(lenient.filter(col("doc_id").isNotNull).count() == docs.count())
+  }
 }
