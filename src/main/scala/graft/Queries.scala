@@ -1196,6 +1196,60 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Pretraining-shard prep, end to end: repetition gate (Gopher
+    * top-2-gram / dup-3-gram thresholds) + token floor, then
+    * deterministic train/val/test assignment — the whole path is
+    * map-only (two native single-pass expressions + a hash split),
+    * ZERO shuffles until the final presentation sort. The filter
+    * fractions are exact-int divisions and the split is integer
+    * arithmetic, so the full pipeline replays in SQL.
+    */
+  val qPipePretrain = q(
+    "q_pipe_pretrain_shard",
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |g2 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+       |           i -> toks[i + 1] || ' ' || toks[i + 2])) AS g
+       |  FROM tok WHERE len(toks) >= 2),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2 FROM c2 GROUP BY 1),
+       |g3 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+       |           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS g
+       |  FROM tok WHERE len(toks) >= 3),
+       |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+       |a3 AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup3
+       |       FROM c3 GROUP BY 1),
+       |kept AS (
+       |  SELECT t.doc_id, len(t.toks) AS n_tokens
+       |  FROM tok t JOIN a2 USING (doc_id) JOIN a3 USING (doc_id)
+       |  WHERE len(t.toks) >= 30 AND a2.top2 <= 0.05 AND a3.dup3 <= 0.10)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       WHEN b < 100 THEN 'test' ELSE 'rest' END AS split
+       |FROM (SELECT doc_id, n_tokens,
+       |        ${graft.operators.Sampling.hashBucketSql("doc_id", 100)} AS b
+       |      FROM kept)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val rep = graft.expressions.TextRepetition(col("text"))
+    val qual = graft.expressions.TextQuality(col("text"))
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"),
+        qual.getField("n_tokens").as("n_tokens"),
+        rep.getField("top_2gram_frac").as("top2"),
+        rep.getField("dup_3gram_frac").as("dup3"))
+      .filter(col("n_tokens") >= 30 &&
+        col("top2") <= 0.05 && col("dup3") <= 0.10)
+    graft.operators.Sampling
+      .hashSplit(gated, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "n_tokens", "split")
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID (stopword-profile argmax, deterministic
     * tie-break). */
   val qTLangId = q(
@@ -1876,6 +1930,7 @@ object Queries {
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
+    qPipePretrain,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,

@@ -108,6 +108,19 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("o_orderdate")), p)
   }
 
+  test("pretrain shard pipeline is map-only: no Exchange before the final sort") {
+    val p = planOf("q_pipe_pretrain_shard")
+    // exactly one exchange node — the rangepartitioning for the
+    // presentation ORDER BY; the gate + split themselves never shuffle.
+    // (formatted explain prints each node twice: tree line + "(N) Node"
+    // detail header — count the headers.)
+    val exchanges = p.linesIterator
+      .filter(_.matches("""^\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 1, p)
+    val args = p.linesIterator.filter(_.contains("rangepartitioning")).toSeq
+    assert(args.nonEmpty, p)
+  }
+
   test("temporalSplit: train/test boundary filter matches row_number split") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
