@@ -388,8 +388,12 @@ object Queries {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
     val dim = Tables.part(s, d).filter(col("p_size") === 1)
       .select("p_partkey", "p_brand")
+    // m sized to the dim: ~2% of parts pass, so 2^16 bits keeps fpp
+    // ≈ (1-e^{-kn/m})^k < 1e-8 while the plan literal stays at 8 KiB
+    // (the 2^20 default is for ~10^5-key dims).
     graft.operators.BloomPrune
-      .prunedJoin(Tables.lineitem(s, d), dim, "l_partkey", "p_partkey")
+      .prunedJoin(Tables.lineitem(s, d), dim, "l_partkey", "p_partkey",
+        mBits = 1 << 16)
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),
         moneySum(col("l_extendedprice")).as("sum_price"))

@@ -42,8 +42,12 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
     * candidates (ties broken by candidate id). Broadcast the query
-    * side — candidates stream, nothing shuffles except the final
-    * per-query top-k.
+    * side — candidates stream map-side; the per-query top-k runs on
+    * the TopKPerGroup heap plan (partial/exchange/final), so only
+    * ≤ k·partitions rows per query ever shuffle. The row_number-window
+    * rendering would sort EVERY candidate score per query — at 10⁹
+    * candidates that sort is the job; the heap keeps the reduction
+    * linear (same semantics, asserted by TopKSpec).
     */
   def bruteForceTopK(
       queries: DataFrame, // (qid, qvec)
@@ -51,12 +55,10 @@ object Similarity {
       k: Int): DataFrame = {
     val scored = candidates.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
       .select("qid", "cid", "cos", "rank")
   }
 
@@ -103,15 +105,16 @@ object Similarity {
         col("bucket0").bitwiseXOR(lit(1L << i)))): _*)
     val qb = qBase.select(col("qid"), col("qvec"),
       explode(probes).as("bucket"))
+    // project to (qid, cid, cos) BEFORE the dedup+top-k reductions so
+    // the embedding arrays never ride a shuffle; heap top-k instead of
+    // a per-query sort window (see bruteForceTopK).
     val scored = qb.join(cb, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
       .dropDuplicates("qid", "cid")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
       .select("qid", "cid", "cos", "rank")
   }
 
@@ -179,14 +182,15 @@ object Similarity {
       .select(col("qid"), col("qvec"),
         explode(col("probe.cluster")).as("cluster"))
 
+    // (qid, cid, cos) only — vectors stay in the probe stage; heap
+    // top-k, not a per-query sort window (see bruteForceTopK). Each
+    // candidate lives in exactly one inverted list, so no dedup needed.
     val scored = probed.join(indexed, Seq("cluster"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
       .select("qid", "cid", "cos", "rank")
   }
 
