@@ -1239,18 +1239,9 @@ object Queries {
        |        ${graft.operators.Sampling.hashBucketSql("doc_id", 100)} AS b
        |      FROM kept)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val rep = graft.expressions.TextRepetition(col("text"))
-    val qual = graft.expressions.TextQuality(col("text"))
-    val gated = Tables.documents(s, d)
-      .select(col("doc_id"),
-        qual.getField("n_tokens").as("n_tokens"),
-        rep.getField("top_2gram_frac").as("top2"),
-        rep.getField("dup_3gram_frac").as("dup3"))
-      .filter(col("n_tokens") >= 30 &&
-        col("top2") <= 0.05 && col("dup3") <= 0.10)
-    graft.operators.Sampling
-      .hashSplit(gated, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
-      .select("doc_id", "n_tokens", "split")
+    // shared with the streaming path — StreamingGateSpec proves this
+    // exact transformation gives identical rows via readStream
+    graft.operators.CorpusGate.pretrainGate(Tables.documents(s, d))
       .orderBy("doc_id")
   }
 
