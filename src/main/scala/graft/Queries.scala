@@ -1245,6 +1245,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination (operators/Decontaminate): training
+    * docs sharing word 4-grams with a small "eval" slice. The eval
+    * shingles broadcast; the corpus streams map-side — the 100 TB
+    * side never shuffles (PlanSpec asserts the broadcast join).
+    */
+  val qDDecontaminate = q(
+    "q_d_decontaminate",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 3),
+      |         i -> array_to_string(list_slice(toks, i + 1, i + 4), '')))) AS g
+      |  FROM tok WHERE len(toks) >= 4),
+      |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id < 25),
+      |co AS (SELECT doc_id, g FROM sh WHERE doc_id >= 25)
+      |SELECT co.doc_id, ev.eval_id, COUNT(*) AS n_shared
+      |FROM co JOIN ev USING (g)
+      |GROUP BY co.doc_id, ev.eval_id
+      |ORDER BY doc_id, eval_id""".stripMargin) { (s, d) =>
+    val all = Tables.documents(s, d)
+    graft.operators.Decontaminate.overlaps(
+      all.filter(col("doc_id") >= 25), "doc_id", "text",
+      all.filter(col("doc_id") < 25), "doc_id", "text",
+      w = 4)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Heuristic language ID (stopword-profile argmax, deterministic
     * tie-break). */
   val qTLangId = q(
@@ -1925,7 +1954,7 @@ object Queries {
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
-    qPipePretrain,
+    qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
