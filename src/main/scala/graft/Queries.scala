@@ -1245,6 +1245,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction (TextOps.redactPii): map-only regexp scrub of
+    * e-mails/phones/IPv4s into typed placeholders. The synthetic
+    * corpus has no PII, so the query INJECTS a deterministic
+    * contact line per doc and the oracle replays injection + scrub —
+    * proving the patterns behave identically under Java regex and
+    * RE2 (they use only the shared-semantics subset; DuckDB needs
+    * the 'g' flag to match Spark's replace-all default).
+    */
+  val qTRedact = q(
+    "q_t_redact_pii",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t2, '${graft.operators.TextOps.EmailRe}'))
+       |     + len(regexp_extract_all(t2, '${graft.operators.TextOps.PhoneRe}'))
+       |     + len(regexp_extract_all(t2, '${graft.operators.TextOps.Ipv4Re}')) AS INT) AS n_pii,
+       |  regexp_replace(regexp_replace(regexp_replace(t2,
+       |    '${graft.operators.TextOps.EmailRe}', '<EMAIL>', 'g'),
+       |    '${graft.operators.TextOps.PhoneRe}', '<PHONE>', 'g'),
+       |    '${graft.operators.TextOps.Ipv4Re}', '<IP>', 'g') AS redacted
+       |FROM (SELECT doc_id,
+       |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |             || '@example.com or +1 555 0' || CAST(doc_id % 100 AS VARCHAR)
+       |             || '99 from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t2
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val t2 = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555 0"), (col("doc_id") % 100).cast("string"),
+      lit("99 from 10.0.0."), (col("doc_id") % 256).cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t2.as("t2"))
+      .select(col("doc_id"),
+        TextOps.piiCount(col("t2")).as("n_pii"),
+        TextOps.redactPii(col("t2")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination (operators/Decontaminate): training
     * docs sharing word 4-grams with a small "eval" slice. The eval
     * shingles broadcast; the corpus streams map-side — the 100 TB
@@ -1952,7 +1989,7 @@ object Queries {
     qO9HashSplit, qO10HashSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
-    qTQuality, qTRepetition, qTLangId, qTFingerprint,
+    qTQuality, qTRepetition, qTRedact, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,

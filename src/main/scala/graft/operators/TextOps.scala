@@ -103,6 +103,37 @@ object TextOps {
     (lenOk * 0.4 + stop * 0.4 + punct * 0.2)
   }
 
+  /** PII scrubbing: replace e-mail addresses, international-ish phone
+    * numbers, and IPv4 literals with typed placeholder tokens —
+    * map-only regexp passes that pipeline inside codegen over the
+    * scan, the standard pre-training redaction step.
+    *
+    * Patterns deliberately use only the regex subset with identical
+    * semantics in Java (Spark) and RE2 (DuckDB/others): character
+    * classes, bounded repetition, alternation — no backreferences, no
+    * lookaround — so the scrub replays bit-for-bit in the oracle.
+    * Order matters and is fixed: e-mail first (an e-mail's domain
+    * would otherwise partly match the phone pattern's digit runs).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}[- .][0-9]{3,4}[- .][0-9]{3,4}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val p = regexp_replace(e, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
+  /** Count of PII matches (pre-redaction), for audit columns.
+    * Group index 0 = whole match (the default 1 requires a capture
+    * group, and these patterns deliberately have none).
+    */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
   /** Polynomial rolling fingerprint of the full text
     * (h = h*31 + code, mod 1e9+7): deterministic, SQL-expressible,
     * order-sensitive (unlike a bag-of-words hash).

@@ -175,6 +175,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 2.0 / 3.0)
   }
 
+  test("pii redaction: emails, phones, IPv4s scrub; clean text untouched") {
+    val df = Seq(
+      "mail a.b-c_d@sub.example.co.uk now",
+      "call +31 555 0199 or 020-123-4567",
+      "host 192.168.1.254 responded",
+      "no pii here at all",
+      "multi x@y.io and 10.0.0.1 and +1 555 0100 end").toDF("text")
+    val got = df.select(
+      TextOps.redactPii($"text").as("r"),
+      TextOps.piiCount($"text").as("n")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> now" && got(0).getInt(1) == 1)
+    assert(got(1).getString(0) == "call <PHONE> or <PHONE>" && got(1).getInt(1) == 2)
+    assert(got(2).getString(0) == "host <IP> responded" && got(2).getInt(1) == 1)
+    assert(got(3).getString(0) == "no pii here at all" && got(3).getInt(1) == 0)
+    assert(got(4).getString(0) == "multi <EMAIL> and <IP> and <PHONE> end"
+      && got(4).getInt(1) == 3)
+  }
+
   test("multimodal: byte-histogram features have fixed length and sum") {
     val docs = Tables.documents(spark, Sf0001).limit(5)
     val feat = Multimodal.withBinaryPayload(docs, "text")
