@@ -651,6 +651,29 @@ object Queries {
     est.join(exact, Seq("l_partkey")).orderBy("l_partkey")
   }
 
+  /** Collect-to-array with DETERMINISTIC order: collect_list order is
+    * partition-dependent (useless for reproducible output), so the
+    * catalog rendering sorts the collected array and joins to a
+    * string — the engine-portable spelling of "give me the group's
+    * members". Array-valued outputs are avoided on purpose: the
+    * parquet/pandas/duckdb array reprs disagree, strings hash-compare
+    * cleanly.
+    */
+  val qA10Collect = q(
+    "q_a10_collect_sorted",
+    """SELECT o_orderpriority,
+      |       COUNT(*) AS n,
+      |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"))
+        .orderBy("o_orderpriority")
+  }
+
   /** Rollup with grand totals; null group markers coalesced to 'ALL'
     * so sort keys stay non-null (Spark sorts nulls first, DuckDB
     * last).
@@ -1984,7 +2007,7 @@ object Queries {
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,
     qO2Union, qO3Split,
-    qA4Distinct, qA5Hll, qA9Cms, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
+    qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,

@@ -42,6 +42,37 @@ class SkewBucketSpec extends SparkSpec {
     assert(plain("hot") == 90000L)
   }
 
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    // the runtime complement to manual salting: with thresholds scaled
+    // to the fixture, AQE detects the hot key's oversized partition in
+    // the sort-merge join and splits it — no code changes to the query
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // right side deliberately UNskewed (20 rows/key): the hot key's
+      // blowup is left-partition size, the thing AQE's detector sees
+      val right = spark.range(0, 2000)
+        .select((col("id") % 100).as("k"), col("id").as("rid"))
+      // tiny aggregate on top so collect() is the SQL-path action that
+      // finalizes THIS AdaptiveSparkPlan (the .rdd/.foreach path never
+      // updates the executedPlan string; a .write plans a fresh QE)
+      val agg = skewed.join(right, Seq("k")).agg(sum("v"), count(lit(1)))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed fact-to-fact join plans without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
