@@ -798,6 +798,43 @@ object Queries {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** J7: correlated EXISTS / NOT EXISTS through the SQL surface —
+    * Catalyst decorrelates both to hash semi/anti joins (PlanSpec
+    * asserts LeftSemi/LeftAnti; nothing per-row). Also exercises the
+    * spark.sql entry point over temp views, the path external SQL
+    * users take into this library.
+    */
+  val qJ7ExistsSemi = q(
+    "q_j7_exists_semi",
+    """SELECT 'semi' AS tag, c_mktsegment, COUNT(*) AS n
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'anti' AS tag, c_mktsegment, COUNT(*) AS n
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |GROUP BY 2
+      |ORDER BY tag, c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT 'semi' AS tag, c_mktsegment, COUNT(*) AS n
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      GROUP BY 2
+      UNION ALL
+      SELECT 'anti' AS tag, c_mktsegment, COUNT(*) AS n
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      GROUP BY 2
+      ORDER BY tag, c_mktsegment""")
+  }
+
   /** Deterministic train/val/test assignment (operators/Sampling):
     * a row's split is a pure integer function of its key — map-only,
     * partitioning-independent, stable under append/re-shard. The
@@ -2003,6 +2040,7 @@ object Queries {
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
+    qJ7ExistsSemi,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,

@@ -108,6 +108,12 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("o_orderdate")), p)
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val p = planOf("q_j7_exists_semi")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("pretrain shard pipeline is map-only: no Exchange before the final sort") {
     val p = planOf("q_pipe_pretrain_shard")
     // exactly one exchange node — the rangepartitioning for the
