@@ -146,6 +146,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TextRepetition matches an independent reference on random text") {
+    // reference implementation: plain Scala, same tokenization contract
+    def ref(s: String): (Int, Option[Double], Int, Option[Double]) = {
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+      def grams(k: Int) = toks.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSeq
+      val g2 = grams(2); val g3 = grams(3)
+      val top2 = if (g2.isEmpty) None
+        else Some(g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size)
+      val dup3 = if (g3.isEmpty) None
+        else {
+          val c = g3.groupBy(identity).values.map(_.size)
+          Some(c.filter(_ > 1).sum.toDouble / g3.size)
+        }
+      (g2.size, top2, g3.size, dup3)
+    }
+    val word = Gen.oneOf("a", "b", "ab", "xyz", "Φοο", "7")
+    val sep = Gen.oneOf(" ", "  ", "\t", " \t ")
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+    } yield (ws, ss).zipped.map(_ + _).mkString + ws.drop(ss.size).mkString
+    val texts = samples(textGen, 300) ++ Seq("", " ", "solo", "a a a a a a")
+    val got = texts.toDF("text")
+      .select(col("text"), graft.expressions.TextRepetition(col("text")).as("r"))
+      .collect()
+    got.foreach { row =>
+      val (n2, top2, n3, dup3) = ref(row.getString(0))
+      val r = row.getStruct(1)
+      assert(r.getInt(0) == n2, s"'${row.getString(0)}' n2")
+      assert((if (r.isNullAt(1)) None else Some(r.getDouble(1))) == top2)
+      assert(r.getInt(2) == n3)
+      assert((if (r.isNullAt(3)) None else Some(r.getDouble(3))) == dup3)
+    }
+  }
+
   test("property: NL holiday calendar invariants for every year 1990-2035") {
     (1990 to 2035).foreach { year =>
       val h = graft.functions.NLHolidays.forYear(year)
