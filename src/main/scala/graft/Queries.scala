@@ -798,6 +798,38 @@ object Queries {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** J8: snowflake chain region → nation → customer → orders. The
+    * dim chain collapses driver-free: region broadcasts into nation,
+    * that 25-row product broadcasts into customer, the result
+    * broadcasts into the fact — orders is touched ONCE, map-side,
+    * never shuffled for any of the three joins (the only exchange is
+    * the final 5-group agg).
+    */
+  val qJ8Snowflake = q(
+    "q_j8_snowflake",
+    """SELECT r_name, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+    val natReg = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "r_name")
+    val custReg = Tables.customer(s, d)
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "r_name")
+    Tables.orders(s, d)
+      .select("o_custkey", "o_totalprice")
+      .join(broadcast(custReg), col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("r_name")
+  }
+
   /** J7: correlated EXISTS / NOT EXISTS through the SQL surface —
     * Catalyst decorrelates both to hash semi/anti joins (PlanSpec
     * asserts LeftSemi/LeftAnti; nothing per-row). Also exercises the
@@ -2040,7 +2072,7 @@ object Queries {
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
-    qJ7ExistsSemi,
+    qJ7ExistsSemi, qJ8Snowflake,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json,

@@ -108,6 +108,15 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("o_orderdate")), p)
   }
 
+  test("snowflake chain: three broadcast joins, fact never hash-shuffled") {
+    val p = planOf("q_j8_snowflake")
+    val bhj = p.linesIterator.count(_.matches("""^\(\d+\) BroadcastHashJoin.*"""))
+    assert(bhj == 3, p.take(2000))
+    // the only hash exchange is the 5-group aggregate's (plus the
+    // presentation sort's range exchange); none feeds a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
     val p = planOf("q_j7_exists_semi")
     assert(p.contains("LeftSemi"), p.take(1500))
