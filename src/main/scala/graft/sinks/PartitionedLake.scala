@@ -59,6 +59,58 @@ object PartitionedLake {
     * last-commit-wins; pair with date-scoped runs outside the live
     * ingest window).
     */
+  /** SCD-1 upsert: rows in `batch` REPLACE existing rows with the same
+    * natural key; new keys append. The write is partition-scoped —
+    * only the p_date partitions the batch touches are rewritten
+    * (dynamic partition overwrite merges surviving old rows with the
+    * batch); the other 100 TB of history keeps its files
+    * byte-identical. This is the MERGE-into-parquet pattern: at scale
+    * the cost is proportional to the dirty partitions, never the
+    * table.
+    *
+    * Assumes a row's natural key determines its date partition (true
+    * for all feeds here: the key contains the timestamp) — a key can't
+    * silently exist in a partition the batch doesn't touch.
+    */
+  def upsert(
+      s: SparkSession,
+      root: String,
+      table: String,
+      batch: DataFrame,
+      dateCol: String,
+      naturalKeys: Seq[String],
+      targetRowsPerFile: Long = 5000000L): Unit = {
+    // pinned: the batch feeds three actions (dates, key broadcast, the
+    // write) — without this a nondeterministic input (limit/sample)
+    // could delete one key set and write another
+    val stamped = batch.withColumn("p_date", to_date(col(dateCol)))
+      .localCheckpoint()
+    val dates = stamped.select("p_date").distinct() // bounded: dates
+      .collect().map(_.get(0).toString).toSeq
+    if (dates.isEmpty) return
+    val existing = read(s, root, table)
+      .filter(col("p_date").isInCollection(dates))
+    // null-safe key equality, like the idempotent sinks
+    val keyCols = naturalKeys.map(k => col(k).as(s"__k_$k"))
+    val batchKeys = broadcast(stamped.select(keyCols: _*).distinct())
+    val survivors = existing.join(batchKeys,
+      naturalKeys.map(k => existing(k) <=> batchKeys(s"__k_$k")).reduce(_ && _),
+      "left_anti")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      survivors.unionByName(stamped.select(survivors.columns.map(col): _*))
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRowsPerFile.toString)
+        .partitionBy("p_date")
+        .parquet(s"$root/$table")
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def compact(
       s: SparkSession,
       root: String,

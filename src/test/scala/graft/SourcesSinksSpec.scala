@@ -136,6 +136,45 @@ class SourcesSinksSpec extends SparkSpec {
     assert(PartitionedLake.read(spark, root, "orders").count() == rowsBefore)
   }
 
+  test("lake upsert replaces matched keys, appends new, leaves other partitions byte-identical") {
+    import spark.implicits._
+    val root = tmpDir("lake_upsert")
+    val base = Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    PartitionedLake.write(base, root, "orders", "o_orderdate")
+
+    // dirty = the best-populated date (the earliest dates can hold a
+    // single order at this SF, starving the 3-victim fixture)
+    val byCount = base.groupBy(to_date(col("o_orderdate")).as("d"))
+      .count().orderBy(col("count").desc, col("d"))
+      .select("d").as[java.sql.Date].collect()
+    val (dirty, untouched) = (byCount.head, byCount.last)
+    def files(d: java.sql.Date) =
+      new java.io.File(s"$root/orders/p_date=$d").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+    val untouchedBefore = files(untouched)
+
+    // batch: bump price for 3 existing keys of the dirty date + 1 new key
+    val victims = base.filter(to_date(col("o_orderdate")) === lit(dirty))
+      .limit(3).select("o_orderkey", "o_orderdate")
+      .withColumn("o_totalprice", lit(-1.0))
+    val fresh = Seq((999999999L, dirty.toString, -2.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    PartitionedLake.upsert(spark, root, "orders",
+      victims.unionByName(fresh), "o_orderdate", Seq("o_orderkey"))
+
+    val after = PartitionedLake.read(spark, root, "orders")
+    assert(after.count() == base.count() + 1)
+    assert(after.filter($"o_totalprice" === -1.0).count() == 3)
+    assert(after.filter($"o_orderkey" === 999999999L).count() == 1)
+    // the un-upserted rows of the dirty date survive unchanged
+    val dirtyRows = after.filter($"p_date" === lit(dirty))
+    val origDirty = base.filter(to_date(col("o_orderdate")) === lit(dirty))
+    assert(dirtyRows.count() == origDirty.count() + 1)
+    // other partitions were not rewritten
+    assert(files(untouched) == untouchedBefore)
+  }
+
   test("format breadth: ORC round-trip is exact and pushes filters to the scan") {
     val dir = tmpDir("orc") + "/lineitem"
     val li = Tables.lineitem(spark, Sf0001)
