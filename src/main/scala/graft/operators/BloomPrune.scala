@@ -39,10 +39,16 @@ object BloomPrune {
     mBits / 64
   }
 
-  /** The i-th probe position for `key` (0 ≤ pos < mBits). */
+  /** The i-th probe position for `key` (0 ≤ pos < mBits). The long
+    * cast is load-bearing: xxhash64 dispatches on input type (an INT
+    * key would hash differently), and the native probe expression
+    * (graft.expressions.BloomContains) replicates exactly the
+    * hash-a-long chain.
+    */
   private def pos(key: Column, i: Int, mBits: Int): Column = {
-    val h1 = xxhash64(key)
-    val h2 = xxhash64(key, lit(0x9e3779b97f4a7c15L))
+    val k = key.cast("long")
+    val h1 = xxhash64(k)
+    val h2 = xxhash64(k, lit(graft.expressions.BloomContains.SeedMix))
     pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))
   }
 
@@ -92,6 +98,13 @@ object BloomPrune {
     }.reduce(_ && _)
   }
 
+  /** Native single-pass probe (graft.expressions.BloomContains): two
+    * hashes + ≤k bit tests per row vs the composed rendering's 2k
+    * hashes — the version the hot scan path should run.
+    */
+  def mightContainNative(key: Column, bits: Array[Long], k: Int = 5): Column =
+    graft.expressions.BloomContains(key.cast("long"), bits, k)
+
   /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side
     * bloom-pruned before the shuffle. Result-identical to the plain
     * inner join; the bloom only cuts shuffle width.
@@ -101,7 +114,7 @@ object BloomPrune {
       mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
     val bits = buildBits(dim, dimKey, mBits, k)
     fact
-      .filter(mightContain(col(factKey), bits, k))
+      .filter(mightContainNative(col(factKey), bits, k))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

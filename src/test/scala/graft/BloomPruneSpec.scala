@@ -57,7 +57,19 @@ class BloomPruneSpec extends SparkSpec {
       .select("p_partkey", "p_brand")
     val plan = BloomPrune.prunedJoin(fact, dim, "l_partkey", "p_partkey")
       .queryExecution.executedPlan.toString
-    // the k shift-probe conjuncts appear in a Filter, not in the join
-    assert(plan.contains("shiftright"), plan.take(2000))
+    // the native probe appears in a Filter, not in the join
+    assert(plan.contains("bloom_contains"), plan.take(2000))
+  }
+
+  test("native probe == composed probe on every lineitem key") {
+    val dim = Tables.part(spark, Sf001).filter($"p_size" === 1)
+    val bits = BloomPrune.buildBits(dim, "p_partkey", mBits = 1 << 14, k = 5)
+    val diff = Tables.lineitem(spark, Sf001)
+      .select($"l_partkey",
+        BloomPrune.mightContain($"l_partkey", bits).as("composed"),
+        BloomPrune.mightContainNative($"l_partkey", bits).as("native"))
+      .filter($"composed" =!= $"native")
+      .count()
+    assert(diff == 0L)
   }
 }
