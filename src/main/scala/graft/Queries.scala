@@ -1374,6 +1374,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Unicode canonicalization (expressions/TextNormalize): NFC →
+    * lowercase → accent fold, the step before dedup/shingling so
+    * "Café" (precomposed), "Café" (combining acute), and "CAFE´"
+    * hash identically. The corpus is ASCII, so the query injects a
+    * mixed-form unicode suffix per doc and hash-checks the FULL
+    * normalized strings cross-engine.
+    */
+  val qTNormalize = q(
+    "q_t_normalize",
+    """SELECT doc_id,
+      |       strip_accents(lower(nfc_normalize(
+      |         text || ' Café COÖPERATIE niño FRANÇAIS ß No' || CAST(doc_id AS VARCHAR)
+      |       ))) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t2 = concat(col("text"),
+      lit(" Café COÖPERATIE niño FRANÇAIS ß No"),
+      col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.expressions.TextNormalize(t2).as("norm"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination (operators/Decontaminate): training
     * docs sharing word 4-grams with a small "eval" slice. The eval
     * shingles broadcast; the corpus streams map-side — the 100 TB
@@ -2082,7 +2105,7 @@ object Queries {
     qO9HashSplit, qO10HashSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
-    qTQuality, qTRepetition, qTRedact, qTLangId, qTFingerprint,
+    qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,

@@ -193,6 +193,23 @@ class TextMultimodalSpec extends SparkSpec {
       && got(4).getInt(1) == 3)
   }
 
+  test("normalize: precomposed == combining forms; ø/ß/non-Latin left alone") {
+    val precomposed = "Café" // é as one codepoint
+    val combining = "Café" // e + combining acute
+    val df = Seq(precomposed, combining, "CAFÉ",
+      "naïve Øresund straße",
+      "日本語 русский").toDF("text")
+    val got = df.select(graft.expressions.TextNormalize($"text"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "cafe" && got(1) == "cafe" && got(2) == "cafe")
+    // ø has no decomposition: folded case only; ß likewise
+    assert(got(3) == "naive øresund straße", got(3))
+    // non-Latin scripts pass through lowercased; note й→и (breve is a
+    // combining mark) — identical to ICU strip_accents, verified vs
+    // DuckDB: accent folding is script-agnostic by design
+    assert(got(4) == "日本語 русскии")
+  }
+
   test("multimodal: byte-histogram features have fixed length and sum") {
     val docs = Tables.documents(spark, Sf0001).limit(5)
     val feat = Multimodal.withBinaryPayload(docs, "text")
