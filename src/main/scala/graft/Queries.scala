@@ -531,6 +531,89 @@ object Queries {
         .orderBy("event_type")
   }
 
+  /** F1+F4+F6+F8+F11+F13 consolidated parity: the six scalar ops whose
+    * §2 rows were spec-only through r5, each applied to a derived input
+    * both engines construct identically from `orders` (integer→string
+    * building only — never double→string formatting, which is not
+    * engine-portable):
+    *  - F1 int-date rebuild (ipynb cell 2 json:33): YYYYMMDD int →
+    *    ISO string via fixed-width substrings;
+    *  - F4 locale decimal parse (extract_from_raw_data.py:30-31):
+    *    "123,45" built from exact cents, parsed back with ','→'.';
+    *    (2-decimal strings round-trip bitwise in any engine — shortest-
+    *    decimal parse is correctly rounded IEEE);
+    *  - F6 conditional unit normalize (dags/utils.py:185-189): F rows
+    *    truncate-convert, C rows truncate-cast, same op order;
+    *  - F8 timestamp SQL-literal text (dags/utils.py:211,272): session
+    *    TZ is pinned UTC, so Spark's `Z` renders the constant "+0000"
+    *    the oracle appends literally (DuckDB's naive timestamps have
+    *    no offset for %z to print);
+    *  - F11 int→bool cast (cell 6 json:79);
+    *  - F13 prediction ×10 truncating rescale (dags/utils.py:273).
+    */
+  val qFScalarParity = q(
+    "q_f_scalar_parity",
+    """SELECT o_orderkey,
+      |  substr(CAST(int_date AS VARCHAR), 1, 4) || '-' ||
+      |  substr(CAST(int_date AS VARCHAR), 5, 2) || '-' ||
+      |  substr(CAST(int_date AS VARCHAR), 7, 2) AS iso_date,
+      |  CAST(replace(locale_str, ',', '.') AS DOUBLE) AS parsed_val,
+      |  CASE WHEN unit = 'F' THEN CAST(TRUNC((tval - 32) * 5 / 9) AS INT)
+      |       ELSE CAST(TRUNC(tval) AS INT) END AS norm_temp,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || ' +0000' AS ts_literal,
+      |  CAST(o_orderkey % 2 AS BOOLEAN) AS flag,
+      |  CAST(TRUNC(pred * 10) AS INT) AS intensity
+      |FROM (SELECT o_orderkey, o_orderdate,
+      |        CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS int_date,
+      |        CAST(cents // 100 AS VARCHAR) || ',' ||
+      |          lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS locale_str,
+      |        CASE WHEN o_orderkey % 2 = 0 THEN 'F' ELSE 'C' END AS unit,
+      |        o_totalprice % 200 AS tval,
+      |        o_totalprice / 100000 AS pred
+      |      FROM (SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |            FROM orders))
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .select(
+        col("o_orderkey"), col("o_orderdate"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("int_date"),
+        concat((col("cents") / 100).cast("long").cast("string"), lit(","),
+          lpad(pmod(col("cents"), lit(100)).cast("string"), 2, "0"))
+          .as("locale_str"),
+        when(col("o_orderkey") % 2 === 0, lit("F")).otherwise(lit("C")).as("unit"),
+        (col("o_totalprice") % 200).as("tval"),
+        (col("o_totalprice") / 100000).as("pred"))
+    base.select(
+      col("o_orderkey"),
+      yyyymmddToIsoString(col("int_date")).as("iso_date"),
+      localeDouble(col("locale_str")).as("parsed_val"),
+      normalizeTemp(col("tval"), col("unit")).as("norm_temp"),
+      timestampLiteral(col("o_orderdate")).as("ts_literal"),
+      toBool(col("o_orderkey") % 2).as("flag"),
+      rescalePrediction(col("pred")).as("intensity"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A3: first-value pick per group (ref extract_from_raw_data.py:33 —
+    * first station coords per station). `first()` is deterministic
+    * here because the picked column is functionally dependent on the
+    * group key (constant within each group — exactly the reference's
+    * situation: one coord pair per station file); the oracle renders
+    * the same pick as MIN, which equals FIRST on a constant group.
+    */
+  val qA3FirstValue = q(
+    "q_a3_first_value",
+    """SELECT o_custkey, MIN(c_name) AS cust_name, COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey")
+      .agg(first("c_name").as("cust_name"), count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
   // ---------------------------------------------------------------
   // Sorts / unions / splits (SURVEY §2 O1, O2, O3)
   // ---------------------------------------------------------------
@@ -2102,7 +2185,7 @@ object Queries {
     qJ7ExistsSemi, qJ8Snowflake,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
-    qF10Holiday, qF12Json,
+    qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
