@@ -1996,39 +1996,56 @@ object Queries {
     }
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact over a bounded id
-    * range so the oracle is expressible; the LSH-bucketed variant —
-    * Similarity.cosineNearDups — is the unbounded scale path,
-    * recall-tested in SimilaritySpec). Ordered double folds → cosine
-    * values bitwise cross-engine; rounded 6dp on output.
+  /** Embedding-cosine near-duplicate pairs over the FULL table via the
+    * production scale path — Similarity.cosineNearDups: LSH buckets +
+    * the same hot-bucket star cap as every other pair generator
+    * (Dedup.bandCandidatePairs), then exact cosine on surviving
+    * candidates. The oracle replays the whole index: seeded
+    * hyperplanes inlined as literals, bucket bits as signs of ordered
+    * double folds, and the identical cool-all-pairs / hot-star split
+    * at `maxBucket` — the cap is part of the operator's definition,
+    * not an approximation the oracle ignores. bits=6 / maxBucket=12
+    * are sized so BOTH paths carry rows at the verify SF (sf0.01 top
+    * bucket holds 16 of 500 vectors; sf0.1 tops at 45 of 2000), so a
+    * green row proves the star path, not just the cool one. Ordered
+    * double folds → cosine values bitwise cross-engine; rounded 6dp.
     */
-  val qDEmbeddingNearDup = q(
-    "q_d_embedding_neardup",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      |           FROM embeddings WHERE vec_id < 200),
-      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |        list_reduce(list_prepend(0.0::DOUBLE,
-      |          list_transform(list_zip(a.e, b.e), x -> x[1] * x[2])), (s,t) -> s + t)
-      |        / sqrt(
-      |          list_reduce(list_prepend(0.0::DOUBLE,
-      |            list_transform(list_zip(a.e, a.e), x -> x[1] * x[2])), (s,t) -> s + t)
-      |          *
-      |          list_reduce(list_prepend(0.0::DOUBLE,
-      |            list_transform(list_zip(b.e, b.e), x -> x[1] * x[2])), (s,t) -> s + t))
-      |        AS cos_raw
-      |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
-      |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
-      |FROM p WHERE cos_raw >= 0.25 ORDER BY id_a, id_b""".stripMargin) {
-    (s, d) =>
-      import graft.operators.Similarity
-      val v = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos_raw", Similarity.cosine(col("ea"), col("eb")))
-        .filter(col("cos_raw") >= 0.25)
-        .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
-        .orderBy("id_a", "id_b")
+  val qDEmbeddingNearDup = {
+    val ndBits = 6
+    val ndMaxBucket = 12
+    val planes = graft.operators.Similarity.hyperplaneValues(dim = 64, bits = ndBits)
+    val hsLit = planes
+      .map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]")
+    def bucket(v: String) =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range($ndBits), i ->
+         |  CASE WHEN ${duckDot(v, "hs[CAST(i AS INT) + 1]")} >= 0
+         |       THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (acc, v) -> acc + v)""".stripMargin
+    q(
+      "q_d_embedding_neardup",
+      s"""WITH hp AS (SELECT $hsLit::DOUBLE[][] AS hs),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT id, ${bucket("e")} AS bk FROM v CROSS JOIN hp),
+         |bc AS (SELECT bk, COUNT(*) AS cnt, MIN(id) AS rep FROM b GROUP BY bk),
+         |bb AS (SELECT b.id, b.bk, bc.cnt, bc.rep FROM b JOIN bc USING (bk)),
+         |em AS (SELECT bk, id AS id_a FROM bb
+         |       WHERE cnt <= $ndMaxBucket OR id = rep),
+         |pairs AS (SELECT DISTINCT id_a, bb.id AS id_b
+         |          FROM em JOIN bb USING (bk) WHERE id_a < bb.id),
+         |scored AS (SELECT id_a, id_b, ${duckCos("a.e", "c.e")} AS cos_raw
+         |           FROM pairs JOIN v a ON a.id = id_a
+         |                      JOIN v c ON c.id = id_b)
+         |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
+         |FROM scored WHERE cos_raw >= 0.25 ORDER BY id_a, id_b""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Similarity
+        Similarity.cosineNearDups(
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          dim = 64, minCosine = 0.25, bits = ndBits, maxBucket = ndMaxBucket)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b")
+    }
   }
 
   /** IVF (inverted-file) ANN top-5 — the scale path for generic

@@ -234,19 +234,29 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (never all-pairs): pairs surface only when bucketed
-    * together under any probe.
+    * together. Candidate generation runs through the same capped
+    * bucket self-join as every other pair generator in the repo
+    * (Dedup.bandCandidatePairs): buckets with ≤ `maxBucket` members
+    * go all-pairs; hotter buckets degrade to STAR pairing around the
+    * bucket's min-id representative — O(F) candidates instead of F².
+    * That cap is load-bearing exactly here: a correlated embedding
+    * corpus (the near-dup workload) concentrates mass in few buckets,
+    * and an uncapped self-join on one hot bucket is the F² job that
+    * kills the run at scale. Only (id, bucket) rides the candidate
+    * shuffle — vectors join back per surviving pair side.
     */
   def cosineNearDups(
       vecs: DataFrame, // (id, vec)
       dim: Int,
       minCosine: Double,
       bits: Int = 10,
-      seed: Long = 42L): DataFrame = {
-    val b = vecs.withColumn("bucket", lshBucket(col("vec"), dim, bits, seed))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      seed: Long = 42L,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val b = vecs.select(col("id"),
+      lshBucket(col("vec"), dim, bits, seed).as("bk"))
+    Dedup.bandCandidatePairs(b, maxBucket)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= minCosine)
       .select("id_a", "id_b", "cos")

@@ -113,4 +113,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.35))
   }
+
+  test("cosineNearDups: planted hot bucket degrades to a star, O(F) not F²") {
+    // 60 identical vectors land in one LSH bucket (identical sign
+    // pattern); with maxBucket=4 the bucket is hot, so candidates must
+    // be the star around the min id — 59 pairs, every one anchored at
+    // id 0 — instead of the 1770 all-pairs of an uncapped self-join.
+    val dim = 8
+    val hot = (0L until 60L).map(i => (i, Array.fill(dim)(1.0f)))
+    val cool = (100L until 104L).map(i =>
+      (i, Array.tabulate(dim)(j => if (j % 2 == (i % 2).toInt) 1.0f else -1.0f)))
+    val df = spark.createDataFrame(hot ++ cool).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDups(df, dim, minCosine = 0.99,
+      bits = 6, maxBucket = 4).collect()
+    val hotPairs = pairs.filter(_.getLong(1) < 100L)
+    assert(hotPairs.length == 59, s"expected 59 star pairs, got ${hotPairs.length}")
+    assert(hotPairs.forall(_.getLong(0) == 0L), "all hot pairs anchor at the rep")
+  }
 }
