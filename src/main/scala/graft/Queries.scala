@@ -388,9 +388,14 @@ object Queries {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
     val dim = Tables.part(s, d).filter(col("p_size") === 1)
       .select("p_partkey", "p_brand")
-    // m sized to the dim: ~2% of parts pass, so 2^16 bits keeps fpp
-    // ≈ (1-e^{-kn/m})^k < 1e-8 while the plan literal stays at 8 KiB
-    // (the 2^20 default is for ~10^5-key dims).
+    // m sized to the dim: fpp = (1-e^{-kn/m})^k at m=2^16, k=5 is
+    // ~2e-8 for the ~400 keys this filter holds at sf0.1, but grows
+    // fast with n — ~1.3e-3 at 4k keys, ~3e-1 at 40k — so this fixed
+    // 8 KiB literal is sized for THIS dim, not a universal choice: at
+    // scale, derive mBits from the dim count (~10 bits/key for 1e-3,
+    // ~14 for 1e-4 with re-derived k). False positives never affect
+    // results either way — the exact join removes them; fpp only sets
+    // how much scan survives pruning.
     graft.operators.BloomPrune
       .prunedJoin(Tables.lineitem(s, d), dim, "l_partkey", "p_partkey",
         mBits = 1 << 16)
@@ -885,12 +890,17 @@ object Queries {
       .orderBy("o_orderstatus", "rn")
   }
 
-  /** J8: snowflake chain region → nation → customer → orders. The
-    * dim chain collapses driver-free: region broadcasts into nation,
-    * that 25-row product broadcasts into customer, the result
-    * broadcasts into the fact — orders is touched ONCE, map-side,
-    * never shuffled for any of the three joins (the only exchange is
-    * the final 5-group agg).
+  /** J8: snowflake chain region → nation → customer → orders. Only
+    * the genuinely small dims broadcast: region into nation (5×25
+    * rows), that product into customer. Customer is FACT-scale (it
+    * grows with SF), so it is never broadcast — forcing it under a
+    * hint would OOM the driver at any real scale. Instead the fact
+    * pre-aggregates to its narrowest form first — exact cents-long
+    * partials per custkey, a map-side-combining shuffle — and the
+    * customer⋈orders join runs shuffle-hash on custkey at |customers|
+    * rows per side. Long partials re-sum associatively into the final
+    * 5-group agg, so the money value is bit-identical to the one-shot
+    * decimal sum the oracle computes.
     */
   val qJ8Snowflake = q(
     "q_j8_snowflake",
@@ -908,12 +918,16 @@ object Queries {
     val custReg = Tables.customer(s, d)
       .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "r_name")
-    Tables.orders(s, d)
-      .select("o_custkey", "o_totalprice")
-      .join(broadcast(custReg), col("o_custkey") === col("c_custkey"))
+    val ordAgg = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_part"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+          .as("cents_part"))
+    ordAgg
+      .join(custReg, col("o_custkey") === col("c_custkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("n_orders"),
-        moneySum(col("o_totalprice")).as("sum_price"))
+      .agg(sum("n_part").as("n_orders"),
+        (sum("cents_part").cast("double") / lit(100.0)).as("sum_price"))
       .orderBy("r_name")
   }
 

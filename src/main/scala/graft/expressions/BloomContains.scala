@@ -47,6 +47,20 @@ case class BloomContains(child: Expression, bits: Array[Long], k: Int)
     copy(child = newChild)
 
   override def prettyName: String = "bloom_contains"
+
+  // Case-class equals/hashCode on an Array field are reference-based,
+  // which silently defeats semanticEquals-driven subexpression
+  // elimination and plan-fragment reuse (two identical probes would
+  // never compare equal). Compare the bitset by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case BloomContains(c, b, kk) =>
+      c == child && kk == k && java.util.Arrays.equals(b, bits)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(bits)))
 }
 
 object BloomContains {

@@ -34,10 +34,10 @@ object LangIdHelper {
     val n = str.length
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < n && Tokenize.isWs(str.charAt(i))) i += 1
       if (i < n) {
         val start = i
-        while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+        while (i < n && !Tokenize.isWs(str.charAt(i))) i += 1
         val idx = markerToIdx.get(str.substring(start, i))
         if (idx != null) counts(idx) += 1
       }

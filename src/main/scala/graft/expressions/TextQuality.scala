@@ -76,10 +76,10 @@ object TextQuality {
     i = 0
     while (i < nChars) {
       // skip whitespace run
-      while (i < nChars && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < nChars && Tokenize.isWs(str.charAt(i))) i += 1
       if (i < nChars) {
         val start = i
-        while (i < nChars && !Character.isWhitespace(str.charAt(i))) i += 1
+        while (i < nChars && !Tokenize.isWs(str.charAt(i))) i += 1
         nTokens += 1
         sumTokLen += i - start
         if (stopwords.contains(str.substring(start, i).toLowerCase)) nStop += 1

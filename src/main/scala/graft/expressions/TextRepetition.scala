@@ -66,10 +66,10 @@ object TextRepetition {
     val ends = new java.util.ArrayList[Integer]()
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < n && Tokenize.isWs(str.charAt(i))) i += 1
       if (i < n) {
         starts.add(i)
-        while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+        while (i < n && !Tokenize.isWs(str.charAt(i))) i += 1
         ends.add(i)
       }
     }

@@ -26,10 +26,13 @@ object Decontaminate {
       docs: DataFrame, docId: String, docText: String,
       evals: DataFrame, evalId: String, evalText: String,
       w: Int = 8, minShared: Int = 1): DataFrame = {
+    // shinglesStrict: a doc (or eval) shorter than w tokens emits NO
+    // grams — the whole-text fallback the dedup paths use would let a
+    // 2-token doc register a spurious whole-text collision here.
     val d = docs.select(col(docId).as("doc_id"),
-      explode(TextOps.shingles(col(docText), w)).as("g"))
+      explode(TextOps.shinglesStrict(col(docText), w)).as("g"))
     val e = evals.select(col(evalId).as("eval_id"),
-      explode(TextOps.shingles(col(evalText), w)).as("g"))
+      explode(TextOps.shinglesStrict(col(evalText), w)).as("g"))
     d.join(broadcast(e), Seq("g"))
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))

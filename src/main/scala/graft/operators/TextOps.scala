@@ -152,6 +152,22 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     array_distinct(shinglesAll(text, n))
 
+  /** Set-form shingles with NO whole-text fallback: documents shorter
+    * than `n` tokens contribute nothing. This is the decontamination
+    * contract — a 2-token doc must not register a spurious whole-text
+    * collision against an eval set — and matches the oracle's
+    * `WHERE len(toks) >= n` exactly. The dedup paths keep the
+    * [[shingles]] fallback on purpose: there, a short doc must still
+    * produce a signature so exact-duplicate short docs can pair.
+    */
+  def shinglesStrict(text: Column, n: Int): Column =
+    bind(tokens(text)) { toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws("", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   /** Ordered, non-distinct shingles — the sequence form winnowing
     * needs (window positions are meaningful). `shingles` is the set
     * form for Jaccard.

@@ -65,6 +65,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native tokenizer matches the ASCII \\s+ SQL contract on Unicode ws") {
+    // U+2000 EN QUAD, U+2028 LINE SEP, U+00A0 NBSP: the regex \s in
+    // Java/RE2 splits on NONE of these, so the native tokenizer must
+    // not either (Character.isWhitespace splits the first two — the
+    // divergence this pins down). Token counts and repetition
+    // fractions must agree with the split('\\s+') HOF path per row.
+    val docs = Seq(
+      "a\u2000b c", "x\u2028y z", "n\u00A0b\u00A0sp d",
+      "mixed ws\ttabs and\nnewlines", "plain ascii only here")
+      .toDF("text")
+    val q = graft.expressions.TextQuality($"text")
+    val r = graft.expressions.TextRepetition($"text")
+    val bad = docs.select(
+      q.getField("n_tokens").as("nt"), TextOps.tokenCount($"text").as("nt2"),
+      r.getField("n_2grams").as("g"),
+      (size(TextOps.shinglesAll($"text", 2)) *
+        when(size(TextOps.tokens($"text")) >= 2, 1).otherwise(0)).as("g2"))
+      .filter($"nt" =!= $"nt2" || $"g" =!= $"g2")
+      .count()
+    assert(bad == 0L)
+  }
+
   test("native fingerprint == HOF fingerprint on real documents") {
     val diff = Tables.documents(spark, Sf0001)
       .select(
