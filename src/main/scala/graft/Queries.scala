@@ -714,6 +714,40 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable grouped quantile sketch (operators/Sketch
+    * .quantileSketch — HDR-histogram-style base-2 log buckets, the
+    * deterministic alternative to t-digest whose centroid state is
+    * merge-order-dependent and therefore unverifiable by exact
+    * compare). Sketch build is ONE map-side-combining shuffle to
+    * ≤ 64·2^5 counter rows per group — at 100 TB the percentile
+    * extraction runs on kilobytes — and shards merge by bucket-wise
+    * sum (partitioning-invariance + merge associativity asserted in
+    * SketchSpec). Like the HLL/CMS entries, the state is pure integer
+    * arithmetic (bit-width + shifts; no libm log at bucket
+    * boundaries), so the ESTIMATES are oracle-exact, not just
+    * bounded (the ≤2^-5 relative-error guarantee vs the exact order
+    * statistics is asserted in SketchSpec against Stats
+    * .groupedQuantilesDisc — not joined here, so the bench entry
+    * times the pure sketch path). Value domain is cents (positive
+    * longs) — the same exact-money convention as moneySum.
+    */
+  val qA11QuantileSketch = {
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+    q(
+      "q_a11_quantile_sketch",
+      graft.operators.Sketch.quantileOracleSql(
+        "lineitem", "l_returnflag",
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * 100", qs)
+        + "\nORDER BY l_returnflag, q_label") { (s, d) =>
+      import graft.operators.Sketch
+      val li = Tables.lineitem(s, d)
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+      val sk = Sketch.quantileSketch(li, Seq("l_returnflag"), cents)
+      Sketch.quantileEstimates(sk, Seq("l_returnflag"), qs)
+        .orderBy("l_returnflag", "q_label")
+    }
+  }
+
   /** Count-Min frequency sketch (operators/Sketch.cmsSketch): d·w
     * integer counters summarize any input size in one map-side-
     * combining shuffle; point estimates are min-over-d broadcast
@@ -2219,6 +2253,7 @@ object Queries {
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
+    qA11QuantileSketch,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,

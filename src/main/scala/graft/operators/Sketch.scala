@@ -169,6 +169,119 @@ object Sketch {
        |GROUP BY pr.$key""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Mergeable grouped quantile sketch (HDR-histogram-style: Tene's
+  // HdrHistogram / DDSketch-family log buckets, specialized to
+  // base-2 integer arithmetic). The missing member of the sketch
+  // family for 100 TB percentile dashboards: HLL answers "how many
+  // distinct", CMS "how often", this answers "what value at rank q"
+  // in one map-side-combining shuffle of ≤ |groups|·2^12 counter
+  // rows, mergeable across shards by bucket-wise SUM.
+  //
+  // Why not t-digest: a t-digest's centroid state depends on merge
+  // ORDER, so two runs over different partitionings produce different
+  // (equally valid) sketches — unverifiable by exact compare. The
+  // HDR bucket is a pure integer function of the VALUE — bit-width
+  // exponent + top QSubBits mantissa bits — so the sketch state is
+  // partitioning-invariant and the whole estimate replays exactly in
+  // SQL (length(bin(v)) and shifts are engine-portable integer ops;
+  // no libm log whose ulp could flip a bucket at a boundary).
+  // Guarantee: relative error ≤ 2^(1-QSubBits) (≈3.1% at 6 sub-bits,
+  // halved by midpoint interpolation), for any distribution, any
+  // data size — same shape as DDSketch's γ-relative-accuracy bound.
+  // Domain: positive longs (scale money to cents first; shift/offset
+  // a signed domain before sketching).
+  // ----------------------------------------------------------------
+
+  /** Sub-bucket mantissa bits: bucket = (bitWidth(v), v >> (bw-6)). */
+  val QSubBits = 6
+
+  /** Build the sketch: groupCols ++ (e, sub, cnt) — at most
+    * 64·2^(QSubBits-1) buckets per group regardless of input size.
+    * One shuffle, partial counts combine map-side.
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame =
+    df.select(groupCols.map(col) :+ value.cast("long").as("v"): _*)
+      .withColumn("e", length(bin(col("v"))).cast("int"))
+      .withColumn("sub", expr(s"shiftright(v, greatest(e - $QSubBits, 0))"))
+      .groupBy((groupCols :+ "e" :+ "sub").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge shard sketches (bucket-wise sum) — associative/commutative,
+    * so shards can reduce in any tree shape.
+    */
+  def quantileSketchMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "e" :+ "sub").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a sketch. `qs` are (label, num, den)
+    * rational quantiles — rank = ⌈num·n/den⌉ in EXACT integer
+    * arithmetic (no double q·n whose rounding could flip a rank at a
+    * boundary). Output: groupCols ++ (q_label, est). The window runs
+    * over the tiny sketch (≤2^11 rows per group), not the data.
+    */
+  def quantileEstimates(sketch: DataFrame, groupCols: Seq[String],
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("e", "sub")
+    val cum = sketch.withColumn("cum", sum("cnt").over(w))
+    val tot = sketch.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
+    val qLit = array(qs.map { case (l, num, den) =>
+      struct(lit(l).as("ql"), lit(num.toLong).as("num"),
+        lit(den.toLong).as("den"))
+    }: _*)
+    cum.join(tot, groupCols)
+      .select(groupCols.map(col) :+ col("e") :+ col("sub") :+ col("cum")
+        :+ col("n") :+ explode(qLit).as("q"): _*)
+      // ⌈num·n/den⌉ = (num·n + den − 1) div den, all in longs
+      .withColumn("rank",
+        expr("(q.num * n + q.den - 1) div q.den"))
+      .filter(col("cum") >= col("rank"))
+      // first (e, sub) at-or-past the rank; sub < 2^QSubBits, so
+      // e·64+sub orders identically to (e, sub) and min() picks it
+      .groupBy(groupCols.map(col) :+ col("q.ql").as("q_label"): _*)
+      .agg(min(col("e").cast("long") * 64 + col("sub")).as("bkey"))
+      .withColumn("be", expr("bkey div 64").cast("int"))
+      .withColumn("bs", expr(s"int(greatest(be - $QSubBits, 0))"))
+      // midpoint of [sub<<s, ((sub+1)<<s)−1], integer throughout
+      .withColumn("est", expr(
+        "shiftleft(bkey % 64, bs) + (shiftleft(bkey % 64 + 1, bs) - 1 - shiftleft(bkey % 64, bs)) div 2"))
+      .select(groupCols.map(col) :+ col("q_label") :+ col("est"): _*)
+  }
+
+  /** Oracle-SQL rendering of sketch build + estimate (same integer op
+    * order; DuckDB's bin()/shifts/`//` mirror Spark's exactly).
+    */
+  def quantileOracleSql(table: String, groupCol: String, valueSql: String,
+      qs: Seq[(String, Int, Int)]): String = {
+    val qVals = qs.map { case (l, n, d) => s"('$l', $n::BIGINT, $d::BIGINT)" }
+      .mkString(", ")
+    s"""WITH v AS (SELECT $groupCol AS g, CAST($valueSql AS BIGINT) AS c FROM $table),
+       |b AS (SELECT g, length(bin(c)) AS e,
+       |             c >> (CASE WHEN length(bin(c)) > $QSubBits
+       |                        THEN length(bin(c)) - $QSubBits ELSE 0 END) AS sub
+       |      FROM v),
+       |sk AS (SELECT g, e, sub, COUNT(*) AS cnt FROM b GROUP BY g, e, sub),
+       |cum AS (SELECT g, e, sub, cnt,
+       |               SUM(cnt) OVER (PARTITION BY g ORDER BY e, sub) AS cum
+       |        FROM sk),
+       |tot AS (SELECT g, SUM(cnt) AS n FROM sk GROUP BY g),
+       |qq AS (SELECT * FROM (VALUES $qVals) t(ql, num, den)),
+       |sel AS (SELECT g, ql, MIN(e * 64 + sub) AS bkey
+       |        FROM cum JOIN tot USING (g) CROSS JOIN qq
+       |        WHERE cum >= (num * n + den - 1) // den
+       |        GROUP BY g, ql),
+       |fin AS (SELECT g, ql, bkey // 64 AS e, bkey % 64 AS sub,
+       |               CASE WHEN bkey // 64 > $QSubBits
+       |                    THEN bkey // 64 - $QSubBits ELSE 0 END AS s
+       |        FROM sel)
+       |SELECT g AS $groupCol, ql AS q_label,
+       |       CAST((sub << s) + ((((sub + 1) << s) - 1 - (sub << s)) // 2)
+       |            AS BIGINT) AS est
+       |FROM fin""".stripMargin
+  }
+
   /** The oracle-SQL rendering of `hllEstimate` (same constants, same
     * op order) — kept next to the Scala so they evolve together.
     */

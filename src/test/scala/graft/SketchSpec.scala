@@ -89,4 +89,52 @@ class SketchSpec extends SparkSpec {
       .distinct().count()
     assert(n > 200, s"only $n buckets hit")
   }
+
+  private val Qs =
+    Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+  private def cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+
+  test("quantile sketch: estimates within the 2^-5 relative-error bound") {
+    val li = Tables.lineitem(spark, Sf001)
+    val est = Sketch.quantileEstimates(
+      Sketch.quantileSketch(li, Seq("l_returnflag"), cents),
+      Seq("l_returnflag"), Qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = graft.operators.Stats.groupedQuantilesDisc(
+      li.withColumn("cents", cents.cast("long")), "l_returnflag", "cents",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().flatMap { r =>
+        Seq("p25", "p50", "p75", "p95").zipWithIndex.map { case (p, i) =>
+          (r.getString(0), p) -> r.getLong(i + 1)
+        }
+      }.toMap
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      val rel = math.abs(e - ex).toDouble / ex
+      assert(rel <= 1.0 / 32.0, s"$k: est $e vs exact $ex (rel $rel)")
+    }
+  }
+
+  test("quantile sketch: partitioning-invariant and shard-mergeable") {
+    val li = Tables.lineitem(spark, Sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val whole = Sketch.quantileSketch(li, Seq("l_returnflag"), cents)
+    val one = Sketch.quantileSketch(
+      li.repartition(1), Seq("l_returnflag"), cents)
+    val many = Sketch.quantileSketch(
+      li.repartition(57), Seq("l_returnflag"), cents)
+    assert(canon(one) == canon(many), "sketch state depends on partitioning")
+    // shard-merge: two half sketches, bucket-wise sum == whole sketch
+    val a = Sketch.quantileSketch(
+      li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), cents)
+    val b = Sketch.quantileSketch(
+      li.filter(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"), cents)
+    val merged = Sketch.quantileSketchMerge(a.unionByName(b), Seq("l_returnflag"))
+    assert(canon(merged) == canon(whole), "bucket-wise merge != whole sketch")
+    // and the merged sketch answers identically
+    assert(
+      canon(Sketch.quantileEstimates(merged, Seq("l_returnflag"), Qs)) ==
+        canon(Sketch.quantileEstimates(whole, Seq("l_returnflag"), Qs)))
+  }
 }
