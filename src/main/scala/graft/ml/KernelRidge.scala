@@ -76,8 +76,9 @@ object KernelRidge {
     * sklearn `gamma='scale'` rule, like `SVR(kernel='rbf')` with
     * defaults (the reference's cell 19). Seed-42 fit scores MAE
     * 0.0834 / R 0.7836 on the 2015 split vs the reference SVR's
-    * 0.0841 / 0.7820 — parity across seeds (MAE 0.083–0.087), the
-    * fixed default seed beats it outright (gated in MLQualitySpec).
+    * 0.0841 / 0.7820 — parity across seeds (measured MAE 0.083–0.088,
+    * i.e. within ~4% of the reference either way; MLQualitySpec gates
+    * three seeds), the fixed default seed beats it outright.
     */
   def fitSvrParity(
       train: DataFrame,

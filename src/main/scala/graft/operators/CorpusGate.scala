@@ -41,4 +41,27 @@ object CorpusGate {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       .select(col(idCol), col("n_tokens"), col("split"))
   }
+
+  /** The repetition gate alone — Gopher-style n-gram repetition
+    * thresholds as a standalone annotate-and-filter, for ingest paths
+    * that score repetition without the full pretraining gate (token
+    * floor + split). Stateless single-pass native expression, so the
+    * identical plan runs batch and in Structured Streaming
+    * (readStream → gate → writeStream) with bit-for-bit equal output
+    * — StreamingGateSpec asserts it, mirroring [[pretrainGate]].
+    */
+  def repetitionGate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxTop2: Double = 0.05,
+      maxDup3: Double = 0.10): DataFrame = {
+    val rep = graft.expressions.TextRepetition(col(textCol))
+    docs
+      .select(col(idCol),
+        rep.getField("top_2gram_frac").as("top_2gram_frac"),
+        rep.getField("dup_3gram_frac").as("dup_3gram_frac"))
+      .filter(col("top_2gram_frac") <= maxTop2 &&
+        col("dup_3gram_frac") <= maxDup3)
+  }
 }

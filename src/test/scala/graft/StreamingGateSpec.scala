@@ -36,4 +36,32 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("repetition gate: streaming (AvailableNow) == batch, bit for bit") {
+    val docs = Tables.documents(spark, Sf0001)
+
+    val dir = tmpDir("stream_rep_docs")
+    docs.write.mode("overwrite").parquet(dir + "/in")
+
+    val batch = CorpusGate.repetitionGate(docs)
+      .collect().map(_.toSeq).toSet
+
+    val sink = s"rep_gate_out_${System.nanoTime()}"
+    val q = CorpusGate.repetitionGate(
+        spark.readStream.schema(docs.schema).parquet(dir + "/in"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table(sink).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the gate actually gates: some documents must be dropped
+    assert(streamed.size < docs.count())
+  }
 }
