@@ -51,9 +51,10 @@ object Sketch {
   }
 
   /** HLL rank: 1 + trailing zeros of the hash bits above the bucket
-    * index (capped). ctz(r) = popcount((r & -r) - 1).
+    * index (capped). ctz(r) = popcount((r & -r) - 1). Public so the
+    * streaming register build (streaming/StreamSketch) shares it.
     */
-  private def rank(r: Column): Column =
+  def hllRank(r: Column): Column =
     when(r === 0L, lit(RankCap))
       .otherwise(least(bit_count(r.bitwiseAND(-r) - 1) + 1, lit(RankCap)))
 
@@ -68,9 +69,18 @@ object Sketch {
     val h = hash60(col(key))
     val reg = df
       .select(groupCols.map(col) :+ h.bitwiseAND(m - 1).as("bucket")
-        :+ rank(shiftright(h, 8)).as("rnk"): _*)
+        :+ hllRank(shiftright(h, 8)).as("rnk"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rnk").as("mj"))
+    hllFinish(reg, groupCols)
+  }
+
+  /** Estimate from a register table (groupCols ++ (bucket, mj)) —
+    * split out so streaming state and shard-merged registers finish
+    * with the identical arithmetic.
+    */
+  def hllFinish(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = 256
     // Σ 2^(RankCap − M_j) over present buckets; absent buckets add 2^RankCap.
     val agg = reg.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("present"),
@@ -225,13 +235,19 @@ object Sketch {
       qs: Seq[(String, Int, Int)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy("e", "sub")
-    val cum = sketch.withColumn("cum", sum("cnt").over(w))
-    val tot = sketch.groupBy(groupCols.map(col): _*).agg(sum("cnt").as("n"))
+    // group total as a whole-partition window, NOT a self-join: both
+    // windows share one exchange+sort over the tiny sketch, and a
+    // sketch read back from a named view (e.g. streaming memory-sink
+    // state) would hit Spark's conflicting-attribute self-join trap
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(wAll))
     val qLit = array(qs.map { case (l, num, den) =>
       struct(lit(l).as("ql"), lit(num.toLong).as("num"),
         lit(den.toLong).as("den"))
     }: _*)
-    cum.join(tot, groupCols)
+    cum
       .select(groupCols.map(col) :+ col("e") :+ col("sub") :+ col("cum")
         :+ col("n") :+ explode(qLit).as("q"): _*)
       // ⌈num·n/den⌉ = (num·n + den − 1) div den, all in longs
