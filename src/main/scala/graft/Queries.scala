@@ -1722,6 +1722,39 @@ object Queries {
        |        ELSE [array_to_string(toks, '')] END AS sh FROM t),
        |h AS (SELECT doc_id, list_transform(sh, s -> ${duckFold(31, 1000000007L, "s")}) AS hs FROM g)""".stripMargin
 
+  /** TF-IDF top-3 salient terms per document (operators/TfIdf). Scale
+    * shape: tf shuffles once on (doc, term); the df/idf side is
+    * VOCABULARY-sized (sub-linear, Heaps' law) and joins back by term;
+    * corpus size enters as a broadcast grand agg (A2 pattern, no
+    * driver action); the per-doc top-3 runs on the TopKPerGroup heap
+    * plan. idf is sklearn's smoothed ln((N+1)/(df+1))+1 — the ln runs
+    * over the identical exact double both engines build from integer
+    * counts, and the output rounds 6dp (ranking compares each
+    * engine's own raw doubles, so a cross-libm ulp can only flip an
+    * order between scores closer than 1e-15 relative — i.e. exact
+    * ties, which break on the term instead).
+    */
+  val qTTfidf = q(
+    "q_t_tfidf",
+    s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id, term, tf,
+       |         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS s
+       |       FROM tf CROSS JOIN n JOIN df USING (term)),
+       |r AS (SELECT doc_id, term, tf, s,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                           ORDER BY s DESC, term) AS rank
+       |      FROM sc)
+       |SELECT doc_id, term, tf, ROUND(s, 6) AS tfidf, rank
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", 3)
+      .select(col("id").as("doc_id"), col("term"), col("tf"),
+        round(col("score"), 6).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** The full MinHash+LSH near-dup CTE chain, `t(doc_id, toks)` →
     * `j(id_a, id_b, inter, la, lb)`: 3-shingle poly hashes → 64-slot
     * signature → 16 poly band keys → capped bucket self-join (cool
@@ -2259,6 +2292,7 @@ object Queries {
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
+    qTTfidf,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,

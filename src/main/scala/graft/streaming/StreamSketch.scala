@@ -49,6 +49,16 @@ object StreamSketch {
   def hllFinish(registers: DataFrame, groupCols: Seq[String]): DataFrame =
     Sketch.hllFinish(registers, groupCols)
 
+  /** Streaming Count-Min counters: (i, bucket, c) over the fixed d·w
+    * domain. Point estimates via [[Sketch.cmsEstimate]] on the state.
+    */
+  def cmsCounters(stream: DataFrame, key: String,
+      d: Int = Sketch.CmsD, w: Int = Sketch.CmsW): DataFrame =
+    stream
+      .select(posexplode(array((0 until d).map(i =>
+        Sketch.cmsBucket(col(key), i, w)): _*)).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+
   /** Streaming quantile-sketch state: groupCols ++ (e, sub, cnt).
     * Complete/update-mode counts over the bounded bucket domain;
     * estimates come from [[Sketch.quantileEstimates]] on the state.

@@ -43,6 +43,29 @@ class StreamSketchSpec extends SparkSpec {
     assert(streamedEst.nonEmpty)
   }
 
+  test("streaming CMS counters == batch sketch; same point estimates") {
+    val (li, dir) = stage("stream_cms")
+
+    val sink = s"cms_state_${System.nanoTime()}"
+    val q = StreamSketch.cmsCounters(
+        spark.readStream.schema(li.schema).parquet(dir + "/in"), "l_partkey")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    q.awaitTermination(120000)
+
+    val targets = li.select("l_partkey").filter(col("l_partkey") <= 40).distinct()
+    val streamedEst = Sketch.cmsEstimate(spark.table(sink), targets, "l_partkey")
+      .collect().map(_.toSeq).toSet
+    val batchEst = Sketch.cmsEstimate(
+        Sketch.cmsSketch(li, "l_partkey"), targets, "l_partkey")
+      .collect().map(_.toSeq).toSet
+    assert(streamedEst == batchEst)
+    assert(streamedEst.nonEmpty)
+  }
+
   test("streaming quantile buckets == batch sketch; same estimates") {
     val (li, dir) = stage("stream_qsketch")
     val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)

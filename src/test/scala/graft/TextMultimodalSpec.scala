@@ -143,6 +143,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(1) == Set("ab")) // shorter than n -> whole text
   }
 
+  test("tfidf: corpus-wide terms score low, salient terms rank first") {
+    import graft.operators.TfIdf
+    // "the" appears in all 4 docs (df=4 -> idf = ln(5/5)+1 = 1);
+    // "rust" only in doc 0 (df=1 -> idf = ln(5/2)+1 ≈ 1.916)
+    val docs = Seq(
+      (0L, "the rust compiler the borrow checker"),
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the end")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", 2)
+      .filter($"id" === 0L).orderBy("rank").collect()
+    // doc 0: tf(the)=2 * idf 1.0 = 2.0; tf(rust)=1 * 1.916 = 1.916 —
+    // "the" still wins on tf, then the salient terms follow
+    assert(top.length == 2)
+    assert(top(0).getAs[String]("term") == "the")
+    assert(Set("borrow", "checker", "compiler", "rust")
+      .contains(top(1).getAs[String]("term")))
+    // idf of a term present in every doc is exactly 1.0
+    val idf = TfIdf.idfTable(
+      TfIdf.termFreq(docs, "doc_id", "text"), docs)
+      .filter($"term" === "the").first()
+    assert(idf.getAs[Long]("df") == 4L)
+    assert(idf.getAs[Double]("idf") == 1.0)
+  }
+
   test("multimodal: stub decode meta is deterministic and typed") {
     val docs = Tables.documents(spark, Sf0001).limit(50)
     val meta = Multimodal.decodeMeta(
