@@ -1755,6 +1755,42 @@ object Queries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Overlapping token-window chunking (TextOps.chunks) — pretraining
+    * prep: 64-token chunks every 48 tokens (25% overlap). Map-only +
+    * one explode, no shuffle; output carries the chunk's token count
+    * and rolling-hash fingerprint (the oracled primitive) instead of
+    * the chunk text, so the row stays narrow however long the doc.
+    */
+  val qTChunks = q(
+    "q_t_chunks",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |        CASE WHEN len(toks) <= 64 THEN 1
+       |             ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nch
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, unnest(range(nch)) AS ci FROM c),
+       |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       |         array_to_string(list_slice(toks, ci*48 + 1, ci*48 + 64), ' ') AS chunk
+       |       FROM e)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(list_filter(regexp_split_to_array(chunk, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT,
+       |      list_transform(list_filter(string_split(chunk, ''), ch2 -> len(ch2) > 0),
+       |                     ch2 -> CAST(ascii(ch2) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(col("text"), 64, 48))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TextOps.tokens(col("chunk"))).cast("long").as("n_tokens"),
+        graft.expressions.TextFingerprint(col("chunk")).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** The full MinHash+LSH near-dup CTE chain, `t(doc_id, toks)` →
     * `j(id_a, id_b, inter, la, lb)`: 3-shingle poly hashes → 64-slot
     * signature → 16 poly band keys → capped bucket self-join (cool
@@ -2292,7 +2328,7 @@ object Queries {
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
-    qTTfidf,
+    qTTfidf, qTChunks,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,

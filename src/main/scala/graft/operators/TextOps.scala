@@ -152,6 +152,29 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     array_distinct(shinglesAll(text, n))
 
+  /** Overlapping token-window chunks — pretraining prep: split long
+    * documents into `window`-token pieces every `stride` tokens
+    * (stride < window ⇒ overlap). Chunk i covers tokens
+    * [i·stride, i·stride+window); the last chunk starts at the final
+    * stride step that still adds tokens, so every token lands in ≥1
+    * chunk and a ≤window doc is exactly one chunk. Pure map-only
+    * column expression (one explode downstream — no shuffle, no
+    * state), so it scales trivially and replays in SQL: chunk count
+    * is the exact integer ⌈(n−window)/stride⌉+1 and slicing is
+    * engine-portable.
+    */
+  def chunks(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunks: need 0 < stride <= window, got window=$window stride=$stride")
+    bind(tokens(text)) { toks =>
+      val nChunks = when(size(toks) <= window, lit(1))
+        .otherwise(((size(toks) - window + (stride - 1)) / stride).cast("int")
+          + 1)
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(window))))
+    }
+  }
+
   /** Set-form shingles with NO whole-text fallback: documents shorter
     * than `n` tokens contribute nothing. This is the decontamination
     * contract — a 2-token doc must not register a spurious whole-text

@@ -117,6 +117,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_a11: quantile windows run over the sketch, never the fact table") {
+    val p = planOf("q_a11_quantile_sketch")
+    // two-phase bucket aggregation first (map-side partial)...
+    assert(p.contains("partial_count"), p.take(2000))
+    // ...and every window operates on sketch columns (cnt over e/sub
+    // buckets), none on the raw value/price column
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(l => l.contains("cnt")), winLines.mkString("\n"))
+    assert(!winLines.exists(_.contains("l_extendedprice")), winLines.mkString("\n"))
+  }
+
+  test("q_t_tfidf: heap top-k (no window sort), broadcast corpus count") {
+    val p = planOf("q_t_tfidf")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the grand-agg N rides in as a broadcast, never a cartesian
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
     val p = planOf("q_j7_exists_semi")
     assert(p.contains("LeftSemi"), p.take(1500))

@@ -168,6 +168,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(idf.getAs[Double]("idf") == 1.0)
   }
 
+  test("chunks: overlapping windows cover every token; short doc = 1 chunk") {
+    val docs = Seq(
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", // 10 tokens, w=4 s=3 -> 3 chunks
+      "a b c", // <= window -> whole doc
+      "x1 x2 x3 x4 x5").toDF("text") // n-w=1 -> 2 chunks
+    val got = docs.select(TextOps.chunks($"text", 4, 3)).collect()
+      .map(_.getSeq[String](0))
+    assert(got(0) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq("x1 x2 x3 x4", "x4 x5"))
+  }
+
   test("multimodal: stub decode meta is deterministic and typed") {
     val docs = Tables.documents(spark, Sf0001).limit(50)
     val meta = Multimodal.decodeMeta(
