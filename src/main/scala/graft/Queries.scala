@@ -1761,17 +1761,24 @@ object Queries {
     * and rolling-hash fingerprint (the oracled primitive) instead of
     * the chunk text, so the row stays narrow however long the doc.
     */
+  /** Chunk CTE `t(doc_id, toks)` → `ch(doc_id, chunk_idx, chunk)` —
+    * 64-token windows every 48; shared verbatim by q_t_chunks and
+    * q_pipe_pack so the two oracles cannot drift.
+    */
+  private val duckChunkCte =
+    """c AS (SELECT doc_id, toks,
+      |        CASE WHEN len(toks) <= 64 THEN 1
+      |             ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nch
+      |      FROM t),
+      |e AS (SELECT doc_id, toks, unnest(range(nch)) AS ci FROM c),
+      |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      |         array_to_string(list_slice(toks, ci*48 + 1, ci*48 + 64), ' ') AS chunk
+      |       FROM e)""".stripMargin
+
   val qTChunks = q(
     "q_t_chunks",
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-       |c AS (SELECT doc_id, toks,
-       |        CASE WHEN len(toks) <= 64 THEN 1
-       |             ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nch
-       |      FROM t),
-       |e AS (SELECT doc_id, toks, unnest(range(nch)) AS ci FROM c),
-       |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
-       |         array_to_string(list_slice(toks, ci*48 + 1, ci*48 + 64), ' ') AS chunk
-       |       FROM e)
+       |$duckChunkCte
        |SELECT doc_id, chunk_idx,
        |  CAST(len(list_filter(regexp_split_to_array(chunk, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
        |  list_reduce(
@@ -1789,6 +1796,70 @@ object Queries {
         size(TextOps.tokens(col("chunk"))).cast("long").as("n_tokens"),
         graft.expressions.TextFingerprint(col("chunk")).as("fp"))
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk → pack composition (TextOps.chunks → Packing
+    * .packContiguous): the pretraining shard-prep pipeline. Pieces
+    * shard by doc-id hash (a doc's chunks stay together), then pack
+    * contiguously within the shard in (doc, chunk) order into
+    * 1024-token bins — per-shard windows, so the one shuffle
+    * partitions by shard and each lane packs independently (true
+    * first-fit is sequential; this is the distributed rendering).
+    * Everything after tokenization is integer cumsum/div/mod, so the
+    * whole composition replays exactly, sharing the chunk CTE with
+    * q_t_chunks.
+    */
+  val qPipePack = q(
+    "q_pipe_pack",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |$duckChunkCte,
+       |n AS (SELECT doc_id, chunk_idx,
+       |        CAST(len(list_filter(regexp_split_to_array(chunk, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |      FROM ch),
+       |s AS (SELECT *, ${graft.operators.Sampling.hashBucketSql("doc_id", 8)} AS shard FROM n),
+       |p AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |                  ORDER BY doc_id, chunk_idx) AS BIGINT) AS cum_tokens
+       |      FROM s)
+       |SELECT doc_id, chunk_idx, n_tokens, shard,
+       |       (cum_tokens - n_tokens) // 1024 AS bin,
+       |       (cum_tokens - n_tokens) % 1024 AS start_offset
+       |FROM p ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    import graft.operators.{Packing, TextOps}
+    val chunked = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(col("text"), 64, 48))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TextOps.tokens(col("chunk"))).cast("long").as("n_tokens"))
+    Packing.packContiguous(chunked, "doc_id", Seq("doc_id", "chunk_idx"),
+        "n_tokens", ctx = 1024, shards = 8)
+      .select("doc_id", "chunk_idx", "n_tokens", "shard", "bin", "start_offset")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Data-mixture sampling (Sampling.mixtureSample): per-source keep
+    * rates — the pretraining-mix reweighting step. A pure map-only
+    * filter of (key, source): no shuffle at any scale, survivors
+    * reproducible and append-stable per source; unlisted sources drop
+    * (a mix is a whitelist). The oracle replays the affine-hash
+    * bucket per source exactly.
+    */
+  val qO11Mixture = {
+    val rates = Seq(("src0", 1, 1), ("src1", 3, 4), ("src2", 1, 2),
+      ("src3", 1, 4), ("src4", 1, 10))
+    val cases = rates.map { case (src, num, den) =>
+      s"WHEN source = '$src' THEN ${graft.operators.Sampling.hashBucketSql("doc_id", den)} < $num"
+    }.mkString("\n        ")
+    q(
+      "q_o11_mixture_sample",
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CASE $cases ELSE FALSE END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.mixtureSample(
+        Tables.documents(s, d), "doc_id", "source", rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }
   }
 
   /** The full MinHash+LSH near-dup CTE chain, `t(doc_id, toks)` →
@@ -2328,7 +2399,7 @@ object Queries {
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
-    qTTfidf, qTChunks,
+    qTTfidf, qTChunks, qPipePack, qO11Mixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,

@@ -58,4 +58,24 @@ object Sampling {
   def bernoulliSample(df: DataFrame, key: String,
       num: Int, den: Int): DataFrame =
     df.filter(hashBucket(col(key), den) < num)
+
+  /** Data-mixture sampling: per-source keep rates (source → num/den),
+    * the way a pretraining mix up/down-weights corpora (e.g. books
+    * 9/10, web 1/4). Still a pure map-only filter of (key, source) —
+    * reweighting the mix never shuffles anything, and the surviving
+    * set is reproducible and append-stable per source. Sources
+    * missing from `rates` are dropped (an explicit mix is a
+    * whitelist).
+    */
+  def mixtureSample(df: DataFrame, key: String, sourceCol: String,
+      rates: Seq[(String, Int, Int)]): DataFrame = {
+    require(rates.nonEmpty && rates.forall { case (_, n, d) => n >= 0 && n <= d },
+      "rates must be 0 <= num <= den")
+    val keep = rates.foldRight(lit(false): Column) {
+      case ((src, num, den), acc) =>
+        when(col(sourceCol) === src, hashBucket(col(key), den) < num)
+          .otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

@@ -50,6 +50,51 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("mixtureSample: per-source rates hold, unlisted sources drop") {
+    val docs = Tables.documents(spark, Sf001)
+    val rates = Seq(("src0", 1, 1), ("src1", 1, 2), ("src2", 1, 10))
+    val kept = graft.operators.Sampling.mixtureSample(
+      docs, "doc_id", "source", rates)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == perSrc("src0")) // 1/1 keeps everything
+    assert(bySrc.keySet == Set("src0", "src1", "src2")) // whitelist
+    // rate ~1/2 and ~1/10 within loose bounds on 25-doc strata
+    assert(bySrc("src1") > 0 && bySrc("src1") < perSrc("src1"))
+    assert(bySrc.getOrElse("src2", 0L) <= perSrc("src2") / 2)
+    // partitioning-invariant
+    val kept2 = graft.operators.Sampling.mixtureSample(
+      docs.repartition(13), "doc_id", "source", rates)
+    assert(kept2.collect().map(_.getLong(0)).toSet ==
+      kept.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packContiguous: bins bounded by ctx + piece, docs stay in one shard") {
+    import graft.operators.{Packing, TextOps}
+    val chunked = Tables.documents(spark, Sf001)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(col("text"), 64, 48))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TextOps.tokens(col("chunk"))).cast("long").as("n_tokens"))
+    val packed = Packing.packContiguous(chunked, "doc_id",
+      Seq("doc_id", "chunk_idx"), "n_tokens", ctx = 256, shards = 4)
+    // all chunks of a doc share the shard
+    assert(packed.groupBy("doc_id")
+      .agg(countDistinct("shard").as("ns")).filter(col("ns") > 1).count() == 0)
+    // pieces STARTING in a bin total at most ctx + (maxPiece - 1)
+    val overs = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tok")).filter(col("tok") > 256 + 63).count()
+    assert(overs == 0)
+    // partitioning-invariant assignment
+    val packed2 = Packing.packContiguous(chunked.repartition(17), "doc_id",
+      Seq("doc_id", "chunk_idx"), "n_tokens", ctx = 256, shards = 4)
+    assert(packed2.collect().map(_.toSeq).toSet ==
+      packed.collect().map(_.toSeq).toSet)
+  }
+
   test("hash buckets are uniform-ish across 100 buckets") {
     val counts = spark.range(100000)
       .select(Sampling.hashBucket($"id", 100).as("b"))
