@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{TextRepetition, TextSimHash, VecCosine, VecD2, VecDot}
+import graft.expressions.{LangId, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL callers and its planner strategy —
@@ -45,6 +45,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextRepetition].getName, "text_repetition"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TextRepetition(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("text_quality"),
+      new ExpressionInfo(classOf[TextQuality].getName, "text_quality"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextQuality(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LangId(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("text_normalize"),
+      new ExpressionInfo(classOf[TextNormalize].getName, "text_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextNormalize(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("text_fingerprint"),
+      new ExpressionInfo(classOf[TextFingerprint].getName, "text_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextFingerprint(exprs(0))))
+    e.injectFunction((
+      // n-gram width comes in as a literal second argument:
+      //   text_shingle_hashes(text, 3)
+      new FunctionIdentifier("text_shingle_hashes"),
+      new ExpressionInfo(classOf[TextShingleHashes].getName, "text_shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextShingleHashes(exprs(0), exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"text_shingle_hashes: n must be a literal int, got $other")
+        })))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -65,5 +97,20 @@ object GraftExtensions {
       exprs => TextSimHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("text_repetition",
       exprs => TextRepetition(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_quality",
+      exprs => TextQuality(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("lang_id",
+      exprs => LangId(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_normalize",
+      exprs => TextNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_fingerprint",
+      exprs => TextFingerprint(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_shingle_hashes",
+      exprs => TextShingleHashes(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"text_shingle_hashes: n must be a literal int, got $other")
+      }), "built-in")
   }
 }

@@ -31,6 +31,27 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("text analysis family callable from SQL") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftSession.tune(s2)
+    Tables.documents(s2, Sf0001).limit(25).createOrReplaceTempView("docs_sql")
+    val out = s2.sql(
+      """SELECT doc_id,
+        |       text_quality(text).n_tokens AS nt,
+        |       lang_id(text) AS lang,
+        |       text_fingerprint(text) AS fp,
+        |       text_normalize(text) AS norm,
+        |       size(text_shingle_hashes(text, 3)) AS nsh
+        |FROM docs_sql""".stripMargin).collect()
+    assert(out.length == 25)
+    assert(out.forall(_.getInt(1) > 0))
+    assert(out.forall(r => r.getString(2).nonEmpty))
+    assert(out.forall(r => r.getLong(3) >= 0L))
+    assert(out.forall(r => r.getString(4).nonEmpty))
+    assert(out.forall(r => r.getInt(5) > 0))
+  }
+
   test("vec_d2 and text_simhash callable from SQL") {
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
