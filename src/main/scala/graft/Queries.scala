@@ -777,6 +777,30 @@ object Queries {
     est.join(exact, Seq("l_partkey")).orderBy("l_partkey")
   }
 
+  /** Grouped z-score outlier detection (Stats.zscoreOutliers) — the
+    * numeric anomaly gate of a cleaning pipeline. Measures quantize
+    * to integer cents by FLOOR (not a decimal cast — engine-identical
+    * on arbitrary doubles); sufficient statistics (n, Σx, Σx²) are
+    * exact integers, so mean/std are partitioning-invariant; each
+    * row's z is fixed double arithmetic on them, replayed op-for-op
+    * by the oracle. Scale shape: the stats table is groups-sized and
+    * BROADCASTS back onto the fact — the fact never shuffles.
+    */
+  val qA12Outliers = {
+    val keep = Seq("event_id", "event_type", "value")
+    q(
+      "q_a12_outliers",
+      s"""SELECT event_id, event_type, value, ROUND(z, 6) AS z
+         |FROM (${graft.operators.Stats.zscoreOracleSql(
+             "events", "event_type", "FLOOR(value * 100)", 3.0, keep)})
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.Stats.zscoreOutliers(
+          Tables.events(s, d), "event_type", floor(col("value") * 100), 3.0, keep)
+        .withColumn("z", round(col("z"), 6))
+        .orderBy("event_id")
+    }
+  }
+
   /** Collect-to-array with DETERMINISTIC order: collect_list order is
     * partition-dependent (useless for reproducible output), so the
     * catalog rendering sorts the collected array and joins to a
@@ -1755,6 +1779,47 @@ object Queries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Okapi BM25 top-3 terms per document (TfIdf.bm25TopTerms) — the
+    * retrieval-grade relevance score TF-IDF lacks: document-length
+    * normalization (b=0.75) and tf saturation (k1=1.2). Scale shape:
+    * doc length is computed MAP-SIDE from the text (no extra agg);
+    * corpus stats (N, avgdl) ride in as one broadcast grand agg; df is
+    * vocabulary-sized; per-doc top-3 runs on the TopKPerGroup heap
+    * plan. All float literals are interpolated from the SAME Scala
+    * doubles on both sides (Double.toString round-trips), so both
+    * engines run identical IEEE arithmetic from exact integer counts.
+    */
+  val qTBm25 = {
+    val k1 = 1.2; val b = 0.75
+    q(
+      "q_t_bm25",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |       GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id, term, tf,
+         |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |           * (tf * ${k1 + 1.0})
+         |           / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
+         |       FROM tf JOIN dl USING (doc_id) CROSS JOIN st
+         |            JOIN df USING (term)),
+         |r AS (SELECT doc_id, term, tf, s,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                           ORDER BY s DESC, term) AS rank
+         |      FROM sc)
+         |SELECT doc_id, term, tf, ROUND(s, 6) AS bm25, rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      graft.operators.TfIdf.bm25TopTerms(Tables.documents(s, d),
+          "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("bm25"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }
+  }
+
   /** Overlapping token-window chunking (TextOps.chunks) — pretraining
     * prep: 64-token chunks every 48 tokens (25% overlap). Map-only +
     * one explode, no shuffle; output carries the chunk's token count
@@ -1958,6 +2023,31 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.Dedup.minhashNearDupsPoly(
       Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Edit-distance near-dup (Dedup.editDistanceNearDups): the oracled
+    * MinHash+LSH candidate chain (shared CTE — cannot drift from
+    * q_d_minhash_pairs), verified by BOUNDED Levenshtein ≤ 64 instead
+    * of Jaccard — the template-dedup signal (boilerplate with small
+    * substitutions) that set-similarity misses. Scale shape: the
+    * O(|a|·|b|) DP runs only on capped LSH candidates (never
+    * all-pairs), and Spark's thresholded levenshtein bails out at
+    * maxDist (O(maxDist·len) band DP); texts join back by id after
+    * candidate dedup. DuckDB's unthresholded levenshtein agrees
+    * exactly on every pair the ≤ 64 filter keeps.
+    */
+  val qDEditDistPairs = q(
+    "q_d_editdist_pairs",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |$duckMinhashPairChain,
+       |ed AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
+       |       FROM pairs JOIN documents da ON da.doc_id = id_a
+       |                  JOIN documents db ON db.doc_id = id_b)
+       |SELECT id_a, id_b, dist FROM ed WHERE dist <= 64
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.editDistanceNearDups(
+      Tables.documents(s, d), "doc_id", "text", maxDist = 64)
       .orderBy("id_a", "id_b")
   }
 
@@ -2287,6 +2377,42 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** Per-cluster representatives (Similarity.clusterRepresentatives)
+    * — semantic-diversity sampling: the 3 most central members of
+    * each of 16 embedding clusters (fixed quantizer centroids, the
+    * same 16-vector table as q_e_ivf_topk). Assignment is map-side
+    * (centroids are literals); the 3-closest-per-cluster runs on the
+    * TopKPerGroup heap plan, so the one shuffle carries only
+    * (cluster, cid, d2). The oracle replays assignment (same
+    * d2-then-id tie order) and the per-cluster rank.
+    */
+  val qEClusterReps = q(
+    "q_e_cluster_reps",
+    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |ca AS (SELECT cid, cl, d2, ROW_NUMBER() OVER (PARTITION BY cid
+       |                             ORDER BY d2, cl) AS rn
+       |       FROM (SELECT cid, cl, ${duckD2("cv", "ce")} AS d2
+       |             FROM c CROSS JOIN cent)),
+       |idx AS (SELECT cid, cl, d2 FROM ca WHERE rn = 1),
+       |r AS (SELECT cl AS cluster, cid, d2,
+       |        ROW_NUMBER() OVER (PARTITION BY cl ORDER BY d2, cid) AS rank
+       |      FROM idx)
+       |SELECT cluster, cid, ROUND(d2, 6) AS d2, rank
+       |FROM r WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Similarity.clusterRepresentatives(vecs, centers, k = 3)
+      .select(col("cluster"), col("cid"), round(col("d2"), 6).as("d2"),
+        col("rank"))
+      .orderBy("cluster", "rank")
+  }
+
   // ---------------------------------------------------------------
   // Multimodal binary columns
   // ---------------------------------------------------------------
@@ -2393,17 +2519,18 @@ object Queries {
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
-    qA11QuantileSketch,
+    qA11QuantileSketch, qA12Outliers,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
-    qTTfidf, qTChunks, qPipePack, qO11Mixture,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCcClusters, qPipeCuration,
+    qTTfidf, qTBm25, qTChunks, qPipePack, qO11Mixture,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
+    qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEIvf, qDEmbeddingNearDup,
+    qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
   )
 }

@@ -219,6 +219,42 @@ object Dedup {
       sh.select(col("id"), col("hs").as("es")), minJaccard)
   }
 
+  /** Edit-distance near-dup: MinHash+LSH candidate generation (the
+    * same banded/capped poly chain as [[minhashNearDupsPoly]]), then
+    * an exact bounded-Levenshtein verify on surviving pairs only —
+    * the classic template-dedup pipeline. The O(|a|·|b|) DP runs
+    * ONLY on LSH candidates, never all-pairs, and the thresholded
+    * `levenshtein(a, b, maxDist)` bails out once the distance is
+    * provably above the bound (a O(maxDist·len) band DP), so verify
+    * cost stays linear in text length at 100 TB. Texts join back by
+    * id AFTER candidate dedup, so they ride the wire once per
+    * surviving pair side, not once per band occupancy.
+    */
+  def editDistanceNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 64,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.expressions.{MinHashSig, TextShingleHashes}
+    val rowsPerBand = k / bands
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextShingleHashes(col(textCol), n)).as("hs"))
+      .withColumn("sig", MinHashSig.ofHashes(col("hs"), k))
+    val banded = sh.select(col("id"),
+      explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    bandCandidatePairs(banded, maxBucket)
+      .join(texts.select(col("id").as("id_a"), col("txt").as("t_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("txt").as("t_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** MinHash+LSH candidate pairs with exact-Jaccard verification:
     * shingle → signature → band explode → capped bucket self-join
     * (bandCandidatePairs) → verify true Jaccard on the candidate set

@@ -261,4 +261,33 @@ object Similarity {
       .filter(col("cos") >= minCosine)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Per-cluster representatives — the semantic-diversity-sampling
+    * primitive (pick the k most CENTRAL members of every embedding
+    * cluster; the union is a cluster-stratified subsample of the
+    * corpus, the standard recipe for diversity-preserving data
+    * selection). Assignment to the nearest centroid is map-side only
+    * (centroids are literals, same fused vec_d2 ranking as
+    * [[ivfTopKWithCenters]]); the k-closest-per-cluster runs on the
+    * TopKPerGroup heap plan, so the single shuffle carries just
+    * (cluster, cid, d2) — vectors never ride it. Output:
+    * (cluster, cid, d2, rank).
+    */
+  def clusterRepresentatives(
+      vecs: DataFrame, // (cid, cvec)
+      centers: Array[Array[Double]],
+      k: Int): DataFrame = {
+    def best(vec: Column): Column =
+      element_at(array_sort(array(centers.zipWithIndex.map { case (c, i) =>
+        val lits = array(c.map(lit).toSeq: _*)
+        struct(graft.expressions.VecExpressions.vec_d2(vec, lits).as("d2"),
+          lit(i).as("cluster"))
+      }.toSeq: _*)), 1)
+    val assigned = vecs
+      .withColumn("b", best(col("cvec")))
+      .select(col("cid"), col("b.cluster").as("cluster"), col("b.d2").as("d2"))
+    TopK.perGroup(assigned, Seq("cluster"),
+        Seq(col("d2"), col("cid")), k, rankName = "rank")
+      .select("cluster", "cid", "d2", "rank")
+  }
 }

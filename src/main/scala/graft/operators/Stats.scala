@@ -187,6 +187,63 @@ object Stats {
           * sqrt(n * d("syy") - d("sy") * d("sy")))).as("corr_xy"))
   }
 
+  /** Grouped z-score outlier detection — the numeric anomaly gate of
+    * a cleaning pipeline (sensor spikes, bot traffic, corrupt
+    * measurements). `xInt` must be an integer-valued quantization of
+    * the measure (e.g. `floor(value*100)` cents — floor, NOT a
+    * decimal cast, so arbitrary doubles quantize identically on any
+    * engine): the sufficient statistics (n, Σx, Σx²) are then exact
+    * integers, partitioning-invariant, and the per-row z runs in
+    * fixed double arithmetic on them. z is scale-invariant, so the
+    * quantization factor cancels.
+    *
+    * Scale shape: one map-side-combined groupBy builds a
+    * groups-sized stats table that broadcasts back onto the fact —
+    * the fact itself NEVER shuffles, which is the only acceptable
+    * plan when the fact is 100 TB and the group count is thousands.
+    */
+  def zscoreOutliers(
+      df: DataFrame, group: String, xInt: Column, zMax: Double,
+      keep: Seq[String]): DataFrame = {
+    val base = df.withColumn("xl", xInt.cast("long"))
+    val stats = base.groupBy(group).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xl")).as("sx"),
+        sum((col("xl") * col("xl")).cast("decimal(38,0)")).as("sxx"))
+      .select(col(group),
+        (col("sx").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - lit(1.0))).as("sd_c"))
+    base.join(broadcast(stats), Seq(group))
+      .withColumn("z", (col("xl").cast("double") - col("mean_c")) / col("sd_c"))
+      .filter(abs(col("z")) > zMax)
+      .select(keep.map(col) :+ col("z"): _*)
+  }
+
+  /** DuckDB rendering of `zscoreOutliers` (identical op order), for
+    * oracle replay: same floor quantization, same exact integer
+    * sufficient statistics, same double formula.
+    */
+  def zscoreOracleSql(
+      table: String, group: String, xIntSql: String, zMax: Double,
+      keep: Seq[String]): String =
+    s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
+       |st AS (SELECT $group, CAST(COUNT(*) AS DOUBLE) AS n,
+       |         CAST(SUM(xl) AS BIGINT) AS sx,
+       |         SUM(CAST(xl * xl AS DECIMAL(38,0))) AS sxx
+       |       FROM b GROUP BY $group),
+       |sd AS (SELECT $group,
+       |         CAST(sx AS DOUBLE) / n AS mean_c,
+       |         sqrt((CAST(sxx AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+       |              / (n - 1.0)) AS sd_c
+       |       FROM st)
+       |SELECT ${keep.mkString(", ")},
+       |       (CAST(xl AS DOUBLE) - mean_c) / sd_c AS z
+       |FROM b JOIN sd USING ($group)
+       |WHERE abs((CAST(xl AS DOUBLE) - mean_c) / sd_c) > $zMax""".stripMargin
+
   /** DuckDB rendering of `pearsonExact` (identical op order). */
   def pearsonOracleSql(
       table: String, group: String, x: String, y: String): String =

@@ -55,4 +55,46 @@ object TfIdf {
     TopK.perGroup(scores(docs, idCol, textCol), Seq("id"),
       Seq(col("score").desc, col("term")), k, rankName = "rank")
       .select("id", "term", "tf", "score", "rank")
+
+  /** Okapi BM25 posting scores — the retrieval-grade relevance signal
+    * (keyword search over the corpus, salient-term tagging with
+    * document-length normalization that plain TF-IDF lacks).
+    *
+    * idf is the non-negative Robertson form ln(1 + (N-df+0.5)/(df+0.5));
+    * the tf saturation uses the classic k1=1.2, b=0.75.
+    *
+    * Scale shape mirrors [[scores]]: the doc-length table is computed
+    * MAP-SIDE from the text (one `size(tokens)`, no extra aggregation)
+    * and joins tf on id — the shuffle tf already needs; corpus stats
+    * (N, avgdl) ride in as one broadcast grand agg; df is
+    * vocabulary-sized and joins by term. All literals are spelled the
+    * same way in the SQL oracle so both engines run bit-identical
+    * double arithmetic from exact integer counts.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val dl = docs.select(col(idCol).as("id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(avg("dl").as("avgdl"), count(lit(1)).as("n_docs"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .join(df, Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .select("id", "term", "tf", "score")
+  }
+
+  /** Top-k BM25 terms per document (heap plan; ties by term). */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    TopK.perGroup(bm25Scores(docs, idCol, textCol), Seq("id"),
+      Seq(col("score").desc, col("term")), k, rankName = "rank")
+      .select("id", "term", "tf", "score", "rank")
 }

@@ -71,6 +71,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance near-dup: LSH candidates verified by bounded " +
+      "Levenshtein — exact dists, unrelated pairs absent") {
+    val pairs = Dedup.editDistanceNearDups(corpus, "doc_id", "text",
+      maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // 0/1 identical → dist 0; 2 is 0 with "dog"→"cat" → dist 3;
+    // 4 is 3 plus " here now" appended → dist 9
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((0L, 2L)) == 3)
+    assert(pairs((3L, 4L)) == 9)
+    assert(!pairs.keySet.exists { case (a, b) =>
+      Set(0L, 1L, 2L)(a) && Set(3L, 4L)(b) })
+    // the bound is part of the operator: with maxDist=2 only the
+    // identical pair survives (thresholded DP returns -1 above it)
+    val tight = Dedup.editDistanceNearDups(corpus, "doc_id", "text",
+      maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((0L, 1L)))
+  }
+
   test("minhash signature approximates jaccard") {
     val sh = corpus.select(col("doc_id"),
       TextOps.shingles(col("text"), 3).as("sh"))

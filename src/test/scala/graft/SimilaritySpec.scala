@@ -22,6 +22,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) == -1.0)
   }
 
+  test("clusterRepresentatives picks the k most central members per " +
+      "cluster, matching a driver-side reference") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val centers = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val got = Similarity.clusterRepresentatives(vecs, centers, k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+
+    val all = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def d2(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0
+      for (i <- c.indices) { val d = a(i).toDouble - c(i); s += d * d }
+      s
+    }
+    val assigned = all.toSeq.map { case (id, v) =>
+      val ds = centers.zipWithIndex.map { case (c, i) => (d2(v, c), i) }
+      (id, ds.min._2, ds.min._1)
+    }
+    val expect = assigned.groupBy(_._2).flatMap { case (cl, members) =>
+      members.sortBy { case (id, _, d) => (d, id) }.take(2).zipWithIndex
+        .map { case ((id, _, _), i) => (cl, id, i + 1) }
+    }.toSet
+    assert(got.toSet == expect)
+    // every cluster emits at most k reps, ranks are 1..k
+    assert(got.groupBy(_._1).values.forall(g =>
+      g.length <= 2 && g.map(_._3).sorted.sameElements(1 to g.length)))
+  }
+
   test("brute-force top-k agrees with driver-side reference on sf0.001") {
     val e = Tables.embeddings(spark, Sf0001)
     val all = e.select("vec_id", "embedding").collect()

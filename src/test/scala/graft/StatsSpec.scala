@@ -7,6 +7,29 @@ import graft.operators.Stats
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zscoreOutliers flags planted spikes, is partitioning-invariant") {
+    // 200 calm readings near 10.00 plus two planted spikes per group
+    val rows =
+      (0 until 200).map(i => (i.toLong, "a", 10.0 + (i % 7) * 0.01)) ++
+      Seq((900L, "a", 95.5), (901L, "a", -40.25)) ++
+      (0 until 200).map(i => (1000L + i, "b", 50.0 + (i % 5) * 0.02)) ++
+      Seq((1900L, "b", 50.06)) // within-noise for b, must NOT flag
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Stats.zscoreOutliers(df, "event_type",
+        floor(col("value") * 100), 3.0,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(900L, 901L))
+    assert(got(900L) > 3.0 && got(901L) < -3.0)
+    // exact integer sufficient statistics ⇒ identical z under any
+    // partitioning (the property a float Welford std would break)
+    val re = Stats.zscoreOutliers(df.repartition(13), "event_type",
+        floor(col("value") * 100), 3.0,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(re == got)
+  }
+
   test("groupedQuantilesDisc matches a driver-side sorted reference") {
     val li = Tables.lineitem(spark, Sf0001)
     val got = Stats.groupedQuantilesDisc(
