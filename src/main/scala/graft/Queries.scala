@@ -640,6 +640,36 @@ object Queries {
     hi.unionByName(lo).orderBy("o_orderkey", "bucket")
   }
 
+  /** Schema-evolution union: merge two lake-shard generations whose
+    * schemas differ (the new generation added a column) by NAME, with
+    * null fill for the missing column — `unionByName(
+    * allowMissingColumns)`, the operation every long-lived 100 TB
+    * lake needs when old partitions predate a schema change. Metadata
+    * only: no shuffle, each shard scans with its own pruned schema.
+    * (The file-level rendering — parquet `mergeSchema` across
+    * mixed-schema directories — is spec-covered in
+    * SourcesSinksSpec.)
+    */
+  val qO12UnionByName = q(
+    "q_o12_union_by_name",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, 1 AS gen,
+      |         NULL AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 2 AS gen, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(1).as("gen"))
+    val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(2).as("gen"),
+        col("o_orderstatus"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   /** O3: deterministic positional (temporal) split — first 1000 rows
     * in (date, key) order (notebook cell 13 iloc split). Runs on
     * operators/PositionalSplit: per-date counts + driver prefix scan
@@ -2517,7 +2547,7 @@ object Queries {
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
-    qO2Union, qO3Split,
+    qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,

@@ -213,4 +213,29 @@ class SourcesSinksSpec extends SparkSpec {
       .option("mode", "PERMISSIVE").json(mixed)
     assert(lenient.filter(col("doc_id").isNotNull).count() == docs.count())
   }
+
+  test("schema evolution: mergeSchema reads mixed-generation parquet " +
+      "shards, null-filling the column old shards predate") {
+    import spark.implicits._
+    val root = tmpDir("evolve")
+    // gen1 shards written before the `score` column existed
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(root + "/gen=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(root + "/gen=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(root + "/gen=1", root + "/gen=2")
+    assert(merged.schema.fieldNames.toSet == Set("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq(1L -> None, 2L -> None,
+      3L -> Some(0.5), 4L -> Some(0.9)))
+    // the logical-plan rendering of the same merge (unionByName with
+    // null fill) agrees row-for-row with the file-level mergeSchema
+    val viaUnion = spark.read.parquet(root + "/gen=1")
+      .unionByName(spark.read.parquet(root + "/gen=2"),
+        allowMissingColumns = true)
+    assert(viaUnion.exceptAll(merged).isEmpty &&
+      merged.exceptAll(viaUnion).isEmpty)
+  }
 }
