@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TextRepetition
+import graft.operators.TextOps
+
+/** Model-based document quality filter — the learned complement to the
+  * rule CorpusGate: train a logistic regression on weakly-labeled
+  * documents (a heuristic teacher labels the obvious extremes), then
+  * score every document with a calibrated P(quality) that generalizes
+  * past the teacher's exact thresholds. This is the classic
+  * classifier-filter stage of an LLM data pipeline (a linear model
+  * over cheap text statistics, fastText-style).
+  *
+  * Scale shape: featurization is map-only (the same single-pass
+  * native expressions the rule gates use — no shuffle, no UDF);
+  * training reduces a features×label aggregate per L-BFGS iteration
+  * (MLlib treeAggregate — the standard distributed-GLM path); scoring
+  * is a map-only dot product per row. The model artifact
+  * saves/loads via the MLWritable path like every other model here.
+  */
+object QualityClassifier {
+
+  /** Map-only feature vector per doc: quality stats + repetition
+    * fractions + a length signal. All from single-pass native
+    * expressions.
+    */
+  val FeatureCols: Seq[String] = Seq(
+    "mean_token_len", "stopword_ratio", "punct_ratio",
+    "top_2gram_frac", "dup_3gram_frac", "log_tokens")
+
+  def featurize(docs: DataFrame, textCol: String): DataFrame = {
+    val qf = TextOps.qualityFeatures(col(textCol))
+    val rep = TextRepetition(col(textCol))
+    docs
+      .withColumns(qf.toMap)
+      .withColumn("top_2gram_frac", rep.getField("top_2gram_frac"))
+      .withColumn("dup_3gram_frac", rep.getField("dup_3gram_frac"))
+      .withColumn("log_tokens", log(col("n_tokens").cast("double") + lit(1.0)))
+  }
+
+  /** Heuristic teacher: weak labels for the obvious extremes only
+    * (NULL for the ambiguous middle — callers train on the labeled
+    * subset). Clean prose: stopwords present, sane token lengths,
+    * low repetition. Junk: repetition-heavy or punctuation soup or
+    * stopword-free token noise.
+    */
+  def weakLabel(
+      stopwordFloor: Double = 0.10,
+      punctCeil: Double = 0.20,
+      repCeil: Double = 0.30): Column = {
+    val clean = col("stopword_ratio") >= stopwordFloor &&
+      col("punct_ratio") <= punctCeil &&
+      col("top_2gram_frac") <= repCeil && col("dup_3gram_frac") <= repCeil &&
+      col("mean_token_len").between(2.0, 12.0)
+    val junk = col("top_2gram_frac") > 2 * repCeil ||
+      col("dup_3gram_frac") > 2 * repCeil ||
+      col("punct_ratio") > 2 * punctCeil ||
+      (col("stopword_ratio") === 0.0 && col("n_tokens") >= 10)
+    when(junk, 0.0).when(clean, 1.0).otherwise(lit(null))
+  }
+
+  def pipeline(maxIter: Int = 50, regParam: Double = 1e-3): Pipeline = {
+    val asm = new VectorAssembler()
+      .setInputCols(FeatureCols.toArray).setOutputCol("features")
+      .setHandleInvalid("skip")
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(maxIter).setRegParam(regParam).setStandardization(true)
+    new Pipeline().setStages(Array(asm, lr))
+  }
+
+  /** Train on the teacher's confident extremes of `docs`. */
+  def train(docs: DataFrame, textCol: String): PipelineModel = {
+    val labeled = featurize(docs, textCol)
+      .withColumn("label", weakLabel())
+      .filter(col("label").isNotNull)
+    pipeline().fit(labeled)
+  }
+
+  /** Score every document: adds `p_quality` in [0,1]. Map-only. */
+  def score(model: PipelineModel, docs: DataFrame,
+      textCol: String): DataFrame =
+    model.transform(featurize(docs, textCol))
+      .withColumn("p_quality",
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
+      .drop("features", "rawPrediction", "probability", "prediction")
+}
