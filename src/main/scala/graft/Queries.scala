@@ -1850,6 +1850,41 @@ object Queries {
     }
   }
 
+  /** Corpus-LM quality scoring (TfIdf.unigramLogProb): per-doc mean
+    * token log-probability under the corpus's own add-1 unigram
+    * distribution — the perplexity-filter stand-in. The float-sum
+    * trap is closed by quantizing each term's logprob ONCE to
+    * fixed-point micros (a LONG): per-doc sums are exact integers,
+    * partitioning-invariant, and replay bit-for-bit in SQL; one
+    * double division at the end. Scale shape: tf shuffles once on
+    * (id, term); count table is vocabulary-sized; corpus totals ride
+    * in as a broadcast grand agg.
+    */
+  val qTUnigramLp = q(
+    "q_t_unigram_logprob",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+       |tot AS (SELECT COUNT(*) AS tt, COUNT(DISTINCT term) AS v FROM tok),
+       |sc AS (SELECT doc_id,
+       |         CAST(SUM(tf * CAST(FLOOR(ln((c + 1.0) / (tt + v))
+       |                  * 1000000.0) AS BIGINT)) AS BIGINT) AS lp_micros,
+       |         CAST(SUM(tf) AS BIGINT) AS n_tokens
+       |       FROM tf JOIN cnt USING (term) CROSS JOIN tot
+       |       GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |       ROUND((CAST(lp_micros AS DOUBLE) / 1000000.0) / n_tokens,
+       |             6) AS avg_logprob
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TfIdf.unigramLogProb(Tables.documents(s, d),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking (TextOps.chunks) — pretraining
     * prep: 64-token chunks every 48 tokens (25% overlap). Map-only +
     * one explode, no shuffle; output carries the chunk's token count
@@ -2555,7 +2590,7 @@ object Queries {
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
-    qTTfidf, qTBm25, qTChunks, qPipePack, qO11Mixture,
+    qTTfidf, qTBm25, qTUnigramLp, qTChunks, qPipePack, qO11Mixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
     qDCcClusters, qPipeCuration,
     qPipePretrain, qDDecontaminate,

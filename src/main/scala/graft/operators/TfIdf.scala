@@ -97,4 +97,43 @@ object TfIdf {
     TopK.perGroup(bm25Scores(docs, idCol, textCol), Seq("id"),
       Seq(col("score").desc, col("term")), k, rankName = "rank")
       .select("id", "term", "tf", "score", "rank")
+
+  /** Corpus-LM quality scoring: each document's mean token
+    * log-probability under the corpus's own add-1-smoothed unigram
+    * distribution — the cheap, trainable-model-free stand-in for a
+    * perplexity filter (KenLM-style): documents of globally rare /
+    * out-of-distribution tokens score low and gate out.
+    *
+    * Determinism at scale: a SUM of raw double logprobs is
+    * partitioning-DEPENDENT (float addition is not associative), so
+    * each term's logprob is quantized once to fixed-point micros
+    * (`floor(ln(p) * 1e6)` — a LONG) and the per-doc sum runs in
+    * exact integer arithmetic; one double division at the end. Same
+    * sufficient-statistics trick as Stats.pearsonExact.
+    *
+    * Scale shape: tf shuffles once on (id, term); the count table is
+    * vocabulary-sized (Heaps' law) and joins by term; corpus totals
+    * (T tokens, V vocab) ride in as one broadcast grand agg. Output:
+    * (id, n_tokens, avg_logprob).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("tt"),
+      count_distinct(col("term")).as("v"))
+    val lpMicros = floor(
+      log((col("c") + lit(1.0)) / (col("tt") + col("v")))
+        * lit(1000000.0)).cast("long")
+    tf.join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(sum(col("tf") * lpMicros).as("lp_micros"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("id"), col("n_tokens"),
+        ((col("lp_micros").cast("double") / lit(1000000.0))
+          / col("n_tokens")).as("avg_logprob"))
+  }
 }

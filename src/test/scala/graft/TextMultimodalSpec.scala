@@ -168,6 +168,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(idf.getAs[Double]("idf") == 1.0)
   }
 
+  test("unigramLogProb: out-of-distribution docs score lowest; " +
+      "bm25 ranks the salient term above the ubiquitous one") {
+    import graft.operators.TfIdf
+    val docs = (Seq(
+      (0L, "the cat sat on the mat near the door"),
+      (1L, "the dog ran to the door and sat down"),
+      (2L, "zzqx vvkw pplr mmnt bbcd qqrs wwty kkjh")) ++ // singleton junk
+      (3L to 8L).map(i => (i, "the cat and the dog sat near the mat")))
+      .toDF("doc_id", "text")
+    val lp = TfIdf.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every token of doc 2 is corpus-unique → lowest mean logprob
+    assert(lp(2L) < lp.removed(2L).values.min)
+    // fixed-point integer sums ⇒ bitwise-identical under repartition
+    val re = TfIdf.unigramLogProb(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == lp)
+
+    // BM25: "the" is in every doc (near-zero idf) — a term unique to
+    // doc 0 must outrank it despite "the"'s higher tf
+    val top = TfIdf.bm25TopTerms(docs, "doc_id", "text", 1)
+      .filter($"id" === 0L).collect()
+    assert(top.length == 1 && top(0).getAs[String]("term") != "the")
+  }
+
   test("chunks: overlapping windows cover every token; short doc = 1 chunk") {
     val docs = Seq(
       "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", // 10 tokens, w=4 s=3 -> 3 chunks
