@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Benchmark main: times every benchmark-flagged query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Uses the noop sink so
@@ -22,9 +23,16 @@ object Bench {
     GraftSession.tune(spark)
 
     // JVM/session warmup outside the timed region (codegen, parquet
-    // footer reads, broadcast machinery).
-    Tables.lineitem(spark, sfDir).limit(10).write
-      .format("noop").mode("overwrite").save()
+    // footer reads, broadcast machinery, shuffle + sort + agg paths —
+    // without the agg/sort warmup the first timed queries absorb
+    // one-time JIT cost and read ~0.3-0.7 s heavy).
+    val wli = Tables.lineitem(spark, sfDir)
+    wli.limit(10).write.format("noop").mode("overwrite").save()
+    wli.limit(10000)
+      .filter(col("l_quantity") > 1)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      .orderBy("l_returnflag")
+      .write.format("noop").mode("overwrite").save()
 
     // Optional comma-separated name filter for targeted iteration
     // (SPARK_GRAFT_ONLY=q_a,q_b); full catalog when unset.

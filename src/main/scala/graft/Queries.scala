@@ -1098,6 +1098,32 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Sampling.weightedSample): Duffield–Lund–Thorup priorities
+    * q = w/u with u from the affine KEY hash (not rand() — re-runs,
+    * re-shards and appends never change a row's draw). No
+    * transcendentals anywhere — a libm ulp would flip the k-th
+    * selection boundary, which is why this is priority sampling and
+    * not Efraimidis–Spirakis u^(1/w). Global TakeOrdered — no full
+    * sort. Heavier o_totalprice ⇒ proportionally likelier; the
+    * oracle replays the identical arithmetic.
+    */
+  val qO13WeightedSample = q(
+    "q_o13_weighted_sample",
+    s"""SELECT o_orderkey, o_totalprice, ROUND(priority, 4) AS priority FROM (
+       |  SELECT o_orderkey, o_totalprice,
+       |         ${graft.operators.Sampling.weightedPrioritySql(
+               "o_orderkey", "o_totalprice")} AS priority
+       |  FROM orders
+       |  ORDER BY priority DESC, o_orderkey LIMIT 100)
+       |ORDER BY priority DESC, o_orderkey""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.weightedSample(
+        Tables.orders(s, d), "o_orderkey", col("o_totalprice"), k = 100)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round(col("priority"), 4).as("priority"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+  }
+
   /** Set operations: customers in both/only-one of two order cohorts. */
   val qO5SetOps = q(
     "q_o5_set_ops",
@@ -1182,6 +1208,48 @@ object Queries {
           unix_timestamp(col("window.start")).as("ws"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("ws", "event_type")
+  }
+
+  /** Time-series resample + forward fill (Resample.gridFfill): the
+    * hourly grid per event_type with gaps forward-filled — pandas
+    * `resample('1h').ffill()` as one declarative plan. Fact-sized
+    * work is ONE map-side-combined agg; the spine is metadata-scale
+    * (|series| × span) from a broadcast grand agg; the fill window
+    * partitions by series (parallelism = series count). Cents sums
+    * keep every value exact, so the fill replay is engine-identical,
+    * including the null prefix before a series' first observation.
+    */
+  val qWResampleFfill = q(
+    "q_w_resample_ffill",
+    """WITH e AS (SELECT event_type,
+      |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 AS bucket,
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |           FROM events),
+      |a AS (SELECT event_type, bucket, COUNT(*) AS n,
+      |        CAST(SUM(cents) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+      |sp AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM a),
+      |g AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+      |s AS (SELECT event_type, bucket
+      |      FROM (SELECT DISTINCT event_type FROM a) CROSS JOIN g),
+      |j AS (SELECT s.event_type, s.bucket, COALESCE(a.n, 0) AS n,
+      |        (a.v IS NOT NULL) AS observed, a.v
+      |      FROM s LEFT JOIN a USING (event_type, bucket)),
+      |f AS (SELECT event_type, bucket, n, observed,
+      |        last_value(v IGNORE NULLS) OVER (
+      |          PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      |      FROM j)
+      |SELECT event_type, bucket, n, observed,
+      |       CAST(fv AS DOUBLE) / 100.0 AS filled
+      |FROM f ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    graft.operators.Resample.gridFfill(
+        Tables.events(s, d), "event_type",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"),
+        stepSec = 3600L)
+      .select(col("event_type"), col("bucket"), col("n"), col("observed"),
+        (col("filled_cents").cast("double") / lit(100.0)).as("filled"))
+      .orderBy("event_type", "bucket")
   }
 
   /** Ranking window: top-3 events per user by value. */
@@ -2590,8 +2658,9 @@ object Queries {
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qO9HashSplit, qO10HashSample,
+    qO9HashSplit, qO10HashSample, qO13WeightedSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
+    qWResampleFfill,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qTUnigramLp, qTChunks, qPipePack, qO11Mixture,

@@ -78,4 +78,37 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Priority column for weighted sampling WITHOUT replacement, after
+    * Duffield–Lund–Thorup priority sampling: q = w / u with u uniform
+    * in (0, 1]; the k rows with the LARGEST q are the sample
+    * (inclusion probability ≈ min(1, w/τ) for the k-th priority τ —
+    * heavier rows proportionally likelier).
+    *
+    * Chosen over Efraimidis–Spirakis u^(1/w) deliberately: ES needs a
+    * transcendental (pow/ln), and libm implementations differ by ulps
+    * across engines — enough to flip a selection at the k-th
+    * boundary. q = w/u is two exact-input divisions: u comes from the
+    * affine key hash (not `rand()` — re-runs, re-shards and appends
+    * never change a row's draw), so the priority is bit-identical on
+    * any engine and any partitioning.
+    */
+  def weightedPriority(key: Column, weight: Column): Column = {
+    val u = (hashBucket(key, 1000000) + lit(1)).cast("double") / lit(1000000.0)
+    weight / u
+  }
+
+  /** SQL rendering of [[weightedPriority]] (identical op order). */
+  def weightedPrioritySql(keySql: String, weightSql: String): String =
+    s"""$weightSql / ((${hashBucketSql(keySql, 1000000)} + 1) / 1000000.0)"""
+
+  /** Weighted sample of k rows (heavier `weight` → more likely):
+    * global TakeOrdered on the priority — no full sort materializes.
+    * Ties break on the key, so the boundary row is unambiguous.
+    */
+  def weightedSample(df: DataFrame, key: String, weight: Column,
+      k: Int): DataFrame =
+    df.withColumn("priority", weightedPriority(col(key), weight))
+      .orderBy(col("priority").desc, col(key))
+      .limit(k)
 }

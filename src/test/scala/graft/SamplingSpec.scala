@@ -71,6 +71,50 @@ class SamplingSpec extends SparkSpec {
       kept.collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample: heavy rows dominate proportionally; draw is " +
+      "deterministic and partitioning-invariant") {
+    // 5000 light rows (w=1) vs 5000 heavy rows (w=10): a 500-row ES
+    // sample should hold heavy rows at roughly a 10:1 ratio
+    val rows = (0L until 10000L).map(i =>
+      (i, if (i % 2 == 0) 10.0 else 1.0)).toDF("id", "w")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "id", col("w"), k = 500)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val s1 = draw(rows)
+    assert(s1.length == 500 && s1.distinct.length == 500)
+    val heavy = s1.count(_ % 2 == 0)
+    assert(heavy > 400, s"heavy=$heavy of 500 — not weight-proportional")
+    assert(heavy < 500, "light rows must still appear")
+    // same rows in the same order on any partitioning, every run
+    assert(draw(rows.repartition(17)) == s1)
+  }
+
+  test("gridFfill: gaps fill forward per series; leading gap stays null") {
+    import graft.operators.Resample
+    // series a observed at hours 0,1,3 (gap at 2); b first seen at 2
+    val ev = Seq(
+      ("a", 0L * 3600 + 10, 100L), ("a", 1L * 3600 + 20, 200L),
+      ("a", 3L * 3600 + 30, 300L), ("a", 3L * 3600 + 40, 5L),
+      ("b", 2L * 3600 + 50, 900L))
+      .toDF("k", "sec", "cents")
+    val got = Resample.gridFfill(ev, "k", col("sec"), col("cents"), 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got.size == 8) // 2 series × hours 0..3
+    assert(got(("a", 2L)) == ((0L, false, Some(200L)))) // gap fills forward
+    assert(got(("a", 3L)) == ((2L, true, Some(305L)))) // two obs sum
+    assert(got(("b", 0L)) == ((0L, false, None))) // before first obs: null
+    assert(got(("b", 1L)) == ((0L, false, None)))
+    assert(got(("b", 2L)) == ((1L, true, Some(900L))))
+    val re = Resample.gridFfill(ev.repartition(5), "k", col("sec"),
+        col("cents"), 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(re == got)
+  }
+
   test("packContiguous: bins bounded by ctx + piece, docs stay in one shard") {
     import graft.operators.{Packing, TextOps}
     val chunked = Tables.documents(spark, Sf001)
