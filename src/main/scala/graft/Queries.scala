@@ -831,6 +831,31 @@ object Queries {
     }
   }
 
+  /** Robust grouped outliers via the modified z-score
+    * (Stats.madOutliers, Iglewicz–Hoaglin 0.6745·(x−med)/MAD > 3.5):
+    * the heavy-tail-safe complement to q_a12 — a few extreme spikes
+    * can't inflate the spread and mask each other (median/MAD have a
+    * 50% breakdown point). Median and MAD are discrete order
+    * statistics on floor-quantized cents — exact integers, never
+    * summed — and the oracle replays the selection and the fixed
+    * double formula op-for-op.
+    */
+  val qA14MadOutliers = {
+    val keep = Seq("event_id", "event_type", "value")
+    q(
+      "q_a14_mad_outliers",
+      s"""SELECT event_id, event_type, value, ROUND(z, 6) AS z
+         |FROM (${graft.operators.Stats.madOracleSql(
+             "events", "event_type", "FLOOR(value * 100)", 3.5, keep)})
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.Stats.madOutliers(
+          Tables.events(s, d), "event_type", floor(col("value") * 100), 3.5,
+          keep)
+        .withColumn("z", round(col("z"), 6))
+        .orderBy("event_id")
+    }
+  }
+
   /** Collect-to-array with DETERMINISTIC order: collect_list order is
     * partition-dependent (useless for reproducible output), so the
     * catalog rendering sorts the collected array and joins to a
@@ -2656,7 +2681,7 @@ object Queries {
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
-    qA11QuantileSketch, qA12Outliers,
+    qA11QuantileSketch, qA12Outliers, qA14MadOutliers,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,

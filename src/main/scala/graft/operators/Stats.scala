@@ -221,6 +221,55 @@ object Stats {
       .select(keep.map(col) :+ col("z"): _*)
   }
 
+  /** Robust grouped outlier detection via the modified z-score
+    * (Iglewicz–Hoaglin): 0.6745·(x − median)/MAD, flag |z| > zMax
+    * (3.5 classic). Unlike [[zscoreOutliers]], a few extreme spikes
+    * cannot inflate the spread estimate and mask each other — median
+    * and MAD have a 50% breakdown point, which is what a
+    * heavy-tailed cleaning gate actually needs.
+    *
+    * Exactness: `xInt` integer-quantized as in zscoreOutliers; median
+    * and MAD are DISCRETE order statistics (selected elements, never
+    * interpolated, never summed) so they are partitioning-invariant
+    * exact integers; z is fixed double arithmetic on them. Groups
+    * with MAD = 0 (over half the group identical) flag nothing by
+    * contract. Scale: two groupedQuantilesDisc passes (the exact
+    * audit path — swap in groupedQuantilesSelect's 3-pass selection,
+    * value-identical per StatsSpec, when the fact cannot afford a
+    * per-group sort) + two broadcast joins of groups-sized tables.
+    */
+  def madOutliers(
+      df: DataFrame, group: String, xInt: Column, zMax: Double,
+      keep: Seq[String]): DataFrame = {
+    val base = df.withColumn("xl", xInt.cast("long"))
+    val med = groupedQuantilesDisc(base, group, "xl", Seq(0.5))
+      .select(col(group), col("p50").as("med"))
+    val dev = base.join(broadcast(med), Seq(group))
+      .withColumn("dev", abs(col("xl") - col("med")))
+    val mad = groupedQuantilesDisc(dev, group, "dev", Seq(0.5))
+      .select(col(group), col("p50").as("mad"))
+    dev.join(broadcast(mad), Seq(group))
+      .withColumn("z", lit(0.6745) * (col("xl") - col("med")).cast("double")
+        / col("mad").cast("double"))
+      .filter(col("mad") > 0 && abs(col("z")) > zMax)
+      .select(keep.map(col) :+ col("z"): _*)
+  }
+
+  /** DuckDB rendering of `madOutliers` (identical op order). */
+  def madOracleSql(
+      table: String, group: String, xIntSql: String, zMax: Double,
+      keep: Seq[String]): String =
+    s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
+       |m AS (${quantilesOracleSql("b", group, "xl", Seq(0.5))}),
+       |d AS (SELECT b.*, m.p50 AS med, abs(b.xl - m.p50) AS dev
+       |      FROM b JOIN m USING ($group)),
+       |md AS (${quantilesOracleSql("d", group, "dev", Seq(0.5))}),
+       |f AS (SELECT d.*, md.p50 AS mad FROM d JOIN md USING ($group))
+       |SELECT ${keep.mkString(", ")},
+       |       0.6745 * (xl - med) / mad AS z
+       |FROM f
+       |WHERE mad > 0 AND abs(0.6745 * (xl - med) / mad) > $zMax""".stripMargin
+
   /** DuckDB rendering of `zscoreOutliers` (identical op order), for
     * oracle replay: same floor quantization, same exact integer
     * sufficient statistics, same double formula.

@@ -30,6 +30,38 @@ class StatsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("madOutliers: spikes can't mask each other; zscore masked, MAD not") {
+    // 20 calm readings + FIVE coordinated big spikes: the spikes drag
+    // the classical std up (masking — only some flag at z>3) but
+    // median/MAD ignore them entirely
+    val rows = (0 until 20).map(i => (i.toLong, "g", 10.0 + (i % 4) * 0.01)) ++
+      (900L to 904L).map(i => (i, "g", 500.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val mad = Stats.madOutliers(df, "event_type",
+        floor(col("value") * 100), 3.5,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(_.getLong(0)).toSet
+    assert(mad == (900L to 904L).toSet, s"got $mad")
+    val classical = Stats.zscoreOutliers(df, "event_type",
+        floor(col("value") * 100), 3.0,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(_.getLong(0)).toSet
+    assert(classical.size < 5, // the spikes inflate sd and mask themselves
+      s"expected masking in the classical z, got $classical")
+    // invariant under repartitioning (discrete order statistics)
+    val re = Stats.madOutliers(df.repartition(11), "event_type",
+        floor(col("value") * 100), 3.5,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(_.getLong(0)).toSet
+    assert(re == mad)
+    // a group where >half the values are identical (MAD=0) flags nothing
+    val deg = (0 until 30).map(i => (i.toLong, "h", 5.0)) ++
+      Seq((99L, "h", 80.0))
+    assert(Stats.madOutliers(deg.toDF("event_id", "event_type", "value"),
+      "event_type", floor(col("value") * 100), 3.5,
+      Seq("event_id")).count() == 0L)
+  }
+
   test("groupedQuantilesDisc matches a driver-side sorted reference") {
     val li = Tables.lineitem(spark, Sf0001)
     val got = Stats.groupedQuantilesDisc(
