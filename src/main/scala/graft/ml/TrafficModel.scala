@@ -104,4 +104,35 @@ object TrafficModel {
     model.write.overwrite().save(path)
 
   def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** Hyperparameter search: k-fold cross-validated depth selection
+    * for the decision tree — the distributed rendering of the
+    * notebook's manual "try a few models, keep the best" loop
+    * (Traffic-Prediction-Modelling.ipynb cells 10–15). Each
+    * (fold × depth) fit is an independent Spark job, so the search
+    * parallelizes across the grid on a cluster (`setParallelism`);
+    * the winner is refit on the full training set. Returns the best
+    * model and (depth → mean CV MAE).
+    */
+  def tuneTreeDepth(
+      train: DataFrame,
+      depths: Seq[Int],
+      nFolds: Int = 3): (PipelineModel, Map[Int, Double]) = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val dt = new DecisionTreeRegressor()
+      .setFeaturesCol("features").setLabelCol(LabelCol).setSeed(42)
+    val pipe = new Pipeline().setStages(Array(assembler, dt))
+    val grid = new ParamGridBuilder()
+      .addGrid(dt.maxDepth, depths).build()
+    val cv = new CrossValidator()
+      .setEstimator(pipe)
+      .setEstimatorParamMaps(grid)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol(LabelCol).setPredictionCol("prediction")
+        .setMetricName("mae"))
+      .setNumFolds(nFolds).setParallelism(4).setSeed(42)
+    val m = cv.fit(prepare(train))
+    val byDepth = grid.map(_.apply(dt.maxDepth)).zip(m.avgMetrics).toMap
+    (m.bestModel.asInstanceOf[PipelineModel], byDepth)
+  }
 }

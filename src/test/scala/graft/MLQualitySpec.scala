@@ -123,4 +123,21 @@ class MLQualitySpec extends SparkSpec {
     val b = TrafficModel.mae(TrafficModel.predict(loaded, test))
     assert(a == b)
   }
+
+  test("hyperparameter search: CV picks the notebook's deep tree over " +
+      "a shallow one and the winner clears the MAE gate") {
+    val (train, test) = split
+    val (best, byDepth) = TrafficModel.tuneTreeDepth(train, Seq(4, 13))
+    info(byDepth.toSeq.sorted.map { case (d, m) => f"depth=$d mae=$m%.5f" }
+      .mkString(", "))
+    assert(byDepth(13) < byDepth(4),
+      s"depth 13 must beat depth 4 in CV: $byDepth")
+    val chosen = best.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.DecisionTreeRegressionModel]
+      .getMaxDepth
+    assert(chosen == 13)
+    val testMae = TrafficModel.mae(TrafficModel.predict(best, test))
+    info(f"tuned DT test MAE=$testMae%.5f (gate 0.05)")
+    assert(testMae <= 0.05)
+  }
 }
