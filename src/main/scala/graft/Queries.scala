@@ -807,6 +807,27 @@ object Queries {
     est.join(exact, Seq("l_partkey")).orderBy("l_partkey")
   }
 
+  /** Z-order (Morton) key (operators/ZOrder.zValue2) — the
+    * multi-dimensional clustering key for file skipping: sort a lake
+    * table by this and every file's min/max stats stay narrow in
+    * BOTH dimensions (ZOrderSpec measures the span win vs a
+    * single-column sort). Exact integer shifts/masks/adds — the
+    * oracle replays the identical unrolled sum term for term.
+    */
+  val qXZorder = q(
+    "q_x_zorder",
+    s"""SELECT l_orderkey, l_linenumber,
+       |       ${graft.operators.ZOrder.zValue2Sql(
+             "l_partkey", "l_suppkey")} AS zval
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zValue2(
+          col("l_partkey"), col("l_suppkey")).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Grouped z-score outlier detection (Stats.zscoreOutliers) — the
     * numeric anomaly gate of a cleaning pipeline. Measures quantize
     * to integer cents by FLOOR (not a decimal cast — engine-identical
@@ -2676,7 +2697,7 @@ object Queries {
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake,
-    qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune,
+    qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
