@@ -214,6 +214,47 @@ class SourcesSinksSpec extends SparkSpec {
     assert(lenient.filter(col("doc_id").isNotNull).count() == docs.count())
   }
 
+  test("incremental aggregate merge: N deltas == full recompute " +
+      "exactly; a tiny delta rewrites only its hash buckets") {
+    import spark.implicits._
+    val root = tmpDir("lake_ivm")
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    // three append-only delta batches
+    for (i <- 0 until 3)
+      PartitionedLake.mergeAdditive(spark, root, "agg",
+        ev.filter(col("event_id") % 3 === i), "user_id", cents, nBuckets = 8)
+    val got = PartitionedLake.read(spark, root, "agg")
+      .select("user_id", "n", "sum_cents").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = ev.withColumn("__v", cents).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("__v").as("s")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == full) // additive integer merge ≡ one-shot recompute
+
+    // a single-user delta must rewrite only that user's bucket
+    val oneUser = got.keySet.head
+    val bucket = graft.operators.Sampling.hashBucket(lit(oneUser), 8)
+    val bucketId = ev.sparkSession.range(1).select(bucket).first().getLong(0)
+    def files(b: Long) = {
+      val d = new java.io.File(s"$root/agg/p_bucket=$b")
+      if (d.exists()) d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      else Map.empty[String, Long]
+    }
+    val before = (0L until 8L).map(b => b -> files(b)).toMap
+    PartitionedLake.mergeAdditive(spark, root, "agg",
+      Seq((oneUser, 1.00)).toDF("user_id", "value"), "user_id", cents,
+      nBuckets = 8)
+    for (b <- 0L until 8L; if b != bucketId)
+      assert(files(b) == before(b), s"bucket $b rewritten")
+    val after = PartitionedLake.read(spark, root, "agg")
+      .filter(col("user_id") === oneUser)
+      .select("n", "sum_cents").first()
+    assert(after.getLong(0) == full(oneUser)._1 + 1)
+    assert(after.getLong(1) == full(oneUser)._2 + 100)
+  }
+
   test("schema evolution: mergeSchema reads mixed-generation parquet " +
       "shards, null-filling the column old shards predate") {
     import spark.implicits._
