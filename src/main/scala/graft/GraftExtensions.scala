@@ -77,11 +77,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"text_shingle_hashes: n must be a literal int, got $other")
         })))
+    e.injectFunction((
+      new FunctionIdentifier("z_value2"),
+      new ExpressionInfo(graft.operators.ZOrder.getClass.getName, "z_value2"),
+      GraftExtensions.zValue2Builder))
+    e.injectFunction((
+      new FunctionIdentifier("weighted_priority"),
+      new ExpressionInfo(graft.operators.Sampling.getClass.getName,
+        "weighted_priority"),
+      GraftExtensions.weightedPriorityBuilder))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.GraftColumnBridge
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Composed-Column functions (no single native Expression class —
+    * the builder expands the same exact-integer column tree the Scala
+    * API uses, so SQL callers get identical semantics and codegen).
+    */
+  private[graft] val zValue2Builder: Seq[Expression] => Expression =
+    exprs => GraftColumnBridge.toCatalystExpr(
+      graft.operators.ZOrder.zValue2(
+        GraftColumnBridge.toColumn(exprs(0)),
+        GraftColumnBridge.toColumn(exprs(1))))
+
+  private[graft] val weightedPriorityBuilder: Seq[Expression] => Expression =
+    exprs => GraftColumnBridge.toCatalystExpr(
+      graft.operators.Sampling.weightedPriority(
+        GraftColumnBridge.toColumn(exprs(0)),
+        GraftColumnBridge.toColumn(exprs(1))))
+
   /** Register on an already-built session (config-time injection only
     * works for sessions constructed with spark.sql.extensions set).
     */
@@ -112,5 +140,8 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"text_shingle_hashes: n must be a literal int, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("z_value2", zValue2Builder, "built-in")
+    reg.createOrReplaceTempFunction("weighted_priority",
+      weightedPriorityBuilder, "built-in")
   }
 }

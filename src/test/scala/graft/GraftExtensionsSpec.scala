@@ -65,4 +65,28 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT text_simhash(text) AS h FROM docs2").collect()
     assert(sh.forall(_.getLong(0) >= 0L))
   }
+
+  test("z_value2 and weighted_priority callable from SQL, matching " +
+      "the Scala column API") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftSession.tune(s2)
+    Tables.lineitem(s2, Sf0001).limit(50)
+      .createOrReplaceTempView("li_ext")
+    val sql = s2.sql(
+      """SELECT z_value2(l_partkey, l_suppkey) AS z,
+        |       weighted_priority(l_orderkey, l_extendedprice) AS p
+        |FROM li_ext""".stripMargin).collect()
+    val api = Tables.lineitem(s2, Sf0001).limit(50)
+      .select(
+        graft.operators.ZOrder.zValue2(
+          org.apache.spark.sql.functions.col("l_partkey"),
+          org.apache.spark.sql.functions.col("l_suppkey")).as("z"),
+        graft.operators.Sampling.weightedPriority(
+          org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_extendedprice")).as("p"))
+      .collect()
+    assert(sql.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      api.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
 }
