@@ -172,4 +172,45 @@ class PlanSpec extends SparkSpec {
     assert(test.count() === df.count() - 700)
     assert(train.intersect(test).isEmpty)
   }
+
+  test("q_a12: stats broadcast back; the fact never hash-shuffles " +
+      "(2 exchanges: stats agg + output sort)") {
+    val p = planOf("q_a12_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val nEx = p.linesIterator.count(l =>
+      l.contains(") Exchange") && !l.contains("Reused"))
+    assert(nEx == 2, s"$nEx exchanges\n$p")
+  }
+
+  test("q_e_cluster_reps: map-side assignment, heap top-k — 2 " +
+      "exchanges (heap partial/final + output sort), no Window") {
+    val p = planOf("q_e_cluster_reps")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+    val nEx = p.linesIterator.count(l =>
+      l.contains(") Exchange") && !l.contains("Reused"))
+    assert(nEx == 2, s"$nEx exchanges\n$p")
+  }
+
+  test("q_t_bm25: heap top-k, corpus stats ride a broadcast — " +
+      "no window sort over the posting table") {
+    val p = planOf("q_t_bm25")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats agg
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_o13: weighted sample is TakeOrdered straight over the scan " +
+      "— no exchange, no sort of the fact") {
+    val p = planOf("q_o13_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // zero exchanges: the map-side priority feeds the heap directly;
+    // the only Sort in the plan orders the k-row OUTPUT above the
+    // TakeOrdered, never the fact below it
+    assert(!p.linesIterator.exists(l => l.contains(") Exchange")), p)
+    val sortId = raw"\((\d+)\) Sort".r.findFirstMatchIn(p).get.group(1).toInt
+    val takeId = raw"\((\d+)\) TakeOrderedAndProject".r
+      .findFirstMatchIn(p).get.group(1).toInt
+    assert(sortId > takeId, p) // ids number bottom-up: Sort sits ABOVE
+  }
 }
