@@ -2005,19 +2005,23 @@ object Queries {
     * and rolling-hash fingerprint (the oracled primitive) instead of
     * the chunk text, so the row stays narrow however long the doc.
     */
-  /** Chunk CTE `t(doc_id, toks)` → `ch(doc_id, chunk_idx, chunk)` —
-    * 64-token windows every 48; shared verbatim by q_t_chunks and
-    * q_pipe_pack so the two oracles cannot drift.
+  /** Chunk CTE `<src>(doc_id, toks)` → `ch(doc_id, chunk_idx, chunk)`
+    * — 64-token windows every 48; shared verbatim by q_t_chunks,
+    * q_pipe_pack and q_pipe_end2end so the oracles cannot drift. The
+    * source CTE name is a parameter so compositions can chunk a
+    * filtered survivor set instead of raw `documents`.
     */
-  private val duckChunkCte =
-    """c AS (SELECT doc_id, toks,
-      |        CASE WHEN len(toks) <= 64 THEN 1
-      |             ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nch
-      |      FROM t),
-      |e AS (SELECT doc_id, toks, unnest(range(nch)) AS ci FROM c),
-      |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
-      |         array_to_string(list_slice(toks, ci*48 + 1, ci*48 + 64), ' ') AS chunk
-      |       FROM e)""".stripMargin
+  private def duckChunkCteFrom(src: String): String =
+    s"""c AS (SELECT doc_id, toks,
+       |        CASE WHEN len(toks) <= 64 THEN 1
+       |             ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nch
+       |      FROM $src),
+       |e AS (SELECT doc_id, toks, unnest(range(nch)) AS ci FROM c),
+       |ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       |         array_to_string(list_slice(toks, ci*48 + 1, ci*48 + 64), ' ') AS chunk
+       |       FROM e)""".stripMargin
+
+  private val duckChunkCte = duckChunkCteFrom("t")
 
   val qTChunks = q(
     "q_t_chunks",
@@ -2281,6 +2285,79 @@ object Queries {
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.pipelines.CorpusCuration.curate(Tables.documents(s, d))
       .orderBy("doc_id")
+  }
+
+  /** THE whole pretraining-data pipeline as ONE oracle-exact query:
+    * exact dedup → MinHash near-dup removal → language gate → token
+    * floor (= q_pipe_corpus_curation) → overlapping token-window
+    * chunking (= q_t_chunks) → per-shard sequence packing
+    * (= q_pipe_pack) → deterministic train/val/test hash split
+    * (= q_o9). Six stages, one lazy plan, and the DuckDB side replays
+    * every stage by REUSING the per-stage CTE fragments verbatim
+    * (minhash chain, parameterized chunk chain, split buckets) — the
+    * composition cannot drift from the already-proven pieces. This is
+    * the query a user actually ships: raw crawl in, packed split
+    * training sequences out.
+    */
+  val qPipeEnd2End = q(
+    "q_pipe_end2end",
+    s"""WITH keep0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d0 AS (SELECT dd.doc_id, dd.text FROM documents dd JOIN keep0 USING (doc_id)),
+       |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
+       |$duckMinhashPairChain,
+       |nd AS (SELECT DISTINCT id_b AS doc_id FROM j
+       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+       |d1 AS (SELECT d0.doc_id, d0.text FROM d0
+       |       WHERE d0.doc_id NOT IN (SELECT doc_id FROM nd)),
+       |tk AS (SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS lotoks
+       |       FROM d1),
+       |sc AS (SELECT doc_id, toks,
+       |         len(list_filter(lotoks, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+       |         len(list_filter(lotoks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+       |         len(list_filter(lotoks, t -> list_contains(['le','la','et','les','est'], t))) AS s_fr,
+       |         len(list_filter(lotoks, t -> list_contains(['el','los','que','y','es'], t))) AS s_es,
+       |         len(list_filter(lotoks, t -> list_contains(['de','het','een','en','van'], t))) AS s_nl
+       |       FROM tk),
+       |sv AS (SELECT doc_id, toks FROM sc
+       |       WHERE s_en = greatest(s_en, s_de, s_fr, s_es, s_nl)
+       |         AND greatest(s_en, s_de, s_fr, s_es, s_nl) > 0
+       |         AND len(toks) >= 10),
+       |${duckChunkCteFrom("sv")},
+       |nn AS (SELECT doc_id, chunk_idx,
+       |         CAST(len(list_filter(regexp_split_to_array(chunk, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |       FROM ch),
+       |ss AS (SELECT *, ${graft.operators.Sampling.hashBucketSql(
+             "doc_id", 8)} AS shard FROM nn),
+       |pp AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |                  ORDER BY doc_id, chunk_idx) AS BIGINT) AS cum_tokens
+       |       FROM ss)
+       |SELECT doc_id, chunk_idx, n_tokens, shard,
+       |       (cum_tokens - n_tokens) // 1024 AS bin,
+       |       (cum_tokens - n_tokens) % 1024 AS start_offset,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |            WHEN b < 100 THEN 'test' ELSE 'rest' END AS split
+       |FROM (SELECT *, ${graft.operators.Sampling.hashBucketSql(
+             "doc_id", 100)} AS b FROM pp)
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    import graft.operators.{Packing, Sampling, TextOps}
+    val docs = Tables.documents(s, d)
+    val survivors = graft.pipelines.CorpusCuration.curate(docs)
+      .select("doc_id").join(docs, Seq("doc_id"))
+    val chunked = survivors
+      .select(col("doc_id"),
+        posexplode(TextOps.chunks(col("text"), 64, 48))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TextOps.tokens(col("chunk"))).cast("long").as("n_tokens"))
+    val packed = Packing.packContiguous(chunked, "doc_id",
+      Seq("doc_id", "chunk_idx"), "n_tokens", ctx = 1024, shards = 8)
+    Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "chunk_idx", "n_tokens", "shard", "bin",
+        "start_offset", "split")
+      .orderBy("doc_id", "chunk_idx")
   }
 
   /** 60-bit SimHash per document via the native one-pass expression
@@ -2711,7 +2788,7 @@ object Queries {
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qTUnigramLp, qTChunks, qPipePack, qO11Mixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
-    qDCcClusters, qPipeCuration,
+    qDCcClusters, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
