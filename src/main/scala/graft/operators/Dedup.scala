@@ -246,23 +246,33 @@ object Dedup {
     import graft.expressions.{MinHashSig, TextShingleHashes}
     val rowsPerBand = k / bands
     val sh = df.select(col(idCol).as("id"),
-      col(textCol).as("txt"),
       array_distinct(TextShingleHashes(col(textCol), n)).as("hs"))
       .withColumn("sig", MinHashSig.ofHashes(col("hs"), k))
     val banded = sh.select(col("id"),
       explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
-    val sides = sh.select(col("id"), col("txt"), col("hs"))
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     val union = size(col("hs_a")) + size(col("hs_b")) - inter
-    bandCandidatePairs(banded, maxBucket)
-      .join(sides.select(col("id").as("id_a"), col("txt").as("t_a"),
-        col("hs").as("hs_a")), Seq("id_a"))
-      .join(sides.select(col("id").as("id_b"), col("txt").as("t_b"),
-        col("hs").as("hs_b")), Seq("id_b"))
+    // stage order is the cost model: the CANDIDATE join carries only
+    // the shingle-hash arrays (needed for the Jaccard gate); the wide
+    // text columns join in afterwards, for gate SURVIVORS only — on a
+    // duplicate-heavy corpus that is orders of magnitude fewer rows
+    val gated = bandCandidatePairs(banded, maxBucket)
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .filter(inter.cast("double") / union.cast("double") >= jaccardFloor)
+      .select("id_a", "id_b")
+    gated
+      .join(texts.select(col("id").as("id_a"), col("txt").as("t_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("txt").as("t_b")), Seq("id_b"))
       .withColumn("dist", when(col("t_a") === col("t_b"), 0)
         .otherwise(levenshtein(col("t_a"), col("t_b"), maxDist)))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      // thresholded levenshtein returns -1 above the bound and can't
+      // go negative otherwise, so ONE predicate reference suffices —
+      // the filter inlines the alias, so each extra reference is a
+      // whole extra DP per row (measured: the 2-predicate spelling
+      // cost ~1.3x on the DP-heavy sf1 corpus)
+      .filter(col("dist") =!= -1)
       .select("id_a", "id_b", "dist")
   }
 
