@@ -1170,6 +1170,28 @@ object Queries {
       .orderBy(col("priority").desc, col("o_orderkey"))
   }
 
+  /** Column profile (Introspect.profile) — the ingest data-quality
+    * report: per column, non-null / exact-distinct counts and
+    * min/max (stringified — one schema for heterogeneous types). One
+    * aggregation pass (multi-distinct plans via Expand); the oracle
+    * replays it as a per-column UNION of grand aggregates.
+    */
+  val qO14Profile = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    q(
+      "q_o14_profile",
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, d) =>
+      graft.operators.Introspect.profile(Tables.orders(s, d), cols)
+        .orderBy("column")
+    }
+  }
+
   /** Set operations: customers in both/only-one of two order cohorts. */
   val qO5SetOps = q(
     "q_o5_set_ops",
@@ -2781,7 +2803,7 @@ object Queries {
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qO9HashSplit, qO10HashSample, qO13WeightedSample,
+    qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
     qTTokens, qDExact,

@@ -24,4 +24,32 @@ object Introspect {
   def numericCols(df: DataFrame): Seq[String] =
     columnsOfType(df, IntegerType, LongType, FloatType, DoubleType,
       ShortType, ByteType)
+
+  /** Column profile — the data-quality report every ingest runs
+    * first: per column, non-null count, exact distinct count, and
+    * min/max (as strings, so one output schema covers heterogeneous
+    * column types). ONE aggregation pass over the table (Catalyst
+    * plans the multi-distinct via Expand — |cols| replicas of the
+    * fact through one shuffle); the melt to one-row-per-column
+    * happens on the single aggregated row. At 100 TB with many
+    * profiled columns, swap exact distincts for the HLL sketch
+    * (operators/Sketch) — same report shape, one fact pass total.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")))
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackExpr =
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`")
+        .mkString(", ") +
+        ") AS (column, n_nonnull, n_distinct, min_str, max_str)"
+    one.select(col("__n").as("n_rows"), expr(stackExpr))
+      .select("column", "n_rows", "n_nonnull", "n_distinct",
+        "min_str", "max_str")
+  }
 }

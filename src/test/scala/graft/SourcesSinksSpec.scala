@@ -214,6 +214,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(lenient.filter(col("doc_id").isNotNull).count() == docs.count())
   }
 
+  test("O4+: column profile counts nulls and distincts, stringifies " +
+      "extrema across heterogeneous types") {
+    import spark.implicits._
+    import graft.operators.Introspect
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")),
+      (3L, Option("a"))).toDF("id", "s")
+    val p = Introspect.profile(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") == ((4L, 4L, 3L, "1", "3")))
+    assert(p("s") == ((4L, 3L, 2L, "a", "b"))) // null excluded everywhere
+  }
+
   test("incremental aggregate merge: N deltas == full recompute " +
       "exactly; a tiny delta rewrites only its hash buckets") {
     import spark.implicits._
