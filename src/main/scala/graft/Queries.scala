@@ -1170,6 +1170,28 @@ object Queries {
       .orderBy(col("priority").desc, col("o_orderkey"))
   }
 
+  /** Unpivot / melt (the inverse of q_o8's pivot): wide measure
+    * columns to (key, measure, value) rows via the `stack` generator
+    * — map-only, no shuffle beyond the output sort. The long shape is
+    * what the profiling/metrics sinks ingest.
+    */
+  val qO15Unpivot = q(
+    "q_o15_unpivot",
+    """SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS value
+      |FROM orders WHERE o_orderkey <= 2000
+      |UNION ALL
+      |SELECT o_orderkey, 'o_custkey' AS measure,
+      |       CAST(o_custkey AS DOUBLE) AS value
+      |FROM orders WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey, measure""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        expr("""stack(2, 'o_totalprice', o_totalprice,
+                |        'o_custkey', CAST(o_custkey AS DOUBLE))
+                |  AS (measure, value)""".stripMargin))
+      .orderBy("o_orderkey", "measure")
+  }
+
   /** Column profile (Introspect.profile) — the ingest data-quality
     * report: per column, non-null / exact-distinct counts and
     * min/max (stringified — one schema for heterogeneous types). One
@@ -1850,8 +1872,12 @@ object Queries {
     * the textbook CC definition, independent of our algorithm. Output
     * is (doc_id, component = min member id, n_members).
     */
-  val qDCcClusters = q(
-    "q_d_cc_clusters",
+  /** Shared DuckDB chain for connected components over the
+    * 3-token-shingle Jaccard ≥ 0.02 graph (doc_id < 500): ends at
+    * `comp(doc_id, component)` — edge-connected docs only. Reused by
+    * q_d_cc_clusters and q_d_survivorship so the graph cannot drift.
+    */
+  private val duckCcComp =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id AS id,
       |         list_distinct(list_transform(range(len(toks) - 2),
@@ -1875,10 +1901,14 @@ object Queries {
       |  SELECT id, id FROM vtx
       |  UNION
       |  SELECT u.src, r.lab FROM und u JOIN reach r ON r.id = u.dst),
-      |comp AS (SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id)
-      |SELECT doc_id, component,
-      |       COUNT(*) OVER (PARTITION BY component) AS n_members
-      |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |comp AS (SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id)""".stripMargin
+
+  val qDCcClusters = q(
+    "q_d_cc_clusters",
+    s"""$duckCcComp
+       |SELECT doc_id, component,
+       |       COUNT(*) OVER (PARTITION BY component) AS n_members
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.{ConnectedComponents, Dedup}
     val edges = Dedup.ngramJaccardPairs(
       Tables.documents(s, d).filter(col("doc_id") < 500),
@@ -1888,6 +1918,42 @@ object Queries {
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
     comp.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Survivorship with a POLICY: one keeper per near-dup cluster,
+    * chosen as the LONGEST member (ties → min id) — the common-crawl
+    * convention (the longest capture usually carries the most
+    * content), vs the min-id rule the curation pipeline uses.
+    * Clusters come from the same CC-over-Jaccard graph as
+    * q_d_cc_clusters (shared CTE chain); docs with no near-dup edge
+    * are their own cluster and survive. The keeper pick runs on the
+    * TopKPerGroup heap plan — no per-cluster sort.
+    */
+  val qDSurvivorship = q(
+    "q_d_survivorship",
+    s"""$duckCcComp,
+       |allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |                d.n_chars
+       |         FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500) d
+       |         LEFT JOIN comp c USING (doc_id)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+       |                  ORDER BY n_chars DESC, doc_id) AS rn
+       |      FROM allc)
+       |SELECT doc_id, component, n_chars FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup, TopK}
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val edges = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.02)
+    val comp = ConnectedComponents.run(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    val allc = docs.select("doc_id", "n_chars")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    TopK.perGroup(allc, Seq("component"),
+        Seq(col("n_chars").desc, col("doc_id")), 1, rankName = "rn")
+      .select("doc_id", "component", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -2804,13 +2870,14 @@ object Queries {
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
+    qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qTUnigramLp, qTChunks, qPipePack, qO11Mixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
-    qDCcClusters, qPipeCuration, qPipeEnd2End,
+    qDCcClusters, qDSurvivorship, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
