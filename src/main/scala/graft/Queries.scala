@@ -1947,6 +1947,8 @@ object Queries {
     val edges = Dedup.ngramJaccardPairs(
       docs, "doc_id", "text", n = 3, minJaccard = 0.02)
     val comp = ConnectedComponents.run(edges, "id_a", "id_b")
+      .localCheckpoint() // as in q_d_cc_clusters: the iterative CC ran;
+      // don't let the join + heap branches replay its rounds
       .select(col("id").as("doc_id"), col("component"))
     val allc = docs.select("doc_id", "n_chars")
       .join(comp, Seq("doc_id"), "left")
