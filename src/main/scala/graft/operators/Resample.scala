@@ -51,4 +51,70 @@ object Resample {
       .select(col(keyCol), col("bucket"), col("n"), col("observed"),
         col("filled_cents"))
   }
+
+  /** [[gridFfill]] for the degenerate shape it documents as its
+    * limit: ONE (or few) giant series, where a per-series window
+    * would serialize the whole fill into a single task. The classic
+    * segmented-prefix decomposition: split the bucket span into
+    * `nRanges` contiguous ranges, compute each range's LAST observed
+    * value (a tiny keys×ranges table), prefix-carry across ranges on
+    * that small table only, then fill within each (series, range)
+    * window — parallelism nRanges per series instead of 1.
+    * Value-identical to gridFfill (ResampleSpec proves it row for
+    * row); the fact-sized work never sees a partition wider than one
+    * range.
+    */
+  def gridFfillSegmented(
+      events: DataFrame,
+      keyCol: String,
+      secCol: Column,
+      valueCents: Column,
+      stepSec: Long,
+      nRanges: Int = 32): DataFrame = {
+    val bucketed = events.withColumn("bucket",
+      floor(secCol / lit(stepSec)).cast("long"))
+    val agg = bucketed.groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("v_cents"))
+    val span = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    // contiguous range id: floor((bucket-lo)·R / (span+1)) ∈ [0, R)
+    def rangeId(b: Column): Column =
+      floor((b - col("lo")).cast("double") * nRanges
+        / (col("hi") - col("lo") + lit(1L)).cast("double")).cast("int")
+    val withR = agg.crossJoin(broadcast(span))
+      .withColumn("rid", rangeId(col("bucket")))
+    // per-(series, range) last observation — keys×ranges rows, tiny
+    val rangeLast = withR.groupBy(col(keyCol), col("rid"))
+      .agg(max(struct(col("bucket"), col("v_cents"))).as("m"))
+      .select(col(keyCol), col("rid"), col("m.v_cents").as("range_last"))
+    // carry into each range = last observation of any EARLIER range.
+    // Every (series, rid) needs a row — a range with no observation
+    // must still inherit the carry — so the window runs over the
+    // keys×ranges spine (tiny table, never the fact).
+    val ridSpine = agg.select(keyCol).distinct()
+      .crossJoin(broadcast(
+        span.select(explode(sequence(lit(0), lit(nRanges - 1))).as("rid"))))
+    val carries = ridSpine
+      .join(rangeLast, Seq(keyCol, "rid"), "left")
+      .withColumn("carry_in",
+        last("range_last", ignoreNulls = true).over(
+          Window.partitionBy(keyCol).orderBy("rid")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(keyCol), col("rid"), col("carry_in"))
+    val grid = span.select(col("lo"), col("hi"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      .withColumn("rid", rangeId(col("bucket")))
+      .select("bucket", "rid")
+    val spine = agg.select(keyCol).distinct().crossJoin(broadcast(grid))
+    val wFill = Window.partitionBy(col(keyCol), col("rid")).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq(keyCol, "bucket"), "left")
+      .join(broadcast(carries), Seq(keyCol, "rid"), "left")
+      .withColumn("observed", col("v_cents").isNotNull)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_cents",
+        coalesce(last("v_cents", ignoreNulls = true).over(wFill),
+          col("carry_in")))
+      .select(col(keyCol), col("bucket"), col("n"), col("observed"),
+        col("filled_cents"))
+  }
 }

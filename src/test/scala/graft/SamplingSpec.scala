@@ -115,6 +115,30 @@ class SamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("gridFfillSegmented == gridFfill, including carries across " +
+      "entirely-empty ranges — the giant-single-series scale path") {
+    import graft.operators.Resample
+    // one giant sparse series: observations at hours 3, 7, then a
+    // long silence spanning several of the 8 ranges, then 190, 199 —
+    // plus a second series to keep the join honest
+    val ev = (Seq(3L, 7L, 190L, 199L).map(h => ("big", h * 3600 + 1, h))
+      ++ Seq(("small", 50L * 3600 + 9, 500L)))
+      .toDF("k", "sec", "cents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val plain = canon(Resample.gridFfill(
+      ev, "k", col("sec"), col("cents"), 3600L))
+    val seg = canon(Resample.gridFfillSegmented(
+      ev, "k", col("sec"), col("cents"), 3600L, nRanges = 8))
+    assert(seg == plain)
+    // the silent middle really crossed empty ranges: hour 100 is
+    // carried from hour 7's observation
+    assert(plain(("big", 100L)) == ((0L, false, Some(7L))))
+    assert(seg(("big", 100L)) == ((0L, false, Some(7L))))
+  }
+
   test("packContiguous: bins bounded by ctx + piece, docs stay in one shard") {
     import graft.operators.{Packing, TextOps}
     val chunked = Tables.documents(spark, Sf001)
