@@ -183,6 +183,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: zValue2 interleave round-trips and preserves " +
+      "rectangle locality on 2000 random pairs") {
+    val gen = Gen.zip(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535))
+    val pairs = samples(gen, 2000)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.ZOrder.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    def interleaveTop(xh: Int, yh: Int): Long =
+      (0 until 8).foldLeft(0L) { (acc, i) =>
+        acc | (((xh >> i) & 1L) << (2 * i)) | (((yh >> i) & 1L) << (2 * i + 1))
+      }
+    got.foreach { case (x, y, z) =>
+      // deinterleave: even bits back to x, odd bits to y — exact inverse
+      var rx = 0L; var ry = 0L
+      (0 until 16).foreach { i =>
+        rx |= ((z >> (2 * i)) & 1L) << i
+        ry |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rx == x && ry == y, s"roundtrip failed for ($x,$y) -> $z")
+      // locality: a z-prefix (top 2k bits) pins x and y each to a
+      // 2^(16-k) aligned window — the property file min/max pruning
+      // rides on. Check k=8: same top-16 z bits ⇒ same top-8 of both
+      assert(((z >> 16) & 0xFFFF) ==
+        interleaveTop(x >> 8, y >> 8), s"prefix mismatch ($x,$y)")
+    }
+  }
+
   test("property: NL holiday calendar invariants for every year 1990-2035") {
     (1990 to 2035).foreach { year =>
       val h = graft.functions.NLHolidays.forYear(year)
