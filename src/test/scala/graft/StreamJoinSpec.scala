@@ -47,6 +47,31 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: each micro-batch joins the static " +
+      "dim (stateless — no watermark, no state store)") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "bronze"), (2L, "gold")).toDF("user", "tier")
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = clicks.toDF().toDF("user", "ts")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user"),
+        "left")
+      .select($"user", $"tier")
+    val q = joined.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(1)), (9L, ts(2)))
+      q.processAllAvailable()
+      clicks.addData((2L, ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("ss_enrich").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1))))
+      assert(got.count(_ == ((2L, Some("gold")))) == 2) // both batches
+      assert(got.contains((1L, Some("bronze"))))
+      assert(got.contains((9L, None))) // unknown user passes through
+    } finally q.stop()
+  }
+
   test("left_outer emits the unattributed impression once the " +
       "watermark proves no click can arrive") {
     implicit val ctx = spark.sqlContext
