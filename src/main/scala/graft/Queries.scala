@@ -828,6 +828,35 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Grouped argmax as a pure AGGREGATE: the row with the largest
+    * measure per group via `max(struct(measure, key))` — two-phase
+    * hash agg with map-side combine, no window, no heap, no extra
+    * shuffle: the cheapest possible plan for "latest/largest row per
+    * key" at any scale (the rank/heap renderings exist for k > 1).
+    * Ties break on the id INSIDE the struct comparison, so the
+    * result is deterministic; the oracle replays it as the
+    * equivalent rank-1 window (same row by construction).
+    */
+  val qA15Argmax = q(
+    "q_a15_argmax",
+    """SELECT event_type, event_id,
+      |       CAST(cents AS DOUBLE) / 100.0 AS value
+      |FROM (SELECT event_type, event_id, cents,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type
+      |                           ORDER BY cents DESC, event_id DESC) AS rn
+      |      FROM (SELECT event_type, event_id,
+      |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |            FROM events))
+      |WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(max(struct(col("cents"), col("event_id"))).as("m"))
+      .select(col("event_type"), col("m.event_id").as("event_id"),
+        (col("m.cents").cast("double") / lit(100.0)).as("value"))
+      .orderBy("event_type")
+  }
+
   /** Grouped z-score outlier detection (Stats.zscoreOutliers) — the
     * numeric anomaly gate of a cleaning pipeline. Measures quantize
     * to integer cents by FLOOR (not a decimal cast — engine-identical
@@ -2869,7 +2898,7 @@ object Queries {
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
-    qA11QuantileSketch, qA12Outliers, qA14MadOutliers,
+    qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO15Unpivot,
