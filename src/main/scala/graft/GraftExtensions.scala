@@ -98,17 +98,28 @@ object GraftExtensions {
     * the builder expands the same exact-integer column tree the Scala
     * API uses, so SQL callers get identical semantics and codegen).
     */
+  private def requireArity(
+      fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${exprs.length}")
+
   private[graft] val zValue2Builder: Seq[Expression] => Expression =
-    exprs => GraftColumnBridge.toCatalystExpr(
-      graft.operators.ZOrder.zValue2(
-        GraftColumnBridge.toColumn(exprs(0)),
-        GraftColumnBridge.toColumn(exprs(1))))
+    exprs => {
+      requireArity("z_value2", exprs, 2)
+      GraftColumnBridge.toCatalystExpr(
+        graft.operators.ZOrder.zValue2(
+          GraftColumnBridge.toColumn(exprs(0)),
+          GraftColumnBridge.toColumn(exprs(1))))
+    }
 
   private[graft] val weightedPriorityBuilder: Seq[Expression] => Expression =
-    exprs => GraftColumnBridge.toCatalystExpr(
-      graft.operators.Sampling.weightedPriority(
-        GraftColumnBridge.toColumn(exprs(0)),
-        GraftColumnBridge.toColumn(exprs(1))))
+    exprs => {
+      requireArity("weighted_priority", exprs, 2)
+      GraftColumnBridge.toCatalystExpr(
+        graft.operators.Sampling.weightedPriority(
+          GraftColumnBridge.toColumn(exprs(0)),
+          GraftColumnBridge.toColumn(exprs(1))))
+    }
 
   /** Register on an already-built session (config-time injection only
     * works for sessions constructed with spark.sql.extensions set).

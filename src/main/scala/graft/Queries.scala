@@ -149,7 +149,18 @@ object Queries {
   // Joins (SURVEY §2 J1, J2, J3)
   // ---------------------------------------------------------------
 
-  /** J1: inner equi-join + aggregate; small dim side broadcast. */
+  /** J1: inner equi-join + aggregate. Customer is FACT-scale (grows
+    * with SF), so it is never hint-broadcast — at 100 TB a forced
+    * broadcast OOMs. Same shape as q_j8: the fact pre-aggregates to
+    * exact cents-long partials per custkey first (map-side-combining
+    * shuffle, |orders| → |customer| rows), the join runs at
+    * |customer| rows per side with whatever strategy AQE picks from
+    * *measured* sizes (broadcast at reference/test scale, shuffle
+    * hash at 100 TB), and long partials re-sum associatively so the
+    * money value is bit-identical to the oracle's one-shot sum.
+    * (Reference-scale inputs — 8.7k×8.6k rows, SURVEY §2 J1 — keep
+    * the provably-tiny broadcast hint in HistoricalTraining.)
+    */
   val qJ1JoinAgg = q(
     "q_j1_join_agg",
     """SELECT c_mktsegment,
@@ -157,12 +168,17 @@ object Queries {
       |       COUNT(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+    val ordAgg = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_part"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+          .as("cents_part"))
+    ordAgg
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(moneySum(col("o_totalprice")).as("revenue"),
-        count(lit(1)).as("n_orders"))
+      .agg((sum("cents_part").cast("double") / lit(100.0)).as("revenue"),
+        sum("n_part").as("n_orders"))
       .orderBy("c_mktsegment")
   }
 
@@ -214,10 +230,16 @@ object Queries {
   }
 
   /** J5: three-table star join — revenue by nation for finished
-    * orders. The scale shape: nation (tiny) broadcasts into customer,
-    * that dimension side broadcasts-or-shuffles into orders, and the
-    * fact table (lineitem) joins last so the largest input is touched
-    * exactly once; the decimal revenue agg is map-side-combining.
+    * orders. The 100 TB shape: only nation (25 rows, genuinely
+    * constant-size) is hint-broadcast; customer is FACT-scale and
+    * never carries a hint. The fact collapses as early as possible —
+    * lineitem pre-aggregates exact cents-long partials per orderkey
+    * (map-side-combining, ~4× shrink before any join), joins the
+    * status-filtered orders keys, re-aggregates per custkey
+    * (|customer| rows), and only then meets customer⋈nation, with
+    * AQE picking the join strategy from measured sizes. Long
+    * partials re-sum associatively at every step, so revenue is
+    * bit-identical to the oracle's one-shot decimal sum.
     */
   val qJ5StarJoin = q(
     "q_j5_star_join",
@@ -233,23 +255,29 @@ object Queries {
       |JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE o_orderstatus = 'F'
       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
-    val cust = Tables.customer(s, d)
+    val custReg = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "n_name")
-    val ord = Tables.orders(s, d)
-      .filter(col("o_orderstatus") === "F")
-      .select("o_orderkey", "o_custkey")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .select("o_orderkey", "n_name")
-    Tables.lineitem(s, d)
+    val liAgg = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_part"),
+        sum((col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+          * ((lit(1) - col("l_discount")).cast("decimal(12,2)") * 100)
+            .cast("long")).as("cents_part"))
+    val perCust = liAgg
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("n_part").as("n_part2"), sum("cents_part").as("cents_part2"))
+    perCust
+      .join(custReg, col("o_custkey") === col("c_custkey"))
       .groupBy("n_name")
-      .agg(
-        moneyDotSum(col("l_extendedprice"), lit(1) - col("l_discount"))
-          .as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg((sum("cents_part2").cast("double") / lit(10000.0)).as("revenue"),
+        sum("n_part2").as("n_items"))
       .orderBy("n_name")
   }
 
@@ -813,18 +841,24 @@ object Queries {
     * BOTH dimensions (ZOrderSpec measures the span win vs a
     * single-column sort). Exact integer shifts/masks/adds — the
     * oracle replays the identical unrolled sum term for term.
+    * bits = 31 so the key honors zValue2's values-fit-in-bits
+    * contract across the full TPC-H SF range (l_partkey reaches
+    * 2·10⁸ at SF1000, still < 2³¹; the default 16 truncates past
+    * tiny SFs). writeClustered min-max-scales instead, which is the
+    * layout-quality answer; here the RAW key is the contract under
+    * oracle replay, so widening the key is the right fix.
     */
   val qXZorder = q(
     "q_x_zorder",
     s"""SELECT l_orderkey, l_linenumber,
        |       ${graft.operators.ZOrder.zValue2Sql(
-             "l_partkey", "l_suppkey")} AS zval
+             "l_partkey", "l_suppkey", bits = 31)} AS zval
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zValue2(
-          col("l_partkey"), col("l_suppkey")).as("zval"))
+          col("l_partkey"), col("l_suppkey"), bits = 31).as("zval"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

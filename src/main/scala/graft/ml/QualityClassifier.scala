@@ -34,14 +34,24 @@ object QualityClassifier {
     "mean_token_len", "stopword_ratio", "punct_ratio",
     "top_2gram_frac", "dup_3gram_frac", "log_tokens")
 
+  /** NaN/null-proof a ratio feature: empty or whitespace-only docs
+    * yield 0/0 ratios, and an unguarded NaN would make the assembler
+    * silently DROP the row — the scored output must keep every input
+    * row, so degenerate docs get 0.0 (which the junk/clean teacher
+    * rules both treat as "not evidence of quality").
+    */
+  private def guarded(c: Column): Column =
+    when(c.isNull || isnan(c), lit(0.0)).otherwise(c)
+
   def featurize(docs: DataFrame, textCol: String): DataFrame = {
     val qf = TextOps.qualityFeatures(col(textCol))
     val rep = TextRepetition(col(textCol))
-    docs
+    val out = docs
       .withColumns(qf.toMap)
       .withColumn("top_2gram_frac", rep.getField("top_2gram_frac"))
       .withColumn("dup_3gram_frac", rep.getField("dup_3gram_frac"))
       .withColumn("log_tokens", log(col("n_tokens").cast("double") + lit(1.0)))
+    FeatureCols.foldLeft(out)((d, f) => d.withColumn(f, guarded(col(f))))
   }
 
   /** Heuristic teacher: weak labels for the obvious extremes only
@@ -66,9 +76,12 @@ object QualityClassifier {
   }
 
   def pipeline(maxIter: Int = 50, regParam: Double = 1e-3): Pipeline = {
+    // "error", not "skip": featurize() guarantees NaN-free features,
+    // and an assembler that silently drops rows would break score()'s
+    // every-row contract — fail loudly if the guarantee ever breaks
     val asm = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("features")
-      .setHandleInvalid("skip")
+      .setHandleInvalid("error")
     val lr = new LogisticRegression()
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxIter(maxIter).setRegParam(regParam).setStandardization(true)

@@ -178,7 +178,10 @@ object Stats {
       count(lit(1)).as("n"),
       sum(xl).as("sx"), sum(yl).as("sy"),
       sum(xl * yl).as("sxy"), sum(xl * xl).as("sxx"),
-      sum((yl * yl).cast("decimal(38,0)")).as("syy"))
+      // syy squares decimal(18,0) operands (not long·long-then-cast):
+      // cents² wraps long for values past ~$30M, and the wrap would
+      // poison the accumulator before the decimal cast saw it
+      sum(yl.cast("decimal(18,0)") * yl.cast("decimal(18,0)")).as("syy"))
     val n = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     s.select(col(group),
@@ -209,7 +212,12 @@ object Stats {
     val stats = base.groupBy(group).agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("xl")).as("sx"),
-        sum((col("xl") * col("xl")).cast("decimal(38,0)")).as("sxx"))
+        // cast BEFORE the multiply: a long·long square silently wraps
+        // for |xl| > ~3.03e9 (ANSI off) while the oracle errors — the
+        // decimal(18,0) operands make the product exact decimal(37,0)
+        // on both engines for the full documented input domain
+        sum(col("xl").cast("decimal(18,0)")
+          * col("xl").cast("decimal(18,0)")).as("sxx"))
       .select(col(group),
         (col("sx").cast("double") / col("n")).as("mean_c"),
         sqrt((col("sxx").cast("double")
@@ -233,24 +241,115 @@ object Stats {
     * interpolated, never summed) so they are partitioning-invariant
     * exact integers; z is fixed double arithmetic on them. Groups
     * with MAD = 0 (over half the group identical) flag nothing by
-    * contract. Scale: two median passes on the SELECTION path
-    * (groupedQuantilesSelect — 3 narrow passes, no per-group sort;
-    * value-identical to the sort-based groupedQuantilesDisc per
-    * StatsSpec, and the oracle replays the sort rendering) + two
-    * broadcast joins of groups-sized tables. Measured at 10× data
-    * the selection path cut this operator 11.6 s → 6.1 s.
+    * contract.
+    *
+    * Scale shape — ONE histogram drives BOTH order statistics.
+    * Naively MAD is two selection runs (median of xl, then median of
+    * |xl−med|), i.e. two extents + two histograms + two rank passes
+    * over the fact. But the dev-median can be *localized* from the
+    * xl histogram alone: every xl-bucket [xlo,xhi) maps to a dev
+    * interval [dlo,dhi] w.r.t. med, so per-group prefix sums over
+    * bucket counts ordered by dhi (resp. dlo) give an exact
+    * upper bound `ub` (≥ target rows certainly at dev ≤ ub) and
+    * lower bound `lb` (≤ lb the count cannot have reached target)
+    * bracketing the true MAD. Only buckets intersecting [lb,ub] need
+    * their rows ranked, and buckets entirely below lb contribute an
+    * exact rank offset (every row there has dev < lb ≤ mad). Bucket
+    * dev-bounds are widened by ±1 (devs are integers) so double
+    * rounding in the bucket-edge arithmetic can never exclude the
+    * target row — widening only ever grows the candidate set.
+    *
+    * Fact passes: extent, histogram, median-bucket rank (≈n/B rows),
+    * candidate-bucket dev rank (≈ a few n/B), final gate — five, two
+    * of them over bucket-sized subsets; everything else is
+    * O(groups·B) metadata. The fact never sorts and never shuffles
+    * (group stats broadcast back). Cut 3.44 s → see BENCH_r07 at
+    * sf0.1 vs the two-run selection path, and at 10× data the
+    * selection family was already 11.6 s → 6.1 s vs per-group sort.
     */
   def madOutliers(
       df: DataFrame, group: String, xInt: Column, zMax: Double,
-      keep: Seq[String]): DataFrame = {
+      keep: Seq[String], buckets: Int = 256): DataFrame = {
+    val B = buckets
     val base = df.withColumn("xl", xInt.cast("long"))
-    val med = groupedQuantilesSelect(base, group, "xl", Seq(0.5))
-      .select(col(group), col("p50").as("med"))
-    val dev = base.join(broadcast(med), Seq(group))
+
+    // pass 1: per-group extent + the (shared) p50 target rank. ONE
+    // projection broadcast everywhere below — identical canonical
+    // plans, so ReuseExchange computes (and builds) it exactly once.
+    val extent = base.groupBy(group).agg(
+        count(lit(1)).as("n"), min("xl").as("mn"), max("xl").as("mx"))
+      .withColumn("target", greatest(ceil(lit(0.5) * col("n")), lit(1L)))
+      .drop("n")
+    val bExtent = broadcast(extent)
+
+    val withB = base.join(bExtent, Seq(group))
+      .withColumn("bkt",
+        least(greatest(
+          floor((col("xl") - col("mn"))
+            / (col("mx") - col("mn") + lit(1e-300)) * B).cast("int"),
+          lit(0)), lit(B - 1)))
+
+    // pass 2: the ONE per-(group, bucket) histogram, reused by the
+    // median selection and the MAD localization. target/mn/mx tag
+    // along (constant per group) so no second extent join is needed.
+    val hist = withB
+      .groupBy(col(group), col("bkt"))
+      .agg(count(lit(1)).as("c"), first("target").as("target"),
+        first("mn").as("mn"), first("mx").as("mx"))
+
+    val wc = Window.partitionBy(group).orderBy("bkt")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("cum0", col("cum") - col("c"))
+    val medBucket = cum
+      .filter(col("target") > col("cum0") && col("target") <= col("cum"))
+      .select(col(group), col("bkt"), (col("target") - col("cum0")).as("rprime"))
+
+    // pass 3: rank only the median bucket (≈ n/B rows per group)
+    val wmed = Window.partitionBy(group).orderBy("xl")
+    val med = withB.join(broadcast(medBucket), Seq(group, "bkt"))
+      .withColumn("rn", row_number().over(wmed))
+      .filter(col("rn") === col("rprime"))
+      .select(col(group), col("xl").as("med"))
+
+    // metadata: each bucket's dev interval w.r.t. med (±1 widening —
+    // see Scaladoc), then exact bracketing bounds for the MAD. All
+    // bound/offset math runs as WINDOWS over the O(groups·B) bucket
+    // table — no extra shuffle aggs, no metadata-to-metadata joins.
+    val bmeta = hist
+      .join(broadcast(med), Seq(group))
+      .withColumn("w", (col("mx") - col("mn") + lit(1e-300)) / B)
+      .withColumn("xlo", col("mn") + col("bkt") * col("w"))
+      .withColumn("xhi", col("mn") + (col("bkt") + 1) * col("w"))
+      .withColumn("dlo", greatest(lit(0.0),
+        greatest(col("xlo") - col("med"), col("med") - col("xhi")) - lit(1.0)))
+      .withColumn("dhi",
+        greatest(col("med") - col("xlo"), col("xhi") - col("med")) + lit(1.0))
+    val wU = Window.partitionBy(group).orderBy("dhi")
+    val wL = Window.partitionBy(group).orderBy("dlo")
+    val wg = Window.partitionBy(group)
+    val candBuckets = bmeta
+      .withColumn("cumU", sum("c").over(wU))
+      .withColumn("cumL", sum("c").over(wL))
+      .withColumn("ub", min(when(col("cumU") >= col("target"), col("dhi"))).over(wg))
+      .withColumn("lb", min(when(col("cumL") >= col("target"), col("dlo"))).over(wg))
+      .withColumn("n_below",
+        sum(when(col("dhi") < col("lb"), col("c"))).over(wg))
+      .filter(col("dlo") <= col("ub") && col("dhi") >= col("lb"))
+      .withColumn("loc_target",
+        col("target") - coalesce(col("n_below"), lit(0L)))
+      .select(col(group), col("bkt"), col("med"), col("loc_target"))
+
+    // pass 4: rank dev over candidate-bucket rows only
+    val wdev = Window.partitionBy(group).orderBy("dev")
+    val mad = withB.join(broadcast(candBuckets), Seq(group, "bkt"))
       .withColumn("dev", abs(col("xl") - col("med")))
-    val mad = groupedQuantilesSelect(dev, group, "dev", Seq(0.5))
-      .select(col(group), col("p50").as("mad"))
-    dev.join(broadcast(mad), Seq(group))
+      .withColumn("rn", row_number().over(wdev))
+      .filter(col("rn") === col("loc_target"))
+      .select(col(group), col("med"), col("dev").as("mad"))
+
+    // final gate: one broadcast of the groups-sized (med, mad) table
+    base.join(broadcast(mad), Seq(group))
       .withColumn("z", lit(0.6745) * (col("xl") - col("med")).cast("double")
         / col("mad").cast("double"))
       .filter(col("mad") > 0 && abs(col("z")) > zMax)
@@ -282,7 +381,7 @@ object Stats {
     s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
        |st AS (SELECT $group, CAST(COUNT(*) AS DOUBLE) AS n,
        |         CAST(SUM(xl) AS BIGINT) AS sx,
-       |         SUM(CAST(xl * xl AS DECIMAL(38,0))) AS sxx
+       |         SUM(CAST(xl AS DECIMAL(18,0)) * CAST(xl AS DECIMAL(18,0))) AS sxx
        |       FROM b GROUP BY $group),
        |sd AS (SELECT $group,
        |         CAST(sx AS DOUBLE) / n AS mean_c,
@@ -310,7 +409,7 @@ object Stats {
        |    CAST(SUM(xl) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
        |    CAST(SUM(xl * yl) AS BIGINT) AS sxy,
        |    CAST(SUM(xl * xl) AS BIGINT) AS sxx,
-       |    SUM(CAST(yl * yl AS DECIMAL(38,0))) AS syy
+       |    SUM(CAST(yl AS DECIMAL(18,0)) * CAST(yl AS DECIMAL(18,0))) AS syy
        |  FROM (SELECT $group,
        |          CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT) AS xl,
        |          CAST(CAST($y AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl

@@ -111,6 +111,20 @@ object TfIdf {
     * exact integer arithmetic; one double division at the end. Same
     * sufficient-statistics trick as Stats.pearsonExact.
     *
+    * Residual cross-engine exposure, stated honestly: the quantization
+    * happens AFTER a transcendental, so this is partitioning-invariant
+    * on any ONE engine (the contract that matters at 100 TB) but one
+    * notch weaker than the repo's no-transcendentals convention
+    * (cf. weightedPriority, which avoids u^(1/w) entirely): if two
+    * engines' `ln` differ by 1 ulp exactly at a ×1e6 floor boundary,
+    * that term's micros flip by 1. JVM Math.log is required
+    * correctly-rounded-to-≤1ulp and DuckDB rides libm; across the
+    * tested vocabularies no boundary case has materialized (q_t_*
+    * hash-parity green every round). If strict bit parity across
+    * engines ever becomes the contract, swap `ln` for a shared
+    * rational approximation over the (integer) c/tt/v inputs — the
+    * quantized-sum shape is unchanged.
+    *
     * Scale shape: tf shuffles once on (id, term); the count table is
     * vocabulary-sized (Heaps' law) and joins by term; corpus totals
     * (T tokens, V vocab) ride in as one broadcast grand agg. Output:

@@ -62,6 +62,50 @@ class StatsSpec extends SparkSpec {
       Seq("event_id")).count() == 0L)
   }
 
+  test("fused MAD localization == definitional median/MAD on adversarial shapes") {
+    // The one-histogram MAD brackets the dev-median from xl-bucket
+    // metadata (lb/ub + exact below-offset). Hammer exactly the cases
+    // where that localization could slip: ties at the median and at
+    // the MAD boundary, all mass in one bucket, far-apart bimodal
+    // clusters (dev bracket spans distant buckets), huge ranges
+    // (bucket width ≫ 1), negatives, and 1–2 element groups.
+    val gnarly: Seq[(Long, String, Double)] =
+      // heavy ties: half at 10.00, rest split on two values
+      (0 until 50).map(i => (i.toLong, "ties", 10.0)) ++
+        (50 until 80).map(i => (i.toLong, "ties", 10.07)) ++
+        (80 until 100).map(i => (i.toLong, "ties", 250.0)) ++
+        // bimodal, clusters 1e6 apart
+        (0 until 40).map(i => (200L + i, "bimodal", 5.0 + (i % 3) * 0.01)) ++
+        (0 until 40).map(i => (300L + i, "bimodal", 1e6 + (i % 5) * 0.02)) ++
+        Seq((399L, "bimodal", 5e5)) ++ // lone midpoint row
+        // huge range: uniform-ish spread over ±1e9 cents
+        (0 until 90).map(i => (400L + i.toLong, "huge",
+          -1e7 + i * 217543.21)) ++
+        Seq((499L, "huge", 9e7)) ++
+        // tiny groups
+        Seq((600L, "one", 42.0), (700L, "two", 1.0), (701L, "two", 2.0))
+    val df = gnarly.toDF("event_id", "event_type", "value")
+    val got = Stats.madOutliers(df, "event_type",
+        floor(col("value") * 100), 3.5,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // driver-side definitional reference, op-for-op the same arithmetic
+    val ref = gnarly.groupBy(_._2).flatMap { case (_, rows) =>
+      val xs = rows.map(t => t._1 -> math.floor(t._3 * 100).toLong)
+      def disc(v: Seq[Long]): Long = {
+        val s = v.sorted
+        s(math.max(math.ceil(0.5 * s.length).toInt, 1) - 1)
+      }
+      val med = disc(xs.map(_._2))
+      val mad = disc(xs.map(t => math.abs(t._2 - med)))
+      if (mad == 0L) Nil
+      else xs.map { case (id, xl) =>
+        id -> 0.6745 * (xl - med).toDouble / mad.toDouble
+      }.filter(t => math.abs(t._2) > 3.5)
+    }
+    assert(got == ref, s"got=$got\nref=$ref")
+  }
+
   test("groupedQuantilesDisc matches a driver-side sorted reference") {
     val li = Tables.lineitem(spark, Sf0001)
     val got = Stats.groupedQuantilesDisc(
