@@ -1277,6 +1277,42 @@ object Queries {
     }
   }
 
+  /** Sketch-based column profile (Introspect.profileSketch) — the
+    * audit-vs-scale pair to q_o14, like a7/a7b: the exact profile's
+    * multi-distinct Expand shuffles |cols| fact replicas; this one
+    * shuffles |cols|·256 HLL registers. Our HLL is deterministic
+    * integer arithmetic, so even the ESTIMATES hash-match the oracle,
+    * which rebuilds the identical registers per column (strings via
+    * the same rolling-hash fingerprint fold).
+    */
+  val qO14bProfileSketch = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val stringCols = Set("o_orderstatus", "o_orderpriority")
+    def keySql(c: String): String =
+      if (stringCols(c))
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |  list_transform(list_filter(string_split($c, ''), ch -> len(ch) > 0),
+           |                 ch -> CAST(ascii(ch) AS BIGINT))),
+           |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+      else c
+    q(
+      "q_o14b_profile_sketch",
+      cols.map { c =>
+        val hll = graft.operators.Sketch.hllOracleSql(
+          s"(SELECT * FROM orders WHERE $c IS NOT NULL)", s"'$c'", keySql(c))
+        s"""SELECT '$c' AS "column", b.n_rows, b.n_nonnull,
+           |  h.hll_est AS n_distinct_est, b.min_str, b.max_str
+           |FROM (SELECT COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           |        CAST(MIN($c) AS VARCHAR) AS min_str,
+           |        CAST(MAX($c) AS VARCHAR) AS max_str FROM orders) b
+           |CROSS JOIN ($hll) h""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, d) =>
+      graft.operators.Introspect.profileSketch(Tables.orders(s, d), cols)
+        .orderBy("column")
+    }
+  }
+
   /** Set operations: customers in both/only-one of two order cohorts. */
   val qO5SetOps = q(
     "q_o5_set_ops",
@@ -2935,7 +2971,7 @@ object Queries {
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
-    qO15Unpivot,
+    qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
     qTTokens, qDExact,

@@ -227,6 +227,29 @@ class SourcesSinksSpec extends SparkSpec {
     assert(p("s") == ((4L, 3L, 2L, "a", "b"))) // null excluded everywhere
   }
 
+  test("profileSketch: same report shape, HLL distincts within rel-err; " +
+      "an all-null column profiles to 0, small cardinalities are exact") {
+    import spark.implicits._
+    import graft.operators.Introspect
+    // small cardinalities sit in HLL's linear-counting regime → exact
+    val df = Seq((1L, Option("a"), Option.empty[Long]),
+      (2L, None, None), (3L, Option("b"), None), (3L, Option("a"), None))
+      .toDF("id", "s", "dead")
+    val p = Introspect.profileSketch(df, Seq("id", "s", "dead")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") == ((4L, 4L, 3L, "1", "3")))
+    assert(p("s") == ((4L, 3L, 2L, "a", "b")))
+    assert(p("dead")._2 == 0L && p("dead")._3 == 0L) // no melted rows at all
+    // at real cardinality the estimate lands within the m=256 error
+    // envelope (~6.5% theoretical; assert a slack 15%)
+    val orders = Tables.orders(spark, Sf001)
+    val est = Introspect.profileSketch(orders, Seq("o_custkey")).collect()
+      .head.getLong(3)
+    val exact = orders.select("o_custkey").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.15, s"$est vs $exact")
+  }
+
   test("incremental aggregate merge: N deltas == full recompute " +
       "exactly; a tiny delta rewrites only its hash buckets") {
     import spark.implicits._
