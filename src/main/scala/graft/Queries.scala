@@ -2153,6 +2153,86 @@ object Queries {
     }
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (operators/
+    * Retrieval): sparse BM25 more-like-this ranks (probe text as
+    * query, integer-micros sums — partitioning-invariant) fused with
+    * dense cosine top-k ranks over the embeddings (doc_id and vec_id
+    * share a key space — the standard hybrid setup). RRF uses only
+    * RANKS, so the fusion is exactly replayable: the oracle rebuilds
+    * both rankings and the same 1/(60+r) arithmetic. Scale: posting
+    * join + broadcast probes on the sparse side, broadcast probe
+    * vectors + heap top-k on the dense side, rank fusion over
+    * 2·|probes|·k metadata rows.
+    */
+  val qRHybridRrf = {
+    val kList = 20; val kOut = 5
+    q(
+      "q_r_hybrid_rrf",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |       GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |st AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id, term,
+         |         CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |           * 1000000.0) AS BIGINT) AS sm
+         |       FROM tf JOIN dl USING (doc_id) CROSS JOIN st
+         |            JOIN df USING (term)),
+         |pt AS (SELECT DISTINCT doc_id AS qid, term
+         |       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |       WHERE doc_id < 10),
+         |sp AS (SELECT pt.qid, sc.doc_id AS cid, SUM(sm) AS sbm
+         |       FROM sc JOIN pt USING (term) WHERE sc.doc_id <> pt.qid
+         |       GROUP BY pt.qid, sc.doc_id),
+         |spk AS (SELECT qid, cid, rank_sparse FROM (
+         |          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |            ORDER BY sbm DESC, cid) AS rank_sparse FROM sp)
+         |        WHERE rank_sparse <= $kList),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings),
+         |s AS (SELECT qid, cid,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(list_zip(qv, cv), x -> x[1] * x[2])), (a,b) -> a + b)
+         |        / sqrt(
+         |          list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(list_zip(qv, qv), x -> x[1] * x[2])), (a,b) -> a + b)
+         |          *
+         |          list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(list_zip(cv, cv), x -> x[1] * x[2])), (a,b) -> a + b))
+         |        AS cos_raw
+         |      FROM q, c WHERE qid <> cid),
+         |dk AS (SELECT qid, cid, rank_dense FROM (
+         |         SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos_raw DESC, cid) AS rank_dense FROM s)
+         |       WHERE rank_dense <= $kList),
+         |f AS (SELECT COALESCE(dk.qid, spk.qid) AS qid,
+         |        COALESCE(dk.cid, spk.cid) AS cid,
+         |        COALESCE(1.0 / (60.0 + rank_dense), 0.0)
+         |          + COALESCE(1.0 / (60.0 + rank_sparse), 0.0) AS rrf
+         |      FROM dk FULL OUTER JOIN spk
+         |        ON dk.qid = spk.qid AND dk.cid = spk.cid)
+         |SELECT qid, cid, ROUND(rrf, 6) AS rrf, rank FROM (
+         |  SELECT qid, cid, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, cid) AS rank FROM f)
+         |WHERE rank <= $kOut ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.operators.{Retrieval, Similarity}
+      val sparse = Retrieval.bm25MoreLikeThis(
+        Tables.documents(s, d), "doc_id", "text", col("doc_id") < 10, kList)
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        kList)
+      Retrieval.rrfFuse(dense, sparse, kOut).orderBy("qid", "rank")
+    }
+  }
+
   /** Corpus-LM quality scoring (TfIdf.unigramLogProb): per-doc mean
     * token log-probability under the corpus's own add-1 unigram
     * distribution — the perplexity-filter stand-in. The float-sum
@@ -2976,7 +3056,8 @@ object Queries {
     qWResampleFfill,
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
-    qTTfidf, qTBm25, qTUnigramLp, qTChunks, qPipePack, qO11Mixture,
+    qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
+    qO11Mixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
     qDCcClusters, qDSurvivorship, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the RAG-ingest side of an LLM data pipeline:
+  * a sparse lexical ranking (BM25 "more-like-this") and a dense
+  * embedding ranking (cosine top-k) fused with Reciprocal Rank
+  * Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+  *
+  *   rrf(d) = Σ_lists 1 / (k0 + rank_list(d)),   k0 = 60 classic.
+  *
+  * RRF needs only RANKS, never raw scores, which is what makes it the
+  * robust default for fusing heterogeneous retrievers — and what
+  * makes it exactly reproducible here: both input rankings are
+  * deterministic (integer-micros BM25 sums; cosine with fixed
+  * tie-break), so the fused ordering is a pure function of the data.
+  *
+  * Scale shape: the sparse side is an inverted-index join — probe
+  * term sets broadcast (|probes| · avg terms rows), the posting table
+  * shuffles once on term, and the per-(probe, candidate) reduction is
+  * a map-side-combining integer sum; the dense side broadcasts probe
+  * vectors over a single candidate scan (Similarity.bruteForceTopK's
+  * heap plan, or its LSH/IVF variants at larger probe counts); the
+  * fusion itself touches only 2·|probes|·k rank rows — metadata-scale
+  * no matter the corpus size.
+  */
+object Retrieval {
+
+  /** Sparse "more-like-this": BM25 relevance of every candidate doc
+    * to each probe doc's (distinct) term set — probe text as query,
+    * classic query-as-term-set BM25. Per-term scores quantize to
+    * fixed-point micros BEFORE the per-(probe, candidate) sum (the
+    * unigramLogProb pattern): the reduction is an exact integer sum,
+    * partitioning-invariant, and the ranking that feeds RRF is
+    * deterministic with ties broken on candidate id.
+    *
+    * Output: (qid, cid, sbm_micros, rank), rank 1..k per qid;
+    * candidates never score against themselves.
+    */
+  def bm25MoreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      probeFilter: Column, k: Int): DataFrame = {
+    val scored = TfIdf.bm25Scores(docs, idCol, textCol)
+      .withColumn("s_micros",
+        floor(col("score") * lit(1000000.0)).cast("long"))
+    val probeTerms = docs.filter(probeFilter)
+      .select(col(idCol).as("qid"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+    val summed = scored
+      .join(broadcast(probeTerms), Seq("term"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum("s_micros").as("sbm_micros"))
+    TopK.perGroup(summed, Seq("qid"),
+      Seq(col("sbm_micros").desc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "sbm_micros", "rank")
+  }
+
+  /** Reciprocal Rank Fusion of two (qid, cid, rank) lists. A doc
+    * absent from one list contributes only the other term (the
+    * standard convention). Output: (qid, cid, rrf, rank) — top `k`
+    * fused per qid, rrf rounded to 6dp for stable cross-engine
+    * comparison, ties on cid.
+    */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame,
+      k: Int, k0: Int = 60): DataFrame = {
+    val d = dense.select(col("qid"), col("cid"),
+      col("rank").as("rank_dense"))
+    val s = sparse.select(col("qid"), col("cid"),
+      col("rank").as("rank_sparse"))
+    val fused = d.join(s, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_dense")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_sparse")),
+            lit(0.0)))
+    TopK.perGroup(fused, Seq("qid"),
+      Seq(col("rrf").desc, col("cid")), k, rankName = "rank")
+      .select(col("qid"), col("cid"), round(col("rrf"), 6).as("rrf"),
+        col("rank"))
+  }
+}
