@@ -862,6 +862,48 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Snapshot regression-diff (operators/SnapshotDiff): which order
+    * keys were added / removed / changed between two deterministic
+    * "runs" carved from orders — old drops keys ≡3 (mod 97) and new
+    * drops keys ≡5 (mod 89), so each side has rows the other lacks;
+    * new also perturbs o_totalprice on keys ≡0 (mod 11) (the changed
+    * class). Null-safe column compare, no digest; one full-outer
+    * key join (zero-exchange when both snapshots are bucketed).
+    */
+  val qXSnapshotDiff = q(
+    "q_x_snapshot_diff",
+    """WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+      |            FROM orders WHERE o_orderkey % 97 <> 3),
+      |nu AS (SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         o_orderstatus
+      |       FROM orders WHERE o_orderkey % 89 <> 5)
+      |SELECT COALESCE(old.o_orderkey, nu.o_orderkey) AS o_orderkey,
+      |       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |            WHEN nu.o_orderkey IS NULL THEN 'removed'
+      |            WHEN old.o_totalprice IS DISTINCT FROM nu.o_totalprice
+      |              OR old.o_orderstatus IS DISTINCT FROM nu.o_orderstatus
+      |              THEN 'changed' END AS status
+      |FROM old FULL OUTER JOIN nu ON old.o_orderkey = nu.o_orderkey
+      |WHERE (CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |            WHEN nu.o_orderkey IS NULL THEN 'removed'
+      |            WHEN old.o_totalprice IS DISTINCT FROM nu.o_totalprice
+      |              OR old.o_orderstatus IS DISTINCT FROM nu.o_orderstatus
+      |              THEN 'changed' END) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val old = o.filter(col("o_orderkey") % 97 =!= 3)
+    val nu = o.filter(col("o_orderkey") % 89 =!= 5)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    graft.operators.SnapshotDiff.diff(old, nu, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -936,6 +978,29 @@ object Queries {
           Tables.events(s, d), "event_type", floor(col("value") * 100), 3.5,
           keep)
         .withColumn("z", round(col("z"), 6))
+        .orderBy("event_id")
+    }
+  }
+
+  /** Grouped winsorization (Stats.winsorize): clamp event values into
+    * their type's [p05, p95] — discrete order statistics via the
+    * selection path, broadcast back, map-only integer clamp. The
+    * companion to the drop-gates (q_a12/q_a14) when bias matters.
+    */
+  val qA16Winsorize = {
+    val keep = Seq("event_id", "event_type", "value")
+    q(
+      "q_a16_winsorize",
+      s"""SELECT event_id, event_type, value,
+         |       CAST(xl_w AS DOUBLE) / 100.0 AS value_w
+         |FROM (${graft.operators.Stats.winsorizeOracleSql(
+             "events", "event_type", "FLOOR(value * 100)", 0.05, 0.95, keep)})
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.Stats.winsorize(
+          Tables.events(s, d), "event_type", floor(col("value") * 100),
+          0.05, 0.95, keep)
+        .withColumn("value_w", col("xl_w").cast("double") / lit(100.0))
+        .drop("xl_w")
         .orderBy("event_id")
     }
   }
@@ -1872,6 +1937,44 @@ object Queries {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** Per-doc contamination fraction (Decontaminate.contaminationScore)
+    * — the graded calibration report behind the boolean gate: share of
+    * each corpus doc's distinct 4-grams found anywhere in the eval
+    * slice. Every doc appears (short docs score 0.0); exact integer
+    * counts, one double division.
+    */
+  val qDContaminationScore = q(
+    "q_d_contamination_score",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 3),
+      |         i -> array_to_string(list_slice(toks, i + 1, i + 4), '')))) AS g
+      |  FROM tok WHERE len(toks) >= 4),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 25),
+      |co AS (SELECT doc_id, g FROM sh WHERE doc_id >= 25),
+      |agg AS (SELECT co.doc_id, COUNT(*) AS n_grams, COUNT(ev.g) AS n_hit
+      |        FROM co LEFT JOIN ev ON co.g = ev.g
+      |        GROUP BY co.doc_id)
+      |SELECT d.doc_id,
+      |       COALESCE(n_grams, 0) AS n_grams,
+      |       COALESCE(n_hit, 0) AS n_hit,
+      |       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+      |            ELSE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams
+      |       END AS contamination
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+      |LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val all = Tables.documents(s, d)
+    graft.operators.Decontaminate.contaminationScore(
+      all.filter(col("doc_id") >= 25), "doc_id", "text",
+      all.filter(col("doc_id") < 25), "text",
+      w = 4)
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID (stopword-profile argmax, deterministic
     * tie-break). */
   val qTLangId = q(
@@ -2374,6 +2477,43 @@ object Queries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.Sampling.mixtureSample(
         Tables.documents(s, d), "doc_id", "source", rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Token-budget mixture planning (Sampling.tokenBudgetSample):
+    * derive per-source keep rates from measured token totals to hit
+    * a 3000-token budget under an 8/4/2/1/1 target mix — src0's
+    * share exceeds its supply (rate saturates, keeps all), the rest
+    * downsample. Rates quantize to num/10⁶ and the sample is the
+    * same append-stable key-hash bernoulli as q_o11.
+    */
+  val qO16TokenBudget = {
+    val weights = Seq(("src0", 8), ("src1", 4), ("src2", 2),
+      ("src3", 1), ("src4", 1))
+    val sumW = weights.map(_._2).sum
+    val budget = 3000L
+    val wVals = weights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    q(
+      "q_o16_token_budget",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         len($duckToks) AS nt
+         |  FROM documents),
+         |tot AS (SELECT source, SUM(nt) AS t_s FROM tok GROUP BY source),
+         |w AS (SELECT * FROM (VALUES $wVals) AS t(source, w)),
+         |r AS (SELECT source,
+         |        least(1000000, CAST(floor((1000000.0 * $budget.0 * w)
+         |          / ($sumW.0 * t_s)) AS BIGINT)) AS num
+         |      FROM tot JOIN w USING (source))
+         |SELECT doc_id, source FROM tok JOIN r USING (source)
+         |WHERE ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)} < num
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(
+          Tables.documents(s, d), "doc_id", "source",
+          graft.operators.TextOps.tokenCount(col("text")),
+          weights, budget)
         .select("doc_id", "source")
         .orderBy("doc_id")
     }
@@ -3044,11 +3184,13 @@ object Queries {
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
+    qXSnapshotDiff,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
+    qA16Winsorize,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
@@ -3057,10 +3199,10 @@ object Queries {
     qTTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
-    qO11Mixture,
+    qO11Mixture, qO16TokenBudget,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
     qDCcClusters, qDSurvivorship, qPipeCuration, qPipeEnd2End,
-    qPipePretrain, qDDecontaminate,
+    qPipePretrain, qDDecontaminate, qDContaminationScore,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,

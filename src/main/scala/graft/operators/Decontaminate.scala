@@ -39,6 +39,40 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document contamination SCORE: the fraction of the doc's
+    * distinct `w`-grams that appear anywhere in the eval set — the
+    * graded signal used to TUNE a decontamination threshold (the
+    * boolean `clean` gate is the deployed policy; this is its
+    * calibration report, and a partial-overlap detector the
+    * any-collision gate can't express). Every input doc appears in
+    * the output: docs too short to emit grams score 0.0.
+    *
+    * Scale shape identical to [[overlaps]]: the eval gram UNION
+    * broadcasts once; the corpus streams map-side through a broadcast
+    * LEFT join (hit-marking, never filtering), then one map-side-
+    * combining per-doc count — the corpus' only shuffle is doc-sized
+    * count partials. The fraction is one double division on exact
+    * integer counts.
+    */
+  def contaminationScore(
+      docs: DataFrame, docId: String, docText: String,
+      evals: DataFrame, evalText: String,
+      w: Int = 8): DataFrame = {
+    val evalGrams = evals
+      .select(explode(TextOps.shinglesStrict(col(evalText), w)).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    docs
+      .select(col(docId).as("doc_id"),
+        explode_outer(TextOps.shinglesStrict(col(docText), w)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("g")).as("n_grams"), count(col("hit")).as("n_hit"))
+      .withColumn("contamination",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_grams")))
+  }
+
   /** The corpus minus every document contaminated against `evals` —
     * a broadcast anti-semi-join; the corpus never shuffles.
     */

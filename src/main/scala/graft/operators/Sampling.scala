@@ -79,6 +79,48 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Token-budget mixture planning + sampling — the pretraining-mix
+    * recipe in one operator: given target mixture WEIGHTS per source
+    * and a global token BUDGET, derive each source's keep rate from
+    * its measured token total,
+    *
+    *   rate_s = min(1, budget·w_s / (Σw · T_s)),
+    *
+    * quantize it to num/den (den = 10⁶), and keep rows by the same
+    * deterministic key-hash bernoulli as [[mixtureSample]] — so the
+    * sampled corpus is reproducible, append-stable, and the rate
+    * math is exactly replayable (one double product/division chain
+    * on exact integer inputs, then floor; all magnitudes ≪ 2⁵³).
+    * Sources without a weight are dropped (a mix is a whitelist); a
+    * source whose T_s ≤ its share keeps everything (rate saturates
+    * at 1) — the budget is a target, hit exactly in expectation only
+    * when every source is downsampled.
+    *
+    * Scale shape: one map-side-combining token-total agg; the rate
+    * table is |sources| rows and broadcasts back; the sample itself
+    * is a map-only filter. The corpus never shuffles.
+    */
+  def tokenBudgetSample(df: DataFrame, key: String, sourceCol: String,
+      tokens: org.apache.spark.sql.Column, weights: Seq[(String, Int)],
+      budget: Long, den: Int = 1000000): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val sumW = weights.map(_._2.toLong).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF(sourceCol, "w")
+    val totals = df.groupBy(sourceCol)
+      .agg(sum(tokens.cast("long")).as("t_s"))
+    val rates = totals.join(broadcast(wDf), Seq(sourceCol))
+      .withColumn("num", least(lit(den.toLong),
+        floor((lit(den.toDouble) * lit(budget.toDouble) * col("w"))
+          / (lit(sumW.toDouble) * col("t_s"))).cast("long")))
+      .select(sourceCol, "num")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(col(key), den) < col("num"))
+      .drop("num")
+  }
+
   /** Priority column for weighted sampling WITHOUT replacement, after
     * Duffield–Lund–Thorup priority sampling: q = w / u with u uniform
     * in (0, 1]; the k rows with the LARGEST q are the sample

@@ -356,6 +356,42 @@ object Stats {
       .select(keep.map(col) :+ col("z"): _*)
   }
 
+  /** Grouped winsorization — clip each value into its group's
+    * [pLo, pHi] quantile range: the standard heavy-tail taming step
+    * when DROPPING outliers (the z/MAD gates) would bias a mean-based
+    * downstream (feature scaling, reward normalization). Bounds are
+    * DISCRETE order statistics from the 3-pass selection path (no
+    * per-group sort, fact never shuffles for the bounds), broadcast
+    * back onto the fact for a map-only integer clamp — the fact's
+    * only pass with data movement is the output itself.
+    *
+    * `xInt` integer-quantized as in [[zscoreOutliers]]; the clamp is
+    * exact integer min/max so the result is partitioning-invariant
+    * and replayable in any engine.
+    */
+  def winsorize(
+      df: DataFrame, group: String, xInt: Column,
+      pLo: Double, pHi: Double, keep: Seq[String]): DataFrame = {
+    val base = df.withColumn("xl", xInt.cast("long"))
+    val bounds = groupedQuantilesSelect(base, group, "xl", Seq(pLo, pHi))
+      .select(col(group), col(pName(pLo)).as("qlo"), col(pName(pHi)).as("qhi"))
+    base.join(broadcast(bounds), Seq(group))
+      .withColumn("xl_w", least(greatest(col("xl"), col("qlo")), col("qhi")))
+      .select(keep.map(col) :+ col("xl_w"): _*)
+  }
+
+  /** DuckDB rendering of `winsorize` (identical clamp on the same
+    * ⌈p·n⌉ order statistics).
+    */
+  def winsorizeOracleSql(
+      table: String, group: String, xIntSql: String,
+      pLo: Double, pHi: Double, keep: Seq[String]): String =
+    s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
+       |qs AS (${quantilesOracleSql("b", group, "xl", Seq(pLo, pHi))})
+       |SELECT ${keep.mkString(", ")},
+       |       least(greatest(xl, ${pName(pLo)}), ${pName(pHi)}) AS xl_w
+       |FROM b JOIN qs USING ($group)""".stripMargin
+
   /** DuckDB rendering of `madOutliers` (identical op order). */
   def madOracleSql(
       table: String, group: String, xIntSql: String, zMax: Double,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Sampling, SnapshotDiff, Stats}
+
+/** Round-7 curation operators: snapshot diff, winsorize,
+  * contamination score, token-budget mixture.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SnapshotDiff: added/removed/changed classified; unchanged and " +
+      "null==null dropped; null vs value is changed") {
+    val old = Seq(
+      (1L, Option("a"), Option(10.0)), // unchanged
+      (2L, Option("b"), Option(20.0)), // removed
+      (3L, Option("c"), Option(30.0)), // changed value
+      (4L, None, Option(40.0)), // null -> value = changed
+      (5L, None, None) // null == null, unchanged
+    ).toDF("k", "s", "v")
+    val nu = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (3L, Option("c"), Option(31.0)),
+      (4L, Option("x"), Option(40.0)),
+      (5L, None, Option.empty[Double]),
+      (6L, Option("new"), Option(60.0)) // added
+    ).toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(old, nu, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "removed", 3L -> "changed", 4L -> "changed",
+      6L -> "added"), got)
+  }
+
+  test("winsorize: every row survives, output clamped to the group's " +
+      "selection quantiles, invariant under repartitioning") {
+    val ev = Tables.events(spark, Sf0001)
+    val out = Stats.winsorize(ev, "event_type", floor(col("value") * 100),
+      0.05, 0.95, Seq("event_id", "event_type"))
+    assert(out.count() == ev.count())
+    // bounds per group really are the ⌈p·n⌉ order statistics
+    val qs = Stats.groupedQuantilesDisc(
+      ev.withColumn("xl", floor(col("value") * 100).cast("long")),
+      "event_type", "xl", Seq(0.05, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val extremes = out.groupBy("event_type")
+      .agg(min("xl_w").as("mn"), max("xl_w").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(extremes == qs, s"$extremes vs $qs")
+    val re = Stats.winsorize(ev.repartition(13), "event_type",
+      floor(col("value") * 100), 0.05, 0.95, Seq("event_id", "event_type"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == a)
+  }
+
+  test("contaminationScore: contained doc scores 1.0, disjoint 0.0, " +
+      "short doc present with 0.0") {
+    val evals = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"), // its single 4-gram ⊂ eval
+      (11L, "one two three four five"), // disjoint
+      (12L, "too short") // < w tokens: zero grams
+    ).toDF("id", "text")
+    val got = Decontaminate.contaminationScore(
+      docs, "id", "text", evals, "text", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(10L -> 1.0, 11L -> 0.0, 12L -> 0.0), got)
+  }
+
+  test("tokenBudgetSample: saturated source keeps everything, " +
+      "unweighted sources drop, heavier weight keeps more tokens") {
+    val docs = Tables.documents(spark, Sf001)
+    val weights = Seq(("src0", 8), ("src1", 4), ("src3", 1))
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      graft.operators.TextOps.tokenCount(col("text")), weights, 3000L)
+    val bySrc = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("src0", "src1", "src3")) // whitelist
+    // src0's 1500-token share exceeds its ~1435 supply → keeps all 25
+    assert(bySrc("src0") == 25L, bySrc)
+    assert(bySrc("src1") < 25L && bySrc("src3") < 25L)
+    assert(bySrc("src1") > bySrc("src3")) // 4x weight keeps more
+    // append-stable: same draws on a reshuffled input
+    val re = Sampling.tokenBudgetSample(docs.repartition(7), "doc_id",
+      "source", graft.operators.TextOps.tokenCount(col("text")),
+      weights, 3000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+}
