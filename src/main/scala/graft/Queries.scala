@@ -1005,6 +1005,27 @@ object Queries {
     }
   }
 
+  /** Grouped equi-depth binning (Stats.equiDepthBins): each event's
+    * octile (1..8) within its type — selection-path boundaries
+    * broadcast back, map-only integer comparisons. Equal-depth holds
+    * ~n/8 per bin under any skew (the bin histogram is part of the
+    * output contract via the oracle hash).
+    */
+  val qA17EquiDepthBins = {
+    val keep = Seq("event_id", "event_type")
+    q(
+      "q_a17_equidepth_bins",
+      s"""SELECT event_id, event_type, bin
+         |FROM (${graft.operators.Stats.equiDepthOracleSql(
+             "events", "event_type", "FLOOR(value * 100)", 8, keep)})
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.Stats.equiDepthBins(
+          Tables.events(s, d), "event_type", floor(col("value") * 100), 8,
+          keep)
+        .orderBy("event_id")
+    }
+  }
+
   /** Collect-to-array with DETERMINISTIC order: collect_list order is
     * partition-dependent (useless for reproducible output), so the
     * catalog rendering sorts the collected array and joins to a
@@ -3190,7 +3211,7 @@ object Queries {
     qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
-    qA16Winsorize,
+    qA16Winsorize, qA17EquiDepthBins,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,

@@ -380,6 +380,47 @@ object Stats {
       .select(keep.map(col) :+ col("xl_w"): _*)
   }
 
+  /** Grouped equi-depth binning — assign each row the index (1..B) of
+    * its group's quantile bin: the standard feature bucketization for
+    * tree/embedding models and for histogram-balanced sharding, where
+    * equal-WIDTH bins collapse under skew but equal-DEPTH bins hold
+    * ~n/B rows each by construction.
+    *
+    * The B−1 interior boundaries are discrete order statistics from
+    * the selection path (one histogram pass, no per-group sort);
+    * they broadcast back and the bin index is a map-only sum of
+    * integer comparisons `1 + Σᵢ (x > qᵢ)` — exact, replayable,
+    * partitioning-invariant. Boundary ties go LEFT (x == qᵢ stays in
+    * bin i), matching the ⌈p·n⌉ selection rule.
+    */
+  def equiDepthBins(
+      df: DataFrame, group: String, xInt: Column, bins: Int,
+      keep: Seq[String]): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val base = df.withColumn("xl", xInt.cast("long"))
+    val bounds = groupedQuantilesSelect(base, group, "xl", ps)
+    val binCol = ps.map(p => when(col("xl") > col(pName(p)), 1)
+      .otherwise(0)).reduce(_ + _) + lit(1)
+    base.join(broadcast(bounds), Seq(group))
+      .select(keep.map(col) :+ binCol.as("bin"): _*)
+  }
+
+  /** DuckDB rendering of `equiDepthBins` (identical comparisons on
+    * the same ⌈p·n⌉ order statistics).
+    */
+  def equiDepthOracleSql(
+      table: String, group: String, xIntSql: String, bins: Int,
+      keep: Seq[String]): String = {
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val sums = ps.map(p =>
+      s"CASE WHEN xl > ${pName(p)} THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
+       |qs AS (${quantilesOracleSql("b", group, "xl", ps)})
+       |SELECT ${keep.mkString(", ")}, $sums + 1 AS bin
+       |FROM b JOIN qs USING ($group)""".stripMargin
+  }
+
   /** DuckDB rendering of `winsorize` (identical clamp on the same
     * ⌈p·n⌉ order statistics).
     */

@@ -69,6 +69,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 1.0, 11L -> 0.0, 12L -> 0.0), got)
   }
 
+  test("equiDepthBins: octiles hold ~n/8 each under skew, bins are " +
+      "monotone in the value, boundary ties go left") {
+    // heavily skewed group: half the mass at one value
+    val rows = (0 until 400).map(i => (i.toLong, "g",
+      if (i < 200) 7.0 else i.toDouble)) // 200 ties at 7.0
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Stats.equiDepthBins(df, "event_type",
+      floor(col("value") * 100), 8, Seq("event_id", "event_type"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // monotone: larger value never gets a smaller bin
+    val byVal = rows.map { case (id, _, v) => v -> got(id) }.sortBy(_._1)
+    assert(byVal.sliding(2).forall(w => w.head._2 <= w.last._2))
+    // the 200 tied rows share one bin (ties cannot straddle a boundary)
+    assert(rows.filter(_._3 == 7.0).map(t => got(t._1)).toSet.size == 1)
+    // non-degenerate: the un-tied half still spreads over several bins
+    assert(rows.filter(_._3 != 7.0).map(t => got(t._1)).toSet.size >= 4)
+  }
+
   test("tokenBudgetSample: saturated source keeps everything, " +
       "unweighted sources drop, heavier weight keeps more tokens") {
     val docs = Tables.documents(spark, Sf001)
