@@ -89,12 +89,13 @@ object Stats {
       buckets: Int = 256,
       broadcastMeta: Boolean = true): DataFrame = {
     def hint(d: DataFrame): DataFrame = if (broadcastMeta) broadcast(d) else d
-    // pass 1: per-group extent
+    // pass 1: per-group extent — built ONCE, joined ONCE (n tags
+    // along so no second extent scan/broadcast is ever needed; the
+    // histogram carries it forward as a per-group constant)
     val extent = df.groupBy(group).agg(
       count(lit(1)).as("n"), min(value).as("mn"), max(value).as("mx"))
 
-    val metaDf = hint(extent.select(col(group), col("mn"), col("mx")))
-    val withB = df.join(metaDf, group)
+    val withB = df.join(hint(extent), group)
       .withColumn("bkt",
         least(greatest(
           floor((col(value) - col("mn"))
@@ -106,17 +107,17 @@ object Stats {
     // window, never a driver walk.
     val wc = Window.partitionBy(group).orderBy("bkt")
     val cumHist = withB.groupBy(col(group), col("bkt"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), first("n").as("n"))
       .withColumn("cum", sum("c").over(wc))
       .withColumn("cum0", col("cum") - col("c"))
 
-    // target ranks, one row per (group, p); each target's bucket is
-    // the unique one whose cumulative range [cum0, cum) covers it,
-    // found by a group-key join + range filter (≤B candidates/group)
-    val targets = extent
-      .select(col(group), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+    // target ranks, one row per (group, p), derived from the
+    // histogram itself (explode ps over the O(groups·B) bucket rows,
+    // keep the unique bucket whose [cum0, cum) covers each target) —
+    // no extent re-join, no second fact scan
+    val wanted = cumHist
+      .withColumn("p", explode(array(ps.map(lit): _*)))
       .withColumn("target", greatest(ceil(col("p") * col("n")), lit(1L)))
-    val wanted = targets.join(cumHist, Seq(group))
       .filter(col("target") > col("cum0") && col("target") <= col("cum"))
       .select(col(group), col("bkt"), col("p"),
         (col("target") - col("cum0")).as("rprime"))
