@@ -1996,6 +1996,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Substring-containment dedup (Dedup.containmentPairs): docs whose
+    * full text occurs verbatim inside another doc — the truncation
+    * class Jaccard misses at large size ratios. Rarest-anchor
+    * candidates (each doc posts its lexicographic-MIN 4-gram against
+    * the shingle index — complete by construction), exact instr
+    * verify. No hashes anywhere: string MIN + substring search,
+    * bit-identical in both engines.
+    */
+  val qDContainment = q(
+    "q_d_containment",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 3),
+      |         i -> array_to_string(list_slice(toks, i + 1, i + 4), '')))) AS g
+      |  FROM tok WHERE len(toks) >= 4),
+      |an AS (SELECT doc_id, MIN(g) AS g FROM sh GROUP BY doc_id),
+      |cand AS (SELECT an.doc_id AS inner_id, sh.doc_id AS outer_id
+      |         FROM an JOIN sh USING (g)
+      |         WHERE an.doc_id <> sh.doc_id)
+      |SELECT inner_id, outer_id
+      |FROM cand
+      |JOIN documents a ON inner_id = a.doc_id
+      |JOIN documents b ON outer_id = b.doc_id
+      |WHERE len(a.text) < len(b.text) AND position(a.text IN b.text) > 0
+      |ORDER BY inner_id, outer_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.containmentPairs(
+        Tables.documents(s, d), "doc_id", "text", w = 4)
+      .orderBy("inner_id", "outer_id")
+  }
+
   /** Heuristic language ID (stopword-profile argmax, deterministic
     * tie-break). */
   val qTLangId = q(
@@ -3223,7 +3256,7 @@ object Queries {
     qO11Mixture, qO16TokenBudget,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
     qDCcClusters, qDSurvivorship, qPipeCuration, qPipeEnd2End,
-    qPipePretrain, qDDecontaminate, qDContaminationScore,
+    qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,

@@ -79,6 +79,46 @@ object Dedup {
     * pigeonhole blocker — AND interpolated into their oracle SQL
     * (Queries.scala), so Scala and oracle can never silently drift.
     */
+  /** Substring-containment dedup: (inner, outer) pairs where doc
+    * `inner`'s full text occurs verbatim inside doc `outer` — the
+    * truncation/quote/mirror class of duplicate that Jaccard misses
+    * once the size ratio grows (a 10% prefix of a long doc has tiny
+    * Jaccard but is still a duplicate to drop).
+    *
+    * Candidate generation is the rarest-anchor trick with a
+    * lexicographic-MIN anchor: every w-shingle of a substring also
+    * appears in its container, so in particular inner's MIN shingle
+    * does — each doc posts ONE anchor row against the full shingle
+    * index, making the candidate join |docs| × postings(anchor gram)
+    * instead of an all-shingles self-join, with NO false negatives
+    * for docs long enough to shingle (docs under `w` tokens emit no
+    * anchor and are never reported — contract, same as
+    * Decontaminate's strict shingles). Candidates then verify with
+    * one exact `instr` + length check, so false positives are
+    * impossible. Deterministic end to end (string MIN + substring
+    * search — no hashes), hence exactly replayable in the oracle.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sh = docs.select(col("id"),
+      explode(TextOps.shinglesStrict(col("text"), w)).as("g"))
+    val anchors = sh.groupBy("id").agg(min("g").as("g"))
+    val cand = anchors.select(col("id").as("inner_id"), col("g"))
+      .join(sh.select(col("id").as("outer_id"), col("g")), Seq("g"))
+      .filter(col("inner_id") =!= col("outer_id"))
+      .select("inner_id", "outer_id")
+    cand
+      .join(docs.select(col("id").as("inner_id"), col("text").as("t_in")),
+        Seq("inner_id"))
+      .join(docs.select(col("id").as("outer_id"), col("text").as("t_out")),
+        Seq("outer_id"))
+      .filter(length(col("t_in")) < length(col("t_out"))
+        && instr(col("t_out"), col("t_in")) > 0)
+      .select("inner_id", "outer_id")
+  }
+
   val DefaultMaxBucket = 200
 
   /** Native fused loop (graft.expressions.MinHashSig) — the hot path. */

@@ -136,6 +136,24 @@ class DedupSpec extends SparkSpec {
     assert(overlap(0L, 2L) > overlap(0L, 3L))
   }
 
+  test("containmentPairs: planted substrings found (both containers), " +
+      "reordered high-overlap excluded, short docs never reported") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "gamma delta epsilon zeta"), // substring of 1 AND 3
+      (3L, "beta alpha gamma delta epsilon zeta eta theta"), // reordered head
+      (4L, "tiny doc"), // < 4 tokens: no anchor by contract
+      (5L, "completely different words entirely here okay")
+    ).toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, "id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (2L, 3L)), got)
+    // docs 1 and 3 share every token but neither contains the other —
+    // the instr verify kills what shingle overlap alone would pass
+    assert(!got.contains((1L, 3L)) && !got.contains((3L, 1L)))
+  }
+
   test("corpus curation: stages compose — survivors clean, gated, nonempty") {
     val docs = Tables.documents(spark, Sf001)
     val cur = graft.pipelines.CorpusCuration.curate(docs).cache()
