@@ -211,6 +211,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: containmentPairs finds every planted token-aligned " +
+      "substring and invents none, on 60 random corpora rows") {
+    // random word docs; for every even id, doc id+1 is a random
+    // contiguous token slice of it (≥ w tokens) — must be reported
+    val word = Gen.oneOf("ox", "elk", "bat", "cod", "ant", "fox", "owl",
+      "ram", "eel", "jay", "koi", "yak")
+    val docGen = Gen.listOfN(24, word)
+    val bases = samples(docGen, 30)
+    val rows = bases.zipWithIndex.flatMap { case (toks, i) =>
+      val id = i.toLong * 2
+      val off = (i * 7) % 12
+      val len = 6 + (i % 8) // 6..13 tokens, ≥ w=4
+      val sub = toks.slice(off, off + len)
+      Seq((id, toks.mkString(" ")), (id + 1, sub.mkString(" ")))
+    }
+    val df = rows.toDF("id", "text")
+    val got = graft.operators.Dedup.containmentPairs(df, "id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (id+1 ⊂ id) pair reported (token-aligned slices
+    // are substrings; strict length inequality holds since len < 24)
+    val planted = bases.indices.map(i => (i.toLong * 2 + 1, i.toLong * 2))
+    planted.foreach(p => assert(got.contains(p), s"missing planted $p"))
+    // nothing reported that isn't a true substring with shorter length
+    val texts = rows.toMap
+    got.foreach { case (in, out) =>
+      assert(texts(in).length < texts(out).length
+        && texts(out).contains(texts(in)), s"false positive ($in,$out)")
+    }
+  }
+
   test("property: NL holiday calendar invariants for every year 1990-2035") {
     (1990 to 2035).foreach { year =>
       val h = graft.functions.NLHolidays.forYear(year)
