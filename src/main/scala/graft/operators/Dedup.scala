@@ -97,6 +97,13 @@ object Dedup {
     * one exact `instr` + length check, so false positives are
     * impossible. Deterministic end to end (string MIN + substring
     * search — no hashes), hence exactly replayable in the oracle.
+    *
+    * Cost model: candidates = Σ_anchor-grams postings(gram), so an
+    * exact-duplicate-heavy corpus inflates candidates QUADRATICALLY
+    * in the replica factor (every copy posts the same anchor into the
+    * same postings). Run AFTER [[exactDedup]] — the deployed order —
+    * and the blow-up vanishes: measured on the 10×-replica sf1 corpus,
+    * raw 5.8 s vs 1.2 s composed (≈ the sf0.1 cost), BASELINE §6.
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
