@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming online winsorization — the streaming face of
+  * operators/Stats.winsorize: clamp each event into its group's
+  * evolving [p05, p95], where the bounds come from a per-group HDR
+  * quantile sketch (operators/Sketch bucket arithmetic, verbatim)
+  * maintained as transformWithState MapState.
+  *
+  * Why a sketch and not the batch selection path: a stream can't
+  * re-scan history for exact order statistics, but the HDR bucket
+  * state is BOUNDED — ≤ 64·2^(QSubBits-1) entries per group no matter
+  * how many events pass — and the bucket key is a pure integer
+  * function of the value, so state is replay- and partition-stable,
+  * and a batch run over the same prefix computes bit-identical bounds
+  * (asserted in StreamWinsorizeSpec against Sketch.quantileEstimates:
+  * same ⌈num·n/den⌉ ranks, same midpoint arithmetic — the mergeable-
+  * sketch property StreamSketch already proves for the agg family).
+  *
+  * Each micro-batch: ingest the batch's rows into the sketch, then
+  * clamp the batch with bounds INCLUDING those rows — so a single
+  * AvailableNow pass over a static table equals the batch-winsorize-
+  * with-sketch-bounds rendering, and incremental runs tighten bounds
+  * as history accumulates. State shards by group key on the usual
+  * RocksDB store.
+  */
+object StreamWinsorize {
+
+  import graft.operators.Sketch.QSubBits
+
+  case class EventIn(event_type: String, event_id: Long, cents: Long)
+  case class WinsOut(event_type: String, event_id: Long, cents: Long,
+      cents_w: Long, lo: Long, hi: Long)
+
+  /** Bucket key e·64 + sub — the integer (bit-width, top-mantissa)
+    * bucket of Sketch.quantileSketch, one long. Domain: v ≥ 0.
+    */
+  def bucketKey(v: Long): Long = {
+    val e = if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val sub = v >> math.max(e - QSubBits, 0)
+    e.toLong * 64L + sub
+  }
+
+  /** Midpoint estimate of a bucket key — same integer arithmetic as
+    * Sketch.quantileEstimates' `est` column.
+    */
+  def bucketMid(bkey: Long): Long = {
+    val e = (bkey / 64L).toInt
+    val sub = bkey % 64L
+    val bs = math.max(e - QSubBits, 0)
+    val lo = sub << bs
+    val hi = ((sub + 1L) << bs) - 1L
+    lo + (hi - lo) / 2L
+  }
+
+  class Processor(stateKeyEnc: org.apache.spark.sql.Encoder[Long],
+      stateValEnc: org.apache.spark.sql.Encoder[Long])
+      extends StatefulProcessor[String, EventIn, WinsOut] {
+
+    @transient private var sketch: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getMapState[Long, Long](
+        "sketch", stateKeyEnc, stateValEnc, TTLConfig.NONE)
+
+    /** ⌈num·n/den⌉-th value estimate over the sketch entries — the
+      * first bucket whose cumulative count reaches the rank, in
+      * bucket-key order (exactly quantileEstimates' selection).
+      */
+    private def estimate(entries: Array[(Long, Long)],
+        num: Long, den: Long): Long = {
+      val n = entries.map(_._2).sum
+      val rank = (num * n + den - 1L) / den
+      var cum = 0L
+      val it = entries.sortBy(_._1).iterator
+      while (it.hasNext) {
+        val (bk, c) = it.next()
+        cum += c
+        if (cum >= rank) return bucketMid(bk)
+      }
+      bucketMid(entries.maxBy(_._1)._1) // n == 0 can't reach here
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[WinsOut] = {
+      val batch = rows.toArray
+      batch.foreach { r =>
+        val bk = bucketKey(r.cents)
+        val cur = if (sketch.containsKey(bk)) sketch.getValue(bk) else 0L
+        sketch.updateValue(bk, cur + 1L)
+      }
+      val entries = sketch.iterator().map(t => (t._1, t._2)).toArray
+      val lo = estimate(entries, 1L, 20L)
+      val hi = estimate(entries, 19L, 20L)
+      batch.iterator.map { r =>
+        val w = math.min(math.max(r.cents, lo), hi)
+        WinsOut(key, r.event_id, r.cents, w, lo, hi)
+      }
+    }
+  }
+
+  /** Wire the processor over a stream keyed by event_type. */
+  def clamp(events: Dataset[EventIn]): Dataset[WinsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(
+        new Processor(Encoders.scalaLong, Encoders.scalaLong),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+}
