@@ -2280,7 +2280,8 @@ object Queries {
     * engines run identical IEEE arithmetic from exact integer counts.
     */
   val qTBm25 = {
-    val k1 = 1.2; val b = 0.75
+    val k1 = graft.operators.TfIdf.DefaultK1
+    val b = graft.operators.TfIdf.DefaultB
     q(
       "q_t_bm25",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -2323,6 +2324,8 @@ object Queries {
     */
   val qRHybridRrf = {
     val kList = 20; val kOut = 5
+    val k1 = graft.operators.TfIdf.DefaultK1
+    val b = graft.operators.TfIdf.DefaultB
     q(
       "q_r_hybrid_rrf",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -2334,7 +2337,7 @@ object Queries {
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |sc AS (SELECT doc_id, term,
          |         CAST(floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |           * (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)))
          |           * 1000000.0) AS BIGINT) AS sm
          |       FROM tf JOIN dl USING (doc_id) CROSS JOIN st
          |            JOIN df USING (term)),

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** Okapi BM25 defaults — interpolated into every oracle SQL string
+    * that replays bm25Scores (q_t_bm25, q_r_hybrid_rrf), so the Scala
+    * and SQL renderings cannot silently drift (the same
+    * one-constant convention as Dedup.DefaultMaxBucket).
+    */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
   /** (id, term, tf) — term frequencies per document. */
   def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
@@ -72,7 +80,7 @@ object TfIdf {
     * double arithmetic from exact integer counts.
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val tf = termFreq(docs, idCol, textCol)
     val dl = docs.select(col(idCol).as("id"),
       TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
