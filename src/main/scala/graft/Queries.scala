@@ -1214,6 +1214,41 @@ object Queries {
       .orderBy("r_name")
   }
 
+  /** J9 (beyond-reference): interval×interval OVERLAP join — errors
+    * whose 5-minute window overlaps a purchase's 5-minute window
+    * (RangeJoin.intervalOverlap). Expressed directly the inequality
+    * join is a nested loop; the operator renders it as an equi join
+    * on overlap buckets with each pair counted once at its canonical
+    * meeting bucket (the overlap's start) — no dedup shuffle. Output
+    * includes the exact overlap length in seconds (integer).
+    */
+  val qJ9IntervalOverlap = q(
+    "q_j9_interval_overlap",
+    """WITH e AS (SELECT event_id, event_type,
+      |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS s
+      |           FROM events),
+      |p AS (SELECT event_id AS p_id, s AS s1, s + 300 AS e1
+      |      FROM e WHERE event_type = 'purchase'),
+      |er AS (SELECT event_id AS e_id, s AS s2, s + 300 AS e2
+      |       FROM e WHERE event_type = 'error')
+      |SELECT p_id, e_id, least(e1, e2) - greatest(s1, s2) AS overlap_sec
+      |FROM p JOIN er ON s1 < e2 AND s2 < e1
+      |ORDER BY p_id, e_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("sec", unix_timestamp(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("sec").as("s1"),
+        (col("sec") + 300).as("e1"))
+    val er = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("sec").as("s2"),
+        (col("sec") + 300).as("e2"))
+    graft.operators.RangeJoin.intervalOverlap(
+        p, er, "s1", "e1", "s2", "e2", bucket = 300L)
+      .select(col("p_id"), col("e_id"),
+        (least(col("e1"), col("e2"))
+          - greatest(col("s1"), col("s2"))).as("overlap_sec"))
+      .orderBy("p_id", "e_id")
+  }
+
   /** J7: correlated EXISTS / NOT EXISTS through the SQL surface —
     * Catalyst decorrelates both to hash semi/anti joins (PlanSpec
     * asserts LeftSemi/LeftAnti; nothing per-row). Also exercises the
@@ -3239,7 +3274,7 @@ object Queries {
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
-    qJ7ExistsSemi, qJ8Snowflake,
+    qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXSnapshotDiff,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,

@@ -55,6 +55,40 @@ object RangeJoin {
       .drop("__bkt")
   }
 
+  /** Interval×interval OVERLAP join — both sides are intervals and a
+    * pair matches iff [s1,e1) ∩ [s2,e2) ≠ ∅ (s1 < e2 ∧ s2 < e1): the
+    * session-overlap / attribution shape, and the batch face of
+    * streaming/StreamJoin's interval join. Same overlap-bucketing
+    * idea as [[pointInInterval]] with one twist: a pair now shares
+    * EVERY bucket its overlap spans, so instead of a post-join
+    * dedup (a shuffle over the matches) each pair is counted exactly
+    * once at its canonical meeting bucket — the bucket containing
+    * max(s1, s2), the overlap's start, which both sides provably
+    * explode to. Equi join on the bucket id: hash-shuffled,
+    * AQE-skew-splittable, never a nested loop.
+    *
+    * Column names must be disjoint between the two sides apart from
+    * the internal `__bkt` key.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      s1: String, e1: String,
+      s2: String, e2: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    def buckets(s: String, e: String) =
+      explode(sequence(
+        floorDiv(col(s), bucket), floorDiv(col(e) - 1, bucket)))
+    val l = left.withColumn("__bkt", buckets(s1, e1))
+    val r = right.withColumn("__bkt", buckets(s2, e2))
+    l.join(r, Seq("__bkt"))
+      .filter(col(s1) < col(e2) && col(s2) < col(e1))
+      .filter(col("__bkt") ===
+        floorDiv(greatest(col(s1), col(s2)), bucket))
+      .drop("__bkt")
+  }
+
   private def floorDiv(c: Column, w: Long): Column =
     floor(c / lit(w)).cast("long")
 }

@@ -60,4 +60,50 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
   }
+
+  private def checkOverlap(
+      as: Seq[(Long, Long)], bs: Seq[(Long, Long)], bucket: Long): Unit = {
+    val l = as.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("aid", "s1", "e1")
+    val r = bs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("bid", "s2", "e2")
+    val got = RangeJoin.intervalOverlap(l, r, "s1", "e1", "s2", "e2", bucket)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    val want = l.join(r, col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want, s"bucket=$bucket")
+  }
+
+  test("interval overlap: random intervals match the inequality join, " +
+      "several widths; each pair exactly once") {
+    val rnd = new Random(7)
+    val as = Seq.fill(300) {
+      val s = rnd.nextLong(10000); (s, s + 1 + rnd.nextLong(900))
+    }
+    val bs = Seq.fill(300) {
+      val s = rnd.nextLong(10000); (s, s + 1 + rnd.nextLong(200))
+    }
+    for (w <- Seq(1L, 13L, 300L, 5000L)) checkOverlap(as, bs, w)
+  }
+
+  test("interval overlap boundary semantics: touching intervals do NOT " +
+      "overlap (half-open), containment and identity do") {
+    // [0,300) vs [300,600): touch at 300 — no match
+    checkOverlap(Seq((0L, 300L)), Seq((300L, 600L)), 300L)
+    // identical, nested, and straddling-bucket-edge intervals
+    checkOverlap(
+      Seq((0L, 300L), (100L, 200L), (250L, 950L)),
+      Seq((0L, 300L), (0L, 1000L), (299L, 300L), (899L, 901L)), 300L)
+    // negative domain
+    checkOverlap(Seq((-600L, -300L)), Seq((-301L, -299L), (-300L, 0L)), 300L)
+  }
+
+  test("interval overlap plan: equi join on the bucket, no nested loop") {
+    val l = Seq((1L, 0L, 10L)).toDF("aid", "s1", "e1")
+    val r = Seq((1L, 5L, 15L)).toDF("bid", "s2", "e2")
+    val plan = RangeJoin.intervalOverlap(l, r, "s1", "e1", "s2", "e2", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }
