@@ -904,6 +904,29 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Fixed-iteration integer PageRank (operators/PageRank) over the
+    * part→supplier link graph derived from lineitem (src = partkey
+    * mod 500, dst = suppkey mod 100 — overlapping id ranges make a
+    * real cyclic graph). 10 exact integer rounds; the oracle replays
+    * every round as unrolled CTEs, so the iterative fixed point
+    * itself hash-matches.
+    */
+  val qGPagerank = {
+    val edgesSql =
+      "SELECT DISTINCT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem"
+    q(
+      "q_g_pagerank",
+      s"""${graft.operators.PageRank.oracleSql(edgesSql, iters = 10)}
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 500).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      graft.operators.PageRank.ranks(edges, "src", "dst", iters = 10)
+        .select(col("node"), col("rank").as("rank_micros"))
+        .orderBy("node")
+    }
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -3276,7 +3299,7 @@ object Queries {
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
-    qXSnapshotDiff,
+    qXSnapshotDiff, qGPagerank,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank (Brin & Page '98) in EXACT integer
+  * arithmetic — graph importance for curation: authority-weighted
+  * survivor selection in dedup clusters, seed ranking for crawl
+  * frontiers, link-spam heuristics. The beyond-reference iterative-
+  * graph member beside ConnectedComponents.
+  *
+  * Determinism contract (the repo convention): ranks are held in
+  * MICROS (node starts at 10⁶); each of the `iters` rounds moves
+  * `rank · 85 div (100 · outdeg)` along every edge (integer floor
+  * division — the damping 0.85 as a rational, never a float) and
+  * re-seeds 150 000 micros of teleport mass. Floor division and
+  * dangling nodes shed mass deterministically (identically in any
+  * engine and under any partitioning), so the fixed-point state after
+  * k rounds is a pure integer function of the edge set — the oracle
+  * replays all k rounds as unrolled CTEs and the result hash-matches.
+  * (Float PageRank sums in partition order — unverifiable; this is
+  * the same exactness trade the cents-long money sums make.)
+  *
+  * Scale shape: one distinct + degree agg up front; per round, ONE
+  * shuffle-join of the edge list against the current rank table and
+  * one map-side-combining inflow agg — the textbook Pregel round as
+  * plain DataFrame ops, AQE-skew-splittable on hot destinations.
+  * `checkpointEvery` truncates the lineage the same way
+  * ConnectedComponents does, so the plan stays bounded at any round
+  * count; at toy scale the default keeps everything lazy.
+  */
+object PageRank {
+
+  val TeleportMicros = 150000L // (1 - 0.85) · 10⁶
+
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgeDeg = e.join(deg, Seq("src"))
+
+    var r = nodes.withColumn("rank", lit(1000000L))
+    for (i <- 1 to iters) {
+      val inflow = edgeDeg
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank * 85 div (100 * outdeg)").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(TeleportMicros) + coalesce(col("inflow"), lit(0L)))
+            .as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint()
+    }
+    r
+  }
+
+  /** Oracle-SQL rendering: the identical rounds unrolled as chained
+    * CTEs (no recursive aggregation — portable), same `//` floor
+    * division, same teleport constant.
+    */
+  def oracleSql(edgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, $TeleportMicros + COALESCE(s.inflow, 0) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           SUM(r${i - 1}.rank * 85 // (100 * d.outdeg)) AS inflow
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |           JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM n),
+       |$steps
+       |SELECT node, CAST(rank AS BIGINT) AS rank_micros FROM r$iters""".stripMargin
+  }
+}

@@ -69,6 +69,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 1.0, 11L -> 0.0, 12L -> 0.0), got)
   }
 
+  test("PageRank: pure cycle is an exact fixed point at 10^6 micros; " +
+      "hubs beat the teleport floor; sources sit exactly on it; " +
+      "deterministic under repartitioning") {
+    import graft.operators.PageRank
+    // 3-cycle: contrib = 1e6*85 div 100 = 850000, +150000 teleport
+    // → every round reproduces exactly 10^6 (integer fixed point)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val c = PageRank.ranks(cycle, "s", "t", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L), c)
+    // star: 10 sources → one hub; hub has no out-edges (dangling)
+    val star = (1L to 10L).map(i => (i, 99L)).toDF("s", "t")
+    val s = PageRank.ranks(star, "s", "t", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(i => assert(s(i) == PageRank.TeleportMicros, s"$i"))
+    assert(s(99L) > PageRank.TeleportMicros * 5)
+    // partitioning invariance on a denser deterministic graph
+    val g = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 23).toLong))
+      .toDF("s", "t")
+    val a = PageRank.ranks(g, "s", "t", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.ranks(g.repartition(13), "s", "t", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // mass bounds: teleport floor ≤ every rank; total ≤ N·10^6
+    assert(a.values.forall(_ >= PageRank.TeleportMicros))
+    assert(a.values.sum <= a.size * 1000000L)
+  }
+
   test("equiDepthBins: octiles hold ~n/8 each under skew, bins are " +
       "monotone in the value, boundary ties go left") {
     // heavily skewed group: half the mass at one value
