@@ -2273,6 +2273,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Authority-weighted survivorship — the capstone composition: the
+    * near-dup similarity graph (shared 3-gram Jaccard ≥ 0.02, same
+    * chain as q_d_cc_clusters) feeds BOTH ConnectedComponents (who is
+    * a duplicate of whom) and integer PageRank over the symmetric
+    * edges (who is the most central member), and each cluster keeps
+    * its highest-authority doc — the centrality-based keeper policy
+    * (vs q_d_survivorship's longest-member policy). Ties on rank
+    * break to the larger doc_id (max-struct semantics, replayed as
+    * ORDER BY rank DESC, doc_id DESC). Every stage is exact integer
+    * arithmetic, so the oracle replays the full composition: shingle
+    * chain → transitive closure → 10 unrolled PageRank rounds →
+    * per-cluster argmax.
+    */
+  val qDAuthoritySurvivor = q(
+    "q_d_authority_survivor",
+    s"""$duckCcComp,
+       |${graft.operators.PageRank.oracleCtes("und", iters = 10)},
+       |pr AS (SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_micros
+       |       FROM r10),
+       |jn AS (SELECT comp.doc_id, component, rank_micros
+       |       FROM comp JOIN pr USING (doc_id))
+       |SELECT component, doc_id AS keeper_doc_id,
+       |       rank_micros AS keeper_rank, n_members
+       |FROM (SELECT component, doc_id, rank_micros,
+       |        COUNT(*) OVER (PARTITION BY component) AS n_members,
+       |        ROW_NUMBER() OVER (PARTITION BY component
+       |          ORDER BY rank_micros DESC, doc_id DESC) AS rn
+       |      FROM jn)
+       |WHERE rn = 1 ORDER BY component""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup, PageRank}
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 500),
+      "doc_id", "text", n = 3, minJaccard = 0.02)
+      .localCheckpoint() // feeds BOTH graph algorithms — generate once
+    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val comp = ConnectedComponents.run(pairs, "id_a", "id_b")
+      .localCheckpoint()
+    val pr = PageRank.ranks(und, "src", "dst", iters = 10)
+      .select(col("node").as("id"), col("rank").as("rank_micros"))
+    val jn = comp.join(pr, Seq("id"))
+    val sizes = jn.groupBy("component").agg(count(lit(1)).as("n_members"))
+    jn.groupBy("component")
+      .agg(max(struct(col("rank_micros"), col("id"))).as("m"))
+      .select(col("component"), col("m.id").as("keeper_doc_id"),
+        col("m.rank_micros").as("keeper_rank"))
+      .join(sizes, Seq("component"))
+      .orderBy("component")
+  }
+
   // Shared DuckDB fragments for the poly-hash text sketches (the SQL
   // rendering of graft.expressions.TextSketchKernels):
 
@@ -3316,7 +3366,8 @@ object Queries {
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
-    qDCcClusters, qDSurvivorship, qPipeCuration, qPipeEnd2End,
+    qDCcClusters, qDSurvivorship, qDAuthoritySurvivor, qPipeCuration,
+    qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,

@@ -64,26 +64,40 @@ object PageRank {
     r
   }
 
-  /** Oracle-SQL rendering: the identical rounds unrolled as chained
-    * CTEs (no recursive aggregation — portable), same `//` floor
-    * division, same teleport constant.
+  /** The rank-iteration CTE chain against an existing edge CTE
+    * `edgeCte(src, dst)` — composable into larger oracle statements
+    * (q_d_authority_survivor splices it after the CC chain). Ends at
+    * `r$iters(node, rank)`.
     */
-  def oracleSql(edgesSql: String, iters: Int): String = {
+  def oracleCtes(edgeCte: String, iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT n.node, $TeleportMicros + COALESCE(s.inflow, 0) AS rank
          |  FROM n LEFT JOIN (
-         |    SELECT e.dst AS node,
+         |    SELECT $edgeCte.dst AS node,
          |           SUM(r${i - 1}.rank * 85 // (100 * d.outdeg)) AS inflow
-         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
-         |           JOIN d ON d.src = e.src
-         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+         |    FROM $edgeCte JOIN r${i - 1} ON $edgeCte.src = r${i - 1}.node
+         |           JOIN d ON d.src = $edgeCte.src
+         |    GROUP BY $edgeCte.dst) s ON n.node = s.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    // DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH RECURSIVE
+    // statement (the CC composition) DuckDB 1.0 skips the implicit
+    // UNION dedup for non-recursive chained CTEs — bare UNION here
+    // silently multiplied every node row and quadrupled the rank mass
+    s"""n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM $edgeCte
+       |  UNION ALL SELECT dst FROM $edgeCte)),
+       |d AS (SELECT src, COUNT(*) AS outdeg FROM $edgeCte GROUP BY src),
        |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM n),
-       |$steps
-       |SELECT node, CAST(rank AS BIGINT) AS rank_micros FROM r$iters""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** Oracle-SQL rendering: the identical rounds unrolled as chained
+    * CTEs (no recursive aggregation — portable), same `//` floor
+    * division, same teleport constant.
+    */
+  def oracleSql(edgesSql: String, iters: Int): String =
+    s"""WITH e AS ($edgesSql),
+       |${oracleCtes("e", iters)}
+       |SELECT node, CAST(rank AS BIGINT) AS rank_micros FROM r$iters""".stripMargin
 }
