@@ -2283,15 +2283,15 @@ object Queries {
     * break to the larger doc_id (max-struct semantics, replayed as
     * ORDER BY rank DESC, doc_id DESC). Every stage is exact integer
     * arithmetic, so the oracle replays the full composition: shingle
-    * chain → transitive closure → 10 unrolled PageRank rounds →
+    * chain → transitive closure → 5 unrolled PageRank rounds →
     * per-cluster argmax.
     */
   val qDAuthoritySurvivor = q(
     "q_d_authority_survivor",
     s"""$duckCcComp,
-       |${graft.operators.PageRank.oracleCtes("und", iters = 10)},
+       |${graft.operators.PageRank.oracleCtes("und", iters = 5)},
        |pr AS (SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_micros
-       |       FROM r10),
+       |       FROM r5),
        |jn AS (SELECT comp.doc_id, component, rank_micros
        |       FROM comp JOIN pr USING (doc_id))
        |SELECT component, doc_id AS keeper_doc_id,
@@ -2311,7 +2311,7 @@ object Queries {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val comp = ConnectedComponents.run(pairs, "id_a", "id_b")
       .localCheckpoint()
-    val pr = PageRank.ranks(und, "src", "dst", iters = 10)
+    val pr = PageRank.ranks(und, "src", "dst", iters = 5)
       .select(col("node").as("id"), col("rank").as("rank_micros"))
     val jn = comp.join(pr, Seq("id"))
     val sizes = jn.groupBy("component").agg(count(lit(1)).as("n_members"))
