@@ -1049,6 +1049,26 @@ object Queries {
     }
   }
 
+  /** Approximate per-row percentile rank (Stats
+    * .approxPercentileRankMilli) — the map-only scale path beside the
+    * exact cume_dist window of q_w_rank_distrib: bucket-histogram
+    * cumulative starts broadcast back, integer floor-divided to milli
+    * units. The fact is never sorted.
+    */
+  val qW2PctRankApprox = {
+    val keep = Seq("event_id", "event_type", "value")
+    q(
+      "q_w_pct_rank_approx",
+      s"""SELECT event_id, event_type, value, pct_milli
+         |FROM (${graft.operators.Stats.approxPctRankOracleSql(
+             "events", "event_type", "FLOOR(value * 100)", keep)})
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.Stats.approxPercentileRankMilli(
+          Tables.events(s, d), "event_type", floor(col("value") * 100), keep)
+        .orderBy("event_id")
+    }
+  }
+
   /** Collect-to-array with DETERMINISTIC order: collect_list order is
     * partition-dependent (useless for reproducible output), so the
     * catalog rendering sorts the collected array and joins to a
@@ -3355,7 +3375,7 @@ object Queries {
     qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
-    qA16Winsorize, qA17EquiDepthBins,
+    qA16Winsorize, qA17EquiDepthBins, qW2PctRankApprox,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,

@@ -407,6 +407,65 @@ object Stats {
       .select(keep.map(col) :+ binCol.as("bin"): _*)
   }
 
+  /** Approximate per-row percentile rank in MILLI units (0..999) —
+    * the map-only scale path beside the exact `cume_dist` window
+    * (q_w_rank_distrib, which per-group-sorts the fact): each row's
+    * rank is approximated by its histogram bucket's cumulative start,
+    * `pct_milli = cum0·1000 div n` — error bounded by the largest
+    * bucket's mass fraction. The fact is touched twice (extent+hist
+    * build, then the output pass) and NEVER sorted or shuffled: the
+    * bucket table broadcasts back. Bucket arithmetic is the
+    * selection-path formula (doubles, but ×B is a power of two and
+    * the divide is correctly rounded identically in any IEEE engine),
+    * and the rank is integer floor division — deterministic and
+    * oracle-replayable end to end.
+    */
+  def approxPercentileRankMilli(
+      df: DataFrame, group: String, xInt: Column,
+      keep: Seq[String], buckets: Int = 256): DataFrame = {
+    val B = buckets
+    val base = df.withColumn("xl", xInt.cast("long"))
+    val extent = base.groupBy(group).agg(
+      count(lit(1)).as("n"), min("xl").as("mn"), max("xl").as("mx"))
+    val withB = base.join(broadcast(extent), Seq(group))
+      .withColumn("bkt",
+        least(greatest(
+          floor((col("xl") - col("mn"))
+            / (col("mx") - col("mn") + lit(1e-300)) * B).cast("int"),
+          lit(0)), lit(B - 1)))
+    val cum = withB.groupBy(col(group), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum0",
+        sum("c").over(Window.partitionBy(group).orderBy("bkt")) - col("c"))
+      .select(col(group), col("bkt"), col("cum0"))
+    withB.join(broadcast(cum), Seq(group, "bkt"))
+      .withColumn("pct_milli", expr("cum0 * 1000 div n"))
+      .select(keep.map(col) :+ col("pct_milli"): _*)
+  }
+
+  /** DuckDB rendering of `approxPercentileRankMilli` (identical
+    * bucket arithmetic and floor division).
+    */
+  def approxPctRankOracleSql(
+      table: String, group: String, xIntSql: String,
+      keep: Seq[String], buckets: Int = 256): String =
+    s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
+       |ex AS (SELECT $group, COUNT(*) AS n, MIN(xl) AS mn, MAX(xl) AS mx
+       |       FROM b GROUP BY $group),
+       |wb AS (SELECT b.*, ex.n,
+       |         least(greatest(CAST(floor((xl - mn)
+       |           / (mx - mn + 1e-300) * $buckets) AS INT), 0),
+       |           ${buckets - 1}) AS bkt
+       |       FROM b JOIN ex USING ($group)),
+       |h AS (SELECT $group, bkt, COUNT(*) AS c FROM wb GROUP BY 1, 2),
+       |cu AS (SELECT $group, bkt,
+       |         CAST(SUM(c) OVER (PARTITION BY $group ORDER BY bkt) - c
+       |              AS BIGINT) AS cum0
+       |       FROM h)
+       |SELECT ${keep.mkString(", ")},
+       |       CAST(cum0 * 1000 // n AS BIGINT) AS pct_milli
+       |FROM wb JOIN cu USING ($group, bkt)""".stripMargin
+
   /** DuckDB rendering of `equiDepthBins` (identical comparisons on
     * the same ⌈p·n⌉ order statistics).
     */

@@ -106,6 +106,31 @@ class StatsSpec extends SparkSpec {
     assert(got == ref, s"got=$got\nref=$ref")
   }
 
+  test("approxPercentileRankMilli: never above the true strict-below " +
+      "rank, within its own bucket's mass of it, monotone in value") {
+    val ev = Tables.events(spark, Sf0001)
+    val xi = floor(col("value") * 100)
+    val approx = Stats.approxPercentileRankMilli(ev, "event_type", xi,
+        Seq("event_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        math.floor(r.getDouble(2) * 100).toLong, r.getLong(3))).toMap
+    // driver-side exact strict-below fraction per group
+    val byGroup = approx.toSeq.groupBy(_._2._1)
+    byGroup.foreach { case (_, rows) =>
+      val xs = rows.map(_._2._2).sorted
+      val n = xs.length.toDouble
+      // a row's approx rank (its bucket's cumulative start) never
+      // exceeds its exact strict-below rank (plus milli floor slack)
+      rows.foreach { case (_, (_, x, milli)) =>
+        val exact = xs.count(_ < x) / n * 1000.0
+        assert(milli <= exact + 1.0, s"overshoot: $milli vs $exact")
+      }
+      // monotone: sort rows by value, approx rank never decreases
+      val sorted = rows.sortBy(_._2._2).map(_._2._3)
+      assert(sorted.sliding(2).forall(w => w.head <= w.last))
+    }
+  }
+
   test("groupedQuantilesDisc matches a driver-side sorted reference") {
     val li = Tables.lineitem(spark, Sf0001)
     val got = Stats.groupedQuantilesDisc(
