@@ -2293,6 +2293,44 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split: assignment hashes the
+    * near-dup CLUSTER id, not the document id — the eval-leakage
+    * guard a naive doc-level split lacks (a near-duplicate of a test
+    * doc landing in train leaks the answer; splitting by connected
+    * component makes that impossible BY CONSTRUCTION: the whole
+    * cluster moves together). Isolated docs are their own cluster.
+    * Same deterministic affine hash as every other split/sample —
+    * append-stable, reproducible, replayed by the oracle.
+    */
+  val qO17LeakageSafeSplit = q(
+    "q_o17_leakage_safe_split",
+    s"""$duckCcComp,
+       |allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+       |         LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, component,
+       |       CASE WHEN ${graft.operators.Sampling.hashBucketSql(
+             "component", 10)} < 8 THEN 'train'
+       |            WHEN ${graft.operators.Sampling.hashBucketSql(
+             "component", 10)} = 8 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM allc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup, Sampling}
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val edges = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.02)
+    val comp = ConnectedComponents.run(edges, "id_a", "id_b")
+      .localCheckpoint()
+      .select(col("id").as("doc_id"), col("component"))
+    val b = Sampling.hashBucket(col("component"), 10)
+    docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(b < 8, "train").when(b === 8, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** Authority-weighted survivorship — the capstone composition: the
     * near-dup similarity graph (shared 3-gram Jaccard ≥ 0.02, same
     * chain as q_d_cc_clusters) feeds BOTH ConnectedComponents (who is
@@ -3386,8 +3424,8 @@ object Queries {
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
-    qDCcClusters, qDSurvivorship, qDAuthoritySurvivor, qPipeCuration,
-    qPipeEnd2End,
+    qDCcClusters, qDSurvivorship, qDAuthoritySurvivor,
+    qO17LeakageSafeSplit, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,

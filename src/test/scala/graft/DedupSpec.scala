@@ -154,6 +154,35 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((3L, 1L)))
   }
 
+  test("leakage-safe split: NO near-dup pair straddles splits; all " +
+      "three splits populated; doc-level hash split DOES leak (the " +
+      "problem being solved)") {
+    val split = Queries.specs.find(_.name == "q_o17_leakage_safe_split")
+      .get.fn(spark, Sf001)
+      .select("doc_id", "split").cache()
+    val docs = Tables.documents(spark, Sf001).filter(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.02)
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), Seq("id_b"))
+    assert(straddling.filter(col("sa") =!= col("sb")).count() == 0L)
+    assert(split.select("split").distinct().count() == 3L)
+    // the contrast: hashing the DOC id splits near-dup pairs apart
+    val naive = docs.select(col("doc_id"),
+      graft.operators.Sampling.hashBucket(col("doc_id"), 10).as("b"))
+    val naiveLeaks = pairs
+      .join(naive.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("b", "ba"), Seq("id_a"))
+      .join(naive.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("b", "bb"), Seq("id_b"))
+      .filter(col("ba") =!= col("bb")).count()
+    assert(naiveLeaks > 0L, "expected the naive split to leak")
+    split.unpersist()
+  }
+
   test("corpus curation: stages compose — survivors clean, gated, nonempty") {
     val docs = Tables.documents(spark, Sf001)
     val cur = graft.pipelines.CorpusCuration.curate(docs).cache()
