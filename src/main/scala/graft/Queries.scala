@@ -2331,6 +2331,53 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic negative sampling with cluster exclusion — the
+    * contrastive-training prep: each anchor doc draws k pseudo-random
+    * negatives via the affine key hash (append-stable, reproducible —
+    * never `rand()`), and any candidate from the anchor's OWN
+    * near-dup cluster is rejected (a near-duplicate is a false
+    * negative that would poison the contrastive loss). Candidates
+    * here index the dense doc_id space directly; sparse id spaces
+    * would first dense-rank (the zorder writeClustered pattern).
+    * Self-pairs are excluded by construction (candidate == anchor is
+    * also same-cluster).
+    */
+  val qO18NegativeSamples = q(
+    "q_o18_negative_samples",
+    s"""$duckCcComp,
+       |allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+       |         LEFT JOIN comp c USING (doc_id)),
+       |cand AS (SELECT a.doc_id, a.component, j,
+       |                ${graft.operators.Sampling.hashBucketSql(
+             "(a.doc_id * 53 + j)", 500)} AS neg_id
+       |         FROM allc a, (SELECT unnest(range(4)) AS j))
+       |SELECT c.doc_id, c.j, c.neg_id
+       |FROM cand c JOIN allc n ON c.neg_id = n.doc_id
+       |WHERE n.component <> c.component
+       |ORDER BY c.doc_id, c.j""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup, Sampling}
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val edges = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.02)
+    val allc = docs.select("doc_id")
+      .join(ConnectedComponents.run(edges, "id_a", "id_b")
+          .localCheckpoint()
+          .select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val cand = allc
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("neg_id",
+        Sampling.hashBucket(col("doc_id") * 53 + col("j"), 500))
+    cand
+      .join(allc.select(col("doc_id").as("neg_id"),
+        col("component").as("neg_component")), Seq("neg_id"))
+      .filter(col("neg_component") =!= col("component"))
+      .select("doc_id", "j", "neg_id")
+      .orderBy("doc_id", "j")
+  }
+
   /** Authority-weighted survivorship — the capstone composition: the
     * near-dup similarity graph (shared 3-gram Jaccard ≥ 0.02, same
     * chain as q_d_cc_clusters) feeds BOTH ConnectedComponents (who is
@@ -3425,7 +3472,7 @@ object Queries {
     qO11Mixture, qO16TokenBudget,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
     qDCcClusters, qDSurvivorship, qDAuthoritySurvivor,
-    qO17LeakageSafeSplit, qPipeCuration, qPipeEnd2End,
+    qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,

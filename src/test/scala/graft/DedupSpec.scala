@@ -183,6 +183,34 @@ class DedupSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("negative sampling: no negative shares its anchor's near-dup " +
+      "cluster; same-cluster rejections actually occurred; draws stable") {
+    val negs = Queries.specs.find(_.name == "q_o18_negative_samples")
+      .get.fn(spark, Sf001).cache()
+    val docs = Tables.documents(spark, Sf001).filter(col("doc_id") < 500)
+    val comp = graft.operators.ConnectedComponents.run(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.02),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    val full = docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val joined = negs
+      .join(full.withColumnRenamed("component", "ca"), Seq("doc_id"))
+      .join(full.select(col("doc_id").as("neg_id"),
+        col("component").as("cn")), Seq("neg_id"))
+    assert(joined.filter(col("ca") === col("cn")).count() == 0L)
+    // the exclusion rejected some raw draws (4 per anchor max)
+    val n = negs.count()
+    assert(n < 500L * 4 && n > 500L * 2, s"n=$n")
+    // deterministic: a second evaluation returns the identical set
+    val again = Queries.specs.find(_.name == "q_o18_negative_samples")
+      .get.fn(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == negs.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    negs.unpersist()
+  }
+
   test("corpus curation: stages compose — survivors clean, gated, nonempty") {
     val docs = Tables.documents(spark, Sf001)
     val cur = graft.pipelines.CorpusCuration.curate(docs).cache()
