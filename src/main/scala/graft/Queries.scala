@@ -835,6 +835,35 @@ object Queries {
     est.join(exact, Seq("l_partkey")).orderBy("l_partkey")
   }
 
+  /** Heavy hitters by sketch-then-verify: candidate keys come from
+    * the CMS (estimate ≥ T — CMS only ever OVERestimates, so no true
+    * heavy hitter can be missed), and only candidates get an exact
+    * count. The oracle is deliberately the PLAIN exact HAVING query:
+    * equality with it IS the no-false-negative guarantee, proven by
+    * hash on every run. At 100 TB the win is the verify pass counting
+    * only sketch-survivors instead of every distinct key.
+    */
+  val qA18HeavyHitters = {
+    val T = 45
+    q(
+      "q_a18_heavy_hitters",
+      s"""SELECT l_partkey, COUNT(*) AS n FROM lineitem
+         |GROUP BY l_partkey HAVING COUNT(*) >= $T
+         |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      import graft.operators.Sketch
+      val li = Tables.lineitem(s, d)
+      val sk = Sketch.cmsSketch(li, "l_partkey")
+      val cand = Sketch.cmsEstimate(
+          sk, li.select("l_partkey").distinct(), "l_partkey")
+        .filter(col("cms_est") >= T)
+        .select("l_partkey")
+      li.join(cand, Seq("l_partkey"), "left_semi")
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= T)
+        .orderBy("l_partkey")
+    }
+  }
+
   /** Z-order (Morton) key (operators/ZOrder.zValue2) — the
     * multi-dimensional clustering key for file skipping: sort a lake
     * table by this and every file's min/max stats stay narrow in
@@ -3460,7 +3489,7 @@ object Queries {
     qO2Union, qO3Split, qO12UnionByName,
     qA4Distinct, qA5Hll, qA9Cms, qA10Collect, qA6Rollup, qA6bCube, qA7Quantiles, qA7bQuantilesSelect,
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
-    qA16Winsorize, qA17EquiDepthBins, qW2PctRankApprox,
+    qA16Winsorize, qA17EquiDepthBins, qA18HeavyHitters, qW2PctRankApprox,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
