@@ -103,4 +103,26 @@ object QualityClassifier {
       .withColumn("p_quality",
         org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
       .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** Calibration report — the threshold-tuning table for the deployed
+    * gate: equi-depth bins over p_quality (micro-quantized, so the
+    * binning rides the exact selection path of Stats.equiDepthBins),
+    * each bin reporting (n, mean predicted, observed positive rate)
+    * against a reference label. A well-calibrated filter shows
+    * obs_rate tracking mean_pred monotonically; divergence tells you
+    * where the cut is safe. Scale: the binning never sorts the
+    * corpus; the report is one map-side-combining agg over B rows.
+    */
+  def calibrationReport(scored: DataFrame, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val binned = graft.operators.Stats.equiDepthBins(
+      scored.withColumn("__g", lit("all")),
+      "__g", floor(col("p_quality") * 1000000), bins,
+      keep = Seq(labelCol, "p_quality"))
+    binned.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        avg("p_quality").as("mean_pred"),
+        avg(labelCol).as("obs_rate"))
+      .orderBy("bin")
+  }
 }

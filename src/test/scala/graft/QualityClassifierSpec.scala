@@ -58,6 +58,22 @@ class QualityClassifierSpec extends SparkSpec {
       s"clean ${cleanScores.toSeq} vs junk ${junkScores.toSeq}")
   }
 
+  test("calibration report: observed positive rate is monotone across " +
+      "equi-depth score bins and pins the extremes on separable data") {
+    val docs = (cleanSentences.map((_, 1.0)) ++ junkDocs.map((_, 0.0)))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "truth")
+    val model = QualityClassifier.train(docs.select("doc_id", "text"), "text")
+    val scored = QualityClassifier.score(model, docs, "text")
+    val rep = QualityClassifier.calibrationReport(scored, "truth", bins = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rep.map(_._2).sum == 14L) // every doc lands in exactly one bin
+    val rates = rep.map(_._3).toSeq
+    assert(rates.sliding(2).forall(w => w.head <= w.last), rates)
+    assert(rates.head == 0.0 && rates.last == 1.0, rates)
+  }
+
   test("weak labels only mark the confident extremes; model artifact " +
       "round-trips") {
     val docs = (cleanSentences ++ junkDocs).zipWithIndex
