@@ -68,7 +68,12 @@ object RangeJoin {
     * AQE-skew-splittable, never a nested loop.
     *
     * Column names must be disjoint between the two sides apart from
-    * the internal `__bkt` key.
+    * the internal `__bkt` key. Intervals must be non-empty (s < e):
+    * an empty [x, x) satisfies the pairwise inequality s1<e2 ∧ s2<e1
+    * vacuously against any interval strictly containing x — in BOTH
+    * this rendering and the direct inequality join (they stay
+    * value-identical either way), so filter empties out first if the
+    * source can produce them.
     */
   def intervalOverlap(
       left: DataFrame,

@@ -90,7 +90,11 @@ object Sampling {
     * deterministic key-hash bernoulli as [[mixtureSample]] — so the
     * sampled corpus is reproducible, append-stable, and the rate
     * math is exactly replayable (one double product/division chain
-    * on exact integer inputs, then floor; all magnitudes ≪ 2⁵³).
+    * on exact integer inputs, then floor — identical IEEE ops in any
+    * engine, so cross-engine parity holds at ANY magnitude; the rate
+    * equals the exact rational only while den·budget·w stays under
+    * 2⁵³ ≈ budgets of 9·10⁹·w tokens — past that the double rounds,
+    * shifting the keep rate by ≤1 ulp, immaterial for sampling).
     * Sources without a weight are dropped (a mix is a whitelist); a
     * source whose T_s ≤ its share keeps everything (rate saturates
     * at 1) — the budget is a target, hit exactly in expectation only

@@ -36,7 +36,11 @@ object StreamWinsorize {
       cents_w: Long, lo: Long, hi: Long)
 
   /** Bucket key e·64 + sub — the integer (bit-width, top-mantissa)
-    * bucket of Sketch.quantileSketch, one long. Domain: v ≥ 0.
+    * bucket of Sketch.quantileSketch, one long. Domain: v ≥ 0, the
+    * sketch family's contract (Sketch.scala: "scale money to cents
+    * first; shift/offset a signed domain before sketching") — a
+    * negative v sign-extends the mantissa shift and breaks bucket
+    * ordering, identically to the batch sketch.
     */
   def bucketKey(v: Long): Long = {
     val e = if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
