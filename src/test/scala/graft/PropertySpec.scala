@@ -241,6 +241,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winsorize and equi-depth bins match driver-side exact " +
+      "order statistics on random multi-group data with ties") {
+    val rowGen = Gen.zip(Gen.choose(0, 3), Gen.choose(-500, 500))
+    val rows = samples(rowGen, 1200).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, s"g$g", v.toLong) }
+    val df = rows.toDF("id", "grp", "xl")
+    // driver references, same ceil(p*n) discrete selection rule
+    def disc(v: Seq[Long], p: Double): Long = {
+      val s = v.sorted
+      s(math.max(math.ceil(p * s.length).toInt, 1) - 1)
+    }
+    val byG = rows.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3) }
+    // winsorize: every value clamps into [p05, p95]
+    val w = graft.operators.Stats.winsorize(df, "grp", col("xl"), 0.05, 0.95,
+        Seq("id", "grp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    w.foreach { case (id, g, xlw) =>
+      val xs = byG(g)
+      val lo = disc(xs, 0.05); val hi = disc(xs, 0.95)
+      val x = rows(id.toInt)._3
+      assert(xlw == math.min(math.max(x, lo), hi), s"id=$id")
+    }
+    // equi-depth: bin == 1 + #boundaries strictly below the value
+    val b = graft.operators.Stats.equiDepthBins(df, "grp", col("xl"), 8,
+        Seq("id", "grp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    b.foreach { case (id, g, bin) =>
+      val xs = byG(g)
+      val bounds = (1 until 8).map(k => disc(xs, k / 8.0))
+      val x = rows(id.toInt)._3
+      assert(bin == 1 + bounds.count(_ < x), s"id=$id x=$x bin=$bin")
+    }
+  }
+
   test("property: NL holiday calendar invariants for every year 1990-2035") {
     (1990 to 2035).foreach { year =>
       val h = graft.functions.NLHolidays.forYear(year)
