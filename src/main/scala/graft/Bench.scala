@@ -41,20 +41,80 @@ object Bench {
 
     // min of 2 runs per query: first run pays codegen/JIT/footer-cache
     // noise; min is the steady-state cost the cluster would see.
-    val results = Queries.specs
-      .filter(sp => sp.bench && only.forall(_.contains(sp.name)))
-      .map { sp =>
-      val times = (1 to 2).map { _ =>
+    def timeMinOf2(name: String)(run: => Unit): Double =
+      (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try run
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
+      }.min
+    val catalogResults = Queries.specs
+      .filter(sp => sp.bench && only.forall(_.contains(sp.name)))
+      .map { sp =>
+        sp.name -> timeMinOf2(sp.name) {
+          sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       }
-      sp.name -> times.min
-    }
+
+    // X3 payoff pair: the SAME fact⋈fact join+agg, once over bucketed
+    // catalog tables (zero-Exchange SMJ zip, SkewBucketSpec's claim)
+    // and once over plain parquet. The one-off bucket write is setup,
+    // not timed — at 100 TB it amortizes over every recurring join.
+    // Broadcast is disabled for BOTH sides: this models the regime the
+    // bucketing exists for (neither fact fits in memory), which at
+    // sf0.1 a broadcast of orders would otherwise short-circuit.
+    val bucketPair: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else {
+        import org.apache.spark.sql.DataFrame
+        graft.sinks.Bucketed.write(
+          Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+          "bench_bx_orders", "o_orderkey", 8)
+        graft.sinks.Bucketed.write(
+          Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+          "bench_bx_lineitem", "o_orderkey", 8)
+        def joinAgg(o: DataFrame, l: DataFrame): DataFrame =
+          o.join(l, Seq("o_orderkey"))
+            .groupBy((col("o_orderkey") % 100).as("grp"))
+            .agg(sum(col("l_quantity").cast("long")).as("qty"),
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n"))
+            .orderBy("grp")
+        val restoreBroadcast = spark.conf.get(
+          "spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val pair = try {
+          Seq(
+            "q_x_bucketed_join_bucketed" ->
+              timeMinOf2("q_x_bucketed_join_bucketed") {
+                joinAgg(
+                  graft.sinks.Bucketed.table(spark, "bench_bx_orders"),
+                  graft.sinks.Bucketed.table(spark, "bench_bx_lineitem"))
+                  .write.format("noop").mode("overwrite").save()
+              },
+            "q_x_bucketed_join_plain" ->
+              timeMinOf2("q_x_bucketed_join_plain") {
+                joinAgg(
+                  Tables.orders(spark, sfDir)
+                    .select("o_orderkey", "o_totalprice"),
+                  Tables.lineitem(spark, sfDir)
+                    .select(col("l_orderkey").as("o_orderkey"),
+                      col("l_quantity")))
+                  .write.format("noop").mode("overwrite").save()
+              })
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            restoreBroadcast)
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+        pair
+      }
+    val results = catalogResults ++ bucketPair
     // Self-healing artifact layout: a bounded tail capture truncated
     // the round-6 record because the whole catalog rode one giant JSON
     // line (its HEAD — with the total — fell outside the window). Emit
@@ -69,10 +129,22 @@ object Bench {
     val qs = sorted.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+    println(detail)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // (4) the complete per-query record as its OWN file, immune to any
+    // stdout tail window (round-7 artifact lost 38 of 109 values):
+    // default BENCH_per_query.json in CWD, overridable for local runs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_per_query.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), detail + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] per-query file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -2104,27 +2104,38 @@ object Queries {
   }
 
   /** Substring-containment dedup (Dedup.containmentPairs): docs whose
-    * full text occurs verbatim inside another doc — the truncation
-    * class Jaccard misses at large size ratios. Rarest-anchor
-    * candidates (each doc posts its lexicographic-MIN 4-gram against
-    * the shingle index — complete by construction), exact instr
-    * verify. No hashes anywhere: string MIN + substring search,
-    * bit-identical in both engines.
+    * full text occurs verbatim (token-aligned) inside another doc —
+    * the truncation class Jaccard misses at large size ratios.
+    * Rarest-anchor candidates: each doc posts its globally-DF-RAREST
+    * 4-gram (tie-break lexicographic) against the shingle index, and
+    * posting lists are capped at the `maxPostings` smallest doc ids —
+    * both the df-argmin and the cap replay exactly below. Exact instr
+    * verify. No hashes anywhere: integer df + string order + substring
+    * search, bit-identical in both engines.
     */
   val qDContainment = q(
     "q_d_containment",
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS toks
+      |         list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 3),
       |         i -> array_to_string(list_slice(toks, i + 1, i + 4), '')))) AS g
       |  FROM tok WHERE len(toks) >= 4),
-      |an AS (SELECT doc_id, MIN(g) AS g FROM sh GROUP BY doc_id),
-      |cand AS (SELECT an.doc_id AS inner_id, sh.doc_id AS outer_id
-      |         FROM an JOIN sh USING (g)
-      |         WHERE an.doc_id <> sh.doc_id)
+      |ann AS (
+      |  SELECT doc_id, g,
+      |         COUNT(*) OVER (PARTITION BY g) AS df,
+      |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id) AS rn
+      |  FROM sh),
+      |an AS (
+      |  SELECT doc_id AS inner_id, g FROM (
+      |    SELECT doc_id, g,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, g) AS arn
+      |    FROM ann) WHERE arn = 1),
+      |post AS (SELECT doc_id AS outer_id, g FROM ann WHERE rn <= ${graft.operators.Dedup.DefaultMaxBucket}),
+      |cand AS (SELECT inner_id, outer_id FROM an JOIN post USING (g)
+      |         WHERE inner_id <> outer_id)
       |SELECT inner_id, outer_id
       |FROM cand
       |JOIN documents a ON inner_id = a.doc_id

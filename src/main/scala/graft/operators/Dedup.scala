@@ -85,35 +85,73 @@ object Dedup {
     * once the size ratio grows (a 10% prefix of a long doc has tiny
     * Jaccard but is still a duplicate to drop).
     *
-    * Candidate generation is the rarest-anchor trick with a
-    * lexicographic-MIN anchor: every w-shingle of a substring also
-    * appears in its container, so in particular inner's MIN shingle
-    * does — each doc posts ONE anchor row against the full shingle
-    * index, making the candidate join |docs| × postings(anchor gram)
-    * instead of an all-shingles self-join, with NO false negatives
-    * for docs long enough to shingle (docs under `w` tokens emit no
-    * anchor and are never reported — contract, same as
-    * Decontaminate's strict shingles). Candidates then verify with
-    * one exact `instr` + length check, so false positives are
-    * impossible. Deterministic end to end (string MIN + substring
-    * search — no hashes), hence exactly replayable in the oracle.
+    * CONTRACT (what "containment" means here): WHITESPACE-TOKEN-ALIGNED
+    * verbatim containment — inner's text must start and end on outer's
+    * token boundaries for a candidate to be generated (a raw substring
+    * that starts or ends mid-token can pass an `instr` check but shares
+    * no token shingle with its container, so no candidate exists).
+    * STRICTLY SHORTER inner only: equal-length exact duplicates are
+    * excluded by design — that class is [[exactDedup]]'s job, and the
+    * deployed composition runs this operator after it. Docs under `w`
+    * tokens emit no shingle and are never reported (same strictness as
+    * Decontaminate).
     *
-    * Cost model: candidates = Σ_anchor-grams postings(gram), so an
-    * exact-duplicate-heavy corpus inflates candidates QUADRATICALLY
-    * in the replica factor (every copy posts the same anchor into the
-    * same postings). Run AFTER [[exactDedup]] — the deployed order —
-    * and the blow-up vanishes: measured on the 10×-replica sf1 corpus,
-    * raw 5.8 s vs 1.2 s composed (≈ the sf0.1 cost), BASELINE §6.
+    * Candidate generation is the rarest-anchor trick with a GLOBALLY
+    * DF-RAREST anchor: every w-shingle of a token-aligned substring
+    * also appears in its container, so ANY single shingle of inner
+    * works as the anchor — each doc posts ONE anchor row against the
+    * shingle index, making the candidate join |docs| ×
+    * postings(anchor gram) instead of an all-shingles self-join. The
+    * anchor is chosen by minimum global document frequency
+    * (tie-break: lexicographic min gram) from a vocabulary-sized df
+    * pass — the same shape TfIdf's df table builds. A
+    * lexicographic-min anchor (the previous rendering) is NOT rare: a
+    * common leading boilerplate gram lands every doc that shares it
+    * in one posting list and candidates grow quadratically; df-argmin
+    * picks each doc's least-shared gram, so a doc only competes with
+    * the few docs that genuinely share its rarest content.
+    *
+    * Hot-postings cap: posting lists longer than `maxPostings` keep
+    * only the `maxPostings` smallest doc ids (deterministic, oracle-
+    * replayable — same philosophy as [[DefaultMaxBucket]] for MinHash
+    * bands). The cap is part of the operator's definition. A true
+    * containment is missed only when inner's GLOBALLY RAREST gram
+    * still has > `maxPostings` postings and outer is unlucky in id
+    * order — i.e. inner is made entirely of heavily-shared
+    * boilerplate, exactly the class a dedup pipeline drops anyway.
+    * Candidates then verify with one exact `instr` + length check, so
+    * false positives are impossible. Deterministic end to end (integer
+    * df + string order + substring search — no hashes), hence exactly
+    * replayable in the oracle.
+    *
+    * Cost model: candidates = Σ_docs min(postings(rarest gram),
+    * maxPostings) ≤ |docs| × maxPostings — LINEAR in the corpus by
+    * construction, vs the old rendering's measured quadratic blow-up
+    * on replica-heavy corpora (BASELINE §6: raw 5.8 s at sf1 vs 1.2 s
+    * composed). Run after [[exactDedup]] in production regardless:
+    * byte-identical replicas carry no containment information.
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      w: Int = 4): DataFrame = {
+      w: Int = 4,
+      maxPostings: Int = DefaultMaxBucket): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sh = docs.select(col("id"),
       explode(TextOps.shinglesStrict(col("text"), w)).as("g"))
-    val anchors = sh.groupBy("id").agg(min("g").as("g"))
-    val cand = anchors.select(col("id").as("inner_id"), col("g"))
-      .join(sh.select(col("id").as("outer_id"), col("g")), Seq("g"))
+    // one shuffle by gram annotates BOTH the global df (anchor choice)
+    // and the posting rank (hot-postings cap); the two window specs
+    // share the exchange and the sorted one feeds both join sides
+    val ann = sh
+      .withColumn("df", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wg.orderBy("id")))
+    val anchors = ann.groupBy("id")
+      .agg(min(struct(col("df"), col("g"))).as("a"))
+      .select(col("id").as("inner_id"), col("a.g").as("g"))
+    val postings = ann.filter(col("rn") <= maxPostings)
+      .select(col("id").as("outer_id"), col("g"))
+    val cand = anchors
+      .join(postings, Seq("g"))
       .filter(col("inner_id") =!= col("outer_id"))
       .select("inner_id", "outer_id")
     cand

@@ -64,9 +64,18 @@ object Introspect {
     * combines map-side down to |cols|·256 rows — the shuffle is
     * sketch-sized no matter how wide or tall the table. String
     * columns ride the rolling-hash fingerprint (TextFingerprint, the
-    * same fold the DuckDB oracle replays); integral columns hash
-    * directly. NULLs are excluded from distincts exactly as
-    * COUNT(DISTINCT) excludes them.
+    * same fold the DuckDB oracle replays); integral/boolean columns
+    * hash directly (lossless long widening). Fractional, decimal, and
+    * date/time columns fingerprint their CANONICAL STRING rendering —
+    * Spark's cast-to-string is injective per type (distinct values
+    * render distinctly), so distinct counting is sound; note the
+    * register values for those types then depend on the engine's
+    * rendering, so cross-engine oracle exactness holds for
+    * integral/string columns (the q_o14b contract) while other types
+    * get an engine-consistent estimate. Unsupported types (array,
+    * map, struct, binary) throw rather than silently collapse.
+    * NULLs are excluded from distincts exactly as COUNT(DISTINCT)
+    * excludes them.
     */
   def profileSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -84,7 +93,15 @@ object Introspect {
     def surrogate(c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case StringType => graft.expressions.TextFingerprint(col(c))
-        case _          => col(c).cast("long")
+        case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+          col(c).cast("long")
+        case FloatType | DoubleType | _: DecimalType | DateType |
+            TimestampType | TimestampNTZType =>
+          graft.expressions.TextFingerprint(col(c).cast("string"))
+        case dt => throw new IllegalArgumentException(
+          s"profileSketch: unsupported column type $dt for `$c` — " +
+            "supported: string, integral, boolean, fractional, decimal, " +
+            "date/timestamp")
       }
     val melted = df
       .select(explode(array(cols.map(c =>

@@ -154,6 +154,57 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((3L, 1L)))
   }
 
+  test("containmentPairs: df-rarest anchor dodges a hot boilerplate " +
+      "gram — planted containment found under a cap far below the " +
+      "boilerplate's posting-list length") {
+    import spark.implicits._
+    // 250 docs share a 5-token boilerplate head (its grams have
+    // df=250, and lexicographically sort BELOW the unique z-tails —
+    // a lexicographic-min anchor would send every doc to that one
+    // posting list and the cap would hide outer ids > 10); each doc's
+    // df-rarest gram is its unique tail, so candidates stay tiny
+    val bases = (0 until 250).map { i =>
+      (i.toLong, s"lorem ipsum dolor sit amet zz$i zy$i zx$i zw$i")
+    }
+    val inner = (1000L, "zz200 zy200 zx200 zw200") // tail slice of doc 200
+    val df = (bases :+ inner).toDF("id", "text")
+    val got = Dedup.containmentPairs(df, "id", "text", w = 4, maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1000L, 200L)), got)
+    // and nothing spurious: the only true containment in the corpus
+    assert(got == Set((1000L, 200L)), got)
+  }
+
+  test("containmentPairs: hot-postings cap observed — all-boilerplate " +
+      "docs degrade deterministically to the cap's smallest outer ids") {
+    import spark.implicits._
+    // every gram of every doc is hot (df=15): doc i = the same 4-token
+    // phrase repeated i+1 times, so doc i ⊂ doc j for all i < j
+    val docs = (0 until 15).map { i =>
+      (i.toLong, Seq.fill(i + 1)("aa bb cc dd").mkString(" "))
+    }.toDF("id", "text")
+    val uncapped = Dedup.containmentPairs(docs, "id", "text", w = 4,
+        maxPostings = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (for (i <- 0 until 15; j <- 0 until 15 if i < j)
+      yield (i.toLong, j.toLong)).toSet
+    assert(uncapped == all, s"uncapped should find all ${all.size}")
+    val capped = Dedup.containmentPairs(docs, "id", "text", w = 4,
+        maxPostings = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic cap model: doc 0's only gram is "aabbccdd"
+    // (df=15, capped postings {0..4}); docs 1-14 all anchor at
+    // "bbccddaa" (df=14, tie-break min of the df-14 grams; capped
+    // postings {1..5}) — so outer ids come only from those two capped
+    // lists, never beyond
+    val expected =
+      (1 to 4).map(j => (0L, j.toLong)).toSet ++
+        (for (i <- 1 to 5; j <- 1 to 5 if i < j)
+          yield (i.toLong, j.toLong)).toSet
+    assert(capped == expected, capped)
+    assert(capped.subsetOf(all) && capped.size < all.size)
+  }
+
   test("leakage-safe split: NO near-dup pair straddles splits; all " +
       "three splits populated; doc-level hash split DOES leak (the " +
       "problem being solved)") {

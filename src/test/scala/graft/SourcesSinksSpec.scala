@@ -250,6 +250,27 @@ class SourcesSinksSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact < 0.15, s"$est vs $exact")
   }
 
+  test("profileSketch: fractional/temporal distincts do NOT collapse " +
+      "(1.1 vs 1.9 are two values, not one); unsupported types throw") {
+    import spark.implicits._
+    import graft.operators.Introspect
+    val df = Seq((1.1, 100L), (1.9, 200L), (1.9, 300L))
+      .toDF("d", "us")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("us")))
+    val p = Introspect.profileSketch(df, Seq("d", "ts")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // the old long-cast surrogate collapsed 1.1 and 1.9 to 1 → est 1
+    assert(p("d") == 2L, p)
+    assert(p("ts") == 3L, p)
+    val bad = df.withColumn("arr",
+      org.apache.spark.sql.functions.array($"d"))
+    val e = intercept[IllegalArgumentException] {
+      Introspect.profileSketch(bad, Seq("arr"))
+    }
+    assert(e.getMessage.contains("unsupported column type"))
+  }
+
   test("incremental aggregate merge: N deltas == full recompute " +
       "exactly; a tiny delta rewrites only its hash buckets") {
     import spark.implicits._
