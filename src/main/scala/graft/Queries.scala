@@ -2295,6 +2295,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental CC maintenance (ConnectedComponents.incremental, the
+    * continuous-ingest path): the <400-doc subgraph is clustered
+    * "yesterday", then today's arrival batch (every edge touching a
+    * doc ≥ 400) folds in WITHOUT re-clustering the old corpus — only
+    * the batch-sized component graph contracts. The oracle replays a
+    * FULL recompute over the complete <500 graph (the same recursive
+    * CTE as q_d_cc_clusters): the gate therefore proves incremental ≡
+    * full, which is the operator's entire contract.
+    */
+  val qDCcIncremental = q(
+    "q_d_cc_incremental",
+    s"""$duckCcComp
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      import graft.operators.{ConnectedComponents, Dedup}
+      // one pair generation feeds both eras (checkpointed — the split
+      // into old/new must see identical pairs, and pair gen is the
+      // expensive stage)
+      val allPairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, minJaccard = 0.02)
+        .localCheckpoint()
+      val oldEdges = allPairs.filter(col("id_a") < 400 && col("id_b") < 400)
+      val newEdges = allPairs.filter(col("id_a") >= 400 || col("id_b") >= 400)
+      val oldLabels = ConnectedComponents.run(oldEdges, "id_a", "id_b")
+      ConnectedComponents.incremental(newEdges, oldLabels, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+  }
+
   /** Survivorship with a POLICY: one keeper per near-dup cluster,
     * chosen as the LONGEST member (ties → min id) — the common-crawl
     * convention (the longest capture usually carries the most
@@ -2811,7 +2841,8 @@ object Queries {
          |  SELECT doc_id, source,
          |         len($duckToks) AS nt
          |  FROM documents),
-         |tot AS (SELECT source, SUM(nt) AS t_s FROM tok GROUP BY source),
+         |tot AS (SELECT source, SUM(nt) AS t_s FROM tok GROUP BY source
+         |        HAVING SUM(nt) > 0),
          |w AS (SELECT * FROM (VALUES $wVals) AS t(source, w)),
          |r AS (SELECT source,
          |        least(1000000, CAST(floor((1000000.0 * $budget.0 * w)
@@ -3511,7 +3542,7 @@ object Queries {
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
-    qDCcClusters, qDSurvivorship, qDAuthoritySurvivor,
+    qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,

@@ -90,6 +90,63 @@ object ConnectedComponents {
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"))
 
+  /** Incremental maintenance: fold a batch of NEW edges into an
+    * existing labeling without re-clustering the corpus — the 100 TB
+    * ingest path (a continuously-ingesting corpus cannot re-run
+    * global CC per arrival batch; VERDICT r7 #4).
+    *
+    * `oldLabels` is a prior [[run]] output `(id, component)` with the
+    * min-member-id component convention. Exactly equivalent to a full
+    * recompute over (old graph ∪ newEdges) — proven by
+    * IncrementalCcSpec and the q_d_cc_incremental oracle — because a
+    * labeling is connectivity-equivalent to its graph: each new edge
+    * lifts its endpoints to their current component id (unseen nodes
+    * lift to themselves), edges internal to one component drop out,
+    * and the surviving COMPONENT-GRAPH — proportional to the arrival
+    * batch, not the corpus — contracts with the same star algorithm.
+    * The merged component id is min(member component ids, new node
+    * ids) = the true min member id, so the canonical labeling
+    * convention is preserved and increments compose: incremental ∘
+    * incremental = incremental over the unioned batches.
+    *
+    * Scale shape: the two corpus-sized ops are the endpoint-lift join
+    * and the final relabel join, both against a batch-sized side
+    * (AQE broadcasts it); the iterative contraction itself never
+    * touches untouched components. Nodes of `newEdges` appearing only
+    * in self-loops are dropped, as in [[run]].
+    */
+  def incremental(
+      newEdges: DataFrame,
+      oldLabels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val lab = oldLabels.select(
+      col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    // lift endpoints into component space; internal edges vanish
+    val lifted = newEdges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .join(lab.select(col("id").as("a"), col("component").as("ca")),
+        Seq("a"), "left")
+      .join(lab.select(col("id").as("b"), col("component").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("src"),
+        coalesce(col("cb"), col("b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // contract the batch-sized component graph (nodes: old component
+    // ids + brand-new node ids)
+    val merged = run(lifted, "src", "dst").localCheckpoint()
+    // relabel: only components present in `merged` can change (their
+    // id IS a node id — the min member — so the anti-join below is
+    // sound); new nodes are merged's ids that old labels never saw
+    val updatedOld = lab
+      .join(merged.select(col("id").as("component"), col("component").as("c2")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("c2"), col("component")).as("component"))
+    val newNodes = merged.join(lab.select("id"), Seq("id"), "left_anti")
+    updatedOld.unionByName(newNodes.select("id", "component"))
+  }
+
   /** Large-star: every node u links each strictly-larger neighbor to
     * m(u) = min(N(u) ∪ {u}). Directed edges both ways → per-node min
     * via groupBy (one shuffle) → join back (same key, AQE-coalesced).

@@ -33,14 +33,31 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object PositionalSplit {
 
+  /** Cardinality contract for the driver-side prefix scan: the
+    * per-k1 count collect is sound only while |distinct k1| stays
+    * driver-sized (dates/hours — thousands). A timestamp-grained
+    * boundary key breaks that silently, so past this bound the
+    * operators FALL BACK to the parity-exact global-window rendering
+    * (correct at any cardinality; single-partition sort — the cost
+    * the coarse-key path exists to avoid, and the right trade when
+    * the key turns out fine-grained). The probe is a TakeOrdered of
+    * `maxBoundaryKeys + 1` rows, so the driver never collects an
+    * unbounded count table either way.
+    */
+  val DefaultMaxBoundaryKeys = 100000
+
   /** Per-k1 cumulative offsets + the (D, K) boundary for rank n.
-    * Returns (offsets rows (k1, cum-before), boundary k1 D, boundary
-    * k2 K or None when the table has ≤ n rows).
+    * Returns None when |distinct k1| exceeds `maxKeys` (caller falls
+    * back to the global window); otherwise (offsets rows
+    * (k1, cum-before), boundary (D, K) or None when the table has
+    * ≤ n rows).
     */
   private def boundary(
-      df: DataFrame, k1: String, k2: String, n: Long): (Seq[(Any, Long)], Option[(Any, Any)]) = {
+      df: DataFrame, k1: String, k2: String, n: Long,
+      maxKeys: Int): Option[(Seq[(Any, Long)], Option[(Any, Any)])] = {
     val counts = df.groupBy(k1).agg(count(lit(1)).as("__c"))
-      .orderBy(k1).collect() // bounded by |distinct k1|
+      .orderBy(k1).limit(maxKeys + 1).collect() // heap-bounded collect
+    if (counts.length > maxKeys) return None
     var cum = 0L
     val offsets = Seq.newBuilder[(Any, Long)]
     var bound: Option[(Any, Long)] = None
@@ -53,13 +70,13 @@ object PositionalSplit {
       }
     }
     bound match {
-      case None => (offsets.result(), None) // whole table fits in n
+      case None => Some((offsets.result(), None)) // whole table fits in n
       case Some((d, r)) =>
         // r-th smallest k2 inside D: TakeOrdered (heap), then max
         val k = df.filter(col(k1) === lit(d))
           .select(col(k2)).orderBy(col(k2)).limit(r.toInt)
           .agg(max(col(k2))).first().get(0)
-        (offsets.result(), Some((d, k)))
+        Some((offsets.result(), Some((d, k))))
     }
   }
 
@@ -73,29 +90,49 @@ object PositionalSplit {
   /** The first n rows in (k1, k2) order, with their 1-based global
     * position `rn` — value-identical to the global-row_number
     * rendering, built from the boundary filter + partitioned window.
+    * Falls back to the global window itself past `maxBoundaryKeys`
+    * distinct k1 values (see [[DefaultMaxBoundaryKeys]]).
     */
-  def firstNWithRank(df: DataFrame, k1: String, k2: String, n: Long): DataFrame = {
-    val (offsets, b) = boundary(df, k1, k2, n)
-    val spark = df.sparkSession
-    val schema = StructType(Seq(
-      df.schema(df.schema.fieldIndex(k1)).copy(name = k1),
-      StructField("__cum0", LongType, nullable = false)))
-    val offsetsDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets.map { case (v, c) => Row(v, c) }, 1),
-      schema)
-    val wp = Window.partitionBy(k1).orderBy(k2)
-    df.filter(keepPred(k1, k2, b))
-      .join(broadcast(offsetsDf), Seq(k1))
-      .withColumn("rn", row_number().over(wp).cast("long") + col("__cum0"))
-      .drop("__cum0")
-  }
+  def firstNWithRank(
+      df: DataFrame, k1: String, k2: String, n: Long,
+      maxBoundaryKeys: Int = DefaultMaxBoundaryKeys): DataFrame =
+    boundary(df, k1, k2, n, maxBoundaryKeys) match {
+      case Some((offsets, b)) =>
+        val spark = df.sparkSession
+        val schema = StructType(Seq(
+          df.schema(df.schema.fieldIndex(k1)).copy(name = k1),
+          StructField("__cum0", LongType, nullable = false)))
+        val offsetsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            offsets.map { case (v, c) => Row(v, c) }, 1),
+          schema)
+        val wp = Window.partitionBy(k1).orderBy(k2)
+        df.filter(keepPred(k1, k2, b))
+          .join(broadcast(offsetsDf), Seq(k1))
+          .withColumn("rn",
+            row_number().over(wp).cast("long") + col("__cum0"))
+          .drop("__cum0")
+      case None => // fine-grained boundary key: parity-exact fallback
+        df.withColumn("rn",
+            row_number().over(Window.orderBy(col(k1), col(k2))).cast("long"))
+          .filter(col("rn") <= n)
+    }
 
   /** (first n rows, remainder) in (k1, k2) order — the train/test
     * temporal split as two complementary filters over one boundary.
+    * Same fine-grained-key fallback as [[firstNWithRank]].
     */
-  def splitAt(df: DataFrame, k1: String, k2: String, n: Long): (DataFrame, DataFrame) = {
-    val (_, b) = boundary(df, k1, k2, n)
-    val keep = keepPred(k1, k2, b)
-    (df.filter(keep), df.filter(!keep))
-  }
+  def splitAt(
+      df: DataFrame, k1: String, k2: String, n: Long,
+      maxBoundaryKeys: Int = DefaultMaxBoundaryKeys): (DataFrame, DataFrame) =
+    boundary(df, k1, k2, n, maxBoundaryKeys) match {
+      case Some((_, b)) =>
+        val keep = keepPred(k1, k2, b)
+        (df.filter(keep), df.filter(!keep))
+      case None =>
+        val ranked = df.withColumn("__rn",
+          row_number().over(Window.orderBy(col(k1), col(k2))).cast("long"))
+        (ranked.filter(col("__rn") <= n).drop("__rn"),
+          ranked.filter(col("__rn") > n).drop("__rn"))
+    }
 }

@@ -113,8 +113,14 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toDF(sourceCol, "w")
+    // t_s = 0 guard (degenerate source whose docs all tokenize empty):
+    // unguarded, the rate is budget·w/0 = +Inf and the non-ANSI
+    // long cast turns it into Long.MaxValue (silent keep-all) while
+    // an ANSI engine errors on CAST(inf) — drop such sources instead
+    // (nothing to sample; mirrored by `HAVING t_s > 0` in the oracle)
     val totals = df.groupBy(sourceCol)
       .agg(sum(tokens.cast("long")).as("t_s"))
+      .filter(col("t_s") > 0)
     val rates = totals.join(broadcast(wDf), Seq(sourceCol))
       .withColumn("num", least(lit(den.toLong),
         floor((lit(den.toDouble) * lit(budget.toDouble) * col("w"))

@@ -26,6 +26,19 @@ import org.apache.spark.sql.streaming.{
   * with-sketch-bounds rendering, and incremental runs tighten bounds
   * as history accumulates. State shards by group key on the usual
   * RocksDB store.
+  *
+  * MEMORY CONTRACT: the include-current-batch semantics force
+  * handleInputRows to buffer one key's micro-batch rows in executor
+  * memory (`rows.toArray`) before emitting — the clamp bounds depend
+  * on every row of the batch, so rows cannot stream through one at a
+  * time. Per-key footprint is O(rows of that key in the micro-batch),
+  * NOT O(stream history) — the history lives in the bounded bucket
+  * sketch. A hot key in a huge micro-batch therefore bounds its
+  * memory by the trigger size: cap `maxOffsetsPerTrigger` (or
+  * equivalent) accordingly, or clamp with PRE-batch bounds (drop the
+  * ingest-before-estimate ordering) to stream rows through at O(1) —
+  * that variant trades the AvailableNow ≡ batch equivalence away, so
+  * it is not the default.
   */
 object StreamWinsorize {
 

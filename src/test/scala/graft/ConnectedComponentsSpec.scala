@@ -78,4 +78,63 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == Map(1L -> 3L, 7L -> 2L))
   }
+
+  private def runIncremental(
+      newEdges: Seq[(Long, Long)],
+      oldLabels: Map[Long, Long]): Map[Long, Long] =
+    ConnectedComponents.incremental(
+      newEdges.toDF("src", "dst"),
+      oldLabels.toSeq.toDF("id", "component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental == full recompute on planted additions: internal " +
+      "edge, component merge, fresh chain, and a new node whose id " +
+      "undercuts an old component's label") {
+    val old = Seq[(Long, Long)]((1, 2), (2, 3), (10, 11), (20, 21))
+    val labels = runCC(old)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val batch = Seq[(Long, Long)](
+      (1, 3),   // internal to {1,2,3}: must be a no-op
+      (2, 10),  // merges {1,2,3} with {10,11}
+      (30, 31), (31, 32), // brand-new chain
+      (0, 21))  // new node 0 joins {20,21} and STEALS the label (0<20)
+    val got = runIncremental(batch, labels)
+    assert(got == unionFind(old ++ batch), got)
+    // spot-check the relabel cases explicitly
+    assert(got(11L) == 1L)  // merged into min-id component 1
+    assert(got(20L) == 0L && got(21L) == 0L && got(0L) == 0L)
+    assert(got(30L) == 30L && got(32L) == 30L)
+    assert(got(3L) == 1L)   // internal edge changed nothing
+  }
+
+  test("incremental matches full recompute on random old/new splits " +
+      "across seeds (shared, fresh, and bridging nodes)") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new Random(seed)
+      val oldE = Seq.fill(200)(
+        (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter { case (a, b) => a != b }
+      // new batch: half within the old node range (internal/merge
+      // edges), half touching fresh ids ≥ 150 (arrivals + bridges)
+      val newE = Seq.fill(60)(
+        (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)) ++
+        Seq.fill(60)(
+          (rnd.nextInt(250).toLong, (150 + rnd.nextInt(100)).toLong))
+      val batch = newE.filter { case (a, b) => a != b }
+      val got = runIncremental(batch, runCC(oldE))
+      assert(got == unionFind(oldE ++ batch), s"seed=$seed")
+    }
+  }
+
+  test("increments compose: two successive batches == one full run") {
+    val old = Seq[(Long, Long)]((1, 2), (5, 6), (9, 10))
+    val b1 = Seq[(Long, Long)]((2, 5), (20, 21))
+    val b2 = Seq[(Long, Long)]((21, 9), (3, 1))
+    val l1 = runIncremental(b1, runCC(old))
+    val l2 = ConnectedComponents.incremental(
+      b2.toDF("src", "dst"), l1.toSeq.toDF("id", "component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == unionFind(old ++ b1 ++ b2), l2)
+  }
 }

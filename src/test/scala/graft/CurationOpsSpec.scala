@@ -135,4 +135,21 @@ class CurationOpsSpec extends SparkSpec {
       weights, 3000L).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(re == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("tokenBudgetSample: a source whose docs all tokenize empty is " +
+      "dropped (t_s=0 guard), not kept wholesale via inf→MaxValue") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "real", "some actual tokens here"),
+      (2L, "real", "more actual tokens here"),
+      (3L, "ghost", "   "), // whitespace-only: 0 tokens
+      (4L, "ghost", "")
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "source",
+      graft.operators.TextOps.tokenCount(col("text")),
+      Seq(("real", 1), ("ghost", 1)), 1000L)
+      .select("doc_id", "source").collect()
+    assert(out.forall(_.getString(1) == "real"), out.mkString(","))
+    assert(out.length == 2) // saturated real source keeps both
+  }
 }

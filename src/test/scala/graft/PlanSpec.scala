@@ -129,6 +129,38 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("o_orderdate")), p)
   }
 
+  test("PositionalSplit: fine-grained boundary key trips the " +
+      "cardinality guard, falls back to the parity-exact global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.PositionalSplit
+    // o_orderkey as k1: ~1500 distinct values at sf0.001 — over a
+    // tiny maxBoundaryKeys the driver prefix-scan must NOT run
+    val orders = Tables.orders(spark, Sf001)
+    val w = Window.orderBy(col("o_orderkey"), col("o_custkey"))
+    val ref = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 700).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = PositionalSplit.firstNWithRank(
+        orders.select("o_orderkey", "o_custkey"),
+        "o_orderkey", "o_custkey", 700, maxBoundaryKeys = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    val (tr, te) = PositionalSplit.splitAt(
+      orders.select("o_orderkey", "o_custkey"),
+      "o_orderkey", "o_custkey", 700, maxBoundaryKeys = 50)
+    assert(tr.count() == 700L && te.count() == orders.count() - 700L)
+    // fallback rows == coarse-path rows (the two renderings agree)
+    val coarse = PositionalSplit.splitAt(
+      orders.select("o_orderkey", "o_custkey"),
+      "o_orderkey", "o_custkey", 700)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tr.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == coarse)
+  }
+
   test("snowflake chain: three broadcast joins, fact never hash-shuffled") {
     val p = planOf("q_j8_snowflake")
     val bhj = p.linesIterator.count(_.matches("""^\(\d+\) BroadcastHashJoin.*"""))
