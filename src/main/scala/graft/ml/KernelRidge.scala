@@ -59,18 +59,46 @@ object KernelRidge {
       s
     }
 
-    /** Score a frame: adds `prediction`. Row-dense cos/dot math has no
-      * Catalyst-native rendering; a scalar UDF over the feature array
-      * with the (tiny) model closed over is exactly how MLlib's own
-      * Transformers score.
+    /** Score a frame: adds `prediction` — pure Catalyst higher-order
+      * functions, no ScalaUDF node in the plan. The model constants
+      * fold into literals with standardization absorbed into the
+      * projection (w'_ij = w_ij/std_j, b'_i = b_i − Σ_j w_ij·μ_j/σ_j)
+      * and the √(2/D) scale absorbed into β, so the per-row math is
+      *   pred = Σ_i β'_i · cos(b'_i + ⟨w'_i, x⟩) + β_intercept
+      * — one transform over the D-row literal projection matrix (dot
+      * via zip_with/aggregate, the VecExpressions idiom) and one
+      * aggregate for the weighted cosine sum. The standardization
+      * fold reassociates the per-term IEEE ops (w·(x−μ)/σ becomes
+      * (w/σ)·x with the μ part pre-summed into the phase), so scores
+      * can drift from the closure rendering by ulps — far inside the
+      * MLQualitySpec MAE/R gates, which are unchanged.
       */
     def transform(df: DataFrame): DataFrame = {
-      val cols = featureCols
-      val predict = udf((xs: Seq[Double]) => predictRow(xs.toArray))
-      df.withColumn("prediction",
-        predict(array(cols.map(c => col(c).cast("double")): _*)))
+      val dD = w.length
+      val scale = math.sqrt(2.0 / dD)
+      val wp: Seq[Seq[Double]] = Seq.tabulate(dD)(i =>
+        Seq.tabulate(w(i).length)(j => w(i)(j) / stds(j)))
+      val bp: Seq[Double] = Seq.tabulate(dD)(i =>
+        b(i) - (0 until w(i).length).map(j => w(i)(j) * means(j) / stds(j)).sum)
+      val betaScaled: Seq[Double] = Seq.tabulate(dD)(i => beta(i) * scale)
+      val x = array(featureCols.map(c => col(c).cast("double")): _*)
+      val pred = graft.functions.ColumnOps.bind(x) { xs =>
+        val dots = transform_(typedLit(wp), row =>
+          aggregate(zip_with(row, xs, (a, v) => a * v), lit(0.0), _ + _))
+        aggregate(
+          zip_with(
+            zip_with(dots, typedLit(bp), (s, phase) => cos(s + phase)),
+            typedLit(betaScaled), (c, bs) => c * bs),
+          lit(0.0), _ + _) + lit(beta(dD))
+      }
+      df.withColumn("prediction", pred)
     }
   }
+
+  // `transform` collides with Model.transform inside the class body
+  private def transform_(arr: org.apache.spark.sql.Column,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.transform(arr, f)
 
   /** The reference-parity configuration: raw features with the
     * sklearn `gamma='scale'` rule, like `SVR(kernel='rbf')` with

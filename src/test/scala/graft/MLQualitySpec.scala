@@ -71,6 +71,10 @@ class MLQualitySpec extends SparkSpec {
     info(f"KRR MAE=$mae%.5f  PearsonR=$r%.5f (ref SVR(rbf): 0.08407 / 0.78202)")
     assert(mae < 0.08407, s"KRR MAE $mae should beat the reference SVR")
     assert(r > 0.78202, s"KRR Pearson $r should beat the reference SVR")
+    // serving is pure Catalyst: no UDF node anywhere in the scoring plan
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      plan.take(1500))
   }
 
   test("M3: kernel ridge SVR parity holds across seeds (not seed-lucky)") {
