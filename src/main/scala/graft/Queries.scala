@@ -3484,6 +3484,62 @@ object Queries {
       .toDF().orderBy("id")
   }
 
+  /** REAL container-header decode (Multimodal.HeaderCodec): genuine
+    * PNG/JPEG/GIF headers are assembled as BINARY in front of each
+    * doc's text bytes — width/height woven into the correct
+    * big-/little-endian header fields — and the mapPartitions decode
+    * must parse them back out of the raw bytes. The oracle states the
+    * planted ground truth arithmetically; a parser that misreads
+    * endianness, field offsets, marker walking, or the PNG color-type
+    * → channels table hash-mismatches immediately. (Pixel decode
+    * remains stubbed — metadata extraction is the per-object 100 TB
+    * path and is real.)
+    */
+  val qMmDecodeReal = q(
+    "q_mm_decode_real",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+      |       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+      |  CAST(100 + doc_id % 900 AS INT) AS width,
+      |  CAST(80 + doc_id % 700 AS INT) AS height,
+      |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 ELSE 3 END AS INT) AS channels,
+      |  CAST(octet_length(encode(text)) +
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33
+      |            WHEN 1 THEN 39 ELSE 10 END AS INT) AS n_bytes
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Multimodal
+      val wpx = (lit(100) + col("doc_id") % 900).cast("int")
+      val hpx = (lit(80) + col("doc_id") % 700).cast("int")
+      val wbe4 = lpad(hex(wpx), 8, "0"); val hbe4 = lpad(hex(hpx), 8, "0")
+      val wbe2 = lpad(hex(wpx), 4, "0"); val hbe2 = lpad(hex(hpx), 4, "0")
+      val wle2 = concat(substring(wbe2, 3, 2), substring(wbe2, 1, 2))
+      val hle2 = concat(substring(hbe2, 3, 2), substring(hbe2, 1, 2))
+      // PNG (33B): sig + IHDR(len,type,w,h,depth8,color6=RGBA,comp,
+      // filter,interlace) + zero CRC (parser reads fields, not CRC)
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        wbe4, hbe4, lit("0806000000" + "00000000"))
+      // JPEG (39B): SOI + APP0/JFIF + SOF0(len 0x11, precision 8,
+      // HEIGHT then WIDTH, 3 components)
+      val jpegHex = concat(
+        lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+          "0001" + "0001" + "00" + "00" + "FFC0" + "0011" + "08"),
+        hbe2, wbe2, lit("03" + "011100" + "021101" + "031101"))
+      // GIF (10B): GIF89a + LITTLE-endian w, h
+      val gifHex = concat(lit("474946383961"), wle2, hle2)
+      val hdr = when(col("doc_id") % 3 === 0, pngHex)
+        .when(col("doc_id") % 3 === 1, jpegHex)
+        .otherwise(gifHex)
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .withColumn("payload",
+          concat(unhex(hdr), encode(col("text"), "UTF-8")))
+      Multimodal.decodeMeta(media, "doc_id")
+        .toDF()
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("channels"), col("n_bytes"))
+        .orderBy("doc_id")
+  }
+
   /** Frame-sampling stub: one row per sampled frame. The per-frame
     * hash is a 64-bit wrap-around fold over a 256-byte window with
     * wrapping index — replayed in DuckDB as a HUGEINT fold mod 2^64.
@@ -3547,6 +3603,6 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
-    qMmBinaryMeta, qMmDecodeStub, qMmFrameSample,
+    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
   )
 }

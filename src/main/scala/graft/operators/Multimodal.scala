@@ -30,6 +30,65 @@ object Multimodal {
 
   case class FrameRow(id: Long, frame_idx: Int, frame_hash: Long)
 
+  /** REAL image-container metadata parse — no codec library needed:
+    * width/height/channels live in fixed header fields of the public
+    * container specs (PNG IHDR chunk, ISO PNG spec §11.2.2; JPEG SOFn
+    * frame segment, ITU T.81 §B.2.2; GIF logical screen descriptor,
+    * GIF89a spec §18). Returns None for anything that is not a
+    * well-formed container prefix — the caller falls back to the
+    * deterministic stub, keeping the decode boundary total. Pixel
+    * DECODING stays stubbed (that genuinely needs a codec library);
+    * metadata extraction is the part a 100 TB media-ingest pipeline
+    * runs on every object, and it is real here.
+    */
+  object HeaderCodec {
+    private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xFF
+    private def be16(a: Array[Byte], i: Int): Int =
+      (u8(a, i) << 8) | u8(a, i + 1)
+    private def be32(a: Array[Byte], i: Int): Int =
+      (u8(a, i) << 24) | (u8(a, i + 1) << 16) | (u8(a, i + 2) << 8) | u8(a, i + 3)
+    private def le16(a: Array[Byte], i: Int): Int =
+      u8(a, i) | (u8(a, i + 1) << 8)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    /** (format, width, height, channels) or None. */
+    def parse(a: Array[Byte]): Option[(String, Int, Int, Int)] =
+      if (a.length >= 26 && a.startsWith(PngSig) &&
+          a(12) == 'I' && a(13) == 'H' && a(14) == 'D' && a(15) == 'R') {
+        // IHDR is mandated first: width/height BE32 at 16/20, color
+        // type at 25 → channel count per spec table
+        val channels = u8(a, 25) match {
+          case 0 => 1 // greyscale
+          case 2 => 3 // truecolour
+          case 3 => 1 // indexed
+          case 4 => 2 // grey+alpha
+          case 6 => 4 // truecolour+alpha
+          case _ => return None
+        }
+        Some(("png", be32(a, 16), be32(a, 20), channels))
+      } else if (a.length >= 4 &&
+          a(0) == 0xFF.toByte && a(1) == 0xD8.toByte) {
+        // JPEG: walk the marker stream to the first SOFn (C0-CF minus
+        // the non-frame C4/C8/CC); its payload is precision(1),
+        // height BE16, width BE16, component count
+        var i = 2
+        while (i + 9 < a.length && a(i) == 0xFF.toByte) {
+          val m = u8(a, i + 1)
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            return Some(("jpeg", be16(a, i + 7), be16(a, i + 5), u8(a, i + 9)))
+          else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone
+          else i += 2 + be16(a, i + 2) // segment with length
+        }
+        None
+      } else if (a.length >= 10 && a(0) == 'G' && a(1) == 'I' && a(2) == 'F' &&
+          a(3) == '8' && (a(4) == '7' || a(4) == '9') && a(5) == 'a') {
+        // GIF logical screen descriptor: width/height LE16 at 6/8
+        Some(("gif", le16(a, 6), le16(a, 8), 3))
+      } else None
+  }
+
   /** STUB decode: deterministic pseudo-metadata derived from content
     * bytes (stands in for an image header parse).
     */
@@ -68,7 +127,12 @@ object Multimodal {
     df.withColumn("payload", encode(col(srcCol), "UTF-8"))
 
   /** Decode metadata per media item, partition-streamed (mapPartitions
-    * — one codec instance per partition, not per row).
+    * — one codec instance per partition, not per row). Real container
+    * headers (PNG/JPEG/GIF) parse for real via [[HeaderCodec]];
+    * payloads with no recognizable container — or a recognized
+    * signature whose header is malformed — fall back to the
+    * deterministic stub dims (format then records the sniffed
+    * container, dims the stub).
     */
   def decodeMeta(df: DataFrame, idCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -77,8 +141,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, c) = StubCodec.decodeDims(bytes)
-          MediaMeta(id, bytes.length, StubCodec.sniffFormat(bytes), w, h, c)
+          HeaderCodec.parse(bytes) match {
+            case Some((fmt, w, h, c)) =>
+              MediaMeta(id, bytes.length, fmt, w, h, c)
+            case None =>
+              val (w, h, c) = StubCodec.decodeDims(bytes)
+              MediaMeta(id, bytes.length, StubCodec.sniffFormat(bytes), w, h, c)
+          }
         }
       }
   }

@@ -218,6 +218,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.id).toSeq == rows2.sortBy(_.id).toSeq)
   }
 
+  test("multimodal: HeaderCodec parses real PNG/JPEG/GIF headers " +
+      "byte-for-byte and rejects malformed ones to the stub fallback") {
+    import graft.operators.Multimodal.HeaderCodec
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480 greyscale (color type 0 -> 1 channel)
+    val png = bytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0" + "0800000000" + "00000000")
+    assert(HeaderCodec.parse(png).contains(("png", 640, 480, 1)))
+    // JPEG with a COM segment BEFORE SOF2 (progressive, marker C2):
+    // the walker must skip variable-length segments by their length
+    val jpeg = bytes("FFD8" + "FFFE" + "0004" + "4142" + // COM "AB"
+      "FFC2" + "000B" + "08" + "0100" + "0200" + "01" + "011100")
+    assert(HeaderCodec.parse(jpeg).contains(("jpeg", 512, 256, 1)))
+    // GIF87a little-endian 300x200
+    assert(HeaderCodec.parse(bytes("474946383761" + "2C01" + "C800"))
+      .contains(("gif", 300, 200, 3)))
+    // malformed: PNG color type 7 is invalid; JPEG that never reaches
+    // an SOF; text bytes — all must fall back (None)
+    val badPng = png.clone(); badPng(25) = 7
+    assert(HeaderCodec.parse(badPng).isEmpty)
+    assert(HeaderCodec.parse(bytes("FFD8" + "FFFE" + "0004" + "4142")).isEmpty)
+    assert(HeaderCodec.parse(
+      "plain text payload".getBytes("UTF-8")).isEmpty)
+  }
+
   test("multimodal: frame sampling explodes per-frame rows on executors") {
     val docs = Tables.documents(spark, Sf0001).limit(10)
     val frames = Multimodal.sampleFrames(
