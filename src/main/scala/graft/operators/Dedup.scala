@@ -153,15 +153,17 @@ object Dedup {
       explode(when(size(TextOps.tokens(col("text"))) >= w,
         array_distinct(graft.expressions.TextShingleHashes(col("text"), w)))
         .otherwise(array().cast("array<long>"))).as("g"))
-    // ONE window pass over the hash-keyed posting table annotates both
-    // the global df (anchor choice) and the posting rank (cap): the
-    // window's single exchange+sort is SHARED by the anchor argmin and
-    // the capped posting side (ReusedExchange), so the tokenize+hash+
-    // explode of the corpus runs exactly once — a join/heap rendering
-    // (df via groupBy + join back, cap via TopKPerGroup) recomputes
-    // the posting table once per consumer and measured 1.3-1.9×
-    // slower at both sf0.1 and the 10× corpus despite avoiding the
-    // sort; sorting 8-byte longs is cheap enough that plan reuse wins.
+    // Window rendering, measured fastest (plan audited): the anchors
+    // branch shuffles the posting table ONCE (sort on 8-byte keys,
+    // then df-count window + argmin agg ride the same sorted
+    // exchange), and the postings branch gets the cap pushed MAP-SIDE
+    // by Spark 4's WindowGroupLimit rewrite — `rn <= maxPostings`
+    // becomes a per-partition group limit BEFORE its exchange, so hot
+    // posting lists never cross the wire (the TopKPerGroup heap cap,
+    // derived by the optimizer). The explicit join/heap rendering (df
+    // via groupBy + join back, cap via TopK.perGroup) shuffles the
+    // full posting table twice and measured 1.4-3.6× slower at
+    // sf0.1/10× despite avoiding the window sorts.
     val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val ann = sh
       .withColumn("df", count(lit(1)).over(wg))
