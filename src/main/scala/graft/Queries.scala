@@ -2959,6 +2959,62 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-corpus near-dup (Dedup.crossCorpusNearDups): the arrival
+    * batch (doc_id ≥ 250) deduped AGAINST the training corpus
+    * (doc_id < 250) — candidates cross-side only, so an internally-
+    * deduped corpus never pays within-side pairs again. The oracle
+    * rebuilds the identical signature/band chain (same inlined
+    * coefficient stream as q_d_minhash_pairs), splits sides by the
+    * same filter, and replays the total-occupancy cool/two-star cap
+    * exactly.
+    */
+  val qDCrossCorpus = {
+    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
+    q(
+      "q_d_cross_corpus_neardup",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |${duckShingleHashes(3)},
+         |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+         |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
+         |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
+         |s AS (SELECT doc_id, list_transform(range(64), i ->
+         |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
+         |      FROM hd CROSS JOIN coef),
+         |b2 AS (SELECT doc_id, band,
+         |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
+         |           (a, v) -> (a * 31 + v) % 1000000007) AS key
+         |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
+         |sa AS (SELECT * FROM b2 WHERE doc_id < 250),
+         |sb AS (SELECT * FROM b2 WHERE doc_id >= 250),
+         |ga AS (SELECT band, key, COUNT(*) AS cnt_a, MIN(doc_id) AS rep_a
+         |       FROM sa GROUP BY band, key),
+         |gb AS (SELECT band, key, COUNT(*) AS cnt_b, MIN(doc_id) AS rep_b
+         |       FROM sb GROUP BY band, key),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sa a
+         |         JOIN sb b ON a.band = b.band AND a.key = b.key
+         |         JOIN ga ON ga.band = a.band AND ga.key = a.key
+         |         JOIN gb ON gb.band = a.band AND gb.key = a.key
+         |         WHERE cnt_a + cnt_b <= $dedupMaxBucket
+         |            OR a.doc_id = rep_a OR b.doc_id = rep_b),
+         |j AS (SELECT id_a, id_b,
+         |        len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS inter,
+         |        len(ha.hs) AS la, len(hb.hs) AS lb
+         |      FROM cand JOIN hd ha ON ha.doc_id = id_a
+         |                JOIN hd hb ON hb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.crossCorpusNearDups(
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", minJaccard = 0.35)
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   /** Edit-distance near-dup (Dedup.editDistanceNearDups): the full
     * cascade — the oracled MinHash+LSH candidate chain (shared CTE,
     * cannot drift from q_d_minhash_pairs) → shingle-Jaccard ≥ 0.4
@@ -3597,7 +3653,8 @@ object Queries {
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDEditDistPairs,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
+    qDEditDistPairs,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,

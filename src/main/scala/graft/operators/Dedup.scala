@@ -327,6 +327,68 @@ object Dedup {
       sh.select(col("id"), col("hs").as("es")), minJaccard)
   }
 
+  /** Cross-corpus near-duplicate pairs — "dedup the arrival batch
+    * against the training corpus": candidate pairs are generated ONLY
+    * between side A and side B (two docs sharing any LSH band key),
+    * never within a side. At 100 TB this is the recurring ingest
+    * operation: the training corpus is already internally deduped, so
+    * within-side pairs — the quadratic bulk of a naive union+self-join
+    * — are pure waste; generating cross-side only makes the candidate
+    * volume |A∩B-similar| instead of |A∪B|².
+    *
+    * Same deterministic poly sketch stack as [[minhashNearDupsPoly]]
+    * (identical signatures ⇒ a doc pair lands in the same buckets
+    * whether it arrives within one corpus or across two). Hot-bucket
+    * cap: a bucket holding F_a × F_b cross pairs is capped by total
+    * occupancy — buckets with cnt_a + cnt_b ≤ `maxBucket` emit full
+    * A×B; hotter buckets degrade to the two STARS around each side's
+    * min-id representative (rep_a × all B, all A × rep_b), preserving
+    * A↔B connectivity for exact-duplicate clusters at O(F) — the
+    * cross-corpus analog of [[bandCandidatePairs]]' star cap, equally
+    * part of the operator's definition and replayed by the oracle.
+    * Exact-Jaccard verify on the shingle-hash sets, as everywhere.
+    */
+  def crossCorpusNearDups(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.expressions.{MinHashSig, TextShingleHashes}
+    val rowsPerBand = k / bands
+    def sketch(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"),
+      array_distinct(TextShingleHashes(col(textCol), n)).as("hs"))
+      .withColumn("sig", MinHashSig.ofHashes(col("hs"), k))
+    val sa = sketch(dfA)
+    val sb = sketch(dfB)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    def banded(s: DataFrame, idOut: String, cnt: String, rep: String) =
+      s.select(col("id"),
+        explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
+        .withColumn(cnt, count(lit(1)).over(w))
+        .withColumn(rep, min("id").over(w))
+        .select(col("bk"), col("id").as(idOut), col(cnt), col(rep))
+    val cands = banded(sa, "id_a", "cnt_a", "rep_a")
+      .join(banded(sb, "id_b", "cnt_b", "rep_b"), Seq("bk"))
+      .filter(col("cnt_a") + col("cnt_b") <= maxBucket
+        || col("id_a") === col("rep_a") || col("id_b") === col("rep_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sa.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sb.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Edit-distance near-dup — the full production cascade, each stage
     * cutting the next stage's input by orders of magnitude:
     * MinHash+LSH candidates (the same banded/capped poly chain as

@@ -205,6 +205,43 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(all) && capped.size < all.size)
   }
 
+  test("crossCorpusNearDups: planted cross-side dups found, " +
+      "within-side pairs never emitted, exact cross dup survives a " +
+      "hot bucket via the two-star cap") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    // corpus A: 0/1 near-identical (a within-A pair that must NOT
+    // appear), 2 unrelated; batch B: 10 = near-dup of A's 0, 11 =
+    // unrelated, 12/13 near-identical within B (must NOT appear)
+    val a = Seq(
+      (0L, base), (1L, base + " extra"),
+      (2L, "completely different content about catalyst optimizer rules"))
+      .toDF("id", "text")
+    val b = Seq(
+      (10L, base + " now"), (11L, "nothing in common with anything here at all"),
+      (12L, "shared boilerplate text repeated across the batch side x"),
+      (13L, "shared boilerplate text repeated across the batch side y"))
+      .toDF("id", "text")
+    val got = Dedup.crossCorpusNearDups(a, b, "id", "text",
+        minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 10L)) && got.contains((1L, 10L)), got)
+    assert(!got.exists { case (x, y) => x >= 10 || y < 10 }, got) // cross only
+    assert(!got.contains((2L, 11L)))
+    // hot-bucket star: replicate one doc 30× per side under cap 20 —
+    // every bucket is hot, yet each side's min-id rep keeps the
+    // cross-side exact-dup connectivity alive
+    val hotA = (0 until 30).map(i => (i.toLong, base)).toDF("id", "text")
+    val hotB = (0 until 30).map(i => (100L + i, base)).toDF("id", "text")
+    val hot = Dedup.crossCorpusNearDups(hotA, hotB, "id", "text",
+        maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stars around rep_a=0 and rep_b=100: 0×allB ∪ allA×100
+    val expected = (0 until 30).map(i => (0L, 100L + i)).toSet ++
+      (0 until 30).map(i => (i.toLong, 100L)).toSet
+    assert(hot == expected, hot.size)
+  }
+
   test("leakage-safe split: NO near-dup pair straddles splits; all " +
       "three splits populated; doc-level hash split DOES leak (the " +
       "problem being solved)") {
