@@ -1739,6 +1739,40 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish token count (TextOps.bpeishTokenCount) beside the
+    * whitespace count: the GPT-2 pre-tokenizer alternation in the
+    * Java/RE2 shared regex subset, so DuckDB replays the identical
+    * segmentation. The ratio column is the classic "tokens per word"
+    * budget factor; map-only at any scale.
+    */
+  val qTBpeTokens = {
+    // SQL string literal: double the pattern's apostrophes; DuckDB
+    // '...' literals take backslashes verbatim (no escape processing)
+    val pat = graft.operators.TextOps.BpeishPattern.replace("'", "''")
+    q(
+      "q_t_bpe_token_count",
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$pat')) AS n_bpeish,
+         |       len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                       t -> len(t) > 0)) AS n_ws,
+         |       ROUND(CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE)
+         |         / len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                           t -> len(t) > 0)), 4) AS tokens_per_word
+         |FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                                     t -> len(t) > 0)) > 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+      .filter(col("n_ws") > 0)
+      .withColumn("tokens_per_word",
+        round(col("n_bpeish").cast("double") / col("n_ws"), 4))
+      .orderBy("doc_id")
+    }
+  }
+
   /** Exact content dedup via md5 fingerprint groups (keeper = min id). */
   val qDExact = q(
     "q_d_exact_dedup",
@@ -3649,7 +3683,7 @@ object Queries {
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
-    qTTokens, qDExact,
+    qTTokens, qTBpeTokens, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,

@@ -23,6 +23,25 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer segment pattern — the GPT-2 pre-tokenizer
+    * alternation (contractions, space-prefixed letter runs, digit
+    * runs, punctuation runs, residual whitespace) restricted to the
+    * Java-regex/RE2 SHARED subset: the original's `\s+(?!\S)`
+    * lookahead only shifts one space between a whitespace run and the
+    * following token, never changing the SEGMENT COUNT, so dropping
+    * it keeps counts identical while staying replayable in RE2
+    * engines (DuckDB). Token COUNT under this pattern tracks real
+    * BPE token counts far better than whitespace counting (digits,
+    * punctuation, and contractions segment separately) — the budget/
+    * billing heuristic, not a vocabulary encoding.
+    */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Count of BPE-ish pre-tokenizer segments (see [[BpeishPattern]]). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Stopword list used by quality scoring + language ID. */
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")

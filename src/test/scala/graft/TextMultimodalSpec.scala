@@ -19,6 +19,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("bpeishTokenCount: hand-computed segmentation — contractions, " +
+      "digits, punctuation runs, and whitespace split like a BPE " +
+      "pre-tokenizer, not like whitespace words") {
+    val df = Seq(
+      // don|'t| stop| at| 3| items|!!| —| it|'s| $|4|.|50| ok = 15
+      "don't stop at 3 items!! — it's $4.50 ok",
+      "word",
+      "  doubled  spaces  ").toDF("text")
+    val got = df.select(
+      TextOps.bpeishTokenCount($"text").as("b"),
+      TextOps.tokenCount($"text").as("w")).collect()
+    assert(got(0).getInt(0) == 15, got(0))
+    assert(got(0).getInt(1) == 9) // whitespace sees only 9 "words"
+    assert(got(1).getInt(0) == 1 && got(1).getInt(1) == 1)
+    // "  " + doubled + "  " + spaces + "  " = 5 segments (the single
+    // space before a word rides the word segment; runs stand alone)
+    assert(got(2).getInt(0) == 5, got(2))
+  }
+
   test("langId picks profile language; 'und' when no markers") {
     val df = Seq(
       "the cat and the dog of the house is big",
