@@ -3426,6 +3426,57 @@ object Queries {
     }
   }
 
+  /** Cross-corpus EMBEDDING near-dup
+    * (Similarity.crossCorpusCosineNearDups): the arrival batch's
+    * vectors (vec_id ≥ 250) against the corpus's (vec_id < 250),
+    * candidates cross-side only via the shared seeded hyperplanes,
+    * total-occupancy cool/two-star cap, exact-cosine verify — the
+    * paraphrase-level ingest dedup MinHash text matching misses.
+    * Oracle replays planes, bucket fold, split, cap, and the cosine
+    * exactly (rounded 6dp like q_d_embedding_neardup).
+    */
+  val qECrossCorpusNearDup = {
+    val ndBits = 6
+    val ndMaxBucket = 12
+    val planes = graft.operators.Similarity.hyperplaneValues(dim = 64, bits = ndBits)
+    val hsLit = planes
+      .map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]")
+    def bucket(v: String) =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range($ndBits), i ->
+         |  CASE WHEN ${duckDot(v, "hs[CAST(i AS INT) + 1]")} >= 0
+         |       THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (acc, v) -> acc + v)""".stripMargin
+    q(
+      "q_e_cross_corpus_neardup",
+      s"""WITH hp AS (SELECT $hsLit::DOUBLE[][] AS hs),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT id, ${bucket("e")} AS bk FROM v CROSS JOIN hp),
+         |ba AS (SELECT * FROM b WHERE id < 250),
+         |bbb AS (SELECT * FROM b WHERE id >= 250),
+         |ga AS (SELECT bk, COUNT(*) AS cnt_a, MIN(id) AS rep_a FROM ba GROUP BY bk),
+         |gb AS (SELECT bk, COUNT(*) AS cnt_b, MIN(id) AS rep_b FROM bbb GROUP BY bk),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |          FROM ba a JOIN bbb c USING (bk)
+         |          JOIN ga ON ga.bk = a.bk JOIN gb ON gb.bk = a.bk
+         |          WHERE cnt_a + cnt_b <= $ndMaxBucket
+         |             OR a.id = rep_a OR c.id = rep_b),
+         |scored AS (SELECT id_a, id_b, ${duckCos("a.e", "c.e")} AS cos_raw
+         |           FROM pairs JOIN v a ON a.id = id_a
+         |                      JOIN v c ON c.id = id_b)
+         |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
+         |FROM scored WHERE cos_raw >= 0.2 ORDER BY id_a, id_b""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Similarity
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.crossCorpusCosineNearDups(
+          vecs.filter(col("id") < 250), vecs.filter(col("id") >= 250),
+          dim = 64, minCosine = 0.2, bits = ndBits, maxBucket = ndMaxBucket)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b")
+    }
+  }
+
   /** IVF (inverted-file) ANN top-5 — the scale path for generic
     * top-k. This catalog entry pins the coarse quantizer to a
     * deterministic centroid table (the embeddings with vec_id < 16)
@@ -3694,6 +3745,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
+    qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
   )
 }

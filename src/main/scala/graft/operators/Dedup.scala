@@ -366,20 +366,9 @@ object Dedup {
       .withColumn("sig", MinHashSig.ofHashes(col("hs"), k))
     val sa = sketch(dfA)
     val sb = sketch(dfB)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-    def banded(s: DataFrame, idOut: String, cnt: String, rep: String) =
-      s.select(col("id"),
-        explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
-        .withColumn(cnt, count(lit(1)).over(w))
-        .withColumn(rep, min("id").over(w))
-        .select(col("bk"), col("id").as(idOut), col(cnt), col(rep))
-    val cands = banded(sa, "id_a", "cnt_a", "rep_a")
-      .join(banded(sb, "id_b", "cnt_b", "rep_b"), Seq("bk"))
-      .filter(col("cnt_a") + col("cnt_b") <= maxBucket
-        || col("id_a") === col("rep_a") || col("id_b") === col("rep_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    cands
+    def banded(s: DataFrame) = s.select(col("id"),
+      explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
+    crossBandCandidatePairs(banded(sa), banded(sb), maxBucket)
       .join(sa.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sb.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
@@ -387,6 +376,30 @@ object Dedup {
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-side band candidates: rows of `bandedA` (id, bk) pair with
+    * rows of `bandedB` sharing a band key — never within a side. The
+    * total-occupancy cool/two-star cap of [[crossCorpusNearDups]],
+    * shared with the embedding-space analog
+    * (Similarity.crossCorpusCosineNearDups) so text and vector
+    * cross-corpus dedup cap identically.
+    */
+  private[operators] def crossBandCandidatePairs(
+      bandedA: DataFrame, // (id, bk)
+      bandedB: DataFrame, // (id, bk)
+      maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    def ann(df: DataFrame, idOut: String, cnt: String, rep: String) =
+      df.withColumn(cnt, count(lit(1)).over(w))
+        .withColumn(rep, min("id").over(w))
+        .select(col("bk"), col("id").as(idOut), col(cnt), col(rep))
+    ann(bandedA, "id_a", "cnt_a", "rep_a")
+      .join(ann(bandedB, "id_b", "cnt_b", "rep_b"), Seq("bk"))
+      .filter(col("cnt_a") + col("cnt_b") <= maxBucket
+        || col("id_a") === col("rep_a") || col("id_b") === col("rep_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Edit-distance near-dup — the full production cascade, each stage

@@ -262,6 +262,33 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Cross-corpus embedding near-dup — the vector-space face of
+    * Dedup.crossCorpusNearDups: the arrival batch's embeddings dedup
+    * against the training corpus's, candidates generated only across
+    * sides (both sides bucket with the SAME seeded hyperplanes, so a
+    * pair lands together regardless of which corpus it arrives in),
+    * capped by the shared total-occupancy cool/two-star rule, then
+    * exact-cosine verified. Semantic near-dups (paraphrase-level) are
+    * exactly the class MinHash text dedup misses cross-corpus.
+    */
+  def crossCorpusCosineNearDups(
+      vecsA: DataFrame, // (id, vec)
+      vecsB: DataFrame, // (id, vec)
+      dim: Int,
+      minCosine: Double,
+      bits: Int = 10,
+      seed: Long = 42L,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    def banded(v: DataFrame) = v.select(col("id"),
+      lshBucket(col("vec"), dim, bits, seed).as("bk"))
+    Dedup.crossBandCandidatePairs(banded(vecsA), banded(vecsB), maxBucket)
+      .join(vecsA.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecsB.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Per-cluster representatives — the semantic-diversity-sampling
     * primitive (pick the k most CENTRAL members of every embedding
     * cluster; the union is a cluster-stratified subsample of the

@@ -161,4 +161,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hotPairs.length == 59, s"expected 59 star pairs, got ${hotPairs.length}")
     assert(hotPairs.forall(_.getLong(0) == 0L), "all hot pairs anchor at the rep")
   }
+
+  test("crossCorpusCosineNearDups: cross-side pairs only; a batch " +
+      "vector near a corpus vector is found, within-side twins are not " +
+      "reported") {
+    val dim = 8
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (((seed >> j) & 1) == 1) 1.0f else -1.0f)
+    // corpus: 0/1 are twins (within-side — must NOT pair); batch: 100
+    // equals corpus 0 (must pair), 101 is its own pattern, 102/103 are
+    // twins within the batch (must NOT pair)
+    val corpus = Seq((0L, v(0xA5)), (1L, v(0xA5)), (2L, v(0x3C)))
+    val batch = Seq((100L, v(0xA5)), (101L, v(0x59)),
+      (102L, v(0x66)), (103L, v(0x66)))
+    val a = spark.createDataFrame(corpus).toDF("id", "vec")
+    val b = spark.createDataFrame(batch).toDF("id", "vec")
+    val got = Similarity.crossCorpusCosineNearDups(a, b, dim,
+        minCosine = 0.99, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 100L)) && got.contains((1L, 100L)), got)
+    assert(got.forall { case (x, y) => x < 100L && y >= 100L }, got)
+    assert(!got.exists { case (_, y) => y == 102L || y == 103L })
+  }
 }
