@@ -135,15 +135,20 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     // (4) the complete per-query record as its OWN file, immune to any
-    // stdout tail window (round-7 artifact lost 38 of 109 values):
-    // default BENCH_per_query.json in CWD, overridable for local runs.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_per_query.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), detail + "\n")
-    catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] per-query file write failed: ${e.getMessage}")
+    // stdout tail window (round-7 artifact lost 38 of 109 values).
+    // FULL runs default to BENCH_per_query.json in CWD; TARGETED runs
+    // (SPARK_GRAFT_ONLY set) write only when SPARK_GRAFT_BENCH_OUT is
+    // explicit — a filtered run must never clobber the committed
+    // full-catalog artifact with a partial map.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_per_query.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), detail + "\n")
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] per-query file write failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
