@@ -1773,6 +1773,60 @@ object Queries {
     }
   }
 
+  /** URL canonicalization (operators/UrlOps) — the crawl-curation
+    * normalization pass: messy URL variants are planted
+    * deterministically from doc_id (uppercase scheme/host, default
+    * ports, tracking params, fragments, trailing slashes, www), the
+    * Scala side canonicalizes with the real regex/HOF chain, and the
+    * oracle states the expected canonical ARITHMETICALLY — so any
+    * normalization rule misfiring (a port stripped on the wrong
+    * scheme, a surviving utm param, an unsorted query) hash-
+    * mismatches. Groups of 4 consecutive docs share one logical page:
+    * three variants must collapse to ONE canonical (n_dups = 3), the
+    * http variant stays apart (n_dups = 1).
+    */
+  val qUUrlCanonical = q(
+    "q_u_url_canonical",
+    """WITH base AS (
+      |  SELECT doc_id, doc_id // 4 AS gid, (doc_id // 4) % 5 AS k
+      |  FROM documents WHERE doc_id < 400),
+      |c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 3
+      |         THEN 'http://site' || k || '.com/a/B/' || gid
+      |         ELSE 'https://site' || k || '.com/a/B/' || gid || '?a=2&z=1'
+      |    END AS canonical,
+      |    'site' || k || '.com' AS host
+      |  FROM base)
+      |SELECT doc_id, canonical, host,
+      |       COUNT(*) OVER (PARTITION BY canonical) AS n_dups
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.UrlOps
+    val gid = floor(col("doc_id") / 4).cast("long")
+    val k = (gid % 5).cast("string")
+    val gs = gid.cast("string")
+    val messy = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.site"), k, lit(".com/a/B/"), gs,
+          lit("?z=1&a=2")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/a/B/"), gs,
+          lit("?utm_source=x&z=1&a=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), k, lit(".com/a/B/"), gs,
+          lit("/?a=2&z=1#frag")))
+      .otherwise(
+        concat(lit("http://site"), k, lit(".com:80/a/B/"), gs,
+          lit("?fbclid=abc")))
+    Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"), messy.as("url"))
+      .select(col("doc_id"),
+        UrlOps.canonicalizeUrl(col("url")).as("canonical"),
+        UrlOps.host(col("url")).as("host"))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy("canonical")))
+      .orderBy("doc_id")
+  }
+
   /** Exact content dedup via md5 fingerprint groups (keeper = min id). */
   val qDExact = q(
     "q_d_exact_dedup",
@@ -3734,7 +3788,7 @@ object Queries {
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
-    qTTokens, qTBpeTokens, qDExact,
+    qTTokens, qTBpeTokens, qUUrlCanonical, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,

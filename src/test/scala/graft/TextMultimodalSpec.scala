@@ -38,6 +38,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2).getInt(0) == 5, got(2))
   }
 
+  test("canonicalizeUrl: per-rule edge cases — wrong-scheme ports " +
+      "kept, root slash kept, param sort, tracking-only query " +
+      "vanishes, path case preserved") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // scheme-mismatched ports are NOT default: keep them
+      ("http://x.com:443/a", "http://x.com:443/a"),
+      ("https://x.com:80/a", "https://x.com:80/a"),
+      // root path: the lone slash survives (only non-root trims)
+      ("https://x.com/", "https://x.com/"),
+      // params sort; empties drop; '&&' tolerated
+      ("https://x.com/p?z=2&&a=1", "https://x.com/p?a=1&z=2"),
+      // tracking-only query vanishes entirely (no dangling '?')
+      ("https://x.com/p?utm_campaign=c&gclid=g", "https://x.com/p"),
+      // path/query case preserved; only scheme+host lowercase
+      ("HTTPS://X.COM/CaseSensitive?Q=V", "https://x.com/CaseSensitive?Q=V"),
+      // fragment-only suffix
+      ("https://x.com/p#sec", "https://x.com/p"),
+      // www + port + everything at once
+      ("HTTP://WWW.X.COM:80/d/?b=2&a=1&utm_source=s#f", "http://x.com/d?a=1&b=2"))
+    val df = cases.toDF("url", "expected")
+    val got = df.select(UrlOps.canonicalizeUrl($"url").as("c"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r))
+    val hosts = Seq("https://WWW.Site.Com:8443/x", "http://a.b.co/p?q=1")
+      .toDF("url").select(UrlOps.host($"url")).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("site.com", "a.b.co"))
+  }
+
   test("langId picks profile language; 'und' when no markers") {
     val df = Seq(
       "the cat and the dog of the house is big",
