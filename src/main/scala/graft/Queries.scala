@@ -1827,6 +1827,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Heavy-domain cap (Sampling.groupCapSample ∘ UrlOps-style host
+    * key): keep at most 10 docs per domain by deterministic hash
+    * priority — the crawl-balancing step that stops mega-domains from
+    * owning the mixture. Heap plan bounds each domain BEFORE the
+    * shuffle; the oracle replays the exact hash-ranked selection.
+    */
+  val qUDomainCap = q(
+    "q_u_domain_cap",
+    s"""WITH c AS (
+       |  SELECT doc_id, 'site' || ((doc_id // 4) % 5) || '.com' AS host
+       |  FROM documents WHERE doc_id < 400),
+       |r AS (SELECT doc_id, host,
+       |        ROW_NUMBER() OVER (PARTITION BY host
+       |          ORDER BY ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)},
+       |                   doc_id) AS rn
+       |      FROM c)
+       |SELECT doc_id, host FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      val host = concat(lit("site"),
+        (floor(col("doc_id") / 4).cast("long") % 5).cast("string"),
+        lit(".com"))
+      graft.operators.Sampling.groupCapSample(
+          Tables.documents(s, d).filter(col("doc_id") < 400)
+            .select(col("doc_id"), host.as("host")),
+          "host", "doc_id", cap = 10)
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+  }
+
   /** Exact content dedup via md5 fingerprint groups (keeper = min id). */
   val qDExact = q(
     "q_d_exact_dedup",
@@ -3788,7 +3817,7 @@ object Queries {
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
-    qTTokens, qTBpeTokens, qUUrlCanonical, qDExact,
+    qTTokens, qTBpeTokens, qUUrlCanonical, qUDomainCap, qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,

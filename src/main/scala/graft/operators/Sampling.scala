@@ -131,6 +131,29 @@ object Sampling {
       .drop("num")
   }
 
+  /** Per-group document cap — heavy-GROUP downsampling (cap docs per
+    * DOMAIN for a web crawl, per source, per license bucket): within
+    * each group keep the `cap` rows with the smallest deterministic
+    * priority (affine key hash, then key as tie-break — never
+    * `rand()`, so re-runs, re-shards and appends keep their picks,
+    * and a new arrival evicts the current worst instead of reshuffling
+    * the sample). A handful of mega-domains holding most of a crawl is
+    * the norm, not the exception; capping them is how the mixture
+    * stays diverse. Runs on the TopKPerGroup heap plan: per-partition
+    * heaps bound each group to `cap` BEFORE the shuffle, so a 10⁸-doc
+    * domain contributes `cap` rows per input partition to the
+    * exchange, never its full posting.
+    */
+  def groupCapSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      cap: Int): DataFrame =
+    TopK.perGroup(df, Seq(groupCol),
+        Seq(hashBucket(col(keyCol), 1000000).asc, col(keyCol).asc),
+        cap, rankName = "__rn")
+      .drop("__rn")
+
   /** Priority column for weighted sampling WITHOUT replacement, after
     * Duffield–Lund–Thorup priority sampling: q = w / u with u uniform
     * in (0, 1]; the k rows with the LARGEST q are the sample

@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
+
+  test("groupCapSample: cap enforced per group, small groups intact, " +
+      "picks partition-invariant and append-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (0L until 300L).map(i => (i, s"dom${i % 3}")) ++ // 100 each
+      Seq((1000L, "tiny"), (1001L, "tiny"))
+    val df = rows.toDF("id", "host")
+    val got = Sampling.groupCapSample(df, "host", "id", cap = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byHost = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byHost == Map("dom0" -> 7, "dom1" -> 7, "dom2" -> 7, "tiny" -> 2))
+    // partitioning invariance: same picks on a reshuffled input
+    val re = Sampling.groupCapSample(df.repartition(13), "host", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(re == got.toSet)
+    // append stability: adding rows never KICKS IN new winners beyond
+    // eviction — old picks either survive or are displaced by a
+    // better-priority arrival, and survivors keep their membership
+    val appended = df.union(Seq((2000L, "dom0")).toDF("id", "host"))
+    val after = Sampling.groupCapSample(appended, "host", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val dom0Before = got.filter(_._2 == "dom0").map(_._1).toSet
+    val dom0After = after.filter(_._2 == "dom0").map(_._1)
+    assert(dom0After.size == 7 &&
+      (dom0After - 2000L).subsetOf(dom0Before))
+  }
   import spark.implicits._
 
   test("hashSplit: weights land near target and partitioning never moves a row") {
