@@ -28,6 +28,15 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(pmod(key.cast("long"), lit(P)) * A + B, lit(P)) % buckets
 
+  /** Row-level rendering of [[hashBucket]] — the identical affine
+    * hash as a plain function, for operators that rank inside an
+    * executor loop (streaming admission caps) rather than in a
+    * Column expression. SamplingSpec asserts the two agree.
+    * No overflow: ((key mod P) < 1e9+7) · A (≈9.1e8) ≈ 9.2e17 < 2^63.
+    */
+  def hashBucketLong(key: Long, buckets: Int): Long =
+    ((key % P + P) % P * A + B) % P % buckets
+
   /** SQL rendering of [[hashBucket]] (DuckDB `%` is signed — wrap the
     * inner mod non-negative first, exactly like pmod).
     */

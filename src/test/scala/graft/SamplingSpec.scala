@@ -6,6 +6,20 @@ import graft.operators.Sampling
 
 class SamplingSpec extends SparkSpec {
 
+  test("hashBucketLong == hashBucket column rendering on negatives, " +
+      "zero, and large keys") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val keys = Seq(0L, 1L, -1L, 42L, -999999937L, Long.MaxValue / 2,
+      1000000007L, 1000000006L)
+    val fromCol = keys.toDF("k")
+      .select($"k", Sampling.hashBucket($"k", 1000000).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(Sampling.hashBucketLong(k, 1000000) == fromCol(k), s"key $k")
+    }
+  }
+
   test("groupCapSample: cap enforced per group, small groups intact, " +
       "picks partition-invariant and append-stable") {
     import spark.implicits._
