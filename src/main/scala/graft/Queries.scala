@@ -1856,6 +1856,78 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** Crawl-curation pipeline composition, ONE lazy plan: canonicalize
+    * messy URLs → URL-level dedup (min doc per canonical — the
+    * two-phase min(struct) argmax, no window over the corpus) →
+    * heavy-domain cap (hash-priority heap) → token-floor gate. Every
+    * stage is individually oracled (q_u_url_canonical, q_a15 pattern,
+    * q_u_domain_cap, q_t_token_count); this entry proves they COMPOSE
+    * lazily, the same way q_pipe_end2end proves the text stages.
+    * The oracle replays the composition over the arithmetic canonical
+    * ground truth.
+    */
+  val qPipeCrawl = q(
+    "q_pipe_crawl_curation",
+    s"""WITH base AS (
+       |  SELECT doc_id, text, doc_id // 4 AS gid, (doc_id // 4) % 5 AS k
+       |  FROM documents WHERE doc_id < 400),
+       |c AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 4 = 3
+       |         THEN 'http://site' || k || '.com/a/B/' || gid
+       |         ELSE 'https://site' || k || '.com/a/B/' || gid || '?a=2&z=1'
+       |    END AS canonical,
+       |    'site' || k || '.com' AS host
+       |  FROM base),
+       |dedup AS (
+       |  SELECT doc_id, text, host FROM (
+       |    SELECT doc_id, text, host,
+       |           ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY doc_id) AS rn
+       |    FROM c) WHERE rn = 1),
+       |capped AS (
+       |  SELECT doc_id, text, host FROM (
+       |    SELECT doc_id, text, host,
+       |           ROW_NUMBER() OVER (PARTITION BY host
+       |             ORDER BY ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)},
+       |                      doc_id) AS rn
+       |    FROM dedup) WHERE rn <= 8)
+       |SELECT doc_id, host FROM capped
+       |WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                      t -> len(t) > 0)) >= 20
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, TextOps, UrlOps}
+    val gid = floor(col("doc_id") / 4).cast("long")
+    val k = (gid % 5).cast("string")
+    val gs = gid.cast("string")
+    val messy = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.site"), k, lit(".com/a/B/"), gs,
+          lit("?z=1&a=2")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/a/B/"), gs,
+          lit("?utm_source=x&z=1&a=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), k, lit(".com/a/B/"), gs,
+          lit("/?a=2&z=1#frag")))
+      .otherwise(
+        concat(lit("http://site"), k, lit(".com:80/a/B/"), gs,
+          lit("?fbclid=abc")))
+    val canon = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"),
+        UrlOps.canonicalizeUrl(messy).as("canonical"),
+        UrlOps.host(messy).as("host"))
+    // URL-level dedup: min doc per canonical via two-phase agg (the
+    // q_a15 argmax shape — no corpus-wide window), then join back
+    val keepers = canon.groupBy("canonical")
+      .agg(min(struct(col("doc_id"))).getField("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = canon.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text", "host")
+    Sampling.groupCapSample(deduped, "host", "doc_id", cap = 8)
+      .filter(TextOps.tokenCount(col("text")) >= 20)
+      .select("doc_id", "host")
+      .orderBy("doc_id")
+  }
+
   /** Exact content dedup via md5 fingerprint groups (keeper = min id). */
   val qDExact = q(
     "q_d_exact_dedup",
@@ -3817,7 +3889,8 @@ object Queries {
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
-    qTTokens, qTBpeTokens, qUUrlCanonical, qUDomainCap, qDExact,
+    qTTokens, qTBpeTokens, qUUrlCanonical, qUDomainCap, qPipeCrawl,
+    qDExact,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,
