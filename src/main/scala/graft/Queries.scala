@@ -1773,6 +1773,31 @@ object Queries {
     }
   }
 
+  /** First BPE merge-round pair counts (TextOps.bpePairCounts) over
+    * the whole corpus, top 20 — the vocab-first factoring real BPE
+    * trainers use (corpus → word counts ONCE, pairs exploded over the
+    * vocab only). The oracle replays the weighted pair count exactly;
+    * the top row is the first merge a tokenizer trained on this
+    * corpus would learn.
+    */
+  val qTBpeMerge = q(
+    "q_t_bpe_merge_counts",
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                            t -> len(t) > 0)) AS w
+      |  FROM documents),
+      |vocab AS (SELECT w, COUNT(*) AS wc FROM tok GROUP BY w),
+      |p AS (
+      |  SELECT wc, unnest(list_transform(range(len(w) - 1),
+      |           i -> w[i + 1] || w[i + 2])) AS pair
+      |  FROM vocab WHERE len(w) >= 2)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) {
+    (s, d) =>
+      graft.operators.TextOps.bpePairCounts(Tables.documents(s, d), "text")
+        .orderBy(desc("cnt"), asc("pair")).limit(20)
+  }
+
   /** URL canonicalization (operators/UrlOps) — the crawl-curation
     * normalization pass: messy URL variants are planted
     * deterministically from doc_id (uppercase scheme/host, default
@@ -1937,6 +1962,56 @@ object Queries {
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
       .orderBy("h")
+  }
+
+  /** Line-level boilerplate dedup (Dedup.dropBoilerplateLines — the
+    * CCNet / RefinedWeb corpus stage). Multi-line pages are synthesized
+    * arithmetically: 5 nav headers + 5 copyright footers each shared by
+    * 60 docs (df >= 20 → dropped), ~14-doc PROMO lines (df < 20 →
+    * kept), and each doc's unique body line (df = 1 → kept). The
+    * oracle replays df-threshold line removal and ordered reassembly,
+    * so a wrong threshold, a lost line, or a scrambled line order all
+    * hash-mismatch.
+    */
+  val qDLineDedup = q(
+    "q_d_line_dedup",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'NAV site' || (doc_id % 5) || ' home about contact' || chr(10) ||
+      |    text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN chr(10) || 'PROMO banner ' || (doc_id % 3) ELSE '' END ||
+      |    chr(10) || 'COPYRIGHT site' || (doc_id % 5) AS mtext
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (
+      |  SELECT doc_id, unnest(range(len(ls))) AS pos, ls
+      |  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM d)),
+      |l2 AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM l),
+      |boiler AS (
+      |  SELECT line FROM (
+      |    SELECT line, COUNT(DISTINCT doc_id) AS docfreq
+      |    FROM l2 GROUP BY line)
+      |  WHERE docfreq >= 20),
+      |kept AS (
+      |  SELECT * FROM l2 WHERE line NOT IN (SELECT line FROM boiler))
+      |SELECT doc_id,
+      |       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |       COUNT(*) AS n_kept
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    val k = (col("doc_id") % 5).cast("string")
+    val promo = when(col("doc_id") % 7 === 0,
+      concat(lit("\nPROMO banner "), (col("doc_id") % 3).cast("string")))
+      .otherwise(lit(""))
+    val mtext = concat(
+      lit("NAV site"), k, lit(" home about contact\n"),
+      col("text"), promo,
+      lit("\nCOPYRIGHT site"), k)
+    Dedup.dropBoilerplateLines(
+        Tables.documents(s, d).filter(col("doc_id") < 300)
+          .select(col("doc_id"), mtext.as("mtext")),
+        "doc_id", "mtext", maxDocFreq = 20)
+      .orderBy("doc_id")
   }
 
   /** Session windows (6 h inactivity gap) per user — Spark's native
@@ -3719,6 +3794,74 @@ object Queries {
       .orderBy("cluster", "rank")
   }
 
+  /** Per-label embedding centroid (Similarity.groupCentroids) — the
+    * vector-aggregation primitive (class prototypes / k-means update).
+    * Elements fixed-pointed to integer micros so the cross-row mean is
+    * summation-order-free, and the mean is a FLOOR integer division in
+    * micros (a float `round` here half-way-ulp-diverges across
+    * engines); the oracle replays the same integer arithmetic, so any
+    * drift in the explode/partial-agg/reassembly chain hash-mismatches.
+    */
+  val qECentroids = q(
+    "q_e_centroids",
+    """WITH e AS (
+      |  SELECT label, unnest(range(len(embedding))) AS pos, embedding AS v
+      |  FROM embeddings),
+      |m AS (SELECT label, pos,
+      |        CAST(floor(CAST(v[pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |      FROM e),
+      |g AS (SELECT label, pos, CAST(SUM(xm) AS BIGINT) AS sm, COUNT(*) AS n
+      |      FROM m GROUP BY label, pos),
+      |c AS (SELECT label, pos, n,
+      |        (sm - ((sm % n) + n) % n) // n AS cm FROM g)
+      |SELECT label,
+      |       list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS centroid,
+      |       MAX(n) AS n
+      |FROM c GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.groupCentroids(
+        Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label")
+  }
+
+  /** One full k-means (Lloyd's) update step over the embeddings table:
+    * map-side assignment to 16 literal seed centroids (vec_id < 16,
+    * the q_e_ivf seeding), then the micros-deterministic per-cluster
+    * mean — Similarity.kmeansStep. The oracle replays assignment by
+    * ROW_NUMBER over exact d2 and the same micros mean, so a drifted
+    * distance, a wrong tie-break, or a lost cluster member all
+    * hash-mismatch. This is the distributed inner loop of k-means:
+    * only the k·dim model would return to the driver between steps.
+    */
+  val qEKmeansStep = q(
+    "q_e_kmeans_step",
+    s"""WITH cent AS (SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |ca AS (SELECT cid, cluster, cv, ROW_NUMBER() OVER (PARTITION BY cid
+       |                                  ORDER BY d2, cluster) AS rn
+       |       FROM (SELECT cid, cluster, cv, ${duckD2("cv", "ce")} AS d2
+       |             FROM c CROSS JOIN cent)),
+       |asg AS (SELECT cluster, cv FROM ca WHERE rn = 1),
+       |e AS (SELECT cluster, unnest(range(len(cv))) AS pos, cv FROM asg),
+       |m AS (SELECT cluster, pos,
+       |        CAST(floor(cv[pos + 1] * 1000000) AS BIGINT) AS xm FROM e),
+       |g AS (SELECT cluster, pos, CAST(SUM(xm) AS BIGINT) AS sm, COUNT(*) AS n
+       |      FROM m GROUP BY cluster, pos),
+       |fd AS (SELECT cluster, pos, n,
+       |         (sm - ((sm % n) + n) % n) // n AS cm FROM g)
+       |SELECT cluster,
+       |       list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS centroid,
+       |       MAX(n) AS n
+       |FROM fd GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Similarity.kmeansStep(vecs, centers).orderBy("cluster")
+  }
+
   // ---------------------------------------------------------------
   // Multimodal binary columns
   // ---------------------------------------------------------------
@@ -3889,8 +4032,8 @@ object Queries {
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill,
-    qTTokens, qTBpeTokens, qUUrlCanonical, qUDomainCap, qPipeCrawl,
-    qDExact,
+    qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
+    qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qO11Mixture, qO16TokenBudget,
@@ -3900,7 +4043,8 @@ object Queries {
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qDEmbeddingNearDup,
+    qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep,
+    qDEmbeddingNearDup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
   )

@@ -29,6 +29,44 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb corpus
+    * stage): drop every line that appears verbatim in >= `maxDocFreq`
+    * DISTINCT documents — nav bars, cookie banners, licence footers —
+    * preserving line order inside each surviving document. Returns
+    * (idCol, clean_text, n_kept); a document whose every line is
+    * boilerplate drops out entirely (by design — it carried no signal).
+    *
+    * Scale: lines shuffle by a 128-bit content digest (never the line
+    * text) to build the document-frequency table; only the boilerplate
+    * slice joins back (size bounded by total_lines / maxDocFreq, and in
+    * practice by the handful of truly shared lines), left UNHINTED so
+    * AQE broadcasts it exactly when it fits. The per-doc reassembly
+    * groupBy is the single corpus-text shuffle.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line").cast("binary")))
+    val boiler = lines.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= maxDocFreq)
+      .select("h")
+    lines.join(boiler, Seq("h"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Pairwise n-gram Jaccard over an inverted index: explode distinct
     * shingles, self-join on shingle (pairs only where they co-occur),
     * count intersections, then |A∪B| = |A|+|B|−|A∩B|. Returns pairs

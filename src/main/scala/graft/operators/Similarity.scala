@@ -304,17 +304,81 @@ object Similarity {
       vecs: DataFrame, // (cid, cvec)
       centers: Array[Array[Double]],
       k: Int): DataFrame = {
+    TopK.perGroup(
+        assignNearest(vecs, centers).select("cid", "cluster", "d2"),
+        Seq("cluster"), Seq(col("d2"), col("cid")), k, rankName = "rank")
+      .select("cluster", "cid", "d2", "rank")
+  }
+
+  /** Map-side nearest-centroid assignment against a literal centroid
+    * table: (cid, cluster, d2, cvec). No shuffle — the centroid table
+    * is inlined into the plan as literals (at 100 TB the model is tiny
+    * even for thousands of centroids), so assignment streams inside
+    * whole-stage codegen over the scan. Tie-break: (d2, cluster) min.
+    */
+  def assignNearest(vecs: DataFrame, centers: Array[Array[Double]])
+      : DataFrame = {
     def best(vec: Column): Column =
       element_at(array_sort(array(centers.zipWithIndex.map { case (c, i) =>
         val lits = array(c.map(lit).toSeq: _*)
         struct(graft.expressions.VecExpressions.vec_d2(vec, lits).as("d2"),
           lit(i).as("cluster"))
       }.toSeq: _*)), 1)
-    val assigned = vecs
-      .withColumn("b", best(col("cvec")))
-      .select(col("cid"), col("b.cluster").as("cluster"), col("b.d2").as("d2"))
-    TopK.perGroup(assigned, Seq("cluster"),
-        Seq(col("d2"), col("cid")), k, rankName = "rank")
-      .select("cluster", "cid", "d2", "rank")
+    vecs.withColumn("b", best(col("cvec")))
+      .select(col("cid"), col("b.cluster").as("cluster"),
+        col("b.d2").as("d2"), col("cvec"))
+  }
+
+  /** One full k-means update step: map-side assignment to the nearest
+    * literal centroid, then the micros-deterministic per-cluster mean
+    * ([[groupCentroids]]). Returns (cluster, centroid, n) — the new
+    * model. The Lloyd's-iteration driver loop is: collect this tiny
+    * result, re-inline as literals, repeat; only the model (k·dim
+    * doubles) ever reaches the driver.
+    */
+  def kmeansStep(vecs: DataFrame, centers: Array[Array[Double]])
+      : DataFrame =
+    groupCentroids(
+      assignNearest(vecs, centers).select(col("cluster"), col("cvec")),
+      "cluster", "cvec")
+
+  /** Per-group element-wise mean embedding (the vector-aggregation
+    * primitive behind class centroids, topic prototypes, and k-means
+    * update steps). Returns (keyCol, centroid: array<double> at micro
+    * precision, n members).
+    *
+    * Determinism: a cross-row float mean is summation-order-dependent,
+    * so elements are fixed-pointed to integer MICROS (float→double is
+    * exact, ×1e6 and floor are IEEE-deterministic) and summed as
+    * longs — partition-order-free, replayable in any engine. The mean
+    * itself is a FLOOR integer division in micros (never a float
+    * `round`, whose half-way ulps differ across engines); the single
+    * final /1e6 of a small exact integer is identical IEEE in any
+    * engine. Long capacity: |x|≤10³ ⇒ 10⁹ micros/row ⇒ safe past 10⁹
+    * rows/group.
+    *
+    * Scale: posexplode looks like a dim× blowup, but groupBy(key, pos)
+    * partially aggregates map-side — each task ships only
+    * |groups|·dim partial sums, and the second groupBy(key) ships dim
+    * rows per group. No vector ever crosses the wire twice.
+    */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String)
+      : DataFrame = {
+    val e = df.select(col(keyCol),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(keyCol), col("pos"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xm"))
+    e.groupBy(keyCol, "pos")
+      .agg(sum("xm").as("sm"), count(lit(1)).as("n"))
+      // floorDiv(sm, n) in exact integer arithmetic: subtract the
+      // nonneg pmod so the numerator divides exactly — `div` then has
+      // nothing to truncate (safe past 2^53 where a double floor isn't)
+      .withColumn("cm", expr("(sm - ((sm % n) + n) % n) div n"))
+      .groupBy(keyCol)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("cm")))),
+          s => s.getField("cm").cast("double") / lit(1e6)).as("centroid"),
+        max("n").as("n"))
   }
 }

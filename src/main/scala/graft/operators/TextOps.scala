@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnOps.bind
@@ -286,4 +286,30 @@ object TextOps {
         i => array_min(slice(hashes, i + 1, lit(w))))
       array_sort(array_distinct(mins))
     }
+
+  /** First BPE merge-round pair counts (Sennrich et al., ACL'16 §3):
+    * frequency of every adjacent character pair, weighted by word
+    * frequency — the argmax is the first merge a BPE tokenizer learns.
+    * Repeated pairs inside one word each count ("aaa" contributes
+    * "aa" twice per occurrence).
+    *
+    * Scale: the corpus shuffles ONCE into the word-frequency vocab
+    * (map-side combined); pair explosion runs over the VOCAB, not the
+    * corpus (web-scale corpora: ~10^7 distinct words vs ~10^11
+    * tokens), and the output pair table is alphabet²-bounded. This
+    * vocab-first factoring is exactly why real BPE trainers consume
+    * word-count tables, not raw text.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // sequence(0, len-2) needs len >= 2: Spark renders sequence(0,-1)
+    // as a DESCENDING [0,-1], not empty — 1-char words must filter out
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("wc"),
+        explode(transform(sequence(lit(0), length(col("w")) - 2),
+          i => concat(col("w").substr(i + 1, lit(1)),
+            col("w").substr(i + 2, lit(1))))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+  }
 }

@@ -28,6 +28,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 3L, 4L))
   }
 
+  test("line-level boilerplate dedup drops shared lines, keeps order, " +
+      "drops all-boilerplate docs") {
+    // 30 pages share a nav header and a footer (df = 30); each has a
+    // unique body; two also share a rare promo line (df = 2 < cap);
+    // one extra page is NOTHING BUT boilerplate and must vanish.
+    val pages = ((0L until 30L).map { i =>
+      val promo = if (i < 2) "\npromo line" else ""
+      (i, s"nav header line\nunique body $i$promo\nfooter line")
+    } :+ (99L, "nav header line\nfooter line")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(pages, "doc_id", "text",
+      maxDocFreq = 10)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!rows.contains(99L), "all-boilerplate doc must drop out")
+    assert(rows(0L) == ("unique body 0\npromo line", 2L))
+    assert(rows(1L) == ("unique body 1\npromo line", 2L))
+    (2L until 30L).foreach { i =>
+      assert(rows(i) == (s"unique body $i", 1L))
+    }
+  }
+
   test("ngram jaccard finds planted near-dups, not unrelated pairs") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       n = 3, minJaccard = 0.3)

@@ -245,6 +245,37 @@ class PlanSpec extends SparkSpec {
     assert(nEx == 2, s"$nEx exchanges\n$p")
   }
 
+  test("q_t_bpe_merge: pairs explode over the VOCAB agg, not the " +
+      "corpus — vocab shuffle + pair shuffle + TakeOrdered, no extra " +
+      "exchange, no Window") {
+    val p = planOf("q_t_bpe_merge_counts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    val nEx = p.linesIterator.count(l =>
+      l.contains(") Exchange") && !l.contains("Reused"))
+    assert(nEx == 2, s"$nEx exchanges\n$p")
+    // the explode (Generate) must sit ABOVE the first HashAggregate
+    // (vocab) in the plan: generating pairs from words-with-counts,
+    // never from raw corpus tokens
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate"))
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(gen >= 0 && firstAgg >= 0, p)
+  }
+
+  test("q_e_centroids: dim-explode partially aggregates map-side — " +
+      "2 exchanges ((key,pos) partials + per-key reassembly), " +
+      "no Window, no join") {
+    val p = planOf("q_e_centroids")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    val nEx = p.linesIterator.count(l =>
+      l.contains(") Exchange") && !l.contains("Reused"))
+    // (key,pos) agg + key agg + output sort
+    assert(nEx == 3, s"$nEx exchanges\n$p")
+  }
+
   test("q_t_bm25: heap top-k, corpus stats ride a broadcast — " +
       "no window sort over the posting table") {
     val p = planOf("q_t_bm25")

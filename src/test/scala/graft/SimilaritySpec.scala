@@ -22,6 +22,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) == -1.0)
   }
 
+  test("groupCentroids: exact element-wise means, micros-deterministic " +
+      "across repartitionings") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(-1.5f, 0.5f))).toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroids(d, "label", "embedding")
+        .orderBy("label").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toList, r.getLong(2)))
+    val got = run(df)
+    assert(got(0) == ((0, List(2.0, 3.0), 2L)))
+    assert(got(1) == ((1, List(-1.5, 0.5), 1L)))
+    assert(run(df.repartition(7)).toList == got.toList)
+  }
+
+  test("kmeansStep: assignment to nearest literal center, then exact " +
+      "cluster means") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(9.0f, 9.0f))).toDF("cid", "cvec")
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val got = Similarity.kmeansStep(vecs, centers)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList, r.getLong(2)))
+    assert(got.toList == List(
+      (0, List(1.5, 0.5), 2L),
+      (1, List(9.0, 9.0), 1L)))
+  }
+
   test("clusterRepresentatives picks the k most central members per " +
       "cluster, matching a driver-side reference") {
     val e = Tables.embeddings(spark, Sf0001)

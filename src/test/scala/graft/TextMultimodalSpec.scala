@@ -38,6 +38,16 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2).getInt(0) == 5, got(2))
   }
 
+  test("bpePairCounts: vocab-weighted adjacent pairs, repeats counted, " +
+      "1-char words excluded") {
+    // "aaa" x2 -> pair aa twice per occurrence = 4; "ab" x3 -> ab 3;
+    // "a" x5 -> no pairs (and must not trip sequence(0,-1))
+    val df = Seq("aaa ab a a", "aaa ab ab a a a").toDF("text")
+    val got = TextOps.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("aa" -> 4L, "ab" -> 3L))
+  }
+
   test("canonicalizeUrl: per-rule edge cases — wrong-scheme ports " +
       "kept, root slash kept, param sort, tracking-only query " +
       "vanishes, path case preserved") {

@@ -20,18 +20,21 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # normalize dtypes: timestamps -> iso str, floats -> repr
+    # normalize dtypes BEFORE sorting: list/array cells (numpy arrays)
+    # are unhashable and unorderable, so object columns become strings
+    # first; timestamps -> iso str, floats -> repr
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(
+                lambda v: str(list(v)) if hasattr(v, "__len__")
+                and not isinstance(v, (str, bytes)) else str(v))
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
