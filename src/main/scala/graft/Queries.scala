@@ -3124,6 +3124,51 @@ object Queries {
     }
   }
 
+  /** Temperature-flattened source mixture (Sampling.temperatureSample,
+    * the Lample & Conneau multilingual rule at the published T=2 /
+    * sqrt regime). Sources are synthesized arithmetically into a
+    * 60/25/10/5 skew so the flattening has heads to flatten: after
+    * sqrt-renormalization the head keeps a ~43% rate while the tail
+    * keeps ~99% — the mixture's diversity survives. The oracle
+    * replays the count agg, the micros-fixed sqrt, the exact long Z,
+    * the IEEE rate chain, and the affine-hash bernoulli bit-for-bit.
+    */
+  val qO19TemperatureMixture = {
+    val target = 200L
+    val domSql = """CASE WHEN doc_id % 100 < 60 THEN 'dom0'
+                   |            WHEN doc_id % 100 < 85 THEN 'dom1'
+                   |            WHEN doc_id % 100 < 95 THEN 'dom2'
+                   |            ELSE 'dom3' END""".stripMargin
+    q(
+      "q_o19_temperature_mixture",
+      s"""WITH d AS (
+         |  SELECT doc_id, $domSql AS dom
+         |  FROM documents),
+         |tot AS (SELECT dom, COUNT(*) AS n_s FROM d GROUP BY dom),
+         |sq AS (SELECT dom, n_s,
+         |         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT)
+         |           AS sm
+         |       FROM tot),
+         |z AS (SELECT CAST(SUM(sm) AS BIGINT) AS z FROM sq),
+         |r AS (SELECT dom, least(1000000,
+         |        CAST(floor((1000000.0 * $target.0 * sm)
+         |          / (CAST(z AS DOUBLE) * CAST(n_s AS DOUBLE))) AS BIGINT))
+         |          AS num
+         |      FROM sq CROSS JOIN z)
+         |SELECT doc_id, dom FROM d JOIN r USING (dom)
+         |WHERE ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)} < num
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dom = when(col("doc_id") % 100 < 60, "dom0")
+        .when(col("doc_id") % 100 < 85, "dom1")
+        .when(col("doc_id") % 100 < 95, "dom2")
+        .otherwise("dom3")
+      graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, d).select(col("doc_id"), dom.as("dom")),
+          "doc_id", "dom", target = target)
+        .orderBy("doc_id")
+    }
+  }
+
   /** The full MinHash+LSH near-dup CTE chain, `t(doc_id, toks)` →
     * `j(id_a, id_b, inter, la, lb)`: 3-shingle poly hashes → 64-slot
     * signature → 16 poly band keys → capped bucket self-join (cool
@@ -4036,7 +4081,7 @@ object Queries {
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
-    qO11Mixture, qO16TokenBudget,
+    qO11Mixture, qO16TokenBudget, qO19TemperatureMixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,

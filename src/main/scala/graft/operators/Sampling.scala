@@ -140,6 +140,50 @@ object Sampling {
       .drop("num")
   }
 
+  /** Temperature-flattened source mixture — the multilingual sampling
+    * rule of Lample & Conneau (NeurIPS'19 §3.1; mT5/XLM-R use it
+    * verbatim): draw ~`target` rows whose source shares follow
+    * p_s^(1/T) renormalized, flattening head sources and upweighting
+    * the tail so small corpora aren't drowned. T is FIXED at 2 — the
+    * sqrt flattening — because sqrt is a correctly-rounded IEEE op
+    * (bit-identical in every engine) while pow(x, 1/T) is not; an
+    * engine-portable arbitrary-T needs fixed-point pow, not worth it
+    * when T=2 is the published default regime.
+    *
+    * Share math, all order-free: sqrt(n_s) is fixed-pointed to MICROS
+    * (one sqrt per SOURCE, floor — deterministic), Z = Σ_s micros is
+    * an exact LONG sum, and
+    *
+    *   rate_s = min(1, target·sqrtm_s / (Z · n_s))
+    *
+    * quantized to num/den like [[tokenBudgetSample]] (same IEEE
+    * product/division chain contract: parity at any magnitude,
+    * exactness below 2⁵³). Rows keep by the deterministic key-hash
+    * bernoulli — reproducible, append-stable per source.
+    *
+    * Scale shape: one map-side-combining count agg (|sources| rows),
+    * a 1-row Z agg stamped back by broadcast cross join, the rate
+    * table broadcast to a map-only filter. The corpus never shuffles.
+    */
+  def temperatureSample(df: DataFrame, key: String, sourceCol: String,
+      target: Long, den: Int = 1000000): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val sq = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("sm",
+        floor(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
+    val z = sq.agg(sum("sm").as("z"))
+    val rates = sq.crossJoin(broadcast(z))
+      .withColumn("num", least(lit(den.toLong),
+        floor((lit(den.toDouble) * lit(target.toDouble) * col("sm"))
+          / (col("z").cast("double") * col("n_s").cast("double")))
+          .cast("long")))
+      .select(sourceCol, "num")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(col(key), den) < col("num"))
+      .drop("num")
+  }
+
   /** Per-group document cap — heavy-GROUP downsampling (cap docs per
     * DOMAIN for a web crawl, per source, per license bucket): within
     * each group keep the `cap` rows with the smallest deterministic

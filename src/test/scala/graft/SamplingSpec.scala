@@ -112,6 +112,30 @@ class SamplingSpec extends SparkSpec {
       kept.collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureSample: flattens a skewed mix toward sqrt shares, " +
+      "tail saturates, draw is partitioning-invariant") {
+    // planted 320/80/20 skew over 420 synthetic rows
+    val rows = ((0L until 320L).map(i => (i, "head")) ++
+      (320L until 400L).map(i => (i, "mid")) ++
+      (400L until 420L).map(i => (i, "tail"))).toDF("id", "src")
+    val kept = graft.operators.Sampling.temperatureSample(
+      rows, "id", "src", target = 100)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt shares: 17.9/8.9/4.5 of Z=31.3 -> want ~57/29/14;
+    // raw shares would be 76/19/5 — head must be flattened DOWN and
+    // tail boosted UP relative to raw proportions of the 100 target
+    assert(bySrc("head") < 70, bySrc.toString)
+    assert(bySrc("tail") >= 10, bySrc.toString) // raw share would be ~5
+    // tail rate 100*4.5/(31.3*20) = 0.71 < 1: downsampled but boosted
+    assert(bySrc("tail") < 20, bySrc.toString)
+    // partitioning-invariant
+    val kept2 = graft.operators.Sampling.temperatureSample(
+      rows.repartition(13), "id", "src", target = 100)
+    assert(kept2.select("id").collect().map(_.getLong(0)).toSet ==
+      kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("weightedSample: heavy rows dominate proportionally; draw is " +
       "deterministic and partitioning-invariant") {
     // 5000 light rows (w=1) vs 5000 heavy rows (w=10): a 500-row ES
