@@ -3701,6 +3701,56 @@ object Queries {
     }
   }
 
+  /** SemDeDup (Similarity.semanticDedup): cluster to 16 literal seed
+    * centroids (vec_id < 16, the q_e_ivf seeding), then drop every
+    * member whose cluster pairs it with a smaller-id member at
+    * cosine ≥ 0.25 — paraphrase-level dedup no text shingle catches.
+    * maxCluster = 33 is sized so sf0.01 (cluster sizes 20–42) runs
+    * BOTH pairing paths: cool clusters all-pairs, hot ones the min-id
+    * exemplar star (SemDeDup's own published shape). The oracle
+    * replays assignment (ROW_NUMBER over the exact d2 fold), the
+    * cool/star split, the ordered-fold cosine, and the min-id drop
+    * rule — 230 of 500 drop at sf0.01, so the green row proves both
+    * paths carry real eliminations.
+    */
+  val qDSemanticDedup = {
+    val sdMaxCluster = 33
+    q(
+      "q_d_semantic_dedup",
+      s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+         |              FROM embeddings WHERE vec_id < 16),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |ca AS (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id
+         |                        ORDER BY d2, cl) AS rn
+         |       FROM (SELECT id, cl, ${duckD2("e", "ce")} AS d2
+         |             FROM v CROSS JOIN cent)),
+         |b AS (SELECT id, cl AS bk FROM ca WHERE rn = 1),
+         |bc AS (SELECT bk, COUNT(*) AS cnt, MIN(id) AS rep FROM b GROUP BY bk),
+         |bb AS (SELECT b.id, b.bk, bc.cnt, bc.rep FROM b JOIN bc USING (bk)),
+         |em AS (SELECT bk, id AS id_a FROM bb
+         |       WHERE cnt <= $sdMaxCluster OR id = rep),
+         |pairs AS (SELECT DISTINCT id_a, bb.id AS id_b
+         |          FROM em JOIN bb USING (bk) WHERE id_a < bb.id),
+         |dropped AS (SELECT DISTINCT id_b AS id
+         |            FROM pairs JOIN v a ON a.id = id_a
+         |                       JOIN v c ON c.id = id_b
+         |            WHERE ${duckCos("a.e", "c.e")} >= 0.25)
+         |SELECT id AS cid, bk AS cluster FROM b
+         |WHERE id NOT IN (SELECT id FROM dropped)
+         |ORDER BY cid""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val vecs = e.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec"))
+      val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.semanticDedup(vecs, centers, minCosine = 0.25,
+          maxCluster = sdMaxCluster)
+        .orderBy("cid")
+    }
+  }
+
   /** Cross-corpus EMBEDDING near-dup
     * (Similarity.crossCorpusCosineNearDups): the arrival batch's
     * vectors (vec_id ≥ 250) against the corpus's (vec_id < 250),
@@ -4089,7 +4139,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep,
-    qDEmbeddingNearDup,
+    qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
   )

@@ -329,6 +329,47 @@ object Similarity {
         col("b.d2").as("d2"), col("cvec"))
   }
 
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
+    * deduplication by clustering then within-cluster cosine pruning —
+    * the dedup that catches PARAPHRASES, which no text-shingle method
+    * can. A member is dropped iff its cluster pairs it with a
+    * SMALLER-id member at cosine ≥ `minCosine` (min-id survivor, the
+    * same deterministic rule as exactDedup); survivors return as
+    * (cid, cluster).
+    *
+    * Pairing is exactly the house candidate generator
+    * (Dedup.bandCandidatePairs) with the CLUSTER as the bucket: cool
+    * clusters compare all-pairs, clusters past `maxCluster` degrade
+    * to the min-id star — for dedup that star IS SemDeDup's published
+    * design (compare members to a cluster exemplar), so the cap
+    * costs nothing semantically while hard-bounding the quadratic.
+    *
+    * Scale: assignment is map-side against literal centroids (pick k
+    * so n/k bounds the cool-cluster quadratic; the cap backstops
+    * skew); only (id, cluster) rides the candidate shuffle, vectors
+    * join back per surviving pair side; the drop set is
+    * |near-dup members| rows, anti-joined unhinted so AQE broadcasts
+    * it when it fits.
+    */
+  def semanticDedup(
+      vecs: DataFrame, // (cid, cvec)
+      centers: Array[Array[Double]],
+      minCosine: Double,
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val assigned = assignNearest(vecs, centers)
+    val pairs = Dedup.bandCandidatePairs(
+      assigned.select(col("cid").as("id"), col("cluster").as("bk")),
+      maxCluster)
+    val dropped = pairs
+      .join(vecs.select(col("cid").as("id_a"), col("cvec").as("va")),
+        Seq("id_a"))
+      .join(vecs.select(col("cid").as("id_b"), col("cvec").as("vb")),
+        Seq("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= minCosine)
+      .select(col("id_b").as("cid")).distinct()
+    assigned.select("cid", "cluster").join(dropped, Seq("cid"), "left_anti")
+  }
+
   /** One full k-means update step: map-side assignment to the nearest
     * literal centroid, then the micros-deterministic per-cluster mean
     * ([[groupCentroids]]). Returns (cluster, centroid, n) — the new

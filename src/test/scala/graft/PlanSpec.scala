@@ -276,6 +276,20 @@ class PlanSpec extends SparkSpec {
     assert(nEx == 3, s"$nEx exchanges\n$p")
   }
 
+  test("q_d_semantic_dedup: candidate (window) shuffle partitions by " +
+      "the cluster id and carries no vector column; no cartesian " +
+      "product anywhere") {
+    val p = planOf("q_d_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the bucket-window exchange is the candidate generator's only
+    // corpus-wide shuffle: hashpartitioning on bk, (id, bk) columns
+    // only — vectors join back per surviving pair side, never here
+    val winEx = p.split("\n\n").filter(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning(bk"))
+    assert(winEx.nonEmpty, p.take(2000))
+    assert(!winEx.exists(_.contains("cvec")), winEx.mkString("\n---\n"))
+  }
+
   test("q_t_bm25: heap top-k, corpus stats ride a broadcast — " +
       "no window sort over the posting table") {
     val p = planOf("q_t_bm25")

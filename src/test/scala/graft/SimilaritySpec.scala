@@ -37,6 +37,31 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(7)).toList == got.toList)
   }
 
+  test("semanticDedup: min-id survivor per semantic group, distinct " +
+      "topics both survive, partitioning-invariant") {
+    // cluster A near (1,0): ids 0,1,2 mutually cos≈1 -> only 0 survives;
+    // id 3 near (0,1): same nearest center possible? no — centers are
+    // (1,0) and (0,1), so 3 clusters alone and survives; id 4 = -A
+    // direction, lands in cluster A's cell but cos is NEGATIVE -> kept
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.999, 0.01)),
+      (2L, Array(0.998, -0.01)), (3L, Array(0.0, 1.0)),
+      (4L, Array(-1.0, -0.002))).toDF("cid", "cvec")
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(d, centers, minCosine = 0.9)
+        .select("cid").collect().map(_.getLong(0)).toSet
+    val got = run(vecs)
+    assert(got == Set(0L, 3L, 4L), got.toString)
+    assert(run(vecs.repartition(7)) == got)
+    // star cap: with maxCluster = 1 every cluster pairs via its min-id
+    // rep only — 1 and 2 still drop (both near rep 0), nothing else
+    val capped = Similarity.semanticDedup(vecs, centers,
+      minCosine = 0.9, maxCluster = 1)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(0L, 3L, 4L), capped.toString)
+  }
+
   test("kmeansStep: assignment to nearest literal center, then exact " +
       "cluster means") {
     val vecs = Seq(
