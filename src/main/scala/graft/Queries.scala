@@ -3957,6 +3957,59 @@ object Queries {
     Similarity.kmeansStep(vecs, centers).orderBy("cluster")
   }
 
+  /** Full Lloyd's k-means, 3 rounds, k = 8 (Similarity.kmeans): the
+    * distributed clustering training loop itself — per round only the
+    * 8×64 model returns to the driver and re-inlines as literals; the
+    * corpus never moves. The oracle UNROLLS the loop CTE-per-round
+    * (generated, one block per iteration: exact-d2 assignment ranking,
+    * micros floor-division mean, empty-cluster carry-forward), so the
+    * green row proves three chained rounds of assignment + update are
+    * bit-identical cross-engine — any drift anywhere in the chain
+    * compounds into the final model and hash-mismatches.
+    */
+  val qEKmeansLloyd = {
+    val iters = 3
+    def iterSql(i: Int): String =
+      s"""a$i AS (SELECT cid, cluster, cv, ROW_NUMBER() OVER (PARTITION BY cid
+         |                                  ORDER BY d2, cluster) AS rn
+         |       FROM (SELECT cid, cluster, cv, ${duckD2("cv", "ce")} AS d2
+         |             FROM v CROSS JOIN c${i - 1})),
+         |e$i AS (SELECT cluster, unnest(range(len(cv))) AS pos, cv
+         |        FROM a$i WHERE rn = 1),
+         |g$i AS (SELECT cluster, pos,
+         |          CAST(SUM(CAST(floor(cv[pos + 1] * 1000000) AS BIGINT))
+         |            AS BIGINT) AS sm,
+         |          COUNT(*) AS n
+         |        FROM e$i GROUP BY cluster, pos),
+         |f$i AS (SELECT cluster, pos, n,
+         |          (sm - ((sm % n) + n) % n) // n AS cm FROM g$i),
+         |n$i AS (SELECT cluster,
+         |          list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS ce,
+         |          MAX(n) AS n
+         |        FROM f$i GROUP BY cluster),
+         |c$i AS (SELECT cluster, ce FROM n$i
+         |        UNION ALL
+         |        SELECT cluster, ce FROM c${i - 1}
+         |        WHERE cluster NOT IN (SELECT cluster FROM n$i))""".stripMargin
+    q(
+      "q_e_kmeans_lloyd",
+      s"""WITH v AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS ce
+         |       FROM embeddings WHERE vec_id < 8),
+         |${(1 to iters).map(iterSql).mkString(",\n")}
+         |SELECT cluster, ce AS centroid, n FROM n$iters
+         |ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val seeds = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.kmeans(vecs, seeds, iters).orderBy("cluster")
+    }
+  }
+
   // ---------------------------------------------------------------
   // Multimodal binary columns
   // ---------------------------------------------------------------
@@ -4138,7 +4191,7 @@ object Queries {
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep,
+    qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,

@@ -383,6 +383,39 @@ object Similarity {
       assignNearest(vecs, centers).select(col("cluster"), col("cvec")),
       "cluster", "cvec")
 
+  /** Lloyd's k-means: `iters` [[kmeansStep]] rounds from the seed
+    * model. Between rounds only the k·dim model crosses to the driver
+    * (a bounded k-row collect, the house exception) and re-inlines as
+    * plan literals — the corpus never leaves the executors and is
+    * never cached; every round costs one map-side assignment plus the
+    * two dim-sized partial-agg shuffles of [[groupCentroids]].
+    *
+    * Determinism: each round's centroids are micro-precision floor
+    * divisions of exact long sums ([[groupCentroids]]) and the
+    * collect→literal round-trip is exact double, so the whole
+    * iteration chain is partition-order-free and replayable — the
+    * oracle unrolls it CTE-per-round and matches bit-for-bit.
+    *
+    * A cluster that loses all members KEEPS its previous centroid
+    * (deterministic, the standard practical choice — ids stay stable,
+    * the model never shrinks mid-run); a cluster empty in the FINAL
+    * assignment is absent from the returned model, matching
+    * [[kmeansStep]]'s contract. Returns (cluster, centroid, n).
+    */
+  def kmeans(vecs: DataFrame, seeds: Array[Array[Double]], iters: Int)
+      : DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var centers = seeds
+    for (_ <- 1 until iters) {
+      val model = kmeansStep(vecs, centers)
+        .select("cluster", "centroid").collect()
+      val upd = model.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centers = Array.tabulate(centers.length)(i => upd.getOrElse(i, centers(i)))
+    }
+    kmeansStep(vecs, centers)
+  }
+
   /** Per-group element-wise mean embedding (the vector-aggregation
     * primitive behind class centroids, topic prototypes, and k-means
     * update steps). Returns (keyCol, centroid: array<double> at micro

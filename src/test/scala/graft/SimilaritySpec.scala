@@ -76,6 +76,33 @@ class SimilaritySpec extends SparkSpec {
       (1, List(9.0, 9.0), 1L)))
   }
 
+  test("kmeans: converges to blob means; an empty seed carries " +
+      "forward then drops from the final model; partitioning-" +
+      "invariant") {
+    // blob A around (0, 0), blob B around (10, 10); seeds: one member
+    // of each blob plus a FAR seed (100, 100) that never wins a point
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(11.0f, 10.0f)),
+      (5L, Array(10.0f, 11.0f))).toDF("cid", "cvec")
+    val seeds = Array(Array(0.0, 0.0), Array(10.0, 10.0),
+      Array(100.0, 100.0))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeans(d, seeds, iters = 3)
+        .orderBy("cluster").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toList, r.getLong(2)))
+    val got = run(vecs)
+    // blob means: (1/3, 1/3) -> micros floor .333333; (10.333333, 10.333333)
+    assert(got.toList == List(
+      (0, List(0.333333, 0.333333), 3L),
+      (1, List(10.333333, 10.333333), 3L)), got.toList.toString)
+    // far seed (cluster 2) never captured a member: carried between
+    // rounds, absent from the final model
+    assert(!got.map(_._1).contains(2))
+    assert(run(vecs.repartition(5)).toList == got.toList)
+  }
+
   test("clusterRepresentatives picks the k most central members per " +
       "cluster, matching a driver-side reference") {
     val e = Tables.embeddings(spark, Sf0001)
