@@ -4010,6 +4010,36 @@ object Queries {
     }
   }
 
+  /** Per-cluster inertia of the 16-centroid model
+    * (Similarity.kmeansInertia) — the elbow-method k-selection metric
+    * and Lloyd's convergence check. Each member's exact-fold d2
+    * fixed-points to micros before the sum, so the cross-row total is
+    * partition-order-free; the oracle replays assignment and the
+    * micros sum exactly.
+    */
+  val qEKmeansInertia = q(
+    "q_e_kmeans_inertia",
+    s"""WITH cent AS (SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |ca AS (SELECT cid, cluster, d2, ROW_NUMBER() OVER (PARTITION BY cid
+       |                                  ORDER BY d2, cluster) AS rn
+       |       FROM (SELECT cid, cluster, ${duckD2("cv", "ce")} AS d2
+       |             FROM c CROSS JOIN cent))
+       |SELECT cluster, COUNT(*) AS n,
+       |       CAST(SUM(CAST(floor(d2 * 1000000) AS BIGINT)) AS BIGINT)
+       |         AS inertia_micros
+       |FROM ca WHERE rn = 1
+       |GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Similarity.kmeansInertia(vecs, centers).orderBy("cluster")
+  }
+
   // ---------------------------------------------------------------
   // Multimodal binary columns
   // ---------------------------------------------------------------
@@ -4192,6 +4222,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
+    qEKmeansInertia,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,

@@ -383,6 +383,21 @@ object Similarity {
       assignNearest(vecs, centers).select(col("cluster"), col("cvec")),
       "cluster", "cvec")
 
+  /** Per-cluster inertia (within-cluster sum of squared distances) of
+    * a model — THE k-selection / convergence metric (elbow method;
+    * Lloyd's stops when inertia stops falling). Map-side assignment,
+    * then each member's exact-fold d2 fixed-points to MICROS and sums
+    * as a long — a cross-row double sum would be partition-order-
+    * dependent; the micros sum is exact and replayable. Returns
+    * (cluster, n, inertia_micros); one dim-free partial-agg shuffle.
+    */
+  def kmeansInertia(vecs: DataFrame, centers: Array[Array[Double]])
+      : DataFrame =
+    assignNearest(vecs, centers)
+      .select(col("cluster"), floor(col("d2") * 1e6).cast("long").as("d2m"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("d2m").as("inertia_micros"))
+
   /** Lloyd's k-means: `iters` [[kmeansStep]] rounds from the seed
     * model. Between rounds only the k·dim model crosses to the driver
     * (a bounded k-row collect, the house exception) and re-inlines as
