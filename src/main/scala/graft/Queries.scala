@@ -3124,6 +3124,58 @@ object Queries {
     }
   }
 
+  /** Per-source corpus diversity: type-token ratio and distinct-
+    * trigram ratio (ppm) — the corpus-health metrics that crater on
+    * duplicate-heavy sources (replicas add tokens, not types), the
+    * standard smoke alarm read BEFORE and AFTER a dedup pass. Exact
+    * distinct counts: two-phase (source, value) partial aggs — the
+    * vocabulary side is sub-linear in the corpus (Heaps' law); the
+    * sketch-path twin at full profile width is q_o14b's HLL contract.
+    * Ratios are floor-ppm of one IEEE multiply+divide on exact longs.
+    */
+  val qTCorpusDiversity = q(
+    "q_t_corpus_diversity",
+    s"""WITH tok AS (SELECT source, unnest($duckToks) AS term FROM documents),
+       |t AS (SELECT source, COUNT(*) AS n_tokens,
+       |        COUNT(DISTINCT term) AS n_types FROM tok GROUP BY source),
+       |tt AS (SELECT source, $duckToks AS toks FROM documents),
+       |gg AS (SELECT source, CASE WHEN len(toks) >= 3
+       |         THEN list_transform(range(len(toks) - 2),
+       |                i -> array_to_string(list_slice(toks, i + 1, i + 3), ''))
+       |         ELSE [array_to_string(toks, '')] END AS sh FROM tt),
+       |shs AS (SELECT source, unnest(sh) AS g FROM gg),
+       |g AS (SELECT source, COUNT(*) AS n_grams,
+       |        COUNT(DISTINCT g) AS n_distinct_grams FROM shs GROUP BY source),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_tokens, n_types,
+       |       CAST(floor(CAST(1000000 AS DOUBLE) * n_types / n_tokens)
+       |         AS BIGINT) AS ttr_ppm,
+       |       n_grams, n_distinct_grams,
+       |       CAST(floor(CAST(1000000 AS DOUBLE) * n_distinct_grams / n_grams)
+       |         AS BIGINT) AS gram_ppm
+       |FROM nd JOIN t USING (source) JOIN g USING (source)
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val docs = Tables.documents(s, d)
+    val t = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("term").as("n_types"))
+    val g = docs
+      .select(col("source"),
+        explode(TextOps.shinglesAll(col("text"), 3)).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct("g").as("n_distinct_grams"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(t, "source").join(g, "source")
+      .withColumn("ttr_ppm",
+        floor(lit(1e6) * col("n_types") / col("n_tokens")).cast("long"))
+      .withColumn("gram_ppm",
+        floor(lit(1e6) * col("n_distinct_grams") / col("n_grams")).cast("long"))
+      .orderBy("source")
+  }
+
   /** Temperature-flattened source mixture (Sampling.temperatureSample,
     * the Lample & Conneau multilingual rule at the published T=2 /
     * sqrt regime). Sources are synthesized arithmetically into a
@@ -4010,6 +4062,78 @@ object Queries {
     }
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → 8
+    * (Similarity.randomProjection): the embedding compressor for
+    * candidate-generation stages — map-only, planes inlined as
+    * literals, each component an ordered double fold. The oracle
+    * inlines the identical seeded planes and replays every fold
+    * bit-for-bit (rounded 6dp for output stability, like the cosine
+    * family).
+    */
+  val qERandomProjection = {
+    val rpOut = 8
+    val planes = graft.operators.Similarity.hyperplaneValues(dim = 64, bits = rpOut)
+    val hsLit = planes
+      .map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]")
+    q(
+      "q_e_random_projection",
+      s"""WITH hp AS (SELECT $hsLit::DOUBLE[][] AS hs),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id,
+         |       list_transform(range($rpOut), i ->
+         |         ROUND(${duckDot("e", "hs[CAST(i AS INT) + 1]")}, 6)) AS proj
+         |FROM v CROSS JOIN hp ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(
+            Similarity.randomProjection(col("embedding"), dim = 64,
+              outDim = rpOut),
+            x => round(x, 6)).as("proj"))
+        .orderBy("vec_id")
+    }
+  }
+
+  /** Cluster-quota diversity sample: cap each SEMANTIC cluster at 12
+    * members (Sampling.groupCapSample over the 16-centroid
+    * assignment) — the diversity-preserving subsample that keeps every
+    * topic represented while no topic dominates, the embedding-space
+    * face of the heavy-domain cap. Map-side assignment feeds the
+    * TopKPerGroup heap (deterministic affine-hash priority, never
+    * rand()); the oracle replays assignment + the ranked cap exactly.
+    */
+  val qEClusterQuota = {
+    val quota = 12
+    q(
+      "q_e_cluster_quota",
+      s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+         |              FROM embeddings WHERE vec_id < 16),
+         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |ca AS (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id
+         |                        ORDER BY d2, cl) AS rn
+         |       FROM (SELECT id, cl, ${duckD2("e", "ce")} AS d2
+         |             FROM v CROSS JOIN cent)),
+         |b AS (SELECT id, cl FROM ca WHERE rn = 1),
+         |r AS (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY cl
+         |        ORDER BY ${graft.operators.Sampling.hashBucketSql("id", 1000000)}, id)
+         |          AS rk FROM b)
+         |SELECT cl AS cluster, id AS cid FROM r WHERE rk <= $quota
+         |ORDER BY cluster, cid""".stripMargin) { (s, d) =>
+      import graft.operators.{Sampling, Similarity}
+      val e = Tables.embeddings(s, d)
+      val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Sampling.groupCapSample(
+          Similarity.assignNearest(vecs, centers).select("cid", "cluster"),
+          "cluster", "cid", cap = quota)
+        .select("cluster", "cid")
+        .orderBy("cluster", "cid")
+    }
+  }
+
   /** Per-cluster inertia of the 16-centroid model
     * (Similarity.kmeansInertia) — the elbow-method k-selection metric
     * and Lloyd's convergence check. Each member's exact-fold d2
@@ -4214,6 +4338,7 @@ object Queries {
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
+    qTCorpusDiversity,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
@@ -4222,7 +4347,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
-    qEKmeansInertia,
+    qEKmeansInertia, qERandomProjection, qEClusterQuota,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,

@@ -82,6 +82,23 @@ object Similarity {
       when(dot(vec, h) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss random projection to `outDim` components
+    * (Gaussian planes, Vempala '04; the continuous form of
+    * [[lshBucket]] — same seeded plane family, dots kept instead of
+    * signs). The workhorse embedding compressor: distances are
+    * preserved within (1±ε) at outDim = O(log n / ε²), so ANN
+    * candidate generation, clustering, and near-dup scans can run on
+    * vectors 8× narrower and join back to full vectors only for the
+    * final exact re-rank.
+    *
+    * Map-only: planes inline as literals, each component is the
+    * ordered double fold of [[graft.expressions.VecExpressions.vec_dot]]
+    * — bitwise replayable in any engine, no shuffle, no state.
+    */
+  def randomProjection(vec: Column, dim: Int, outDim: Int,
+      seed: Long = 42L): Column =
+    array(hyperplanes(dim, outDim, seed).map(h => dot(vec, h)): _*)
+
   /** LSH-bucketed approximate top-k: candidates considered only inside
     * the query's bucket (exact cosine re-rank within). `probeBits=0`
     * is pure bucket match; >0 multiprobes neighbors at Hamming

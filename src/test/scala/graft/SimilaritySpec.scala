@@ -37,6 +37,17 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df.repartition(7)).toList == got.toList)
   }
 
+  test("randomProjection: a basis vector projects to exactly the " +
+      "plane family's matching column; deterministic across calls") {
+    val df = Seq((0L, Array.tabulate(5)(i => if (i == 2) 1.0 else 0.0)))
+      .toDF("id", "v")
+    val planes = Similarity.hyperplaneValues(dim = 5, bits = 3)
+    val got = df.select(
+        Similarity.randomProjection(col("v"), dim = 5, outDim = 3).as("p"))
+      .collect()(0).getSeq[Double](0)
+    assert(got == planes.map(_(2)).toSeq, got.toString)
+  }
+
   test("semanticDedup: min-id survivor per semantic group, distinct " +
       "topics both survive, partitioning-invariant") {
     // cluster A near (1,0): ids 0,1,2 mutually cos≈1 -> only 0 survives;
