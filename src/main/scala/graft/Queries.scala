@@ -4134,6 +4134,58 @@ object Queries {
     }
   }
 
+  /** Two-stage ANN (Similarity.projectedTopK): 25 candidates per
+    * probe on JL-projected 8-dim vectors, exact top-5 re-rank on the
+    * full 64-dim — the compressed-index retrieval shape (candidate
+    * compute 8× narrower; full vectors touched only for 25 rows per
+    * probe). The oracle replays projection folds, the projected-
+    * cosine candidate ranking, and the exact re-rank bit-for-bit —
+    * deterministic END-TO-END because every stage is ordered-fold
+    * arithmetic, no statistical recall hand-waving in the gate.
+    */
+  val qEAnnRp = {
+    val rpOut = 8
+    val planes = graft.operators.Similarity.hyperplaneValues(dim = 64, bits = rpOut)
+    val hsLit = planes
+      .map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n", "]")
+    q(
+      "q_e_ann_rp",
+      s"""WITH hp AS (SELECT $hsLit::DOUBLE[][] AS hs),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (SELECT vec_id,
+         |        list_transform(range($rpOut), i ->
+         |          ${duckDot("e", "hs[CAST(i AS INT) + 1]")}) AS pe
+         |      FROM v CROSS JOIN hp),
+         |pq AS (SELECT vec_id AS qid, pe AS qp FROM p WHERE vec_id < 10),
+         |pc AS (SELECT vec_id AS cid, pe AS cp FROM p),
+         |s1 AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |                          ORDER BY cos1 DESC, cid) AS rm
+         |       FROM (SELECT qid, cid, ${duckCos("qp", "cp")} AS cos1
+         |             FROM pq CROSS JOIN pc WHERE qid != cid)),
+         |cand AS (SELECT qid, cid FROM s1 WHERE rm <= 25),
+         |ex AS (SELECT qid, cid, ${duckCos("a.e", "b.e")} AS cos_raw
+         |       FROM cand JOIN v a ON a.vec_id = qid
+         |                 JOIN v b ON b.vec_id = cid),
+         |r AS (SELECT qid, cid, cos_raw, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_raw DESC, cid) AS rank FROM ex)
+         |SELECT qid, cid, ROUND(cos_raw, 6) AS cos, rank
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val cands = e.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec"))
+      Similarity.projectedTopK(queries, cands, dim = 64, outDim = rpOut,
+          m = 25, k = 5)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }
+  }
+
   /** Per-cluster inertia of the 16-centroid model
     * (Similarity.kmeansInertia) — the elbow-method k-selection metric
     * and Lloyd's convergence check. Each member's exact-fold d2
@@ -4346,7 +4398,7 @@ object Queries {
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
+    qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qERandomProjection, qEClusterQuota,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,

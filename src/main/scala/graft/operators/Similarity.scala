@@ -82,6 +82,53 @@ object Similarity {
       when(dot(vec, h) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Two-stage ANN: candidate generation on [[randomProjection]]-
+    * narrowed vectors, exact re-rank on the full ones — the standard
+    * compressed-index retrieval shape. Stage 1 scores `m` candidates
+    * per query on `outDim`-wide vectors (dim/outDim× less arithmetic
+    * and scan width; here brute-force over the narrow table — at
+    * 100 TB swap that stage for the IVF/LSH candidate generators,
+    * which compose identically); stage 2 joins ONLY the m survivors
+    * per query back to full vectors for the exact cosine top-k. Both
+    * stages run on the TopKPerGroup heap plan; full vectors never
+    * cross the wire except for the m·|queries| re-rank rows.
+    *
+    * Recall is the JL guarantee — and its fine print: projected
+    * cosine preserves order within ε at outDim = O(log n / ε²), so
+    * m > k absorbs inversions ONLY when the true neighbor gap exceeds
+    * ε. Size outDim to the gap: real text embeddings (768–4096 dims,
+    * near-dup cos ≫ background) compress 32–100× and keep recall;
+    * a corpus whose neighbors sit barely above the cosine noise floor
+    * (e.g. this repo's synthetic 64-dim table: best-neighbor 0.35 vs
+    * p99 background 0.29) needs outDim beyond its input width — i.e.
+    * projection is the wrong tool there, measured and documented
+    * rather than papered over (SimilaritySpec gates recall on planted
+    * separable structure; the oracle gates algorithm fidelity).
+    */
+  def projectedTopK(
+      queries: DataFrame, // (qid, qvec)
+      cands: DataFrame, // (cid, cvec)
+      dim: Int,
+      outDim: Int,
+      m: Int,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(m >= k, s"candidate pool m=$m must cover k=$k")
+    val qn = queries.select(col("qid"),
+      randomProjection(col("qvec"), dim, outDim, seed).as("qvec"))
+    val cn = cands.select(col("cid"),
+      randomProjection(col("cvec"), dim, outDim, seed).as("cvec"))
+    val stage1 = bruteForceTopK(qn, cn, m).select("qid", "cid")
+    val exact = stage1
+      .join(queries, Seq("qid"))
+      .join(cands, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.perGroup(exact, Seq("qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "cos", "rank")
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` components
     * (Gaussian planes, Vempala '04; the continuous form of
     * [[lshBucket]] — same seeded plane family, dots kept instead of

@@ -48,6 +48,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got == planes.map(_(2)).toSeq, got.toString)
   }
 
+  test("projectedTopK: full recall on planted separable structure " +
+      "(the JL regime), exact re-rank scores, deterministic") {
+    // 4 groups of 10 vectors on distinct basis directions (within-
+    // group cos ~1, cross-group ~0) + deterministic jitter: the
+    // neighbor gap dwarfs JL-at-8 distortion, so the projected
+    // candidate stage must recall every same-group neighbor
+    val vecs = (0L until 40L).map { i =>
+      val g = (i % 4).toInt
+      val v = Array.tabulate(64) { j =>
+        (if (j == g * 16) 1.0 else 0.0) +
+          0.01 * (((i * 37 + j * 11) % 7).toDouble - 3.0)
+      }
+      (i, v)
+    }.toDF("cid", "cvec")
+    val queries = vecs.filter($"cid" < 4)
+      .select($"cid".as("qid"), $"cvec".as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, vecs, 5))
+    val got = pairs(Similarity.projectedTopK(queries, vecs, dim = 64,
+      outDim = 8, m = 15, k = 5))
+    assert(got == exact, s"ann=$got\nexact=$exact")
+    // every hit is a same-group member
+    assert(got.forall { case (q, c) => q % 4 == c % 4 }, got.toString)
+    assert(pairs(Similarity.projectedTopK(queries, vecs, 64, 8, 15, 5))
+      == got) // deterministic end-to-end
+  }
+
   test("semanticDedup: min-id survivor per semantic group, distinct " +
       "topics both survive, partitioning-invariant") {
     // cluster A near (1,0): ids 0,1,2 mutually cos≈1 -> only 0 survives;
