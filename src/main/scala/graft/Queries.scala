@@ -4186,6 +4186,48 @@ object Queries {
     }
   }
 
+  /** Farthest-point seeding, k = 4 (Similarity.farthestPointSeeds —
+    * deterministic Gonzalez maxmin, the k-means++ spread without the
+    * sampling): the oracle unrolls the pick chain CTE-per-round
+    * (argmax over LEAST-chained per-seed micros distances, ties to
+    * the smaller id), so every pick and its pick-time distance must
+    * match bit-for-bit.
+    */
+  val qEKmeansSeeds = {
+    val kSeeds = 4
+    def roundSql(r: Int): String =
+      s"""e$r AS (SELECT e FROM v JOIN s$r ON v.cid = s$r.cid),
+         |m$r AS (SELECT m${r - 1}.cid, LEAST(m${r - 1}.d2m,
+         |          CAST(floor(${duckD2("v.e", s"e$r.e")} * 1000000) AS BIGINT))
+         |          AS d2m
+         |        FROM m${r - 1} JOIN v ON v.cid = m${r - 1}.cid
+         |        CROSS JOIN e$r),
+         |s${r + 1} AS (SELECT cid FROM m$r ORDER BY d2m DESC, cid LIMIT 1)""".stripMargin
+    q(
+      "q_e_kmeans_seeds",
+      s"""WITH v AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |s1 AS (SELECT MIN(cid) AS cid FROM v),
+         |e1 AS (SELECT e FROM v JOIN s1 ON v.cid = s1.cid),
+         |m1 AS (SELECT v.cid,
+         |         CAST(floor(${duckD2("v.e", "e1.e")} * 1000000) AS BIGINT)
+         |           AS d2m
+         |       FROM v CROSS JOIN e1),
+         |s2 AS (SELECT cid FROM m1 ORDER BY d2m DESC, cid LIMIT 1),
+         |${(2 until kSeeds).map(roundSql).mkString(",\n")}
+         |SELECT 1 AS rank, s1.cid, CAST(0 AS BIGINT) AS d2m FROM s1
+         |UNION ALL SELECT 2, s2.cid, m1.d2m FROM s2 JOIN m1 USING (cid)
+         |${(3 to kSeeds).map(r =>
+          s"UNION ALL SELECT $r, s$r.cid, m${r - 1}.d2m FROM s$r JOIN m${r - 1} USING (cid)")
+          .mkString("\n")}
+         |ORDER BY rank""".stripMargin) { (s, d) =>
+      graft.operators.Similarity.farthestPointSeeds(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = kSeeds)
+    }
+  }
+
   /** Per-cluster inertia of the 16-centroid model
     * (Similarity.kmeansInertia) — the elbow-method k-selection metric
     * and Lloyd's convergence check. Each member's exact-fold d2
@@ -4399,7 +4441,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
-    qEKmeansInertia, qERandomProjection, qEClusterQuota,
+    qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,

@@ -447,6 +447,43 @@ object Similarity {
       assignNearest(vecs, centers).select(col("cluster"), col("cvec")),
       "cluster", "cvec")
 
+  /** Deterministic farthest-point (maxmin) seeding — the k-means++
+    * idea with the D²-sampling randomness replaced by the exact
+    * argmax (Gonzalez '85): seed 1 is the min-id point; each next
+    * seed is the point FARTHEST from the chosen set (micros-floored
+    * d2, ties to the smaller id — total order, replayable anywhere).
+    * Spread-out seeds are what keeps Lloyd's from collapsing clusters
+    * onto one dense region.
+    *
+    * k driver rounds, each one map-side [[assignNearest]] against the
+    * literal chosen set + a 1-row TakeOrdered argmax — the collect is
+    * one row per round (the house bounded-collect exception), the
+    * corpus never moves. floor commutes with min, so the micros
+    * min-distance equals the floor of the exact min — the oracle
+    * LEAST-chains per-seed floors and matches exactly.
+    *
+    * Returns (rank, cid, d2m): the chosen seeds in pick order with
+    * their min-distance-to-prior-set in micros (0 for the first).
+    */
+  def farthestPointSeeds(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val first = vecs.orderBy("cid").limit(1)
+      .select(col("cid"), col("cvec").cast("array<double>")).collect()(0)
+    var chosen = List((1, first.getLong(0), 0L))
+    var centers = Array(first.getSeq[Double](1).toArray)
+    for (r <- 2 to k) {
+      val best = assignNearest(vecs, centers)
+        .select(col("cid"), floor(col("d2") * 1e6).cast("long").as("d2m"),
+          col("cvec").cast("array<double>").as("cvec"))
+        .orderBy(desc("d2m"), asc("cid")).limit(1).collect()(0)
+      chosen ::= ((r, best.getLong(0), best.getLong(1)))
+      centers = centers :+ best.getSeq[Double](2).toArray
+    }
+    chosen.reverse.toDF("rank", "cid", "d2m")
+  }
+
   /** Per-cluster inertia (within-cluster sum of squared distances) of
     * a model — THE k-selection / convergence metric (elbow method;
     * Lloyd's stops when inertia stops falling). Map-side assignment,

@@ -116,6 +116,23 @@ class SimilaritySpec extends SparkSpec {
       (1, List(9.0, 9.0), 1L)))
   }
 
+  test("farthestPointSeeds: picks planted extremes in maxmin order " +
+      "with exact pick-time distances") {
+    val vecs = ((0L until 20L).map(i => (i, Array(0.01 * i, 0.0))) ++
+      Seq((100L, Array(100.0, 0.0)), (101L, Array(0.0, 80.0)),
+        (102L, Array(-60.0, 0.0)))).toDF("cid", "cvec")
+    val got = Similarity.farthestPointSeeds(vecs, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      (1, 0L, 0L), // min-id start
+      (2, 100L, 10000000000L), // d2 = 100^2 micros
+      (3, 101L, 6400000000L), // min(80^2, 100^2+80^2) = 6400
+      (4, 102L, 3600000000L)), got.toString) // min(60^2, 160^2, ...)
+    val re = Similarity.farthestPointSeeds(vecs.repartition(7), k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(re == got)
+  }
+
   test("kmeans: converges to blob means; an empty seed carries " +
       "forward then drops from the final model; partitioning-" +
       "invariant") {
