@@ -3176,6 +3176,47 @@ object Queries {
       .orderBy("source")
   }
 
+  /** The sketch-path twin of q_t_corpus_diversity: per-source type and
+    * trigram diversity from the deterministic 256-register HLL over
+    * polyFold31 token/gram hashes — at 100 TB the exact distinct aggs
+    * shuffle (source, value) pairs; this path ships 256 integer
+    * registers per source and nothing else. Same house contract as
+    * q_a5/q_o14b: the sketch is integer-deterministic, so the
+    * ESTIMATE itself is exact-oracled, not tolerance-compared.
+    */
+  val qTDiversitySketch = q(
+    "q_t_diversity_sketch",
+    s"""WITH tok AS (SELECT source, unnest($duckToks) AS term FROM documents),
+       |tokh AS (SELECT source, ${duckFold(31, 1000000007L, "term")} AS th
+       |         FROM tok),
+       |tt AS (SELECT source, $duckToks AS toks FROM documents),
+       |gg AS (SELECT source, CASE WHEN len(toks) >= 3
+       |         THEN list_transform(range(len(toks) - 2),
+       |                i -> array_to_string(list_slice(toks, i + 1, i + 3), ''))
+       |         ELSE [array_to_string(toks, '')] END AS sh FROM tt),
+       |shs AS (SELECT source, unnest(sh) AS g FROM gg),
+       |gh AS (SELECT source, ${duckFold(31, 1000000007L, "g")} AS th FROM shs),
+       |ht AS (${graft.operators.Sketch.hllOracleSql("tokh", "source", "th")}),
+       |hg AS (${graft.operators.Sketch.hllOracleSql("gh", "source", "th")})
+       |SELECT source, ht.hll_est AS est_types, hg.hll_est AS est_grams
+       |FROM ht JOIN hg USING (source)
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.{Sketch, TextOps}
+    val docs = Tables.documents(s, d)
+    val tokh = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("source"), TextOps.polyFold31(col("term")).as("th"))
+    val gh = docs
+      .select(col("source"),
+        explode(TextOps.shinglesAll(col("text"), 3)).as("g"))
+      .select(col("source"), TextOps.polyFold31(col("g")).as("th"))
+    Sketch.hllEstimate(tokh, Seq("source"), "th")
+      .withColumnRenamed("hll_est", "est_types")
+      .join(Sketch.hllEstimate(gh, Seq("source"), "th")
+        .withColumnRenamed("hll_est", "est_grams"), Seq("source"))
+      .orderBy("source")
+  }
+
   /** Temperature-flattened source mixture (Sampling.temperatureSample,
     * the Lample & Conneau multilingual rule at the published T=2 /
     * sqrt regime). Sources are synthesized arithmetically into a
@@ -4432,7 +4473,7 @@ object Queries {
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
-    qTCorpusDiversity,
+    qTCorpusDiversity, qTDiversitySketch,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
