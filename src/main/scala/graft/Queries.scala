@@ -3495,6 +3495,75 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The dedup FUNNEL: raw → exact → MinHash near-dup → semantic
+    * (SemDeDup) as one lazy plan, reporting survivor counts per stage
+    * — the shrinkage report every corpus run ships with, and the
+    * first time the text-dedup chain and the embedding-dedup chain
+    * compose in one query (doc_id and vec_id share a key space, the
+    * q_r_hybrid_rrf convention). Each stage reuses the proven
+    * operator verbatim and the oracle reuses each stage's proven CTE
+    * fragment verbatim, so the composition cannot drift from the
+    * pieces. Stage counts are 1-row aggs unioned — no driver action.
+    */
+  val qPipeDedupFunnel = q(
+    "q_pipe_dedup_funnel",
+    s"""WITH keep0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d0 AS (SELECT dd.doc_id, dd.text FROM documents dd JOIN keep0 USING (doc_id)),
+       |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
+       |$duckMinhashPairChain,
+       |nd AS (SELECT DISTINCT id_b AS doc_id FROM j
+       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+       |d1 AS (SELECT d0.doc_id FROM d0
+       |       WHERE d0.doc_id NOT IN (SELECT doc_id FROM nd)),
+       |cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |         FROM embeddings WHERE vec_id < 16),
+       |sv AS (SELECT d1.doc_id AS id, CAST(e.embedding AS DOUBLE[]) AS e
+       |       FROM d1 JOIN embeddings e ON e.vec_id = d1.doc_id),
+       |sca AS (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id
+       |                         ORDER BY d2, cl) AS rn
+       |        FROM (SELECT id, cl, ${duckD2("e", "ce")} AS d2
+       |              FROM sv CROSS JOIN cent)),
+       |sb AS (SELECT id, cl AS bk FROM sca WHERE rn = 1),
+       |sbc AS (SELECT bk, COUNT(*) AS cnt, MIN(id) AS rep FROM sb GROUP BY bk),
+       |sbb AS (SELECT sb.id, sb.bk, sbc.cnt, sbc.rep FROM sb JOIN sbc USING (bk)),
+       |sem0 AS (SELECT bk, id AS id_a FROM sbb WHERE cnt <= 33 OR id = rep),
+       |spairs AS (SELECT DISTINCT id_a, sbb.id AS id_b
+       |           FROM sem0 JOIN sbb USING (bk) WHERE id_a < sbb.id),
+       |sdropped AS (SELECT DISTINCT id_b AS id FROM spairs
+       |             JOIN sv a ON a.id = id_a JOIN sv c ON c.id = id_b
+       |             WHERE ${duckCos("a.e", "c.e")} >= 0.25),
+       |ssurv AS (SELECT id FROM sb WHERE id NOT IN (SELECT id FROM sdropped))
+       |SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+       |UNION ALL SELECT '1_exact', COUNT(*) FROM d0
+       |UNION ALL SELECT '2_minhash', COUNT(*) FROM d1
+       |UNION ALL SELECT '3_semantic', COUNT(*) FROM ssurv
+       |ORDER BY stage""".stripMargin) { (s, d) =>
+    import graft.operators.{Dedup, Similarity}
+    val docs = Tables.documents(s, d)
+    val d0 = Dedup.exactDedup(docs, "doc_id", "text")
+    val d1 = d0.join(
+      Dedup.minhashNearDupsPoly(d0, "doc_id", "text", minJaccard = 0.5)
+        .select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val e = Tables.embeddings(s, d)
+    val vecs = d1.select(col("doc_id").as("cid"))
+      .join(e.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec")), Seq("cid"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val d2s = Similarity.semanticDedup(vecs, centers, minCosine = 0.25,
+      maxCluster = 33)
+    def cnt(df: org.apache.spark.sql.DataFrame, st: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(st).as("stage"), col("n_docs"))
+    cnt(docs, "0_raw")
+      .unionAll(cnt(d0, "1_exact"))
+      .unionAll(cnt(d1, "2_minhash"))
+      .unionAll(cnt(d2s, "3_semantic"))
+      .orderBy("stage")
+  }
+
   /** THE whole pretraining-data pipeline as ONE oracle-exact query:
     * exact dedup → MinHash near-dup removal → language gate → token
     * floor (= q_pipe_corpus_curation) → overlapping token-window
@@ -4478,7 +4547,7 @@ object Queries {
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
-    qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeEnd2End,
+    qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
