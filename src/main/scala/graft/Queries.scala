@@ -3176,6 +3176,35 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Epoch-repeat mixture (Sampling.epochRepeat — the data-constrained
+    * recipe: src0 ×3 epochs, src1 ×2, src2 ×1, everything else
+    * dropped). The oracle replays the factor join, the epoch explode,
+    * and the interleave hash exactly; ordering by order_key IS the
+    * training shuffle, so a drifted hash or a lost epoch copy
+    * hash-mismatches.
+    */
+  val qO20EpochRepeat = {
+    val repeats = Seq(("src0", 3), ("src1", 2), ("src2", 1))
+    val rVals = repeats.map { case (s2, n) => s"('$s2', $n)" }.mkString(", ")
+    val stride = graft.operators.Sampling.MaxEpochs
+    q(
+      "q_o20_epoch_repeat",
+      s"""WITH r AS (SELECT * FROM (VALUES $rVals) AS t(source, epochs)),
+         |e AS (SELECT doc_id, source,
+         |        unnest(range(1, epochs + 1)) AS epoch
+         |      FROM documents JOIN r USING (source))
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+         |       ${graft.operators.Sampling.hashBucketSql(
+                   s"(doc_id * $stride + epoch)", 1000000000)} AS order_key
+         |FROM e ORDER BY order_key, doc_id, epoch""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.epochRepeat(
+          Tables.documents(s, d), "doc_id", "source", repeats)
+        .select(col("doc_id"), col("source"),
+          col("epoch").cast("long").as("epoch"), col("order_key"))
+        .orderBy("order_key", "doc_id", "epoch")
+    }
+  }
+
   /** The sketch-path twin of q_t_corpus_diversity: per-source type and
     * trigram diversity from the deterministic 256-register HLL over
     * polyFold31 token/gram hashes — at 100 TB the exact distinct aggs
@@ -4543,7 +4572,7 @@ object Queries {
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qTCorpusDiversity, qTDiversitySketch,
-    qO11Mixture, qO16TokenBudget, qO19TemperatureMixture,
+    qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,

@@ -184,6 +184,39 @@ object Sampling {
       .drop("num")
   }
 
+  /** Max epochs [[epochRepeat]] supports — the hash-mix stride. */
+  val MaxEpochs = 16
+
+  /** Epoch-repeat mixture — the data-constrained regime (Muennighoff
+    * et al. '23: repeating high-quality sources up to ~4 epochs is
+    * near-fresh-data; returns decay after): emit each row
+    * `repeats(source)` times tagged 1..n with its epoch, plus a
+    * deterministic global training-order key (affine hash of
+    * key·stride+epoch) so the cross-source interleave is reproducible
+    * and shard boundaries cut by range — the two copies of a doc land
+    * FAR APART in training order, which is the point of epoching
+    * rather than naive concatenation. Sources without a factor drop
+    * (a mix is a whitelist, like [[mixtureSample]]).
+    *
+    * Map-only: broadcast factor table, explode(sequence) per row, no
+    * shuffle at any scale; the writer's ORDER BY order_key is the
+    * training shuffle.
+    */
+  def epochRepeat(df: DataFrame, key: String, sourceCol: String,
+      repeats: Seq[(String, Int)]): DataFrame = {
+    require(repeats.nonEmpty &&
+      repeats.forall { case (_, n) => n >= 1 && n <= MaxEpochs },
+      s"repeat factors must be in [1, $MaxEpochs]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rDf = repeats.toDF(sourceCol, "__epochs")
+    df.join(broadcast(rDf), Seq(sourceCol))
+      .withColumn("epoch", explode(sequence(lit(1), col("__epochs"))))
+      .drop("__epochs")
+      .withColumn("order_key",
+        hashBucket(col(key) * MaxEpochs + col("epoch"), 1000000000))
+  }
+
   /** Per-group document cap — heavy-GROUP downsampling (cap docs per
     * DOMAIN for a web crawl, per source, per license bucket): within
     * each group keep the `cap` rows with the smallest deterministic

@@ -290,6 +290,31 @@ class PlanSpec extends SparkSpec {
     assert(!winEx.exists(_.contains("cvec")), winEx.mkString("\n---\n"))
   }
 
+  test("q_e_ann_rp: both stages run the heap plan (two TopKPerGroup), " +
+      "no Window, no cartesian product") {
+    val p = planOf("q_e_ann_rp")
+    // each stage's heap runs partial + final = 2 physical nodes
+    val nHeap = p.linesIterator.count(_.contains(") TopKPerGroup"))
+    assert(nHeap == 4, s"$nHeap TopKPerGroup nodes\n${p.take(1500)}")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_t_corpus_diversity: distinct aggs run two-phase as separate " +
+      "plans joined — no Expand multiplying the corpus") {
+    val p = planOf("q_t_corpus_diversity")
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("q_t_diversity_sketch: HLL registers aggregate partially " +
+      "map-side; no Expand, no Window") {
+    val p = planOf("q_t_diversity_sketch")
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_max") || p.contains("Partial"), p.take(2000))
+  }
+
   test("q_t_bm25: heap top-k, corpus stats ride a broadcast — " +
       "no window sort over the posting table") {
     val p = planOf("q_t_bm25")

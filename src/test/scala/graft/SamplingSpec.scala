@@ -136,6 +136,32 @@ class SamplingSpec extends SparkSpec {
       kept.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("epochRepeat: per-source copy counts, whitelist, and a spread " +
+      "interleave; deterministic across partitionings") {
+    val docs = Tables.documents(spark, Sf001)
+    val out = graft.operators.Sampling.epochRepeat(
+      docs, "doc_id", "source", Seq(("src0", 3), ("src1", 1)))
+    val rows = out.select("doc_id", "epoch", "order_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("src0" -> 75L, "src1" -> 25L)) // 25 docs each
+    // epoch copies of one doc scatter in training order: for every
+    // src0 doc the three copies' order keys must not be adjacent
+    // ranks (the interleave property epoching exists for)
+    val ranked = rows.sortBy(r => (r._3, r._1, r._2)).zipWithIndex
+    val rankByCopy = ranked.map { case ((id, ep, _), i) => (id, ep) -> i }.toMap
+    val spreads = rows.filter(_._2 > 1).map { case (id, ep, _) =>
+      math.abs(rankByCopy((id, ep)) - rankByCopy((id, 1)))
+    }
+    assert(spreads.min > 1, s"min copy spread ${spreads.min}")
+    val re = graft.operators.Sampling.epochRepeat(
+      docs.repartition(13), "doc_id", "source", Seq(("src0", 3), ("src1", 1)))
+      .select("doc_id", "epoch", "order_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(re == rows.toSet)
+  }
+
   test("weightedSample: heavy rows dominate proportionally; draw is " +
       "deterministic and partitioning-invariant") {
     // 5000 light rows (w=1) vs 5000 heavy rows (w=10): a 500-row ES
