@@ -4341,7 +4341,10 @@ object Queries {
          |          AS d2m
          |        FROM m${r - 1} JOIN v ON v.cid = m${r - 1}.cid
          |        CROSS JOIN e$r),
-         |s${r + 1} AS (SELECT cid FROM m$r ORDER BY d2m DESC, cid LIMIT 1)""".stripMargin
+         |s${r + 1} AS (SELECT cid FROM m$r
+         |        WHERE cid NOT IN (${(1 to r).map(i => s"SELECT cid FROM s$i")
+                  .mkString(" UNION ALL ")})
+         |        ORDER BY d2m DESC, cid LIMIT 1)""".stripMargin
     q(
       "q_e_kmeans_seeds",
       s"""WITH v AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
@@ -4352,7 +4355,8 @@ object Queries {
          |         CAST(floor(${duckD2("v.e", "e1.e")} * 1000000) AS BIGINT)
          |           AS d2m
          |       FROM v CROSS JOIN e1),
-         |s2 AS (SELECT cid FROM m1 ORDER BY d2m DESC, cid LIMIT 1),
+         |s2 AS (SELECT cid FROM m1 WHERE cid NOT IN (SELECT cid FROM s1)
+         |       ORDER BY d2m DESC, cid LIMIT 1),
          |${(2 until kSeeds).map(roundSql).mkString(",\n")}
          |SELECT 1 AS rank, s1.cid, CAST(0 AS BIGINT) AS d2m FROM s1
          |UNION ALL SELECT 2, s2.cid, m1.d2m FROM s2 JOIN m1 USING (cid)

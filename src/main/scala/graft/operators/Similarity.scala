@@ -474,7 +474,11 @@ object Similarity {
     var chosen = List((1, first.getLong(0), 0L))
     var centers = Array(first.getSeq[Double](1).toArray)
     for (r <- 2 to k) {
+      // exclude already-chosen ids: with exact-duplicate vectors every
+      // remaining distance can be 0 and the bare argmax would re-pick
+      // a chosen cid (k literals — cheap at any scale)
       val best = assignNearest(vecs, centers)
+        .filter(!col("cid").isin(chosen.map(_._2): _*))
         .select(col("cid"), floor(col("d2") * 1e6).cast("long").as("d2m"),
           col("cvec").cast("array<double>").as("cvec"))
         .orderBy(desc("d2m"), asc("cid")).limit(1).collect()(0)
@@ -521,6 +525,7 @@ object Similarity {
   def kmeans(vecs: DataFrame, seeds: Array[Array[Double]], iters: Int)
       : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "seeds must be non-empty")
     var centers = seeds
     for (_ <- 1 until iters) {
       val model = kmeansStep(vecs, centers)

@@ -133,6 +133,22 @@ class SimilaritySpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("farthestPointSeeds: exact-duplicate vectors never produce a " +
+      "repeated seed id") {
+    // 3 distinct positions, each duplicated — k=5 exceeds the distinct
+    // count, so picks 4 and 5 must fall back to duplicate positions
+    // with d2m = 0 but still-distinct cids
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+      (2L, Array(9.0, 0.0)), (3L, Array(9.0, 0.0)),
+      (4L, Array(0.0, 5.0)), (5L, Array(0.0, 5.0))).toDF("cid", "cvec")
+    val got = Similarity.farthestPointSeeds(vecs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.map(_._2).distinct.size == 5, got.toString)
+    assert(got.take(3).map(_._2) == List(0L, 2L, 4L), got.toString)
+    assert(got.drop(3).forall(_._3 == 0L), got.toString) // dup positions
+  }
+
   test("kmeans: converges to blob means; an empty seed carries " +
       "forward then drops from the final model; partitioning-" +
       "invariant") {
