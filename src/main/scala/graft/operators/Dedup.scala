@@ -42,6 +42,11 @@ object Dedup {
     * practice by the handful of truly shared lines), left UNHINTED so
     * AQE broadcasts it exactly when it fits. The per-doc reassembly
     * groupBy is the single corpus-text shuffle.
+    *
+    * Contract note: EMPTY lines (consecutive newlines) share one
+    * digest, so blank separators common to ≥ maxDocFreq documents are
+    * removed like any other shared line — by design (they carry no
+    * signal), but reassembled texts lose blank-line structure.
     */
   def dropBoilerplateLines(
       df: DataFrame,

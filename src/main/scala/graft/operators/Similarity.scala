@@ -550,7 +550,9 @@ object Similarity {
     * `round`, whose half-way ulps differ across engines); the single
     * final /1e6 of a small exact integer is identical IEEE in any
     * engine. Long capacity: |x|≤10³ ⇒ 10⁹ micros/row ⇒ safe past 10⁹
-    * rows/group.
+    * rows/group. Contract: vectors in one group must share a length
+    * (fixed-dim embedding columns) — ragged inputs would mean per-pos
+    * member counts and a centroid that is no single vector's shape.
     *
     * Scale: posexplode looks like a dim× blowup, but groupBy(key, pos)
     * partially aggregates map-side — each task ships only

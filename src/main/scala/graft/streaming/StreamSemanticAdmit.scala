@@ -48,7 +48,10 @@ object StreamSemanticAdmit {
   case class Exemplars(ids: Array[Long], vecs: Array[Array[Double]])
 
   /** Ordered left fold, bitwise identical to VecCosine / the DuckDB
-    * list_reduce oracles.
+    * list_reduce oracles. A zero-norm vector yields NaN cosine, which
+    * compares false against any threshold — i.e. zero vectors always
+    * ADMIT and, if stored, never reject anyone (same semantics as the
+    * batch vec_cosine); filter degenerate vectors upstream.
     */
   def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
