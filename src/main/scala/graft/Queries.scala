@@ -3593,6 +3593,78 @@ object Queries {
       .orderBy("stage")
   }
 
+  /** Per-document dedup ATTRIBUTION — the explainability face of
+    * q_pipe_dedup_funnel: every document labeled with the stage that
+    * removed it ('1_exact' / '2_minhash' / '3_semantic') or 'kept'.
+    * The report a curation run attaches to its shrinkage numbers when
+    * someone asks "why did doc X disappear?". Same stage chain, same
+    * reused CTE fragments; the label is membership CASE over the
+    * survivor sets (left-anti chain in Spark, NOT IN chain in SQL).
+    */
+  val qPipeDedupAttribution = q(
+    "q_pipe_dedup_attribution",
+    s"""WITH keep0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d0 AS (SELECT dd.doc_id, dd.text FROM documents dd JOIN keep0 USING (doc_id)),
+       |t AS (SELECT doc_id, $duckToks AS toks FROM d0),
+       |$duckMinhashPairChain,
+       |nd AS (SELECT DISTINCT id_b AS doc_id FROM j
+       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+       |d1 AS (SELECT d0.doc_id FROM d0
+       |       WHERE d0.doc_id NOT IN (SELECT doc_id FROM nd)),
+       |cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |         FROM embeddings WHERE vec_id < 16),
+       |sv AS (SELECT d1.doc_id AS id, CAST(e.embedding AS DOUBLE[]) AS e
+       |       FROM d1 JOIN embeddings e ON e.vec_id = d1.doc_id),
+       |sca AS (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id
+       |                         ORDER BY d2, cl) AS rn
+       |        FROM (SELECT id, cl, ${duckD2("e", "ce")} AS d2
+       |              FROM sv CROSS JOIN cent)),
+       |sb AS (SELECT id, cl AS bk FROM sca WHERE rn = 1),
+       |sbc AS (SELECT bk, COUNT(*) AS cnt, MIN(id) AS rep FROM sb GROUP BY bk),
+       |sbb AS (SELECT sb.id, sb.bk, sbc.cnt, sbc.rep FROM sb JOIN sbc USING (bk)),
+       |sem0 AS (SELECT bk, id AS id_a FROM sbb WHERE cnt <= 33 OR id = rep),
+       |spairs AS (SELECT DISTINCT id_a, sbb.id AS id_b
+       |           FROM sem0 JOIN sbb USING (bk) WHERE id_a < sbb.id),
+       |sdropped AS (SELECT DISTINCT id_b AS id FROM spairs
+       |             JOIN sv a ON a.id = id_a JOIN sv c ON c.id = id_b
+       |             WHERE ${duckCos("a.e", "c.e")} >= 0.25),
+       |ssurv AS (SELECT id FROM sb WHERE id NOT IN (SELECT id FROM sdropped))
+       |SELECT dd.doc_id,
+       |       CASE WHEN dd.doc_id NOT IN (SELECT doc_id FROM d0) THEN '1_exact'
+       |            WHEN dd.doc_id NOT IN (SELECT doc_id FROM d1) THEN '2_minhash'
+       |            WHEN dd.doc_id NOT IN (SELECT id FROM ssurv) THEN '3_semantic'
+       |            ELSE 'kept' END AS dropped_by
+       |FROM documents dd ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{Dedup, Similarity}
+    val docs = Tables.documents(s, d)
+    val d0 = Dedup.exactDedup(docs, "doc_id", "text")
+    val d1 = d0.join(
+      Dedup.minhashNearDupsPoly(d0, "doc_id", "text", minJaccard = 0.5)
+        .select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val e = Tables.embeddings(s, d)
+    val vecs = d1.select(col("doc_id").as("cid"))
+      .join(e.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec")), Seq("cid"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val surv = Similarity.semanticDedup(vecs, centers, minCosine = 0.25,
+      maxCluster = 33)
+    def mark(ids: org.apache.spark.sql.DataFrame, name: String) =
+      ids.select(col(ids.columns.head).as("doc_id"), lit(1).as(name))
+    docs.select("doc_id")
+      .join(mark(d0.select("doc_id"), "in0"), Seq("doc_id"), "left")
+      .join(mark(d1.select("doc_id"), "in1"), Seq("doc_id"), "left")
+      .join(mark(surv.select("cid"), "in2"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in0").isNull, "1_exact")
+          .when(col("in1").isNull, "2_minhash")
+          .when(col("in2").isNull, "3_semantic")
+          .otherwise("kept").as("dropped_by"))
+      .orderBy("doc_id")
+  }
+
   /** THE whole pretraining-data pipeline as ONE oracle-exact query:
     * exact dedup → MinHash near-dup removal → language gate → token
     * floor (= q_pipe_corpus_curation) → overlapping token-window
@@ -4580,7 +4652,7 @@ object Queries {
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
-    qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeEnd2End,
+    qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
