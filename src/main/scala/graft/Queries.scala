@@ -4443,6 +4443,82 @@ object Queries {
     }
   }
 
+  /** The elbow TABLE: total inertia at k = 4 / 8 / 16 seed models in
+    * one query (Similarity.kmeansInertia summed per model, unioned) —
+    * the artifact someone actually reads to choose k. Three map-side
+    * assignment passes over the corpus, three dim-free micro-sums;
+    * monotone-decreasing inertia across k is structural (more centers
+    * can only reduce min-distances on the same seeds-prefix family),
+    * and the oracle replays each model's assignment and sum exactly.
+    */
+  val qEKmeansElbow = q(
+    "q_e_kmeans_elbow",
+    (Seq(4, 8, 16).map { k =>
+      s"""SELECT $k AS k, CAST(SUM(d2m) AS BIGINT) AS inertia_micros FROM (
+         |  SELECT CAST(floor(d2 * 1000000) AS BIGINT) AS d2m FROM (
+         |    SELECT cid, cl, d2, ROW_NUMBER() OVER (PARTITION BY cid
+         |                          ORDER BY d2, cl) AS rn
+         |    FROM (SELECT v.cid, c.cl, ${duckD2("v.e", "c.ce")} AS d2
+         |          FROM (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+         |                FROM embeddings) v
+         |          CROSS JOIN (SELECT vec_id AS cl,
+         |                        CAST(embedding AS DOUBLE[]) AS ce
+         |                      FROM embeddings WHERE vec_id < $k) c))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY k")) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def total(k: Int) = {
+      val centers = e.filter(col("vec_id") < k).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.kmeansInertia(vecs, centers)
+        .agg(sum("inertia_micros").as("inertia_micros"))
+        .select(lit(k).as("k"), col("inertia_micros"))
+    }
+    total(4).unionAll(total(8)).unionAll(total(16)).orderBy("k")
+  }
+
+  /** Embedding outlier gate: z-score of distance-to-own-centroid
+    * within each semantic cluster (Stats.zscoreOutliers over the
+    * 16-centroid assignment, micros-floored d2) — the noise-document
+    * filter (corrupt embeds, off-distribution content) that CLIP-style
+    * curation applies before training. Composition of two proven
+    * operators: map-side assignment feeds the stats-broadcast z gate;
+    * the fact never shuffles. The oracle replays assignment, the
+    * integer sufficient statistics, and the fixed double z exactly.
+    */
+  val qEEmbeddingOutliers = q(
+    "q_e_embedding_outliers",
+    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |v AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ca AS (SELECT cid, cl, d2, ROW_NUMBER() OVER (PARTITION BY cid
+       |                             ORDER BY d2, cl) AS rn
+       |       FROM (SELECT cid, cl, ${duckD2("e", "ce")} AS d2
+       |             FROM v CROSS JOIN cent)),
+       |asg AS (SELECT cid, cl AS cluster, d2 FROM ca WHERE rn = 1)
+       |SELECT cid, cluster, ROUND(z, 6) AS z
+       |FROM (${graft.operators.Stats.zscoreOracleSql(
+           "asg", "cluster", "FLOOR(d2 * 1000000)", 2.0,
+           Seq("cid", "cluster"))})
+       |ORDER BY cid""".stripMargin) { (s, d) =>
+    import graft.operators.{Similarity, Stats}
+    val e = Tables.embeddings(s, d)
+    val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Stats.zscoreOutliers(
+        Similarity.assignNearest(vecs, centers)
+          .select(col("cid"), col("cluster"), col("d2")),
+        "cluster", floor(col("d2") * 1e6), zMax = 2.0,
+        keep = Seq("cid", "cluster"))
+      .withColumn("z", round(col("z"), 6))
+      .orderBy("cid")
+  }
+
   /** Per-cluster inertia of the 16-centroid model
     * (Similarity.kmeansInertia) — the elbow-method k-selection metric
     * and Lloyd's convergence check. Each member's exact-fold d2
@@ -4657,6 +4733,7 @@ object Queries {
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
+    qEEmbeddingOutliers, qEKmeansElbow,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
