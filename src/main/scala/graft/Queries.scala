@@ -4480,6 +4480,65 @@ object Queries {
     total(4).unionAll(total(8)).unionAll(total(16)).orderBy("k")
   }
 
+  /** The EMBEDDING curation pipeline in one lazy plan — the vector-
+    * space counterpart of q_pipe_corpus_curation: z-score outlier gate
+    * (drop corrupt/off-distribution embeds) → SemDeDup semantic dedup
+    * of the survivors → per-cluster diversity quota (8 per cluster).
+    * Output is the curated (cluster, cid) sample a diversity-
+    * preserving selection ships to training. All three stages reuse
+    * proven operators; the oracle chains their proven fragments over
+    * ONE shared assignment CTE, so the composition cannot drift.
+    */
+  val qPipeEmbeddingCuration = q(
+    "q_pipe_embedding_curation",
+    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |v AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ca AS (SELECT cid, cl, d2, ROW_NUMBER() OVER (PARTITION BY cid
+       |                             ORDER BY d2, cl) AS rn
+       |       FROM (SELECT cid, cl, ${duckD2("e", "ce")} AS d2
+       |             FROM v CROSS JOIN cent)),
+       |asg AS (SELECT cid, cl AS cluster, d2 FROM ca WHERE rn = 1),
+       |outl AS (SELECT cid
+       |         FROM (${graft.operators.Stats.zscoreOracleSql(
+                   "asg", "cluster", "FLOOR(d2 * 1000000)", 2.0,
+                   Seq("cid", "cluster"))})),
+       |sb AS (SELECT cid AS id, cluster AS bk FROM asg
+       |       WHERE cid NOT IN (SELECT cid FROM outl)),
+       |sbc AS (SELECT bk, COUNT(*) AS cnt, MIN(id) AS rep FROM sb GROUP BY bk),
+       |sbb AS (SELECT sb.id, sb.bk, sbc.cnt, sbc.rep FROM sb JOIN sbc USING (bk)),
+       |sem0 AS (SELECT bk, id AS id_a FROM sbb WHERE cnt <= 33 OR id = rep),
+       |spairs AS (SELECT DISTINCT id_a, sbb.id AS id_b
+       |           FROM sem0 JOIN sbb USING (bk) WHERE id_a < sbb.id),
+       |sdropped AS (SELECT DISTINCT id_b AS id FROM spairs
+       |             JOIN v a ON a.cid = id_a JOIN v c ON c.cid = id_b
+       |             WHERE ${duckCos("a.e", "c.e")} >= 0.25),
+       |ssurv AS (SELECT id AS cid, bk AS cluster FROM sb
+       |          WHERE id NOT IN (SELECT id FROM sdropped)),
+       |r AS (SELECT cid, cluster, ROW_NUMBER() OVER (PARTITION BY cluster
+       |        ORDER BY ${graft.operators.Sampling.hashBucketSql("cid", 1000000)}, cid)
+       |          AS rk FROM ssurv)
+       |SELECT cluster, cid FROM r WHERE rk <= 8
+       |ORDER BY cluster, cid""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, Similarity, Stats}
+    val e = Tables.embeddings(s, d)
+    val vecs = e.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<double>").as("cvec"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val assigned = Similarity.assignNearest(vecs, centers)
+      .select(col("cid"), col("cluster"), col("d2"))
+    val outliers = Stats.zscoreOutliers(assigned, "cluster",
+      floor(col("d2") * 1e6), zMax = 2.0, keep = Seq("cid", "cluster"))
+    val clean = vecs.join(outliers.select("cid"), Seq("cid"), "left_anti")
+    val surv = Similarity.semanticDedup(clean, centers, minCosine = 0.25,
+      maxCluster = 33)
+    Sampling.groupCapSample(surv, "cluster", "cid", cap = 8)
+      .select("cluster", "cid")
+      .orderBy("cluster", "cid")
+  }
+
   /** Embedding outlier gate: z-score of distance-to-own-centroid
     * within each semantic cluster (Stats.zscoreOutliers over the
     * 16-centroid assignment, micros-floored d2) — the noise-document
@@ -4733,7 +4792,7 @@ object Queries {
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
-    qEEmbeddingOutliers, qEKmeansElbow,
+    qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
