@@ -4520,22 +4520,13 @@ object Queries {
        |          AS rk FROM ssurv)
        |SELECT cluster, cid FROM r WHERE rk <= 8
        |ORDER BY cluster, cid""".stripMargin) { (s, d) =>
-    import graft.operators.{Sampling, Similarity, Stats}
     val e = Tables.embeddings(s, d)
     val vecs = e.select(col("vec_id").as("cid"),
       col("embedding").cast("array<double>").as("cvec"))
     val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val assigned = Similarity.assignNearest(vecs, centers)
-      .select(col("cid"), col("cluster"), col("d2"))
-    val outliers = Stats.zscoreOutliers(assigned, "cluster",
-      floor(col("d2") * 1e6), zMax = 2.0, keep = Seq("cid", "cluster"))
-    val clean = vecs.join(outliers.select("cid"), Seq("cid"), "left_anti")
-    val surv = Similarity.semanticDedup(clean, centers, minCosine = 0.25,
-      maxCluster = 33)
-    Sampling.groupCapSample(surv, "cluster", "cid", cap = 8)
-      .select("cluster", "cid")
+    graft.pipelines.EmbeddingCuration.curate(vecs, centers)
       .orderBy("cluster", "cid")
   }
 

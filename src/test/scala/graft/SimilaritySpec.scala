@@ -176,6 +176,37 @@ class SimilaritySpec extends SparkSpec {
     assert(run(vecs.repartition(5)).toList == got.toList)
   }
 
+  test("EmbeddingCuration.curateAuto: learns blob centers from the " +
+      "data, drops the planted outlier and the near-dups, respects " +
+      "the quota") {
+    // two tight blobs of 6 + a far outlier; inside blob A, ids 0 and
+    // 1 are near-identical directions from the centroid region —
+    // semantic near-dups after the outlier gate
+    def jit(i: Long, j: Int) = 0.003 * (((i * 31 + j * 7) % 5).toDouble - 2)
+    val rows =
+      (0L until 6L).map(i => (i, Array(1.0 + jit(i, 0), jit(i, 1)))) ++
+      (10L until 16L).map(i => (i, Array(jit(i, 0), 1.0 + jit(i, 1)))) ++
+      Seq((99L, Array(30.0, 30.0)))
+    val vecs = rows.toDF("cid", "cvec")
+    val got = graft.pipelines.EmbeddingCuration.curateAuto(
+        vecs, k = 3, iters = 2, zMax = 1.5, minCosine = 0.999,
+        maxCluster = 10, quota = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byCluster = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCluster.values.forall(_.size <= 3), byCluster.toString)
+    val kept = got.map(_._2).toSet
+    assert(!kept.contains(99L), "far outlier must be gated") // z-gate
+    // blob members survive in both blobs
+    assert(kept.exists(_ < 6) && kept.exists(i => i >= 10 && i < 16),
+      kept.toString)
+    // deterministic end-to-end
+    val re = graft.pipelines.EmbeddingCuration.curateAuto(
+        vecs.repartition(7), k = 3, iters = 2, zMax = 1.5,
+        minCosine = 0.999, maxCluster = 10, quota = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(re == got.toSet)
+  }
+
   test("clusterRepresentatives picks the k most central members per " +
       "cluster, matching a driver-side reference") {
     val e = Tables.embeddings(spark, Sf0001)
