@@ -4751,6 +4751,172 @@ object Queries {
 
   // ---------------------------------------------------------------
 
+  /** DSIR importance weights (operators/Dsir): per-doc log-likelihood
+    * ratio of the English-slice target distribution to the raw corpus
+    * over 256 hashed-unigram buckets — Xie et al. NeurIPS'23 data
+    * selection. Per-bucket log-probs quantize once to micros (the
+    * unigramLogProb convention), so every per-doc sum is an exact
+    * integer and replays bit-for-bit; the bucket-ratio table is
+    * O(256) and broadcasts. Scale shape: one (id, bucket) shuffle,
+    * everything else map-side or constant-sized.
+    */
+  val qTDsirWeights = q(
+    "q_t_dsir_weights",
+    s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |b AS (SELECT doc_id, ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t),
+       |t2 AS (SELECT unnest($duckToks) AS term FROM documents WHERE lang = 'en'),
+       |tb AS (SELECT ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t2),
+       |cr AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+       |ct AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
+       |tr AS (SELECT COUNT(*) AS tr FROM b),
+       |tts AS (SELECT COUNT(*) AS tt FROM tb),
+       |r AS (SELECT bucket,
+       |        CAST(FLOOR(ln((COALESCE(ct, 0) + 1.0) / (tt + 256.0)) * 1000000.0) AS BIGINT)
+       |      - CAST(FLOOR(ln((cr + 1.0) / (tr + 256.0)) * 1000000.0) AS BIGINT) AS lr_micros
+       |      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tts),
+       |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket),
+       |sc AS (SELECT doc_id, CAST(SUM(tf * lr_micros) AS BIGINT) AS lr_sum_micros,
+       |         CAST(SUM(tf) AS BIGINT) AS n_tokens
+       |       FROM tf JOIN r USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, lr_sum_micros,
+       |  ROUND(CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_log_ratio
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("lr_sum_micros"),
+        round(col("avg_log_ratio"), 6).as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR selection: top-100 documents by per-token average log
+    * ratio (ties by doc_id). Renders as TakeOrderedAndProject — a
+    * per-partition heap + k-row driver merge, never a global sort,
+    * so the cut is 100 TB-safe. The ordering compares doubles both
+    * engines derive by two correctly-rounded divisions of identical
+    * integers — bit-equal, so the LIMIT boundary cannot drift.
+    */
+  val qO21DsirSample = q(
+    "q_o21_dsir_sample",
+    s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |b AS (SELECT doc_id, ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t),
+       |t2 AS (SELECT unnest($duckToks) AS term FROM documents WHERE lang = 'en'),
+       |tb AS (SELECT ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t2),
+       |cr AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+       |ct AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
+       |tr AS (SELECT COUNT(*) AS tr FROM b),
+       |tts AS (SELECT COUNT(*) AS tt FROM tb),
+       |r AS (SELECT bucket,
+       |        CAST(FLOOR(ln((COALESCE(ct, 0) + 1.0) / (tt + 256.0)) * 1000000.0) AS BIGINT)
+       |      - CAST(FLOOR(ln((cr + 1.0) / (tr + 256.0)) * 1000000.0) AS BIGINT) AS lr_micros
+       |      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tts),
+       |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket),
+       |sc AS (SELECT doc_id, CAST(SUM(tf * lr_micros) AS BIGINT) AS lr_sum_micros,
+       |         CAST(SUM(tf) AS BIGINT) AS n_tokens
+       |       FROM tf JOIN r USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_log_ratio
+       |FROM sc
+       |ORDER BY CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens DESC, doc_id
+       |LIMIT 100""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir.selectTopK(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", 100)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        round(col("avg_log_ratio"), 6).as("avg_log_ratio"))
+  }
+
+  /** Corpus-wide repeated 8-token spans (Dedup.repeatedSpans — the
+    * exact-substring-dedup rendering, Lee et al. ACL'22): windows
+    * whose 60-bit hash occurs ≥2 times anywhere in the corpus merge
+    * per doc into maximal maskable intervals via gaps-and-islands.
+    * Hot spans are COUNTED, never paired — no quadratic candidate
+    * path (the containment lesson baked in from the start).
+    */
+  val qDRepeatedSpans = q(
+    "q_d_repeated_spans",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(toks) >= 8
+       |        THEN list_transform(range(len(toks) - 7),
+       |               i -> array_to_string(list_slice(toks, i + 1, i + 8), ''))
+       |        ELSE []::VARCHAR[] END AS sp FROM t),
+       |e AS (SELECT doc_id, sp, unnest(range(len(sp))) AS i FROM g),
+       |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |        ${duckFold(31, 1000000007L, "sp[i + 1]")}
+       |      + ${duckFold(131, 998244353L, "sp[i + 1]")} * 1073741824 AS h
+       |      FROM e),
+       |r AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM p
+       |      GROUP BY h HAVING COUNT(*) >= 2),
+       |j AS (SELECT doc_id, pos, pos + 8 AS e_, occ FROM p JOIN r USING (h)),
+       |m AS (SELECT doc_id, pos, e_, occ,
+       |        MAX(e_) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM j),
+       |n AS (SELECT doc_id, pos, e_, occ,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni
+       |      FROM m),
+       |s AS (SELECT doc_id, pos, e_, occ,
+       |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |      FROM n)
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(e_) AS BIGINT) AS span_end,
+       |  CAST(MAX(e_) - MIN(pos) AS BIGINT) AS span_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(MAX(occ) AS BIGINT) AS max_occ
+       |FROM s GROUP BY doc_id, isl
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.repeatedSpans(Tables.documents(s, d),
+        "doc_id", "text", spanLen = 8, minCount = 2)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_spans"), col("max_occ"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** SCD2 incremental merge (operators/Scd2): Spark builds the
+    * dimension from events BEFORE the cut, then folds the later
+    * batch in via the incremental merge (only batch keys touched,
+    * closed history passes through); the oracle replays the FULL
+    * rebuild over all events. Hash equality IS the merge contract:
+    * incremental ∘ split == rebuild, proven cross-engine. Validity
+    * bounds emit as epoch seconds (never raw timestamps — house
+    * rule), ordering ties break on event_id.
+    */
+  val qXScd2Merge = q(
+    "q_x_scd2_merge",
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |             event_type FROM events),
+       |c AS (SELECT user_id, ts, event_id, event_type,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS pv
+       |      FROM e),
+       |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+       |       WHERE pv IS NULL OR pv <> event_type),
+       |v AS (SELECT user_id, event_id, event_type, ts AS vf,
+       |        lead(ts) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS vt
+       |      FROM ch)
+       |SELECT user_id, event_id, event_type,
+       |  epoch_ms(vf) // 1000 AS vf_sec,
+       |  epoch_ms(vt) // 1000 AS vt_sec,
+       |  (vt IS NULL) AS is_current
+       |FROM v ORDER BY user_id, vf""".stripMargin) { (s, d) =>
+    import graft.operators.Scd2
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dim0 = Scd2.fromChangeLog(ev.filter(col("ts") < cut),
+      "user_id", "ts", "event_id", "event_type")
+    Scd2.merge(dim0, ev.filter(col("ts") >= cut),
+        "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("valid_from")).as("vf_sec"),
+        unix_timestamp(col("valid_to")).as("vt_sec"),
+        col("is_current"))
+      .orderBy("user_id", "vf_sec", "event_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -4787,5 +4953,6 @@ object Queries {
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
+    qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
   )
 }

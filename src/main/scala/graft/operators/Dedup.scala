@@ -585,4 +585,66 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Corpus-wide repeated token spans — the distributed rendering of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22, which builds a suffix
+    * array; a suffix array is inherently sequential, so the Spark
+    * shape is fixed-length span hashing): every `spanLen`-token
+    * window (stride 1) is hashed, windows whose hash occurs at least
+    * `minCount` times ANYWHERE in the corpus (across documents or
+    * repeated inside one) are marked, and per document the marked
+    * windows merge into maximal half-open token intervals
+    * `[span_start, span_end)` — the ranges a masking/clipping pass
+    * would cut. Documents shorter than `spanLen` tokens contribute
+    * nothing (strict — no whole-doc fallback).
+    *
+    * Hashes are the 60-bit double polynomial fold (combined60): at
+    * 1e9 distinct spans the collision expectation is ~0.4 pairs, and
+    * a collision only ever over-marks a span, never drops one.
+    * Both folds replay exactly in SQL.
+    *
+    * Scale shape: span hashing is map-side (one posexplode, linear
+    * in corpus tokens); the occurrence count is one groupBy(h) with
+    * map-side partial aggregation — hot hashes are counted, never
+    * paired, so there is NO quadratic candidate path anywhere (the
+    * containment lesson); marked windows join back by hash (posting-
+    * table-sized) and the island merge windows over each document's
+    * OWN marked spans only. Output: (id, span_start, span_end,
+    * span_tokens, n_spans, max_occ).
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+    val spanStrs = graft.functions.ColumnOps.bind(TextOps.tokens(col(textCol))) { toks =>
+      when(size(toks) >= spanLen,
+        transform(sequence(lit(0), size(toks) - spanLen),
+          i => concat_ws("", slice(toks, i + lit(1), lit(spanLen)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val sp = docs
+      .select(col(idCol).as("id"), posexplode(spanStrs).as(Seq("pos", "s")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        TextOps.combined60Hof(col("s")).as("h"))
+    val rep = sp.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount)
+    val hits = sp.join(rep, Seq("h"))
+      .select(col("id"), col("pos"), (col("pos") + lit(spanLen.toLong)).as("e"),
+        col("occ"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val isl = hits
+      .withColumn("prev_end",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("id"), col("isl"))
+      .agg(min("pos").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("n_spans"), max("occ").as("max_occ"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_spans"), col("max_occ"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al.
+  * NeurIPS'23): score every raw-corpus document by the
+  * log-likelihood ratio of a TARGET distribution to the RAW
+  * distribution over hashed n-gram features, then keep the
+  * highest-ratio documents — the standard cheap proxy for "select
+  * pretraining data that looks like the high-quality target set"
+  * (the reference's quality gates filter on per-doc heuristics;
+  * this is the corpus-relative complement).
+  *
+  * Determinism contract (house convention): each bucket's two
+  * smoothed log-probabilities are quantized ONCE to fixed-point
+  * micros (`floor(ln(p) * 1e6)` — the unigramLogProb shape,
+  * TfIdf.scala); the per-document score is then an exact integer
+  * dot product `Σ tf_b · (lt_b − lr_b)`, partitioning-invariant
+  * and bit-replayable in SQL. One double division at the end for
+  * the per-token average.
+  *
+  * Scale shape: token explode is map-side; the per-doc (id, bucket)
+  * tf table shuffles once; both bucket-count tables have at most
+  * `buckets` rows (a CONSTANT — default 256), so the ratio table
+  * broadcasts and scoring is a map-side join + one groupBy(id).
+  * Corpus totals ride in as broadcast grand aggregates — no driver
+  * action anywhere. The hashed-feature trick is exactly what makes
+  * DSIR 100 TB-safe: vocabulary never materializes, state is O(B).
+  */
+object Dsir {
+
+  /** Feature-hash bucket count. Interpolated into every oracle SQL
+    * replaying these weights so Scala and SQL cannot drift.
+    */
+  val DefaultBuckets = 256
+
+  /** (bucket, lr_micros) — per-bucket quantized log-likelihood
+    * ratio table, at most `buckets` rows. Built full-outer so a
+    * target-only bucket (possible when `target` is not a subset of
+    * `raw`) still scores.
+    */
+  def bucketRatios(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    def bucketed(df: DataFrame) =
+      df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+        .select(pmod(TextOps.polyFold31(col("term")), lit(buckets.toLong))
+          .as("bucket"))
+    val rawB = bucketed(raw)
+    val tgtB = bucketed(target)
+    val cr = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val ct = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totR = rawB.agg(count(lit(1)).as("tr"))
+    val totT = tgtB.agg(count(lit(1)).as("tt"))
+    def lpMicros(c: org.apache.spark.sql.Column,
+        t: org.apache.spark.sql.Column) =
+      floor(log((c + lit(1.0)) / (t + lit(buckets.toDouble)))
+        * lit(1000000.0)).cast("long")
+    cr.join(ct, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(totR))
+      .crossJoin(broadcast(totT))
+      .select(col("bucket"),
+        (lpMicros(col("ct"), col("tt")) - lpMicros(col("cr"), col("tr")))
+          .as("lr_micros"))
+  }
+
+  /** Per-document importance weights: (id, n_tokens, lr_sum_micros,
+    * avg_log_ratio). `lr_sum_micros` is the exact integer total log
+    * ratio (the paper's sampling weight); `avg_log_ratio` is the
+    * length-normalized per-token mean (the filter-threshold
+    * rendering — total favors long documents).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = DefaultBuckets): DataFrame = {
+    val tf = raw
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .select(col("id"),
+        pmod(TextOps.polyFold31(col("term")), lit(buckets.toLong))
+          .as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(bucketRatios(raw, target, textCol, buckets)),
+        Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("tf") * col("lr_micros")).as("lr_sum_micros"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("id"), col("n_tokens"), col("lr_sum_micros"),
+        ((col("lr_sum_micros").cast("double") / lit(1000000.0))
+          / col("n_tokens")).as("avg_log_ratio"))
+  }
+
+  /** Top-`k` documents by per-token average log ratio (ties broken
+    * by id). Renders as TakeOrderedAndProject — a distributed
+    * per-partition heap + driver merge of k rows, never a global
+    * sort, so the selection itself is 100 TB-safe. (The
+    * proportional-sampling rendering of the paper composes
+    * `importanceWeights` with Sampling.weightedSample instead.)
+    */
+  def selectTopK(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int,
+      buckets: Int = DefaultBuckets): DataFrame =
+    importanceWeights(raw, target, idCol, textCol, buckets)
+      .orderBy(col("avg_log_ratio").desc, col("id"))
+      .limit(k)
+}

@@ -338,4 +338,34 @@ class DedupSpec extends SparkSpec {
     assert(cur.join(dropB, Seq("doc_id"), "left_semi").count() == 0L)
     cur.unpersist()
   }
+
+  test("repeatedSpans: cross-doc shared runs merge into one maximal " +
+      "island per doc; within-doc repeats split; short docs drop") {
+    val docs = Seq(
+      // 0 and 1 share the verbatim 10-token run s0..s9 at different
+      // offsets (4 and 1); everything else is unique
+      (0L, "u0 u1 u2 u3 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 u4 u5"),
+      (1L, "w0 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 w1 w2"),
+      (2L, "a b c"), // < spanLen tokens: contributes nothing
+      // internal repeat: r0..r7 occurs twice inside ONE doc
+      (3L, "r0 r1 r2 r3 r4 r5 r6 r7 z0 r0 r1 r2 r3 r4 r5 r6 r7"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text",
+        spanLen = 8, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (0L, 4L, 14L, 10L), // windows at 4,5,6 merge to [4,14)
+      (1L, 1L, 11L, 10L),
+      (3L, 0L, 8L, 8L), (3L, 9L, 17L, 8L))) // two disjoint islands
+  }
+
+  test("repeatedSpans: a corpus with no repeats returns nothing") {
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine"),
+      (1L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text").count() == 0L)
+  }
 }
