@@ -128,6 +128,44 @@ object TextSketchKernels {
       new GenericArrayData(out)
     }
   }
+
+  /** Ordered 60-bit span hashes, STRICT: one combined60 (both folds)
+    * per `n`-token window over the concatenated tokens, array index =
+    * window start position; fewer than `n` tokens yield an EMPTY
+    * array (no whole-doc fallback — a 3-token doc must not register a
+    * spurious corpus-wide span). The 60-bit width is what keeps span
+    * counting sound at 100 TB: a single 30-bit fold saturates with
+    * collisions past ~10^5 distinct spans.
+    */
+  def spanHashes60(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val spans = tokenSpans(s)
+    val nTok = spans.length / 2
+    if (nTok < n) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](nTok - n + 1)
+      var w = 0
+      while (w <= nTok - n) {
+        var h1 = 0L
+        var h2 = 0L
+        var t = w
+        while (t < w + n) {
+          var i = spans(2 * t)
+          val until = spans(2 * t + 1)
+          while (i < until) {
+            val cp = s.codePointAt(i)
+            h1 = (h1 * 31L + cp) % P1
+            h2 = (h2 * 131L + cp) % P2
+            i += Character.charCount(cp)
+          }
+          t += 1
+        }
+        out(w) = h1 + (h2 << 30)
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** Native one-pass SimHash (see TextOps.simhashHof for the composable
@@ -186,4 +224,35 @@ case class TextShingleHashes(child: Expression, n: Int) extends UnaryExpression 
 object TextShingleHashes {
   def apply(c: Column, n: Int): Column =
     GraftColumnBridge.toColumn(TextShingleHashes(GraftColumnBridge.toExpr(c), n))
+}
+
+/** Native ordered 60-bit span-hash array (strict — empty below `n`
+  * tokens): the scan layer for Dedup.repeatedSpans. One pass, no
+  * span strings materialized; the HOF reference rendering is
+  * `transform(<strict span strings>, TextOps.combined60Hof)`
+  * (equality asserted in TextMultimodalSpec).
+  */
+case class TextSpanHashes60(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketchKernels.spanHashes60(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextSketchKernels.spanHashes60($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "text_span_hashes60"
+}
+
+object TextSpanHashes60 {
+  def apply(c: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(TextSpanHashes60(GraftColumnBridge.toExpr(c), n))
 }

@@ -604,33 +604,37 @@ object Dedup {
     * a collision only ever over-marks a span, never drops one.
     * Both folds replay exactly in SQL.
     *
-    * Scale shape: span hashing is map-side (one posexplode, linear
-    * in corpus tokens); the occurrence count is one groupBy(h) with
-    * map-side partial aggregation — hot hashes are counted, never
-    * paired, so there is NO quadratic candidate path anywhere (the
-    * containment lesson); marked windows join back by hash (posting-
-    * table-sized) and the island merge windows over each document's
-    * OWN marked spans only. Output: (id, span_start, span_end,
-    * span_tokens, n_spans, max_occ).
+    * Scale shape: span hashing is ONE native codegen pass (no span
+    * strings materialized) + a posexplode, linear in corpus tokens;
+    * the occurrence count is a window count over partitionBy(h) — the
+    * simhashNearDups annotation trick, which reads the hashing stage
+    * ONCE (the groupBy + join-back rendering scans it twice and
+    * shuffles three times). Hot hashes are counted, never paired, so
+    * there is NO quadratic candidate path anywhere (the containment
+    * lesson); the trade-off is that one ultra-hot span's rows buffer
+    * in a single spillable window partition — acceptable because the
+    * buffered row is 24 bytes, not the text. The island merge windows
+    * over each document's OWN marked spans only. Output: (id,
+    * span_start, span_end, span_tokens, n_spans, max_occ).
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 8, minCount: Int = 2): DataFrame = {
-    val spanStrs = graft.functions.ColumnOps.bind(TextOps.tokens(col(textCol))) { toks =>
-      when(size(toks) >= spanLen,
-        transform(sequence(lit(0), size(toks) - spanLen),
-          i => concat_ws("", slice(toks, i + lit(1), lit(spanLen)))))
-        .otherwise(array().cast("array<string>"))
-    }
+    import org.apache.spark.sql.expressions.Window
+    // native one-pass span hashing (no span strings materialized),
+    // then ONE shuffle by hash with a window count — the groupBy +
+    // join-back rendering reads the span table twice and shuffles
+    // three times; the window reads it once (the simhashNearDups
+    // bucket-annotation trick)
     val sp = docs
-      .select(col(idCol).as("id"), posexplode(spanStrs).as(Seq("pos", "s")))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        TextOps.combined60Hof(col("s")).as("h"))
-    val rep = sp.groupBy("h").agg(count(lit(1)).as("occ"))
+      .select(col(idCol).as("id"),
+        posexplode(graft.expressions.TextSpanHashes60(col(textCol), spanLen))
+          .as(Seq("pos", "h")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("h"))
+    val hits = sp
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("occ") >= minCount)
-    val hits = sp.join(rep, Seq("h"))
       .select(col("id"), col("pos"), (col("pos") + lit(spanLen.toLong)).as("e"),
         col("occ"))
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     val isl = hits
       .withColumn("prev_end",

@@ -35,23 +35,19 @@ object Dsir {
     */
   val DefaultBuckets = 256
 
-  /** (bucket, lr_micros) — per-bucket quantized log-likelihood
-    * ratio table, at most `buckets` rows. Built full-outer so a
-    * target-only bucket (possible when `target` is not a subset of
-    * `raw`) still scores.
+  private def bucketed(df: DataFrame, textCol: String, buckets: Int) =
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .select(pmod(TextOps.polyFold31(col("term")), lit(buckets.toLong))
+        .as("bucket"))
+
+  /** (bucket, lr_micros) from the two bucket-count tables. Corpus
+    * totals derive from SUMS OVER THE COUNT TABLES (≤ `buckets`
+    * rows) — never a second pass over the tokens.
     */
-  def bucketRatios(raw: DataFrame, target: DataFrame, textCol: String,
-      buckets: Int = DefaultBuckets): DataFrame = {
-    def bucketed(df: DataFrame) =
-      df.select(explode(TextOps.tokens(col(textCol))).as("term"))
-        .select(pmod(TextOps.polyFold31(col("term")), lit(buckets.toLong))
-          .as("bucket"))
-    val rawB = bucketed(raw)
-    val tgtB = bucketed(target)
-    val cr = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val ct = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totR = rawB.agg(count(lit(1)).as("tr"))
-    val totT = tgtB.agg(count(lit(1)).as("tt"))
+  private def ratiosFromCounts(cr: DataFrame, ct: DataFrame,
+      buckets: Int): DataFrame = {
+    val totR = cr.agg(sum("cr").as("tr"))
+    val totT = ct.agg(sum("ct").as("tt"))
     def lpMicros(c: org.apache.spark.sql.Column,
         t: org.apache.spark.sql.Column) =
       floor(log((c + lit(1.0)) / (t + lit(buckets.toDouble)))
@@ -59,17 +55,38 @@ object Dsir {
     cr.join(ct, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("cr", "ct"))
       .crossJoin(broadcast(totR))
+      .na.fill(Map("tr" -> 0L))
       .crossJoin(broadcast(totT))
+      .na.fill(Map("tt" -> 0L))
       .select(col("bucket"),
         (lpMicros(col("ct"), col("tt")) - lpMicros(col("cr"), col("tr")))
           .as("lr_micros"))
   }
+
+  /** (bucket, lr_micros) — per-bucket quantized log-likelihood
+    * ratio table, at most `buckets` rows. Built full-outer so a
+    * target-only bucket (possible when `target` is not a subset of
+    * `raw`) still scores.
+    */
+  def bucketRatios(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = DefaultBuckets): DataFrame =
+    ratiosFromCounts(
+      bucketed(raw, textCol, buckets).groupBy("bucket")
+        .agg(count(lit(1)).as("cr")),
+      bucketed(target, textCol, buckets).groupBy("bucket")
+        .agg(count(lit(1)).as("ct")),
+      buckets)
 
   /** Per-document importance weights: (id, n_tokens, lr_sum_micros,
     * avg_log_ratio). `lr_sum_micros` is the exact integer total log
     * ratio (the paper's sampling weight); `avg_log_ratio` is the
     * length-normalized per-token mean (the filter-threshold
     * rendering — total favors long documents).
+    *
+    * One tokenization pass per corpus: the raw bucket counts reduce
+    * the per-doc tf table (same exchange subtree → ReusedExchange,
+    * not a second scan) and totals reduce the ≤`buckets`-row count
+    * tables.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = DefaultBuckets): DataFrame = {
@@ -80,8 +97,10 @@ object Dsir {
         pmod(TextOps.polyFold31(col("term")), lit(buckets.toLong))
           .as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(bucketRatios(raw, target, textCol, buckets)),
-        Seq("bucket"))
+    val cr = tf.groupBy("bucket").agg(sum("tf").as("cr"))
+    val ct = bucketed(target, textCol, buckets).groupBy("bucket")
+      .agg(count(lit(1)).as("ct"))
+    tf.join(broadcast(ratiosFromCounts(cr, ct, buckets)), Seq("bucket"))
       .groupBy("id")
       .agg(sum(col("tf") * col("lr_micros")).as("lr_sum_micros"),
         sum(col("tf")).as("n_tokens"))

@@ -52,16 +52,27 @@ object EmbeddingCuration {
       zMax: Double = 2.0,
       minCosine: Double = 0.25,
       maxCluster: Int = 33,
-      quota: Int = 8): DataFrame =
-    curate(vecs, learnedCenters(vecs, k, iters), zMax, minCosine,
-      maxCluster, quota)
+      quota: Int = 8,
+      minClusterSize: Long = 2L): DataFrame =
+    curate(vecs, learnedCenters(vecs, k, iters, minClusterSize), zMax,
+      minCosine, maxCluster, quota)
 
   /** The trained model as literals: seed ids via deterministic maxmin,
-    * seed vectors joined back, `iters` Lloyd's rounds; missing
-    * clusters keep their seed position (kmeans' carry-forward).
+    * seed vectors joined back, `iters` Lloyd's rounds.
+    *
+    * Clusters that captured fewer than `minClusterSize` points are
+    * DROPPED from the model (and empty seeds are not carried):
+    * farthest-point seeding hands every extreme outlier its own seed
+    * by construction, and a singleton cluster can never be flagged by
+    * the per-cluster z-gate downstream (its one distance IS the
+    * cluster mean). Dropping the under-populated center re-assigns
+    * its points to the nearest REAL cluster, where their distance
+    * z-score is exactly what the gate measures. `minClusterSize = 1`
+    * restores the keep-everything model.
     */
   def learnedCenters(
-      vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+      vecs: DataFrame, k: Int, iters: Int,
+      minClusterSize: Long = 2L): Array[Array[Double]] = {
     val seedIds = Similarity.farthestPointSeeds(vecs, k)
       .select("rank", "cid").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
@@ -72,8 +83,19 @@ object EmbeddingCuration {
       .toMap
     val seeds = seedIds.map(byId)
     val model = Similarity.kmeans(vecs, seeds, iters)
-      .select("cluster", "centroid").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    seeds.indices.map(i => model.getOrElse(i, seeds(i))).toArray
+      .select("cluster", "centroid", "n").collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Double](1).toArray, r.getLong(2)))
+      .toMap
+    val kept = seeds.indices.flatMap { i =>
+      model.get(i) match {
+        case Some((c, n)) if n >= minClusterSize => Some(c)
+        case Some(_) => None // under-populated: drop, do not carry
+        case None if minClusterSize <= 0L => Some(seeds(i))
+        case None => None // empty seed: nothing real to keep
+      }
+    }
+    require(kept.nonEmpty,
+      s"all $k learned clusters fell below minClusterSize=$minClusterSize")
+    kept.toArray
   }
 }

@@ -164,6 +164,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("native 60-bit span hashes == HOF strict-span combined60 on real " +
+      "documents and edge strings") {
+    val df = Tables.documents(spark, Sf0001)
+      .select($"text").union(Seq("", "one", "a b c", "x  y\tz\n w q r s t u")
+        .toDF("text"))
+    val hofSpans = graft.functions.ColumnOps.bind(TextOps.tokens($"text")) {
+      toks =>
+        when(size(toks) >= 4,
+          transform(sequence(lit(0), size(toks) - 4),
+            i => concat_ws("", slice(toks, i + lit(1), lit(4)))))
+          .otherwise(array().cast("array<string>"))
+    }
+    val diff = df.select(
+      graft.expressions.TextSpanHashes60($"text", 4).as("native"),
+      transform(hofSpans, s => TextOps.combined60Hof(s)).as("hof"))
+      .filter(!($"native" <=> $"hof")).count()
+    assert(diff == 0L)
+  }
+
   test("native simhash == HOF simhash on real documents and edge strings") {
     val df = Tables.documents(spark, Sf0001)
       .select($"text").union(Seq("", "one", "der die und das ist").toDF("text"))
