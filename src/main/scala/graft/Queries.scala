@@ -4834,9 +4834,14 @@ object Queries {
     * Hot spans are COUNTED, never paired — no quadratic candidate
     * path (the containment lesson baked in from the start).
     */
-  val qDRepeatedSpans = q(
-    "q_d_repeated_spans",
-    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+  /** Shared CTE chain `t → … → s` for the repeated-span family
+    * (q_d_repeated_spans, q_t_mask_spans): strict 8-token spans,
+    * 60-bit double-fold hashes, corpus-wide occurrence count,
+    * gaps-and-islands numbering. One string so the two oracles
+    * cannot drift.
+    */
+  private val duckRepeatedSpanCtes =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 8
        |        THEN list_transform(range(len(toks) - 7),
        |               i -> array_to_string(list_slice(toks, i + 1, i + 8), ''))
@@ -4859,7 +4864,11 @@ object Queries {
        |s AS (SELECT doc_id, pos, e_, occ,
        |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-       |      FROM n)
+       |      FROM n)""".stripMargin
+
+  val qDRepeatedSpans = q(
+    "q_d_repeated_spans",
+    s"""WITH $duckRepeatedSpanCtes
        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        |  CAST(MAX(e_) AS BIGINT) AS span_end,
        |  CAST(MAX(e_) - MIN(pos) AS BIGINT) AS span_tokens,
@@ -4917,6 +4926,82 @@ object Queries {
       .orderBy("user_id", "vf_sec", "event_id")
   }
 
+  /** Masking pass over the repeated spans (Dedup.maskRepeatedSpans —
+    * what exact-substring dedup actually DOES to the corpus): cut
+    * every repeated-span island out of each doc, emit the surviving
+    * token count and the fingerprint of the masked text (narrow row;
+    * the text never shuffles — interval metadata joins to the docs
+    * and a (token, index) HOF filter does the cutting map-side).
+    * The oracle anti-joins token positions against the same islands
+    * and re-folds the joined survivors.
+    */
+  val qTMaskSpans = q(
+    "q_t_mask_spans",
+    s"""WITH $duckRepeatedSpanCtes,
+       |isl AS (SELECT doc_id, MIN(pos) AS s_, MAX(e_) AS e2
+       |        FROM s GROUP BY doc_id, isl),
+       |tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+       |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |          toks[CAST(i AS INT) + 1] AS tok FROM tp),
+       |keep AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM isl
+       |           WHERE isl.doc_id = tk.doc_id
+       |             AND tk.pos >= isl.s_ AND tk.pos < isl.e2)),
+       |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS masked
+       |       FROM keep GROUP BY doc_id),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+       |SELECT b.doc_id, b.n_tokens,
+       |  b.n_tokens - COALESCE(a.n_kept, 0) AS n_masked,
+       |  ${duckFold(31, 1000000007L, "COALESCE(a.masked, '')")} AS masked_fp
+       |FROM base b LEFT JOIN ag a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.maskRepeatedSpans(Tables.documents(s, d),
+        "doc_id", "text", spanLen = 8, minCount = 2)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+        col("masked_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** HLL set-overlap (Sketch.hllOverlap): estimated customer-set
+    * overlap between two order years — |A|, |B| from each side's 256
+    * registers, |A ∪ B| from the element-wise max merge (sketch
+    * mergeability — the property that makes cross-corpus overlap a
+    * metadata join at 100 TB: each side reduces map-side to 256
+    * rows), |A ∩ B| by inclusion–exclusion on the floored estimates.
+    * True values at sf0.01: 1174/1168/1429/913, estimates
+    * 1112/1076/1264/924 — every face inside 2σ of HLL's m=256 error
+    * (σ ≈ 6.5%), the intersection within 1.3%. The oracle replays
+    * each side through the same generated register SQL as q_a5.
+    */
+  val qA19SetOverlap = q(
+    "q_a19_set_overlap", {
+      def sideTbl(pred: String) =
+        s"""(SELECT 0 AS side, o_custkey AS k FROM orders
+           | WHERE $pred) s0""".stripMargin
+      val y95 = "o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'"
+      val y96 = "o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"
+      val a = graft.operators.Sketch.hllOracleSql(sideTbl(y95), "side", "k")
+      val b = graft.operators.Sketch.hllOracleSql(sideTbl(y96), "side", "k")
+      val u = graft.operators.Sketch.hllOracleSql(
+        sideTbl(s"($y95) OR ($y96)"), "side", "k")
+      s"""SELECT a.hll_est AS est_a, b.hll_est AS est_b,
+         |  u.hll_est AS est_union,
+         |  greatest(a.hll_est + b.hll_est - u.hll_est, 0) AS est_inter
+         |FROM ($a) a, ($b) b, ($u) u""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.Sketch
+    val orders = Tables.orders(s, d)
+    def side(pred: org.apache.spark.sql.Column) = orders.filter(pred)
+      .select(col("o_custkey").as("k"))
+    Sketch.hllOverlap(
+      side(col("o_orderdate") >= "1995-01-01"
+        && col("o_orderdate") < "1996-01-01"),
+      side(col("o_orderdate") >= "1996-01-01"
+        && col("o_orderdate") < "1997-01-01"),
+      "k")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -4954,5 +5039,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
+    qTMaskSpans, qA19SetOverlap,
   )
 }

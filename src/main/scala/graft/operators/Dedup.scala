@@ -651,4 +651,42 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"),
         col("n_spans"), col("max_occ"))
   }
+
+  /** Cut the [[repeatedSpans]] intervals out of each document — the
+    * masking pass exact-substring dedup actually applies to the
+    * corpus. Output: (id, n_tokens, n_masked, masked_fp) where
+    * `masked_fp` is the polynomial fingerprint of the surviving
+    * tokens joined by single spaces (narrow row — the text never
+    * leaves the executor; original whitespace normalizes to one
+    * space by construction). Documents with no repeats pass through
+    * with n_masked = 0.
+    *
+    * Scale shape: the only shuffled data is the interval METADATA
+    * (one (start,end) pair per island, collected per doc — bounded
+    * by doc token count, in practice a handful); the text itself is
+    * touched map-side only, and the token filter is a codegen-free
+    * HOF over (token, index) against the broadcast-joined interval
+    * list. No token explode, no text shuffle.
+    */
+  def maskRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+    val cuts = repeatedSpans(docs, idCol, textCol, spanLen, minCount)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("cuts"))
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(cuts, Seq("id"), "left")
+      .select(col("id"), TextOps.tokens(col("text")).as("toks"),
+        coalesce(col("cuts"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("cuts"))
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (t, i) =>
+          !exists(col("cuts"),
+            c => i.cast("long") >= c("s") && i.cast("long") < c("e")))
+          .as("kept"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_masked"),
+        graft.expressions.TextFingerprint(concat_ws(" ", col("kept")))
+          .as("masked_fp"))
+  }
 }

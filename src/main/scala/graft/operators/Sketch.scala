@@ -64,15 +64,45 @@ object Sketch {
     * the final estimate is a fixed sequence of correctly-rounded IEEE
     * ops on exact inputs.
     */
-  def hllEstimate(df: DataFrame, groupCols: Seq[String], key: String): DataFrame = {
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], key: String): DataFrame =
+    hllFinish(hllRegisters(df, groupCols, key), groupCols)
+
+  /** The register table (groupCols ++ (bucket, mj)) — the mergeable
+    * state: registers of A ∪ B are the element-wise MAX of A's and
+    * B's registers, which is also just the registers of the
+    * concatenated rows. Split out so [[hllOverlap]] and shard-merge
+    * paths build state once per side.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: String): DataFrame = {
     val m = 256
     val h = hash60(col(key))
-    val reg = df
-      .select(groupCols.map(col) :+ h.bitwiseAND(m - 1).as("bucket")
+    df.select(groupCols.map(col) :+ h.bitwiseAND(m - 1).as("bucket")
         :+ hllRank(shiftright(h, 8)).as("rnk"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rnk").as("mj"))
-    hllFinish(reg, groupCols)
+  }
+
+  /** Set-overlap estimate between two keyed row sets via sketch
+    * mergeability: |A| and |B| from each side's registers, |A ∪ B|
+    * from the element-wise max merge (one full-outer join over ≤256
+    * buckets), |A ∩ B| by inclusion–exclusion on the FLOORED integer
+    * estimates (clamped at 0 — IE can go negative at sketch error).
+    * One scan per side; merge and finish are O(m) metadata — at
+    * 100 TB each side's registers reduce map-side and 256 rows cross
+    * the wire. Output (1 row): est_a, est_b, est_union, est_inter.
+    */
+  def hllOverlap(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val ra = hllRegisters(a, Nil, key)
+    val rb = hllRegisters(b, Nil, key)
+    val ru = ra.select(col("bucket"), col("mj"))
+      .unionByName(rb.select(col("bucket"), col("mj")))
+      .groupBy("bucket").agg(max("mj").as("mj"))
+    val ea = hllFinish(ra, Nil).select(col("hll_est").as("est_a"))
+    val eb = hllFinish(rb, Nil).select(col("hll_est").as("est_b"))
+    val eu = hllFinish(ru, Nil).select(col("hll_est").as("est_union"))
+    ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
   }
 
   /** Estimate from a register table (groupCols ++ (bucket, mj)) —

@@ -368,4 +368,24 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.repeatedSpans(docs, "doc_id", "text").count() == 0L)
   }
+
+  test("maskRepeatedSpans cuts exactly the islands; untouched docs " +
+      "keep their fingerprint") {
+    val docs = Seq(
+      (0L, "u0 u1 u2 u3 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 u4 u5"),
+      (1L, "w0 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 w1 w2"),
+      (2L, "a b c"),
+      (3L, "r0 r1 r2 r3 r4 r5 r6 r7 z0 r0 r1 r2 r3 r4 r5 r6 r7"))
+      .toDF("doc_id", "text")
+    val got = Dedup.maskRepeatedSpans(docs, "doc_id", "text",
+        spanLen = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    def fp(s: String): Long = docs.sparkSession.range(1)
+      .select(graft.expressions.TextFingerprint(lit(s))).first().getLong(0)
+    assert(got(0L) == ((16L, 10L, fp("u0 u1 u2 u3 u4 u5"))))
+    assert(got(1L) == ((13L, 10L, fp("w0 w1 w2"))))
+    assert(got(2L) == ((3L, 0L, fp("a b c")))) // untouched
+    assert(got(3L) == ((17L, 16L, fp("z0")))) // both islands cut
+  }
 }

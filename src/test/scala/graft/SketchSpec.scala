@@ -35,6 +35,42 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hllOverlap: union estimate equals the estimate over the " +
+      "concatenated rows (register merge is exact), and " +
+      "inclusion-exclusion lands near the true intersection") {
+    val a = spark.range(0, 1000).select(col("id").as("k"))
+    val b = spark.range(500, 1500).select(col("id").as("k"))
+    val got = Sketch.hllOverlap(a, b, "k").collect().head
+    val (ea, eb, eu, ei) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    // merged registers ARE the registers of the union rows
+    val direct = Sketch.hllEstimate(a.unionByName(b), Nil, "k")
+      .collect().head.getLong(0)
+    assert(eu == direct)
+    // each face within 2.5 sigma of m=256 (sigma ~ 6.5%): the fixed
+    // hash is deterministic, and on THIS input the union face draws
+    // 2.25 sigma (est 1281 / true 1500) — real error, not flake
+    assert(math.abs(ea - 1000.0) / 1000.0 < 0.17, s"est_a=$ea")
+    assert(math.abs(eb - 1000.0) / 1000.0 < 0.17, s"est_b=$eb")
+    assert(math.abs(eu - 1500.0) / 1500.0 < 0.17, s"est_union=$eu")
+    // IE error is ABSOLUTE in the face sizes, not relative to the
+    // (smaller) intersection: sigma_IE ~ 6.5% * sqrt(|A|^2+|B|^2+|U|^2)
+    // ~ 134 here; allow 2 sigma (this input draws +102)
+    assert(math.abs(ei - 500.0) < 270.0, s"est_inter=$ei")
+  }
+
+  test("hllOverlap: disjoint sets clamp the intersection at >= 0 and " +
+      "identical sets report full overlap") {
+    val a = spark.range(0, 800).select(col("id").as("k"))
+    val b = spark.range(10000, 10800).select(col("id").as("k"))
+    val dis = Sketch.hllOverlap(a, b, "k").collect().head
+    assert(dis.getLong(3) <= (dis.getLong(0) + dis.getLong(1)) / 10,
+      s"disjoint est_inter=${dis.getLong(3)}")
+    val same = Sketch.hllOverlap(a, a, "k").collect().head
+    assert(same.getLong(2) == same.getLong(0)) // union regs == A regs
+    assert(same.getLong(3) == same.getLong(0)) // IE: a + a - a
+  }
+
   test("cms: one-sided error — estimate >= exact for every key") {
     val li = Tables.lineitem(spark, Sf0001)
     val sk = Sketch.cmsSketch(li, "l_partkey")
