@@ -5002,6 +5002,52 @@ object Queries {
       "k")
   }
 
+  /** Point-in-time dimension lookup: every post-cut event fetches the
+    * SCD2 version that was current when it arrived — Scd2.fromChangeLog
+    * composed with the AsOfJoin operator (latest `valid_from <= ts`
+    * per key IS the SCD2 interval probe, no interval predicate and no
+    * range explosion: one shuffle by key + per-key sort). The oracle
+    * builds the same dimension in SQL and probes it with DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  val qXScd2Lookup = q(
+    "q_x_scd2_lookup",
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |             event_type FROM events),
+       |old AS (SELECT * FROM e
+       |        WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+       |c AS (SELECT user_id, ts, event_id, event_type,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS pv
+       |      FROM old),
+       |v AS (SELECT user_id, ts AS vf, event_id AS ver_eid,
+       |        event_type AS state
+       |      FROM c WHERE pv IS NULL OR pv <> event_type),
+       |p AS (SELECT user_id, ts, event_id FROM e
+       |      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+       |SELECT p.user_id, p.event_id,
+       |  epoch_ms(p.ts) // 1000 AS ts_sec, v.state, v.ver_eid
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.ts >= v.vf
+       |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    import graft.operators.{AsOfJoin, Scd2}
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dim = Scd2.fromChangeLog(ev.filter(col("ts") < cut),
+        "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("valid_from"),
+        col("event_id").as("ver_eid"), col("event_type").as("state"))
+    val probes = ev.filter(col("ts") >= cut)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.asOf(probes, dim, Seq("user_id"), "ts", "valid_from",
+        Seq("state", "ver_eid"))
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("state"),
+        col("ver_eid"))
+      .orderBy("user_id", "event_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -5039,6 +5085,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap,
+    qTMaskSpans, qA19SetOverlap, qXScd2Lookup,
   )
 }
