@@ -5043,9 +5043,51 @@ object Queries {
     AsOfJoin.asOf(probes, dim, Seq("user_id"), "ts", "valid_from",
         Seq("state", "ver_eid"))
       .select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("ts_sec"), col("state"),
-        col("ver_eid"))
+        unix_timestamp(col("ts")).as("ts_sec"),
+        col("matched_state").as("state"),
+        col("matched_ver_eid").as("ver_eid"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** The BPE trainer loop (TextOps.bpeTrain), three merges unrolled —
+    * the tokenizer-training counterpart of q_e_kmeans_lloyd's
+    * unrolled Lloyd's: each round counts weighted adjacent symbol
+    * pairs over the VOCAB (never the corpus), argmaxes with a fully
+    * ordered tie-break, and applies the merge as a plain string
+    * replace over U+001F-joined symbols — left-to-right non-overlap
+    * replace IS greedy BPE in both engines, so three chained rounds
+    * replay bit-for-bit. Output: the learned merge table.
+    */
+  val qTBpeTrain = q(
+    "q_t_bpe_train", {
+      def roundCtes(r: Int): String = {
+        val vp = s"v${r - 1}"
+        s"""s$r AS (SELECT w, string_split(w, chr(31)) AS s, wc FROM $vp),
+           |e$r AS (SELECT s, wc, unnest(range(len(s) - 1)) AS i
+           |        FROM s$r WHERE len(s) >= 2),
+           |c$r AS (SELECT s[CAST(i AS INT) + 1] AS a,
+           |          s[CAST(i AS INT) + 2] AS b,
+           |          CAST(SUM(wc) AS BIGINT) AS cnt
+           |        FROM e$r GROUP BY a, b),
+           |b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$r AS (SELECT replace(w, a || chr(31) || b, a || b) AS w, wc
+           |        FROM $vp CROSS JOIN b$r)""".stripMargin
+      }
+      s"""WITH tok AS (SELECT unnest($duckToks) AS w0 FROM documents),
+         |wcs AS (SELECT w0, COUNT(*) AS wc FROM tok GROUP BY w0),
+         |v0 AS (SELECT array_to_string(list_filter(string_split(w0, ''),
+         |         c -> len(c) > 0), chr(31)) AS w, wc FROM wcs),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |${roundCtes(3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, a, b, cnt FROM b1
+         |  UNION ALL SELECT 2 AS round, a, b, cnt FROM b2
+         |  UNION ALL SELECT 3 AS round, a, b, cnt FROM b3)
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+    graft.operators.TextOps.bpeTrain(Tables.documents(s, d), "text", 3)
+      .orderBy("round")
   }
 
   val specs: Seq[QSpec] = Seq(
@@ -5085,6 +5127,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap, qXScd2Lookup,
+    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain,
   )
 }

@@ -312,4 +312,70 @@ object TextOps {
             col("w").substr(i + 2, lit(1))))).as("pair"))
       .groupBy("pair").agg(sum("wc").as("cnt"))
   }
+
+  /** Symbol separator for the BPE training loop: words are carried as
+    * their symbol sequence joined by this char (U+001F, unit
+    * separator — contract: corpus text must not contain it), which
+    * makes applying a merge exactly `replace(w, a+SEP+b, a+b)` —
+    * string replace is left-to-right non-overlapping in Spark AND
+    * DuckDB, i.e. PRECISELY greedy BPE merge semantics ("aaa" with
+    * merge (a,a) → [aa, a]). No custom fold, no island logic.
+    */
+  val BpeSep = "\u001F"
+
+  /** The BPE trainer inner loop (Sennrich et al. ACL'16), `rounds`
+    * merges: count weighted adjacent symbol pairs over the VOCAB
+    * (corpus → word counts once — the vocab-first factoring real
+    * trainers use), pick the most frequent pair (ties by symbol
+    * pair, fully ordered — deterministic), apply it everywhere,
+    * repeat. Returns the learned merge table (round, a, b, cnt) —
+    * the artifact a tokenizer trainer ships.
+    *
+    * Per-round driver action: ONE collected row (the argmax pair) —
+    * the same bounded-collect exception as the k-means center
+    * model. Scale shape: pair counting reduces the vocabulary table
+    * (sub-linear in corpus, Heaps' law), never the corpus; the merge
+    * apply is a map-side string replace over the vocab.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // localCheckpoint per round: each vocab is read twice (pair argmax
+    // + merge apply) and feeds the next round — without materializing,
+    // round r would replay every earlier round's corpus scan
+    var vocab = df.select(explode(tokens(col(textCol))).as("w0"))
+      .groupBy("w0").agg(count(lit(1)).as("wc"))
+      .select(concat_ws(BpeSep,
+        filter(split(col("w0"), ""), c => length(c) > 0)).as("w"),
+        col("wc"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val s = split(col("w"), BpeSep)
+      val best = vocab
+        .filter(size(s) >= 2)
+        .select(col("wc"), explode(transform(sequence(lit(0), size(s) - 2),
+          i => struct(element_at(s, i + 1).as("a"),
+            element_at(s, i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, a, b, c))
+        vocab = vocab.select(
+          call_function("replace", col("w"), lit(a + BpeSep + b),
+            lit(a + b)).as("w"),
+          col("wc"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("round", "a", "b", "cnt")
+  }
 }

@@ -48,6 +48,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Map("aa" -> 4L, "ab" -> 3L))
   }
 
+  test("bpeTrain learns the textbook merge sequence on Sennrich's " +
+      "corpus (deterministic argmax, greedy left-to-right apply)") {
+    // low x5, lower x2, newest x6, widest x3: round-1 pair counts put
+    // (e,s) and (s,t) tied at 9 -> tie-break picks (e,s); round 2
+    // merges (es,t) at 9; round 3 has (l,o) and (o,w) tied at 7 ->
+    // (l,o). Hand-derivable end to end.
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val got = TextOps.bpeTrain(corpus, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    assert(got == List((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L)))
+    // greedy overlap: "aaaa" merges (a,a) at positions 0 and 2 only,
+    // so round 2 sees [aa, aa] and learns (aa, aa)
+    val rep = Seq("aaaa aaaa aaaa").toDF("text")
+    val reps = TextOps.bpeTrain(rep, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    assert(reps == List((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
   test("canonicalizeUrl: per-rule edge cases — wrong-scheme ports " +
       "kept, root slash kept, param sort, tracking-only query " +
       "vanishes, path case preserved") {
