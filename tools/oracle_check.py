@@ -50,6 +50,17 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_bad = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # A registered oracle whose dump is ABSENT means graft.Verify
+    # errored on that query ("[verify] <name> failed: ..." on stderr)
+    # — silently skipping it once hid a broken query behind "ALL OK".
+    # Only flag on FULL runs: a SPARK_GRAFT_ONLY-filtered Verify
+    # legitimately dumps a subset (detected here as >20% absent).
+    absent = sorted(set(oracles) - set(names))
+    if absent and len(absent) <= max(1, len(oracles) // 5):
+        for name in absent:
+            print(f"FAIL {name}: registered oracle but NO dump "
+                  f"(graft.Verify errored — check its stderr)")
+            n_bad += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
