@@ -5090,6 +5090,48 @@ object Queries {
       .orderBy("round")
   }
 
+  /** Interpolated bigram-LM scoring (TfIdf.bigramLogProb) — the
+    * CCNet-perplexity stand-in one order up from q_t_unigram_logprob:
+    * ln(0.75·p_bi + 0.25·p_uni) per within-doc bigram, add-1
+    * smoothed, quantized once per DISTINCT bigram to micros (the
+    * house convention) so per-doc sums replay exactly. Interpolation
+    * parenthesization is spelled identically both sides — each side
+    * rounds once in the division, once in the λ-multiply, once in
+    * the add, all correctly-rounded IEEE on identical inputs.
+    */
+  val qTBigramLp = q(
+    "q_t_bigram_logprob",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |e AS (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM t
+       |      WHERE len(toks) >= 2),
+       |b AS (SELECT doc_id, toks[CAST(i AS INT) + 1] AS prev,
+       |        toks[CAST(i AS INT) + 2] AS term FROM e),
+       |tf AS (SELECT doc_id, prev, term, COUNT(*) AS tf FROM b
+       |       GROUP BY doc_id, prev, term),
+       |tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |bg AS (SELECT prev, term, SUM(tf) AS cb FROM tf GROUP BY prev, term),
+       |ctx AS (SELECT prev, SUM(cb) AS cc FROM bg GROUP BY prev),
+       |uni AS (SELECT term, COUNT(*) AS cu FROM tk GROUP BY term),
+       |tot AS (SELECT SUM(cu) AS tt, COUNT(*) AS v FROM uni),
+       |r AS (SELECT prev, term,
+       |        CAST(FLOOR(ln(0.75 * ((cb + 1.0) / (cc + v))
+       |               + 0.25 * ((cu + 1.0) / (tt + v))) * 1000000.0)
+       |          AS BIGINT) AS lp_micros
+       |      FROM bg JOIN ctx USING (prev) JOIN uni USING (term)
+       |      CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(SUM(tf * lp_micros) AS BIGINT) AS lpm,
+       |         CAST(SUM(tf) AS BIGINT) AS n_scored
+       |       FROM tf JOIN r USING (prev, term) GROUP BY doc_id)
+       |SELECT doc_id, n_scored,
+       |  ROUND(CAST(lpm AS DOUBLE) / 1000000.0 / n_scored, 6) AS avg_logprob
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TfIdf.bigramLogProb(Tables.documents(s, d),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_scored"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -5127,6 +5169,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain,
+    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp,
   )
 }

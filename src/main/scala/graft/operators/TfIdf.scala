@@ -158,4 +158,57 @@ object TfIdf {
         ((col("lp_micros").cast("double") / lit(1000000.0))
           / col("n_tokens")).as("avg_logprob"))
   }
+
+  /** Interpolated bigram-LM quality scoring — the closer stand-in for
+    * CCNet-style perplexity filtering than [[unigramLogProb]]: each
+    * within-document bigram (prev, cur) scores
+    * `ln(λ·p_bi + (1−λ)·p_uni)` with add-1 smoothing
+    * (p_bi = (c(prev,cur)+1)/(c_ctx(prev)+V),
+    * p_uni = (c(cur)+1)/(T+V)), quantized ONCE per distinct bigram to
+    * fixed-point micros, so per-doc sums are exact integers —
+    * partitioning-invariant and SQL-replayable. A document's first
+    * token has no context and is not scored (docs under 2 tokens drop
+    * out); output (id, n_scored, avg_logprob).
+    *
+    * One tokenize pass per chain: every count table reduces the
+    * per-doc bigram tf table (bg by ReusedExchange, ctx from bg) or
+    * the unigram table (T and V from its sums) — the corpus is never
+    * re-scanned for totals. The scored-bigram table is
+    * distinct-bigram-sized (sub-linear, Heaps' law) and joins back by
+    * (prev, cur).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    // posexplode + per-doc lag window: measured FASTER at 10× data
+    // (sf1 5.7 s) than the window-free array<struct> bigram transform
+    // (7.6-8.0 s) — the struct array materializes every token twice
+    // map-side, and the saved Exchange(id) is cheaper than that
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val tf = tok
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("id", "prev", "term").agg(count(lit(1)).as("tf"))
+    val bg = tf.groupBy("prev", "term").agg(sum("tf").as("cb"))
+    val ctx = bg.groupBy("prev").agg(sum("cb").as("cc"))
+    val uni = tok.groupBy("term").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("tt"), count(lit(1)).as("v"))
+    val scored = bg.join(ctx, Seq("prev")).join(uni, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_micros", floor(log(
+        lit(lambda) * ((col("cb") + lit(1.0)) / (col("cc") + col("v")))
+          + lit(1.0 - lambda)
+            * ((col("cu") + lit(1.0)) / (col("tt") + col("v"))))
+        * lit(1000000.0)).cast("long"))
+      .select("prev", "term", "lp_micros")
+    tf.join(scored, Seq("prev", "term"))
+      .groupBy("id")
+      .agg(sum(col("tf") * col("lp_micros")).as("lpm"),
+        sum(col("tf")).as("n_scored"))
+      .select(col("id"), col("n_scored"),
+        ((col("lpm").cast("double") / lit(1000000.0)) / col("n_scored"))
+          .as("avg_logprob"))
+  }
 }

@@ -10,6 +10,44 @@ import graft.operators.{Decontaminate, Sampling, SnapshotDiff, Stats}
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bigramLogProb separates coherent from shuffled text with " +
+      "IDENTICAL unigram distributions; integer sums are " +
+      "partitioning-invariant") {
+    import graft.operators.TfIdf
+    // both docs use each of (a b c d) exactly 8 times — the unigram
+    // LM scores them identically BY CONSTRUCTION; only bigram
+    // structure differs (0 repeats the phrase, 1 is a fixed shuffle)
+    val coherent = Seq.fill(8)("a b c d").mkString(" ")
+    val shuffled = ("d b a c " + "c a d b " + "b d c a " + "a c b d " +
+      "d a b c " + "c b d a " + "b a d c " + "d c a b").trim
+    val docs = Seq((0L, coherent), (1L, shuffled)).toDF("doc_id", "text")
+    val uni = TfIdf.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(0L) == uni(1L), "unigram must NOT separate these")
+    val bi = TfIdf.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(0L) > bi(1L),
+      s"bigram must rank coherent above shuffled: $bi")
+    // partitioning invariance of the exact-integer path
+    val a = TfIdf.bigramLogProb(docs, "doc_id", "text")
+      .select("id", "n_scored", "avg_logprob").collect().toSet
+    val b = TfIdf.bigramLogProb(docs.repartition(7), "doc_id", "text")
+      .select("id", "n_scored", "avg_logprob").collect().toSet
+    assert(a == b)
+  }
+
+  test("bigramLogProb: first tokens unscored, 1-token docs drop, " +
+      "counts exact on a hand-checked corpus") {
+    import graft.operators.TfIdf
+    val docs = Seq((0L, "x y x y"), (1L, "x"), (2L, "y x"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: bigrams (x,y)(y,x)(x,y) -> 3 scored; doc 1 drops;
+    // doc 2: (y,x) -> 1
+    assert(got == Map(0L -> 3L, 2L -> 1L))
+  }
+
   test("SnapshotDiff: added/removed/changed classified; unchanged and " +
       "null==null dropped; null vs value is changed") {
     val old = Seq(
