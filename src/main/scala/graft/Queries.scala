@@ -5132,6 +5132,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Synchronous label propagation (operators/LabelPropagation), 5
+    * exact rounds over a part–supplier co-occurrence graph sparsified
+    * by banding (src = partkey bucket, dst = supplier offset by a
+    * 500-stride so the id spaces interleave into bands rather than
+    * one blob) — community detection beside CC's connectivity and
+    * PageRank's authority. Integer votes + fully-ordered argmax make
+    * every round a pure function of the edge set; the oracle replays
+    * all 5 rounds as unrolled CTEs.
+    */
+  val qGLabelProp = {
+    val edgesSql =
+      """SELECT DISTINCT l_partkey % 400 AS src,
+        |  500 + (l_partkey % 400) // 40 * 40 + l_suppkey % 40 AS dst
+        |FROM lineitem""".stripMargin
+    q(
+      "q_g_labelprop",
+      s"""${graft.operators.LabelPropagation.oracleSql(edgesSql, iters = 5)}
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 400).as("src"),
+          (lit(500) + floor((col("l_partkey") % 400) / 40) * 40
+            + col("l_suppkey") % 40).as("dst"))
+      graft.operators.LabelPropagation
+        .communities(edges, "src", "dst", iters = 5)
+        .orderBy("node")
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -5169,6 +5197,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp,
+    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp,
   )
 }
