@@ -4760,27 +4760,36 @@ object Queries {
     * O(256) and broadcasts. Scale shape: one (id, bucket) shuffle,
     * everything else map-side or constant-sized.
     */
-  val qTDsirWeights = q(
-    "q_t_dsir_weights",
-    s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
-       |b AS (SELECT doc_id, ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t),
-       |t2 AS (SELECT unnest($duckToks) AS term FROM documents WHERE lang = 'en'),
-       |tb AS (SELECT ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t2),
-       |cr AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
-       |ct AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
-       |tr AS (SELECT COUNT(*) AS tr FROM b),
-       |tts AS (SELECT COUNT(*) AS tt FROM tb),
-       |r AS (SELECT bucket,
+  /** Shared DSIR oracle chain (d-prefixed CTE names so it composes
+    * beside the span chain without collisions) ending in
+    * `dsc(doc_id, lr_sum_micros, n_tokens)`. One string shared by
+    * q_t_dsir_weights / q_o21_dsir_sample / q_pipe_dsir_mask so the
+    * three oracles cannot drift.
+    */
+  private val duckDsirCtes =
+    s"""dt AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |db AS (SELECT doc_id, ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM dt),
+       |dt2 AS (SELECT unnest($duckToks) AS term FROM documents WHERE lang = 'en'),
+       |dtb AS (SELECT ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM dt2),
+       |dcr AS (SELECT bucket, COUNT(*) AS cr FROM db GROUP BY bucket),
+       |dct AS (SELECT bucket, COUNT(*) AS ct FROM dtb GROUP BY bucket),
+       |dtr AS (SELECT COUNT(*) AS tr FROM db),
+       |dtts AS (SELECT COUNT(*) AS tt FROM dtb),
+       |dr AS (SELECT bucket,
        |        CAST(FLOOR(ln((COALESCE(ct, 0) + 1.0) / (tt + 256.0)) * 1000000.0) AS BIGINT)
        |      - CAST(FLOOR(ln((cr + 1.0) / (tr + 256.0)) * 1000000.0) AS BIGINT) AS lr_micros
-       |      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tts),
-       |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket),
-       |sc AS (SELECT doc_id, CAST(SUM(tf * lr_micros) AS BIGINT) AS lr_sum_micros,
+       |      FROM dcr LEFT JOIN dct USING (bucket) CROSS JOIN dtr CROSS JOIN dtts),
+       |dtf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM db GROUP BY doc_id, bucket),
+       |dsc AS (SELECT doc_id, CAST(SUM(tf * lr_micros) AS BIGINT) AS lr_sum_micros,
        |         CAST(SUM(tf) AS BIGINT) AS n_tokens
-       |       FROM tf JOIN r USING (bucket) GROUP BY doc_id)
+       |       FROM dtf JOIN dr USING (bucket) GROUP BY doc_id)""".stripMargin
+
+  val qTDsirWeights = q(
+    "q_t_dsir_weights",
+    s"""WITH $duckDsirCtes
        |SELECT doc_id, n_tokens, lr_sum_micros,
        |  ROUND(CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_log_ratio
-       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM dsc ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     graft.operators.Dsir.importanceWeights(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text")
@@ -4799,25 +4808,10 @@ object Queries {
     */
   val qO21DsirSample = q(
     "q_o21_dsir_sample",
-    s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
-       |b AS (SELECT doc_id, ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t),
-       |t2 AS (SELECT unnest($duckToks) AS term FROM documents WHERE lang = 'en'),
-       |tb AS (SELECT ${duckFold(31, 1000000007L, "term")} % 256 AS bucket FROM t2),
-       |cr AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
-       |ct AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
-       |tr AS (SELECT COUNT(*) AS tr FROM b),
-       |tts AS (SELECT COUNT(*) AS tt FROM tb),
-       |r AS (SELECT bucket,
-       |        CAST(FLOOR(ln((COALESCE(ct, 0) + 1.0) / (tt + 256.0)) * 1000000.0) AS BIGINT)
-       |      - CAST(FLOOR(ln((cr + 1.0) / (tr + 256.0)) * 1000000.0) AS BIGINT) AS lr_micros
-       |      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tts),
-       |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY doc_id, bucket),
-       |sc AS (SELECT doc_id, CAST(SUM(tf * lr_micros) AS BIGINT) AS lr_sum_micros,
-       |         CAST(SUM(tf) AS BIGINT) AS n_tokens
-       |       FROM tf JOIN r USING (bucket) GROUP BY doc_id)
+    s"""WITH $duckDsirCtes
        |SELECT doc_id, n_tokens,
        |  ROUND(CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens, 6) AS avg_log_ratio
-       |FROM sc
+       |FROM dsc
        |ORDER BY CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens DESC, doc_id
        |LIMIT 100""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -4840,8 +4834,8 @@ object Queries {
     * gaps-and-islands numbering. One string so the two oracles
     * cannot drift.
     */
-  private val duckRepeatedSpanCtes =
-    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+  private def duckRepeatedSpanCtesFrom(src: String) =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM $src),
        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 8
        |        THEN list_transform(range(len(toks) - 7),
        |               i -> array_to_string(list_slice(toks, i + 1, i + 8), ''))
@@ -4868,7 +4862,7 @@ object Queries {
 
   val qDRepeatedSpans = q(
     "q_d_repeated_spans",
-    s"""WITH $duckRepeatedSpanCtes
+    s"""WITH ${duckRepeatedSpanCtesFrom("documents")}
        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        |  CAST(MAX(e_) AS BIGINT) AS span_end,
        |  CAST(MAX(e_) - MIN(pos) AS BIGINT) AS span_tokens,
@@ -4937,7 +4931,7 @@ object Queries {
     */
   val qTMaskSpans = q(
     "q_t_mask_spans",
-    s"""WITH $duckRepeatedSpanCtes,
+    s"""WITH ${duckRepeatedSpanCtesFrom("documents")},
        |isl AS (SELECT doc_id, MIN(pos) AS s_, MAX(e_) AS e2
        |        FROM s GROUP BY doc_id, isl),
        |tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
@@ -5160,6 +5154,63 @@ object Queries {
     }
   }
 
+  /** Selection → masking composition: DSIR top-100 picks the
+    * target-like corpus slice, then repeated-span masking runs ON THE
+    * SURVIVOR SUBSET — span occurrence counts are computed within the
+    * selected corpus (the honest pipeline order: a span repeated only
+    * via non-selected docs un-marks, so in general this is NOT a
+    * filter of q_t_mask_spans — at sf0.01 the selected slice's
+    * repeats happen to be internal, so the per-doc numbers coincide
+    * and the gate checks the composition plumbing). Both stages ride
+    * their shared oracle CTE chains; output carries the selection
+    * score beside the mask accounting.
+    */
+  val qPipeDsirMask = q(
+    "q_pipe_dsir_mask",
+    s"""WITH $duckDsirCtes,
+       |sel AS (SELECT doc_id,
+       |          ROUND(CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens,
+       |                6) AS avg_log_ratio
+       |        FROM dsc
+       |        ORDER BY CAST(lr_sum_micros AS DOUBLE) / 1000000.0 / n_tokens
+       |          DESC, doc_id
+       |        LIMIT 100),
+       |surv AS (SELECT d.doc_id, d.text FROM documents d
+       |         JOIN sel USING (doc_id)),
+       |${duckRepeatedSpanCtesFrom("surv")},
+       |isl AS (SELECT doc_id, MIN(pos) AS s_, MAX(e_) AS e2
+       |        FROM s GROUP BY doc_id, isl),
+       |tp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+       |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |          toks[CAST(i AS INT) + 1] AS tok FROM tp),
+       |keep AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM isl
+       |           WHERE isl.doc_id = tk.doc_id
+       |             AND tk.pos >= isl.s_ AND tk.pos < isl.e2)),
+       |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS masked
+       |       FROM keep GROUP BY doc_id),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+       |SELECT b.doc_id, b.n_tokens,
+       |  b.n_tokens - COALESCE(a.n_kept, 0) AS n_masked,
+       |  ${duckFold(31, 1000000007L, "COALESCE(a.masked, '')")} AS masked_fp,
+       |  sel.avg_log_ratio
+       |FROM base b LEFT JOIN ag a USING (doc_id) JOIN sel USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sel = graft.operators.Dsir.selectTopK(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", 100)
+      .select(col("id").as("doc_id"),
+        round(col("avg_log_ratio"), 6).as("avg_log_ratio"))
+    val surv = docs.join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
+    graft.operators.Dedup.maskRepeatedSpans(surv, "doc_id", "text",
+        spanLen = 8, minCount = 2)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+        col("masked_fp"))
+      .join(sel, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -5197,6 +5248,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp,
+    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask,
   )
 }
