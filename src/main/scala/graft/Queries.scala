@@ -5211,6 +5211,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DSIR proportional sampling (Dsir.sampleProportional) — the
+    * paper's draw, inclusion ∝ exp(total log ratio), with no exp
+    * anywhere: the w/u priority compares in log space as
+    * `lr_micros − floor(ln(u)·1e6)`, both exact integers (u is the
+    * deterministic affine hash of the doc id), so the k-cut replays
+    * bit-for-bit and renders as a per-partition heap TakeOrdered.
+    */
+  val qO22DsirPropSample = q(
+    "q_o22_dsir_sample_prop",
+    s"""WITH $duckDsirCtes,
+       |pri AS (SELECT doc_id, n_tokens,
+       |    lr_sum_micros - CAST(FLOOR(ln(
+       |      (${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)} + 1)
+       |        / 1000000.0) * 1000000.0) AS BIGINT) AS priority_micros
+       |  FROM dsc)
+       |SELECT doc_id, n_tokens, priority_micros FROM pri
+       |ORDER BY priority_micros DESC, doc_id LIMIT 100""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Dsir.sampleProportional(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text", 100)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("priority_micros"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -5248,6 +5273,6 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask,
+    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
   )
 }

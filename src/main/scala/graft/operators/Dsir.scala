@@ -122,4 +122,30 @@ object Dsir {
     importanceWeights(raw, target, idCol, textCol, buckets)
       .orderBy(col("avg_log_ratio").desc, col("id"))
       .limit(k)
+
+  /** The paper's sampling rendering — k draws WITHOUT replacement,
+    * inclusion probability ∝ exp(total log ratio) — with NO exp
+    * anywhere: the A-ES priority w/u (Sampling.weightedPriority's
+    * scheme, w = exp(lr)) compares identically in LOG space as
+    * `lr − ln(u)`, and both terms quantize to exact integer micros
+    * (lr_sum_micros is already one; u is the deterministic affine
+    * hash of the id, so `floor(ln(u)·1e6)` is a pure function of the
+    * id). Priorities are exact longs → partitioning-invariant,
+    * SQL-replayable, and the top-k cut is a TakeOrderedAndProject
+    * (per-partition heap), never a global sort. Exponential-family
+    * weighted sampling with integer determinism — the quantization
+    * IS the operator's definition and the oracle replays it.
+    */
+  def sampleProportional(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val u = (Sampling.hashBucket(col("id"), 1000000) + lit(1))
+      .cast("double") / lit(1000000.0)
+    importanceWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("priority_micros",
+        col("lr_sum_micros")
+          - floor(log(u) * lit(1000000.0)).cast("long"))
+      .orderBy(col("priority_micros").desc, col("id"))
+      .limit(k)
+  }
 }

