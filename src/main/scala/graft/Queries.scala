@@ -1721,6 +1721,79 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Cohort retention (r9): the product-analytics matrix — users
+    * bucketed by first-active day, per-offset distinct-active counts,
+    * retention as integer milli-units against the offset-0 cohort
+    * size. Scale shape: the fact collapses to (user, day) DISTINCT
+    * first (one shuffle at its narrowest width), first-active is a
+    * user-dimension-sized re-agg of THAT table, the offset join is
+    * user-sized⋈user-sized (AQE broadcasts), and the final matrix is
+    * |cohorts|×|offsets| metadata. Day = epoch-second floor-div 86400
+    * (calendar-agnostic integer bucketing — never a locale week), so
+    * every value is exact cross-engine; retention_milli is BIGINT
+    * floor division, no doubles anywhere.
+    */
+  val qWCohortRetention = q(
+    "q_w_cohort_retention",
+    """WITH a AS (SELECT DISTINCT user_id,
+      |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 86400 AS day
+      |           FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort FROM a GROUP BY 1),
+      |c AS (SELECT f.cohort, a.day - f.cohort AS offset_d,
+      |             COUNT(*) AS n_active
+      |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      |s AS (SELECT cohort, n_active AS cohort_size FROM c WHERE offset_d = 0)
+      |SELECT c.cohort, c.offset_d, c.n_active,
+      |       c.n_active * 1000 // s.cohort_size AS retention_milli
+      |FROM c JOIN s USING (cohort)
+      |ORDER BY cohort, offset_d""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val f = a.groupBy("user_id").agg(min("day").as("cohort"))
+    val c = a.join(f, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_d"))
+      .agg(count(lit(1)).as("n_active"))
+    val sz = c.filter(col("offset_d") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    c.join(sz, "cohort")
+      .select(col("cohort"), col("offset_d"), col("n_active"),
+        expr("n_active * 1000 div cohort_size").as("retention_milli"))
+      .orderBy("cohort", "offset_d")
+  }
+
+  /** Time-RANGE rolling window (r9): trailing 1-hour event count +
+    * value sum per user — the time-based frame beside q_w_moving_avg's
+    * row-based one. RANGE frames make same-second rows peers, so the
+    * result is independent of tie order; the sliding sum runs in
+    * cents-longs (exact under Spark's subtract-on-evict frame
+    * maintenance) with ONE final division. Partitioned window — never
+    * global; parallelism = |users|.
+    */
+  val qWRollingHour = q(
+    "q_w_rolling_hour",
+    """WITH e AS (SELECT event_id, user_id,
+      |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT event_id, user_id, COUNT(*) OVER w AS n_1h,
+      |       CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS sum_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        (sum("cents").over(w).cast("double") / lit(100.0)).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------
   // Text analysis over documents
   // ---------------------------------------------------------------
@@ -1771,6 +1844,58 @@ object Queries {
         round(col("n_bpeish").cast("double") / col("n_ws"), 4))
       .orderBy("doc_id")
     }
+  }
+
+  /** PMI-style collocation mining (r9): bigrams whose observed count
+    * beats what the unigram margins predict — the phrase-discovery /
+    * tokenizer-seeding pass (Church & Hanks '90). lift_micros =
+    * n_xy·10⁶ / (n_x·n_y) is a monotone transform of PMI at fixed
+    * corpus size, computed in BIGINT floor division so ranking and
+    * the top-100 cut are engine-exact (a double log would tie-break
+    * differently in the last ulp). Scale shape: unigram counts are
+    * vocab-sized, bigram counts map-side-combine before their one
+    * shuffle, both margin joins are vocab-sized (AQE broadcasts),
+    * and the global cut is TakeOrderedAndProject (heap, never a full
+    * sort). Count floor ≥5 keeps the candidate set sparse.
+    */
+  val qTCollocations = q(
+    "q_t_collocations",
+    """WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+      |                              x -> len(x) > 0) AS toks
+      |           FROM documents),
+      |u AS (SELECT unnest(toks) AS w FROM t),
+      |uc AS (SELECT w, COUNT(*) AS n_w FROM u GROUP BY 1),
+      |b AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+      |               i -> struct_pack(w1 := toks[i + 1],
+      |                                w2 := toks[i + 2]))) AS bg
+      |      FROM t),
+      |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_xy
+      |       FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, n_xy, x.n_w AS n_x, y.n_w AS n_y,
+      |       n_xy * 1000000 // (x.n_w * y.n_w) AS lift_micros
+      |FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w
+      |ORDER BY lift_micros DESC, w1, w2 LIMIT 100""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(filter(split(col("text"), "\\s+"), t => length(t) > 0)
+        .as("toks"))
+    val u = toks.select(explode(col("toks")).as("w"))
+    val uc = u.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val bc = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    bc
+      .join(uc.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
+      .join(uc.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("n_xy * 1000000 div (n_x * n_y)").as("lift_micros"))
+      .orderBy(col("lift_micros").desc, col("w1"), col("w2"))
+      .limit(100)
   }
 
   /** First BPE merge-round pair counts (TextOps.bpePairCounts) over
@@ -5253,7 +5378,7 @@ object Queries {
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
-    qWResampleFfill,
+    qWResampleFfill, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
