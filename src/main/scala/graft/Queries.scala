@@ -3186,6 +3186,56 @@ object Queries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Concat-and-cut sequence layout (Packing.concatCut — r9): the
+    * GPT-style alternative to q_pipe_pack's binning. Docs concatenate
+    * into ONE global token stream (doc-id order, +1 EOS each) and the
+    * stream cuts into fixed 512-token training windows that CROSS doc
+    * boundaries — zero padding waste by construction, the layout
+    * every *next-token* pretraining run actually ships. The exact
+    * global prefix sum this needs is the scale question, and
+    * Packing.globalCumsum answers it without a single-partition sort:
+    * bucket subtotals → metadata-sized prefix scan → broadcast
+    * offsets → bucket-partitioned windows (SamplingSpec proves it
+    * value-identical to the global window). The oracle replays the
+    * whole layout — cumsum, span arithmetic, window explode,
+    * per-sequence re-agg — so a drifted offset anywhere hash-fails.
+    * `n_tokens` is 512 for every sequence except the final partial
+    * one (the spec's invariant); n_docs counts boundary-crossing
+    * contributions.
+    */
+  val qPipeConcatCut = q(
+    "q_pipe_concat_cut",
+    """WITH d AS (SELECT doc_id,
+      |             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                  x -> len(x) > 0)) AS BIGINT) + 1 AS t
+      |           FROM documents),
+      |c AS (SELECT doc_id, t,
+      |        CAST(SUM(t) OVER (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS cum
+      |      FROM d),
+      |s AS (SELECT doc_id, cum - t AS start_tok, cum - 1 AS end_tok FROM c),
+      |e AS (SELECT doc_id, start_tok, end_tok,
+      |        unnest(range(start_tok // 512, end_tok // 512 + 1)) AS seq_id
+      |      FROM s)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(LEAST(end_tok, (seq_id + 1) * 512 - 1)
+      |                - GREATEST(start_tok, seq_id * 512) + 1) AS BIGINT)
+      |         AS n_tokens,
+      |       MIN(doc_id) AS first_doc
+      |FROM e GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, d) =>
+    import graft.operators.{Packing, TextOps}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    Packing.concatCut(docs, "doc_id", "n_toks", seqLen = 512L)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("seq_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("seq_id")
+  }
+
   /** Data-mixture sampling (Sampling.mixtureSample): per-source keep
     * rates — the pretraining-mix reweighting step. A pure map-only
     * filter of (key, source): no shuffle at any scale, survivors
@@ -5383,6 +5433,7 @@ object Queries {
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
+    qPipeConcatCut,
     qTCorpusDiversity, qTDiversitySketch,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,

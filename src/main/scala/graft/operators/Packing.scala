@@ -23,6 +23,74 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Exact GLOBAL prefix sum of `valueCol` in `orderCol` order,
+    * without ever sorting the data through one partition: rows
+    * coarse-bucket by `orderCol div bucketSize`, bucket subtotals
+    * (one map-side-combined agg) prefix-scan on the BUCKET table
+    * (|buckets| rows of metadata — the only ordered single-partition
+    * step), offsets broadcast back, and the within-bucket cumsum runs
+    * in a bucket-partitioned window (parallelism = |buckets|). Value-
+    * identical to `sum().over(Window.orderBy(orderCol))` — the
+    * PositionalSplit trade applied to prefix sums. Pick `bucketSize`
+    * so |buckets| stays driver/broadcast-friendly (≈√N splits the
+    * work evenly; at 10¹¹ rows, bucketSize 10⁶ keeps the bucket
+    * table at 10⁵ rows). `orderCol` must be integral and UNIQUE —
+    * duplicate order keys make any cumsum order-ambiguous.
+    */
+  def globalCumsum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      bucketSize: Long = 1024L): DataFrame = {
+    require(bucketSize > 0)
+    val b = df.withColumn("gc_bucket", expr(s"`$orderCol` div $bucketSize"))
+    val wPrev = Window.orderBy("gc_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("gc_bucket")
+      .agg(sum(col(valueCol)).as("gc_bsum"))
+      .withColumn("gc_offset", coalesce(sum("gc_bsum").over(wPrev), lit(0L)))
+      .drop("gc_bsum")
+    val wIn = Window.partitionBy("gc_bucket").orderBy(orderCol)
+    b.join(broadcast(offsets), "gc_bucket")
+      .withColumn(outCol, col("gc_offset") + sum(col(valueCol)).over(wIn))
+      .drop("gc_bucket", "gc_offset")
+  }
+
+  /** Concat-and-cut pretraining sequence layout (the GPT-style
+    * alternative to per-shard packing): every document contributes
+    * `nTokensCol + eosTokens` tokens to ONE global stream in
+    * `orderCol` order, and the stream is cut into fixed `seqLen`
+    * windows that CROSS document boundaries. Emits one row per
+    * (document, training sequence it touches): `start_tok`/`end_tok`
+    * are the doc's inclusive global token span, `seq_id` the window
+    * index, `seq_tokens` how many of the doc's tokens land in that
+    * window. The explode fan-out per doc is ⌈t/seqLen⌉+1 rows —
+    * linear in corpus tokens — and everything after the prefix sum
+    * (globalCumsum above) is map-only integer arithmetic: the whole
+    * layout is a pure function of (order, token counts), replayable
+    * in SQL and stable under repartitioning.
+    */
+  def concatCut(
+      df: DataFrame,
+      orderCol: String,
+      nTokensCol: String,
+      seqLen: Long,
+      eosTokens: Int = 1,
+      bucketSize: Long = 1024L): DataFrame = {
+    require(seqLen > 0)
+    val withT = df.withColumn("cc_t", col(nTokensCol) + lit(eosTokens))
+    globalCumsum(withT, orderCol, "cc_t", "cc_cum", bucketSize)
+      .withColumn("start_tok", col("cc_cum") - col("cc_t"))
+      .withColumn("end_tok", col("cc_cum") - 1)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok div $seqLen"), expr(s"end_tok div $seqLen"))))
+      .withColumn("seq_tokens",
+        least(col("end_tok"), (col("seq_id") + 1) * seqLen - 1)
+          - greatest(col("start_tok"), col("seq_id") * seqLen) + 1)
+      .drop("cc_t", "cc_cum")
+  }
+
   /** Adds (shard, cum_tokens, bin, start_offset); `ctx` is the
     * context length in tokens, `shards` the parallel packing lanes.
     */

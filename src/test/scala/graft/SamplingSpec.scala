@@ -254,6 +254,55 @@ class SamplingSpec extends SparkSpec {
       packed.collect().map(_.toSeq).toSet)
   }
 
+  test("globalCumsum == global-window cumsum at every bucket size, " +
+      "incl. sparse non-contiguous order keys") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.expressions.Window
+    // sparse, shuffled keys: buckets have uneven populations and gaps
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle((0 until 500).map(i => (i * 13L + (i % 7), // unique
+      rng.nextInt(100).toLong))).toDF("k", "v").repartition(11)
+    val expect = rows
+      .withColumn("cum", sum("v").over(Window.orderBy("k")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (bs <- Seq(1L, 7L, 64L, 1024L, 1000000L)) {
+      val got = Packing.globalCumsum(rows, "k", "v", "cum", bs)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expect, s"bucketSize=$bs")
+    }
+  }
+
+  test("concatCut: every sequence holds exactly seqLen tokens except " +
+      "the final partial; spans abut; assignment partition-invariant") {
+    import graft.operators.{Packing, TextOps}
+    val docs = Tables.documents(spark, Sf001)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val cut = Packing.concatCut(docs, "doc_id", "n_toks", seqLen = 128L)
+    // doc spans tile the stream with no gap/overlap: end+1 == next start
+    val spans = cut.select("doc_id", "start_tok", "end_tok").distinct()
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.head._1 == 0L)
+    spans.sliding(2).foreach {
+      case Array((_, e), (s2, _)) => assert(e + 1 == s2)
+      case _ =>
+    }
+    // per-sequence token totals: seqLen everywhere but the last
+    val perSeq = cut.groupBy("seq_id").agg(sum("seq_tokens").as("t"))
+      .orderBy("seq_id").collect().map(r => r.getLong(1))
+    assert(perSeq.init.forall(_ == 128L))
+    assert(perSeq.last <= 128L && perSeq.last > 0L)
+    assert(perSeq.sum == spans.last._2 + 1) // no token lost or doubled
+    // pure function of (order, counts): repartitioning changes nothing
+    val re = Packing.concatCut(docs.repartition(17), "doc_id", "n_toks",
+      seqLen = 128L, bucketSize = 32L)
+      .select("doc_id", "seq_id", "seq_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(re == cut.select("doc_id", "seq_id", "seq_tokens")
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("hash buckets are uniform-ish across 100 buckets") {
     val counts = spark.range(100000)
       .select(Sampling.hashBucket($"id", 100).as("b"))
