@@ -4291,6 +4291,156 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantization encode (Similarity.pqEncode — r9): each
+    * 64-d vector compresses to 8 one-byte codes (per-8-d-subspace
+    * exact-d2 argmin into a 16-entry sub-codebook) plus its
+    * reconstruction error in integer micros. The codebook is the
+    * deterministic vec_id<16 table sliced per subspace (the PQ
+    * analogue of q_e_ivf's pinned quantizer; the trained path is
+    * Similarity.pqTrain, recall-gated in SimilaritySpec). Encoding is
+    * one map-only pass — at 100 TB this is the index-build scan that
+    * turns a 256-byte vector column into an 8-byte code column.
+    * The oracle replays every argmin (ROW_NUMBER over exact d2, tie
+    * to the smaller index) and the micros error sum, so a drifted
+    * slice boundary, fold order, or tie-break hash-fails.
+    */
+  val qEPqCodes = q(
+    "q_e_pq_codes",
+    s"""WITH cent AS (SELECT vec_id AS cj, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |sub AS (SELECT unnest(range(8)) AS s),
+       |enc0 AS (SELECT cid, s, cj, d2,
+       |           ROW_NUMBER() OVER (PARTITION BY cid, s ORDER BY d2, cj) AS rn
+       |         FROM (SELECT cid, s, cj,
+       |                 ${duckD2("cv[(s*8+1):(s*8+8)]", "ce[(s*8+1):(s*8+8)]")} AS d2
+       |               FROM c CROSS JOIN sub CROSS JOIN cent)),
+       |enc AS (SELECT cid, s, cj, d2 FROM enc0 WHERE rn = 1)
+       |SELECT cid AS vec_id, list(CAST(cj AS INT) ORDER BY s) AS codes,
+       |       CAST(SUM(CAST(floor(d2 * 1000000) AS BIGINT)) AS BIGINT)
+       |         AS recon_micros
+       |FROM enc GROUP BY cid ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val rows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cb = Similarity.pqCodebooksFromRows(rows, m = 8)
+    Similarity.pqEncode(
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), cb)
+      .select(col("cid").as("vec_id"), col("codes"), col("recon_micros"))
+      .orderBy("vec_id")
+  }
+
+  /** PQ asymmetric-distance top-5 (Similarity.pqAdcTopK — r9): each
+    * exact query vector ranks every candidate by the distance to its
+    * CODES — Σ over subspaces of d2(query slice, codebook entry), each
+    * term floor-quantized to micros so the sum is an exact integer
+    * (order-free, partitioning-invariant, no rounding column needed).
+    * The scored scan touches only (cid, 8 codes): the candidate
+    * vectors never move — PQ's whole point at 100 TB — and the top-k
+    * is the heap plan. Oracle replays encode + lookup + micros sum +
+    * rank end-to-end on the same pinned codebook.
+    */
+  val qEPqAdcTopK = q(
+    "q_e_pq_adc_topk",
+    s"""WITH cent AS (SELECT vec_id AS cj, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |sub AS (SELECT unnest(range(8)) AS s),
+       |enc0 AS (SELECT cid, s, cj,
+       |           ROW_NUMBER() OVER (PARTITION BY cid, s ORDER BY d2, cj) AS rn
+       |         FROM (SELECT cid, s, cj,
+       |                 ${duckD2("cv[(s*8+1):(s*8+8)]", "ce[(s*8+1):(s*8+8)]")} AS d2
+       |               FROM c CROSS JOIN sub CROSS JOIN cent)),
+       |enc AS (SELECT cid, s, cj FROM enc0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |ad AS (SELECT qid, cid,
+       |         CAST(SUM(CAST(floor(
+       |           ${duckD2("qv[(s*8+1):(s*8+8)]", "ce[(s*8+1):(s*8+8)]")}
+       |           * 1000000) AS BIGINT)) AS BIGINT) AS ad2_micros
+       |       FROM enc JOIN cent USING (cj) CROSS JOIN q
+       |       WHERE qid <> cid GROUP BY qid, cid)
+       |SELECT qid, cid, ad2_micros, rank FROM (
+       |  SELECT qid, cid, ad2_micros,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY ad2_micros, cid) AS rank
+       |  FROM ad)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val rows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cb = Similarity.pqCodebooksFromRows(rows, m = 8)
+    val codes = Similarity.pqEncode(
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), cb)
+      .select("cid", "codes")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.pqAdcTopK(queries, codes, cb, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  /** Two-stage PQ search (Similarity.pqAdcRerankTopK — r9): ADC over
+    * codes narrows each query to a 50-candidate shortlist, then ONLY
+    * those rows rejoin their exact vectors for a true-L2 top-5 —
+    * the production recall fix for raw ADC's quantization ceiling
+    * (SimilaritySpec measures 0.2→0.9+ recall@5). The corpus-wide
+    * scan stays code-only; exact vectors move for |Q|·50 rows total.
+    * The oracle replays the COMPLETE composition — encode, ADC
+    * micros ranking, shortlist cut, exact-d2 re-rank — so a drifted
+    * shortlist boundary or tie anywhere in the chain hash-fails.
+    */
+  val qEPqRerank = q(
+    "q_e_pq_rerank",
+    s"""WITH cent AS (SELECT vec_id AS cj, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |sub AS (SELECT unnest(range(8)) AS s),
+       |enc0 AS (SELECT cid, s, cj,
+       |           ROW_NUMBER() OVER (PARTITION BY cid, s ORDER BY d2, cj) AS rn
+       |         FROM (SELECT cid, s, cj,
+       |                 ${duckD2("cv[(s*8+1):(s*8+8)]", "ce[(s*8+1):(s*8+8)]")} AS d2
+       |               FROM c CROSS JOIN sub CROSS JOIN cent)),
+       |enc AS (SELECT cid, s, cj FROM enc0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |ad AS (SELECT qid, cid,
+       |         CAST(SUM(CAST(floor(
+       |           ${duckD2("qv[(s*8+1):(s*8+8)]", "ce[(s*8+1):(s*8+8)]")}
+       |           * 1000000) AS BIGINT)) AS BIGINT) AS ad2_micros
+       |       FROM enc JOIN cent USING (cj) CROSS JOIN q
+       |       WHERE qid <> cid GROUP BY qid, cid),
+       |short AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY ad2_micros, cid) AS srank
+       |    FROM ad) WHERE srank <= 50),
+       |ex AS (SELECT qid, cid, ${duckD2("qv", "cv")} AS d2
+       |       FROM short JOIN c USING (cid) JOIN q USING (qid))
+       |SELECT qid, cid, ROUND(d2, 6) AS d2, rank FROM (
+       |  SELECT qid, cid, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rank
+       |  FROM ex)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val rows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cb = Similarity.pqCodebooksFromRows(rows, m = 8)
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val codes = Similarity.pqEncode(cands, cb).select("cid", "codes")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.pqAdcRerankTopK(queries, cands, codes, cb,
+        k = 5, shortlist = 50)
+      .select(col("qid"), col("cid"), round(col("d2"), 6).as("d2"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Per-cluster representatives (Similarity.clusterRepresentatives)
     * — semantic-diversity sampling: the 3 most central members of
     * each of 16 embedding clusters (fixed quantizer centroids, the
@@ -5442,7 +5592,9 @@ object Queries {
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
+    qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEPqCodes, qEPqAdcTopK,
+    qEPqRerank,
+    qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
     qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,
     qDEmbeddingNearDup, qDSemanticDedup,

@@ -258,6 +258,155 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  // -----------------------------------------------------------------
+  // Product quantization (Jégou et al., PAMI 2011): compress each
+  // vector to m one-byte codes (argmin sub-codebook entry per
+  // dim/m-sized subspace) and rank candidates by Asymmetric Distance
+  // — the query stays exact, candidates are scanned as CODES. At
+  // 100 TB this is the difference between scanning 256 bytes/vector
+  // and scanning m bytes/vector: the ADC pass is a map-only
+  // expression over the code table (vectors never shuffle, the
+  // codebook is a m×ksub×subdim literal), and the top-k runs on the
+  // TopKPerGroup heap. Per-subspace distances are floor-quantized to
+  // integer micros before the cross-subspace sum, so the total is an
+  // exact integer — partitioning-invariant and replayable in SQL
+  // (a raw double sum would be addition-order-dependent).
+  // -----------------------------------------------------------------
+
+  /** 1-based inclusive slice of subspace `s` (house: mirrors DuckDB's
+    * `v[(s*sub+1):(s*sub+sub)]`). */
+  private def subvec(v: Column, s: Int, subdim: Int): Column =
+    slice(v, s * subdim + 1, subdim)
+
+  /** PQ code array (m ints): per subspace, the index of the nearest
+    * sub-codebook entry — exact-d2 argmin, ties to the smaller index
+    * (the `ranked` struct-sort idiom, replayed by ROW_NUMBER d2,j).
+    */
+  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    array(codebooks.zipWithIndex.map { case (ks, s) =>
+      element_at(array_sort(array(ks.zipWithIndex.map { case (c, j) =>
+        val lits = array(c.map(lit).toSeq: _*)
+        struct(
+          graft.expressions.VecExpressions.vec_d2(
+            subvec(vec, s, c.length), lits).as("d2"),
+          lit(j).as("j"))
+      }.toSeq: _*)), 1).getField("j")
+    }.toSeq: _*)
+
+  /** Asymmetric distance in integer micros: Σ_s floor(10⁶·d2(query
+    * subvector, codebook entry the candidate's code names)). Pure
+    * map-side column expression — the codebook entry lookup is
+    * element_at into a literal array-of-arrays.
+    */
+  def pqAdcMicros(
+      qvec: Column,
+      codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    codebooks.zipWithIndex.map { case (ks, s) =>
+      val subdim = ks.head.length
+      val cbLit = array(ks.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+      floor(graft.expressions.VecExpressions.vec_d2(
+        subvec(qvec, s, subdim),
+        element_at(cbLit, element_at(codes, s + 1) + 1)) * 1e6).cast("long")
+    }.reduce(_ + _)
+
+  /** Encode (cid, cvec) → (cid, codes, recon_micros): codes are the
+    * per-subspace argmins, recon_micros the quantization error of the
+    * vector against its OWN codes (the index-quality diagnostic).
+    */
+  def pqEncode(
+      vecs: DataFrame, // (cid, cvec)
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    vecs
+      .withColumn("codes", pqCode(col("cvec"), codebooks))
+      .withColumn("recon_micros",
+        pqAdcMicros(col("cvec"), col("codes"), codebooks))
+      .select("cid", "codes", "recon_micros")
+
+  /** ADC top-k: rank every candidate's CODES against each exact query
+    * vector (asymmetric: only candidates are quantized). Queries
+    * broadcast; the code table streams map-side; heap top-k. */
+  def pqAdcTopK(
+      queries: DataFrame, // (qid, qvec)
+      codes: DataFrame, // (cid, codes)
+      codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        pqAdcMicros(col("qvec"), col("codes"), codebooks).as("ad2_micros"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("ad2_micros").asc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "ad2_micros", "rank")
+  }
+
+  /** Two-stage PQ search — the production shape: ADC over codes
+    * narrows each query to a `shortlist` of candidates (vectors never
+    * touched), then ONLY those |Q|·shortlist rows join their exact
+    * vectors back for a true-L2 re-rank. Raw ADC ranking saturates at
+    * the quantizer's resolution (measured 0.2–0.6 recall@5 here);
+    * the re-rank recovers 0.9+ while still never scanning full
+    * vectors corpus-wide — the same narrow-then-exact composition as
+    * projectedTopK (q_e_ann_rp).
+    */
+  def pqAdcRerankTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      codes: DataFrame, // (cid, codes)
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      shortlist: Int): DataFrame = {
+    val narrowed = pqAdcTopK(queries, codes, codebooks, shortlist)
+      .select("qid", "cid")
+    val scored = narrowed
+      .join(candidates, "cid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("cid"),
+        graft.expressions.VecExpressions.vec_d2(col("qvec"), col("cvec"))
+          .as("d2"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("d2").asc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "d2", "rank")
+  }
+
+  /** Deterministic codebooks from an explicit ksub-row table (the
+    * oracle-replayable quantizer: row j's subspace-s slice is entry
+    * (s, j) — the PQ analogue of q_e_ivf's vec_id<16 centroid table).
+    */
+  def pqCodebooksFromRows(
+      rows: Array[Array[Double]], m: Int): Array[Array[Array[Double]]] = {
+    val dim = rows.head.length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    Array.tabulate(m)(s => rows.map(_.slice(s * subdim, (s + 1) * subdim)))
+  }
+
+  /** Production codebook training: per-subspace Lloyd's on a bounded
+    * driver-side sample (like ivfTopK's coarse quantizer — the model
+    * is m·ksub·subdim doubles regardless of corpus size). Recall is
+    * spec-gated (SimilaritySpec); the catalog entry pins
+    * pqCodebooksFromRows for cross-engine exactness instead.
+    */
+  def pqTrain(
+      candidates: DataFrame, // (cid, cvec)
+      m: Int,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      maxTrainRows: Int = 4096): Array[Array[Array[Double]]] = {
+    val sampled = candidates
+      .select(col("cvec").cast("array<double>"))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = sampled.head.length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    Array.tabulate(m) { s =>
+      lloyd(sampled.map(_.slice(s * subdim, (s + 1) * subdim)),
+        ksub, maxIter, seed + s)
+    }
+  }
+
   /** Plain Lloyd's k-means over a driver-held sample (deterministic:
     * seeded init, fixed iteration count; empty clusters keep their
     * previous center).

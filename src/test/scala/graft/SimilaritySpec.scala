@@ -320,6 +320,63 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.45, f"IVF recall $recall%.2f below gate")
   }
 
+  test("PQ: trained codebooks beat the pinned-row codebooks on " +
+      "reconstruction, ADC top-5 recalls exact-L2 neighbors") {
+    val e = Tables.embeddings(spark, Sf001)
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    val pinnedRows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val pinned = Similarity.pqCodebooksFromRows(pinnedRows, m = 8)
+
+    // codes well-formed; at the SAME geometry (m=8, ksub=16) the
+    // trained quantizer reconstructs strictly better in aggregate
+    // than arbitrary data rows as codebooks
+    def recon(cb: Array[Array[Array[Double]]]): Long =
+      Similarity.pqEncode(cands, cb)
+        .agg(sum("recon_micros")).collect().head.getLong(0)
+    val encPinned = Similarity.pqEncode(cands, pinned)
+    assert(encPinned.filter(size(col("codes")) =!= 8).count() == 0)
+    assert(encPinned.filter(
+      exists(col("codes"), c => c < 0 || c >= 16)).count() == 0)
+    val (rp, rt) = (recon(pinned), recon(Similarity.pqTrain(cands, 8, 16)))
+    info(f"total recon error: pinned=$rp trained=$rt (${rt.toDouble / rp}%.2f×)")
+    assert(rt < rp)
+
+    // exact L2 top-5 (the ADC ground truth is distance, not cosine)
+    val scored = cands.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.expressions.VecExpressions.vec_d2(col("qvec"), col("cvec"))
+          .as("d2"))
+    val exact = graft.operators.TopK.perGroup(scored, Seq("qid"),
+        Seq(col("d2").asc, col("cid")), 5, rankName = "rank")
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // production geometry: raw ADC clears a floor; ADC-shortlist →
+    // exact re-rank recovers near-exact recall with vectors touched
+    // only for |Q|·50 rows
+    val trained = Similarity.pqTrain(cands, m = 16, ksub = 64)
+    val codes = Similarity.pqEncode(cands, trained).select("cid", "codes")
+    val adc = Similarity.pqAdcTopK(queries, codes, trained, k = 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = exact.intersect(adc).size.toDouble / exact.size
+    val rer = Similarity.pqAdcRerankTopK(queries, cands, codes, trained,
+        k = 5, shortlist = 50)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerRecall = exact.intersect(rer).size.toDouble / exact.size
+    info(f"PQ recall@5 (m=16, ksub=64): raw ADC $rawRecall%.2f, " +
+      f"ADC-50 + exact re-rank $rerRecall%.2f")
+    assert(rawRecall >= 0.35, f"raw ADC recall $rawRecall%.2f below floor")
+    assert(rerRecall >= 0.9, f"re-rank recall $rerRecall%.2f below gate")
+  }
+
   test("cosineNearDups returns only pairs above threshold, id_a < id_b") {
     val e = Tables.embeddings(spark, Sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
