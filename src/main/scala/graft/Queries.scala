@@ -1898,6 +1898,56 @@ object Queries {
       .limit(100)
   }
 
+  /** Per-source distribution drift (r9): total-variation distance
+    * between each source's unigram distribution and the corpus-wide
+    * one — the mixture monitor that catches a source going off-recipe
+    * (scraper drift, template flood) before it skews training. TVD
+    * over the union vocab splits into an in-vocab sum of
+    * |m_w·N − n_w·M| (exact BIGINT — every product ≤ M·N, safe past
+    * sf1; the absent-vocab mass folds to the closed form (N−cov)·M)
+    * and ONE final double division rounded at 6dp — two exact
+    * integers divided once are correctly-rounded IEEE in both
+    * engines, so no summation-order risk anywhere. Scale shape:
+    * (source, word) counts map-side combine; everything after is
+    * vocab-sized with broadcast margins; the corpus text never
+    * shuffles.
+    */
+  val qTSourceDivergence = q(
+    "q_t_source_divergence",
+    """WITH tok AS (SELECT source,
+      |               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                  x -> len(x) > 0)) AS w
+      |             FROM documents),
+      |sw AS (SELECT source, w, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+      |cw AS (SELECT w, CAST(SUM(m) AS BIGINT) AS n FROM sw GROUP BY 1),
+      |ms AS (SELECT source, CAST(SUM(m) AS BIGINT) AS mtok FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntok FROM cw),
+      |a AS (SELECT sw.source, ms.mtok, tot.ntok, COUNT(*) AS vocab,
+      |        CAST(SUM(abs(sw.m * tot.ntok - cw.n * ms.mtok)) AS BIGINT) AS da,
+      |        CAST(SUM(cw.n) AS BIGINT) AS cov
+      |      FROM sw JOIN cw USING (w) JOIN ms USING (source) CROSS JOIN tot
+      |      GROUP BY 1, 2, 3)
+      |SELECT source, mtok AS n_tokens, vocab,
+      |       ROUND((da + (ntok - cov) * mtok) / (2.0 * mtok * ntok), 6) AS tvd
+      |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("m"))
+    val cw = sw.groupBy("w").agg(sum("m").as("n"))
+    val ms = sw.groupBy("source").agg(sum("m").as("mtok"))
+    val tot = cw.agg(sum("n").as("ntok"))
+    sw.join(cw, "w").join(ms, "source").crossJoin(broadcast(tot))
+      .groupBy("source", "mtok", "ntok")
+      .agg(count(lit(1)).as("vocab"),
+        sum(abs(col("m") * col("ntok") - col("n") * col("mtok"))).as("da"),
+        sum("n").as("cov"))
+      .select(col("source"), col("mtok").as("n_tokens"), col("vocab"),
+        round((col("da") + (col("ntok") - col("cov")) * col("mtok"))
+          / (lit(2.0) * col("mtok") * col("ntok")), 6).as("tvd"))
+      .orderBy("source")
+  }
+
   /** First BPE merge-round pair counts (TextOps.bpePairCounts) over
     * the whole corpus, top 20 — the vocab-first factoring real BPE
     * trainers use (corpus → word counts ONCE, pairs exploded over the
@@ -5041,6 +5091,60 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** REAL audio-container decode (Multimodal.AudioHeaderCodec — r9):
+    * canonical 44-byte RIFF/WAVE headers — rate/channels/block-align
+    * woven into the correct little-endian `fmt ` fields, the text
+    * bytes as the `data` chunk — assembled as BINARY and parsed back
+    * by the chunk-walking mapPartitions decode. The oracle states the
+    * planted ground truth arithmetically (incl. n_frames = data
+    * bytes / block align), so a wrong endianness, field offset, or a
+    * chunk walk that skips pad bytes hash-fails. The audio face of
+    * q_mm_decode_real's image parse; sample decode stays stubbed by
+    * design.
+    */
+  val qMmAudioMeta = q(
+    "q_mm_audio_meta",
+    """SELECT doc_id, 'wav' AS format,
+      |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+      |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |  16 AS bits_per_sample,
+      |  octet_length(encode(text)) // ((doc_id % 2 + 1) * 2) AS n_frames,
+      |  CAST(octet_length(encode(text)) + 44 AS INT) AS n_bytes
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Multimodal
+      def le16(v: Column): Column = {
+        val be = lpad(hex(v), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le32(v: Column): Column = {
+        val be = lpad(hex(v), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = when(col("doc_id") % 4 === 0, 8000)
+        .when(col("doc_id") % 4 === 1, 16000)
+        .when(col("doc_id") % 4 === 2, 22050).otherwise(44100)
+      val align = ch * 2 // 16-bit PCM
+      val dataSz = octet_length(encode(col("text"), "UTF-8"))
+      val hdr = concat(
+        lit("52494646"), le32(dataSz + 36), lit("57415645"), // RIFF/WAVE
+        lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(ch), // fmt PCM
+        le32(rate), le32(rate * align), le16(align), le16(lit(16)),
+        lit("64617461"), le32(dataSz)) // data
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .withColumn("payload",
+          concat(unhex(hdr), encode(col("text"), "UTF-8")))
+      Multimodal.decodeAudioMeta(media, "doc_id")
+        .toDF()
+        .select(col("id").as("doc_id"), col("format"), col("sample_rate"),
+          col("channels"), col("bits_per_sample"), col("n_frames"),
+          col("n_bytes"))
+        .orderBy("doc_id")
+  }
+
   /** Frame-sampling stub: one row per sampled frame. The per-frame
     * hash is a 64-bit wrap-around fold over a 256-byte window with
     * wrapping index — replayed in DuckDB as a HUGEINT fold mod 2^64.
@@ -5584,7 +5688,7 @@ object Queries {
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qPipeConcatCut,
-    qTCorpusDiversity, qTDiversitySketch,
+    qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs,
@@ -5599,7 +5703,7 @@ object Queries {
     qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
-    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmFrameSample,
+    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
   )

@@ -89,6 +89,79 @@ object Multimodal {
       } else None
   }
 
+  /** Output schema of the audio-container metadata parse. */
+  case class AudioMeta(
+      id: Long,
+      n_bytes: Int,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long)
+
+  /** REAL audio-container metadata parse (RIFF/WAVE, the public
+    * Microsoft/IBM spec): chunk-walk from offset 12 collecting the
+    * `fmt ` fields (channels/sample-rate/block-align/bits, all
+    * little-endian) and the `data` chunk size; frame count =
+    * data bytes / block align. None for anything that is not a
+    * well-formed RIFF prefix — same totality contract as the image
+    * parse above. Sample DECODING stays out (codec-library
+    * territory); per-object metadata is the 100 TB ingest path.
+    */
+  object AudioHeaderCodec {
+    private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xFF
+    private def le16(a: Array[Byte], i: Int): Int =
+      u8(a, i) | (u8(a, i + 1) << 8)
+    private def le32(a: Array[Byte], i: Int): Long =
+      (u8(a, i) | (u8(a, i + 1) << 8) | (u8(a, i + 2) << 16)).toLong |
+        (u8(a, i + 3).toLong << 24)
+    private def tag(a: Array[Byte], i: Int): String =
+      new String(a, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (format, sampleRate, channels, bitsPerSample, nFrames) or None. */
+    def parse(a: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+      if (a.length < 12 || tag(a, 0) != "RIFF" || tag(a, 8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, align, bits
+      var dataBytes = -1L
+      while (i + 8 <= a.length && (fmt.isEmpty || dataBytes < 0)) {
+        val id = tag(a, i); val sz = le32(a, i + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= a.length)
+          fmt = Some((le16(a, i + 10), le32(a, i + 12).toInt,
+            le16(a, i + 20), le16(a, i + 22)))
+        else if (id == "data") dataBytes = sz
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      fmt.collect { case (ch, rate, align, bits)
+          if ch > 0 && rate > 0 && align > 0 && dataBytes >= 0 =>
+        ("wav", rate, ch, bits, dataBytes / align)
+      }
+    }
+  }
+
+  /** Audio metadata per item, partition-streamed like decodeMeta;
+    * non-RIFF payloads fall back to deterministic stub PCM params so
+    * the boundary stays total. */
+  def decodeAudioMeta(df: DataFrame, idCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioHeaderCodec.parse(bytes) match {
+            case Some((fmt, rate, ch, bits, frames)) =>
+              AudioMeta(id, bytes.length, fmt, rate, ch, bits, frames)
+            case None => // stub: mono 16-bit 16 kHz raw PCM
+              AudioMeta(id, bytes.length, "raw", 16000, 1, 16,
+                bytes.length / 2L)
+          }
+        }
+      }
+  }
+
   /** STUB decode: deterministic pseudo-metadata derived from content
     * bytes (stands in for an image header parse).
     */

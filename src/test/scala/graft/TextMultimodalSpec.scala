@@ -345,6 +345,43 @@ class TextMultimodalSpec extends SparkSpec {
       "plain text payload".getBytes("UTF-8")).isEmpty)
   }
 
+  test("multimodal: AudioHeaderCodec walks RIFF chunks (pad bytes, " +
+      "extra chunks) and rejects malformed headers to the stub") {
+    import graft.operators.Multimodal.AudioHeaderCodec
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 44-byte header: PCM stereo 44100 Hz 16-bit, 8 data
+    // bytes -> 8 / (2ch*2B) = 2 frames
+    val wav = bytes("52494646" + "2C000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000" +
+      "64617461" + "08000000" + "0102030405060708")
+    assert(AudioHeaderCodec.parse(wav)
+      .contains(("wav", 44100, 2, 16, 2L)))
+    // an ODD-sized LIST chunk before fmt: the walker must skip its
+    // pad byte or every later offset is off by one
+    val padded = bytes("52494646" + "3A000000" + "57415645" +
+      "4C495354" + "03000000" + "414243" + "00" + // LIST size 3 + pad
+      "666D7420" + "10000000" + "0100" + "0100" + "803E0000" +
+      "007D0000" + "0200" + "1000" +
+      "64617461" + "06000000" + "010203040506")
+    assert(AudioHeaderCodec.parse(padded)
+      .contains(("wav", 16000, 1, 16, 3L)))
+    // malformed: not RIFF, RIFF-but-not-WAVE, fmt without data,
+    // zero block align — all None (stub fallback)
+    assert(AudioHeaderCodec.parse("plain text".getBytes("UTF-8")).isEmpty)
+    assert(AudioHeaderCodec.parse(
+      bytes("52494646" + "04000000" + "41564920")).isEmpty)
+    assert(AudioHeaderCodec.parse(bytes("52494646" + "18000000" +
+      "57415645" + "666D7420" + "10000000" + "0100" + "0100" +
+      "803E0000" + "007D0000" + "0200" + "1000")).isEmpty)
+    val zeroAlign = padded.clone()
+    assert(AudioHeaderCodec.parse {
+      // zero out block-align (offset: 12 + 8+3+1 LIST + 8 fmt hdr + 12)
+      val z = zeroAlign.clone(); z(44) = 0; z(45) = 0; z
+    }.isEmpty)
+  }
+
   test("multimodal: frame sampling explodes per-frame rows on executors") {
     val docs = Tables.documents(spark, Sf0001).limit(10)
     val frames = Multimodal.sampleFrames(
