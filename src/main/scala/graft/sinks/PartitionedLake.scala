@@ -111,6 +111,67 @@ object PartitionedLake {
     }
   }
 
+  /** Compliance hard-delete (the GDPR/right-to-be-forgotten pass):
+    * physically remove every row matching `keys` and rewrite ONLY the
+    * partitions that contained one. Unlike upsert, a deletion key
+    * (e.g. a user id) names no date, so the dirty set is DISCOVERED
+    * first with a column-pruned probe scan — the broadcast key
+    * anti-probe reads just the key + p_date columns, never the wide
+    * rows — and the rewrite cost is proportional to dirty partitions.
+    * A partition whose rows are ALL deleted is removed at the
+    * filesystem level (dynamic partition overwrite can't write an
+    * empty partition, and leaving the old files is a compliance
+    * failure, not a cosmetic one). Returns (rows deleted, dirty
+    * partition values).
+    */
+  def delete(
+      s: SparkSession,
+      root: String,
+      table: String,
+      keys: DataFrame, // columns = naturalKeys
+      naturalKeys: Seq[String],
+      targetRowsPerFile: Long = 5000000L): (Long, Seq[String]) = {
+    val keyCols = naturalKeys.map(k => col(k).as(s"__k_$k"))
+    val delKeys = broadcast(keys.select(keyCols: _*).distinct()
+      .localCheckpoint())
+    val all = read(s, root, table)
+    def matchCond(df: DataFrame) =
+      naturalKeys.map(k => df(k) <=> delKeys(s"__k_$k")).reduce(_ && _)
+    // probe: which partitions hold a doomed row (column-pruned scan)
+    val dirty = all.select((naturalKeys :+ "p_date").map(col): _*)
+      .join(delKeys, matchCond(all), "inner")
+      .select("p_date").distinct()
+      .collect().map(_.get(0).toString).toSeq
+    if (dirty.isEmpty) return (0L, Nil)
+    val existing = all.filter(col("p_date").isInCollection(dirty))
+    val survivors = existing.join(delKeys, matchCond(existing), "left_anti")
+      .localCheckpoint() // pinned: counted, date-probed, AND written
+    val nDeleted = existing.count() - survivors.count()
+    val keptDates = survivors.select("p_date").distinct()
+      .collect().map(_.get(0).toString).toSet
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (keptDates.nonEmpty)
+        survivors.write
+          .mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", targetRowsPerFile.toString)
+          .partitionBy("p_date")
+          .parquet(s"$root/$table")
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // fully-emptied partitions: no surviving rows to carry the
+    // overwrite, so drop the directories explicitly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    dirty.filterNot(keptDates).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$table/p_date=$d"), true)
+    }
+    (nDeleted, dirty)
+  }
+
   /** Incremental aggregate maintenance (the IVM pattern): keep a
     * per-key (n, sum_cents) aggregate table current under append-only
     * deltas WITHOUT recomputing history. The delta pre-aggregates per

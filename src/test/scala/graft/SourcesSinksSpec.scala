@@ -175,6 +175,51 @@ class SourcesSinksSpec extends SparkSpec {
     assert(files(untouched) == untouchedBefore)
   }
 
+  test("lake delete: doomed keys gone everywhere, emptied partition " +
+      "directory removed, untouched partitions byte-identical") {
+    import spark.implicits._
+    val root = tmpDir("lake_delete")
+    val base = Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    PartitionedLake.write(base, root, "orders", "o_orderdate")
+
+    val byCount = base.groupBy(to_date(col("o_orderdate")).as("d"))
+      .count().orderBy(col("count").desc, col("d"))
+      .select("d").as[java.sql.Date].collect()
+    val (bigDate, wipeDate, untouched) =
+      (byCount.head, byCount.last, byCount(byCount.length / 2))
+    def files(d: java.sql.Date) =
+      new java.io.File(s"$root/orders/p_date=$d").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+    val untouchedBefore = files(untouched)
+
+    // victims: 2 keys from the populated date + EVERY key of wipeDate
+    // (keys pinned driver-side: limit() is not stable across actions)
+    val victims2 = base.filter(to_date(col("o_orderdate")) === lit(bigDate))
+      .limit(2).select("o_orderkey").as[Long].collect().toSeq
+      .toDF("o_orderkey")
+    val wiped = base.filter(to_date(col("o_orderdate")) === lit(wipeDate))
+      .select("o_orderkey")
+    val nWiped = wiped.count()
+    val (nDeleted, dirty) = PartitionedLake.delete(spark, root, "orders",
+      victims2.unionByName(wiped), Seq("o_orderkey"))
+
+    assert(nDeleted == nWiped + 2)
+    assert(dirty.toSet == Set(bigDate.toString, wipeDate.toString))
+    val after = PartitionedLake.read(spark, root, "orders")
+    assert(after.count() == base.count() - nDeleted)
+    val doomed = victims2.unionByName(wiped).as[Long].collect().toSet
+    assert(after.filter(col("o_orderkey").isInCollection(doomed)).count() == 0)
+    // the emptied partition's DIRECTORY is gone (compliance, not cosmetics)
+    assert(!new java.io.File(s"$root/orders/p_date=$wipeDate").exists())
+    // unrelated partitions were never rewritten
+    assert(files(untouched) == untouchedBefore)
+    // idempotent: deleting the same keys again touches nothing
+    val (n2, d2) = PartitionedLake.delete(spark, root, "orders",
+      victims2.unionByName(wiped), Seq("o_orderkey"))
+    assert(n2 == 0L && d2.isEmpty)
+  }
+
   test("format breadth: ORC round-trip is exact and pushes filters to the scan") {
     val dir = tmpDir("orc") + "/lineitem"
     val li = Tables.lineitem(spark, Sf0001)
