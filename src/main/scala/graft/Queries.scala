@@ -933,6 +933,56 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Key-skew profile (r9): the diagnostic that DECIDES the scale
+    * toolkit — whether a join/agg key needs salting (q_x_salted_*),
+    * AQE skew handling, or nothing. One summary row over the key
+    * histogram: Gini coefficient (rank-weighted exact-integer
+    * numerator), top-10 concentration, and max/avg ratio. The fact
+    * table collapses to per-key counts FIRST (one map-side-combined
+    * agg); every window/sort after that runs on the |keys|-sized
+    * count table — metadata relative to the fact, same trade as the
+    * PositionalSplit boundary probe (the fact itself never sorts).
+    * All three ratios are one double division of exact BIGINTs,
+    * rounded at 6dp — correctly-rounded IEEE in both engines.
+    */
+  val qXSkewProfile = q(
+    "q_x_skew_profile",
+    """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i
+      |      FROM c),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |        CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |        CAST(SUM(2 * i * cnt) AS BIGINT) AS wsum
+      |      FROM r),
+      |top AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10 FROM (
+      |          SELECT cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10))
+      |SELECT n_keys, n_rows, max_cnt,
+      |       ROUND((wsum - (n_keys + 1) * n_rows)
+      |             / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini,
+      |       ROUND(top10 / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+      |       ROUND(max_cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS max_over_avg
+      |FROM s CROSS JOIN top""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("cnt", "user_id") // |keys|-sized table, not the fact
+    val r = c.withColumn("i", row_number().over(w))
+    val sums = r.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"),
+      sum(lit(2) * col("i") * col("cnt")).as("wsum"))
+    val top = c.orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .agg(sum("cnt").as("top10"))
+    sums.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        round((col("wsum") - (col("n_keys") + 1) * col("n_rows"))
+          / (col("n_keys").cast("double") * col("n_rows")), 6).as("gini"),
+        round(col("top10") / col("n_rows").cast("double"), 6)
+          .as("top10_share"),
+        round(col("max_cnt") * col("n_keys") / col("n_rows").cast("double"), 6)
+          .as("max_over_avg"))
+  }
+
   /** Fixed-iteration integer PageRank (operators/PageRank) over the
     * part→supplier link graph derived from lineitem (src = partkey
     * mod 500, dst = suppkey mod 100 — overlapping id ranges make a
@@ -5671,7 +5721,7 @@ object Queries {
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
-    qXSnapshotDiff, qGPagerank,
+    qXSnapshotDiff, qXSkewProfile, qGPagerank,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
