@@ -1006,6 +1006,29 @@ object Queries {
     }
   }
 
+  /** Triangle count + global clustering coefficient
+    * (operators/Triangles, degree-ordered forward algorithm) over the
+    * same part→supplier link graph as q_g_pagerank. The graph-shape
+    * diagnostic of a near-dup candidate graph: a high gcc means
+    * candidate edges close into cliques (template families) rather
+    * than chains — which decides whether survivorship should use CC
+    * (chains merge) or clique-ish capping. Degree-ordered orientation
+    * bounds the wedge intermediate by out-degree ≤ O(√m): hubs absorb
+    * edges inbound and generate no wedges.
+    */
+  val qGTriangles = {
+    val edgesSql =
+      "SELECT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem"
+    q(
+      "q_g_triangles",
+      graft.operators.Triangles.summaryOracleSql(edgesSql)) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 500).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      graft.operators.Triangles.summary(edges, "src", "dst")
+    }
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -2672,6 +2695,48 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Clustering-agreement (Rand + Adjusted Rand, Hubert–Arabie '85)
+    * between the metadata `lang` labels and content-predicted
+    * LangId — the label-permutation-invariant scorecard for a corpus
+    * labeler (operators/ClusterAgreement). The fact collapses to the
+    * |langs|² contingency table in ONE map-side-combined groupBy;
+    * every pair sum is exact-integer arithmetic over that metadata-
+    * sized table, with the double divisions replayed op-for-op by
+    * the oracle.
+    */
+  val qTLangIdAri = {
+    def sc(ws: String) =
+      s"len(list_filter(toks, t -> list_contains([$ws], t)))"
+    val en = sc("'the','and','of','to','is'")
+    val de = sc("'der','die','und','das','ist'")
+    val fr = sc("'le','la','et','les','est'")
+    val es = sc("'el','los','que','y','es'")
+    val nl = sc("'de','het','een','en','van'")
+    val labelsSql =
+      s"""SELECT lang AS la,
+         |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+         |       WHEN s_de = best AND best > 0 THEN 'de'
+         |       WHEN s_fr = best AND best > 0 THEN 'fr'
+         |       WHEN s_es = best AND best > 0 THEN 'es'
+         |       WHEN s_nl = best AND best > 0 THEN 'nl'
+         |       ELSE 'und' END AS lb
+         |FROM (SELECT lang, $en AS s_en, $de AS s_de, $fr AS s_fr,
+         |        $es AS s_es, $nl AS s_nl,
+         |        greatest($en, $de, $fr, $es, $nl) AS best
+         |      FROM (SELECT lang,
+         |              list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                          t -> len(t) > 0) AS toks
+         |            FROM documents))""".stripMargin
+    q(
+      "q_t_langid_ari",
+      graft.operators.ClusterAgreement.ariOracleSql(labelsSql)) { (s, d) =>
+      val labels = Tables.documents(s, d)
+        .select(col("lang"),
+          graft.expressions.LangId(col("text")).as("lang_pred"))
+      graft.operators.ClusterAgreement.ari(labels, "lang", "lang_pred")
+    }
+  }
+
   /** Order-sensitive polynomial document fingerprint (rolling hash mod
     * 1e9+7) — same left fold in both engines.
     */
@@ -3748,6 +3813,29 @@ object Queries {
       Tables.documents(s, d), "doc_id", "text", maxDist = 64,
       jaccardFloor = 0.4)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Blocked fuzzy record linkage (operators/RecordLinkage) over the
+    * part-name vocabulary: distinct names → two blocking passes
+    * (first char + last token) → native codegen Jaro–Winkler ≥ 0.82
+    * verify. The linkage classic (Fellegi–Sunter block/compare) with
+    * the scale shape that matters: ALL pairwise work runs on the
+    * vocab-sized distinct table — the fact collapses first and never
+    * joins itself. The JW expression is DuckDB-parameter-exact
+    * (boost 0.7, prefix 4, p 0.1, empty → 0), so the whole query
+    * rides the hash gate against `jaro_winkler_similarity`.
+    */
+  val qLFuzzyLinkage = q(
+    "q_l_fuzzy_linkage",
+    s"""${graft.operators.RecordLinkage
+          .fuzzyNamePairsOracleSql("part", "p_name", 0.82)
+          .replace("jaro_winkler_similarity(name1, name2) AS jw",
+            "ROUND(jaro_winkler_similarity(name1, name2), 5) AS jw")}
+       |ORDER BY name1, name2""".stripMargin) { (s, d) =>
+    graft.operators.RecordLinkage
+      .fuzzyNamePairs(Tables.part(s, d), "p_name", 0.82)
+      .withColumn("jw", round(col("jw"), 5))
+      .orderBy("name1", "name2")
   }
 
   /** The full LLM corpus-curation pipeline (pipelines/CorpusCuration)
@@ -5721,7 +5809,7 @@ object Queries {
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
-    qXSnapshotDiff, qXSkewProfile, qGPagerank,
+    qXSnapshotDiff, qXSkewProfile, qGPagerank, qGTriangles,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
@@ -5735,13 +5823,14 @@ object Queries {
     qWResampleFfill, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
-    qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTFingerprint,
+    qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
+    qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
     qPipeConcatCut,
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
-    qDEditDistPairs,
+    qDEditDistPairs, qLFuzzyLinkage,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
