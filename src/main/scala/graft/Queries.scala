@@ -1006,6 +1006,52 @@ object Queries {
     }
   }
 
+  /** Join-cardinality pre-flight (the planner diagnostic that decides
+    * whether a fact⋈fact join is safe to run): predicted output rows
+    * Σ_k cnt_l(k)·cnt_r(k) from the two per-key COUNT TABLES — the
+    * facts collapse map-side first and the arithmetic joins
+    * |keys|-sized metadata, so the answer costs two scans and zero
+    * fact shuffles. Output also carries the skew verdict: the single
+    * worst key's product (the row one reducer would own in the real
+    * join) and its share — exactly what decides salting
+    * (q_x_salted_join) vs AQE vs nothing. Exact integers throughout;
+    * the prediction equals the true equi-join size by definition.
+    */
+  val qXJoinCardinality = q(
+    "q_x_join_cardinality",
+    """WITH cl AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c_l
+      |            FROM orders GROUP BY 1),
+      |cr AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c_r
+      |       FROM lineitem GROUP BY 1),
+      |j AS (SELECT k, c_l, c_r, c_l * c_r AS prod FROM cl JOIN cr USING (k)),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+      |        CAST(SUM(prod) AS BIGINT) AS predicted_rows,
+      |        CAST(MAX(prod) AS BIGINT) AS max_key_rows
+      |      FROM j),
+      |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_left FROM cl),
+      |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_right FROM cr)
+      |SELECT n_keys_left, n_keys_right, n_common_keys, predicted_rows,
+      |       max_key_rows,
+      |       ROUND(max_key_rows / CAST(predicted_rows AS DOUBLE), 6)
+      |         AS max_key_share
+      |FROM s CROSS JOIN nl CROSS JOIN nr""".stripMargin) { (s, d) =>
+    val cl = Tables.orders(s, d)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c_l"))
+    val cr = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c_r"))
+    val j = cl.join(cr, "k")
+      .withColumn("prod", col("c_l") * col("c_r"))
+    val sums = j.agg(count(lit(1)).as("n_common_keys"),
+      sum("prod").as("predicted_rows"), max("prod").as("max_key_rows"))
+    val nl = cl.agg(count(lit(1)).as("n_keys_left"))
+    val nr = cr.agg(count(lit(1)).as("n_keys_right"))
+    sums.crossJoin(broadcast(nl)).crossJoin(broadcast(nr))
+      .select(col("n_keys_left"), col("n_keys_right"),
+        col("n_common_keys"), col("predicted_rows"), col("max_key_rows"),
+        round(col("max_key_rows") / col("predicted_rows").cast("double"), 6)
+          .as("max_key_share"))
+  }
+
   /** Triangle count + global clustering coefficient
     * (operators/Triangles, degree-ordered forward algorithm) over the
     * same part→supplier link graph as q_g_pagerank. The graph-shape
@@ -3262,6 +3308,114 @@ object Queries {
         "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_tokens"),
         round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. '20): per-doc
+    * LM score → equi-depth head/middle/tail tertiles → exact
+    * per-bucket aggregates. Composes the oracled unigram-LM chain
+    * (exact lp micros, q_t_unigram_logprob) with the oracled
+    * selection-path tertile bounds (q_a17's machinery): the bounds
+    * come from the ⌈p·n⌉ order statistics of the doc-level score
+    * table and BROADCAST back — the corpus is never globally sorted
+    * (the global-NTILE rendering would single-partition 100 TB).
+    * Bucket aggregates re-sum the exact integer micros, so the
+    * second aggregation is partitioning-invariant too. Bucket 1 =
+    * lowest logprob (tail), 3 = head.
+    */
+  val qTPplBuckets = {
+    val p13 = 1.0 / 3
+    val p23 = 2.0 / 3
+    q(
+      "q_t_ppl_buckets",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM tok GROUP BY doc_id, term),
+         |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+         |tot AS (SELECT COUNT(*) AS tt, COUNT(DISTINCT term) AS v FROM tok),
+         |sc AS (SELECT doc_id,
+         |         CAST(SUM(tf * CAST(FLOOR(ln((c + 1.0) / (tt + v))
+         |                  * 1000000.0) AS BIGINT)) AS BIGINT) AS lp_micros,
+         |         CAST(SUM(tf) AS BIGINT) AS n_tokens
+         |       FROM tf JOIN cnt USING (term) CROSS JOIN tot
+         |       GROUP BY doc_id),
+         |b AS (SELECT doc_id, n_tokens, lp_micros,
+         |        CAST(FLOOR(lp_micros * 1000.0 / n_tokens) AS BIGINT) AS xl
+         |      FROM sc),
+         |r AS (SELECT xl, ROW_NUMBER() OVER (ORDER BY xl) AS rn,
+         |        COUNT(*) OVER () AS n FROM b),
+         |qs AS (SELECT
+         |    MIN(CASE WHEN rn = greatest(CAST(ceil($p13 * n) AS BIGINT), 1)
+         |        THEN xl END) AS p33,
+         |    MIN(CASE WHEN rn = greatest(CAST(ceil($p23 * n) AS BIGINT), 1)
+         |        THEN xl END) AS p67
+         |  FROM r),
+         |bb AS (SELECT b.*, CASE WHEN xl > p33 THEN 1 ELSE 0 END
+         |                 + CASE WHEN xl > p67 THEN 1 ELSE 0 END + 1 AS bin
+         |       FROM b CROSS JOIN qs)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       ROUND((CAST(SUM(lp_micros) AS DOUBLE) / 1000000.0)
+         |             / CAST(SUM(n_tokens) AS BIGINT), 6) AS avg_logprob
+         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      val lp = graft.operators.TfIdf
+        .unigramLogProbMicros(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("g", lit(1))
+        .withColumn("score",
+          floor(col("lp_micros") * lit(1000.0) / col("n_tokens")))
+      graft.operators.Stats
+        .equiDepthBins(lp, "g", col("score"), 3,
+          Seq("id", "n_tokens", "lp_micros"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("lp_micros").as("lpm"))
+        .select(col("bin"), col("n_docs"), col("n_tokens"),
+          round(col("lpm").cast("double") / lit(1000000.0)
+            / col("n_tokens"), 6).as("avg_logprob"))
+        .orderBy("bin")
+    }
+  }
+
+  /** Tokenizer vocabulary coverage (OOV-rate audit): train a top-200
+    * frequency vocab (deterministic count-desc/term tie-break), then
+    * score every document's out-of-vocabulary token fraction — the
+    * go/no-go check before committing a tokenizer to a corpus. Scale
+    * shape: the vocab is a TakeOrdered over the vocabulary-sized
+    * count table and BROADCASTS into a left join against the token
+    * stream — the corpus shuffles only for its own per-doc agg;
+    * rates are one double division of exact counts.
+    */
+  val qTOovRate = q(
+    "q_t_oov_rate",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |vocab AS (SELECT term FROM (
+       |    SELECT term, COUNT(*) AS c FROM tok GROUP BY 1
+       |    ORDER BY c DESC, term LIMIT 200)),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_oov
+       |       FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+       |       GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |       ROUND(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(200)
+      .select(col("term"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
       .orderBy("doc_id")
   }
 
@@ -5809,7 +5963,8 @@ object Queries {
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
-    qXSnapshotDiff, qXSkewProfile, qGPagerank, qGTriangles,
+    qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
+    qGTriangles,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
@@ -5825,7 +5980,8 @@ object Queries {
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
-    qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTChunks, qPipePack,
+    qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
+    qTChunks, qPipePack,
     qPipeConcatCut,
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,

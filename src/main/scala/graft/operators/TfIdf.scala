@@ -138,7 +138,13 @@ object TfIdf {
     * (T tokens, V vocab) ride in as one broadcast grand agg. Output:
     * (id, n_tokens, avg_logprob).
     */
-  def unigramLogProb(docs: DataFrame, idCol: String,
+  /** Exact fixed-point form of [[unigramLogProb]]: per-doc
+    * (id, n_tokens, lp_micros) with the summed-logprob kept as the
+    * EXACT integer micros — for compositions (perplexity bucketing,
+    * curriculum pacing) that aggregate scores again and must stay
+    * partitioning-invariant through the second aggregation.
+    */
+  def unigramLogProbMicros(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
@@ -154,10 +160,14 @@ object TfIdf {
       .groupBy("id")
       .agg(sum(col("tf") * lpMicros).as("lp_micros"),
         sum(col("tf")).as("n_tokens"))
+  }
+
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    unigramLogProbMicros(docs, idCol, textCol)
       .select(col("id"), col("n_tokens"),
         ((col("lp_micros").cast("double") / lit(1000000.0))
           / col("n_tokens")).as("avg_logprob"))
-  }
 
   /** Interpolated bigram-LM quality scoring — the closer stand-in for
     * CCNet-style perplexity filtering than [[unigramLogProb]]: each
