@@ -1075,6 +1075,34 @@ object Queries {
     }
   }
 
+  /** Personalized PageRank (random walk with restart,
+    * PageRank.personalizedRanks): teleport mass pinned to a 20-node
+    * seed core over the same link graph as q_g_pagerank — the
+    * relevance-from-trusted-seeds measure for crawl prioritization
+    * and related-doc discovery. 8 exact integer rounds, oracle-
+    * replayed unrolled; the seed flag broadcasts onto the |V|-sized
+    * node table, round cost identical to global PageRank.
+    */
+  val qGPprSeeded = {
+    val edgesSql =
+      "SELECT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem"
+    val seedsSql = "SELECT unnest(range(0, 20)) AS node"
+    q(
+      "q_g_ppr_seeded",
+      s"""${graft.operators.PageRank
+            .personalizedOracleSql(edgesSql, seedsSql, iters = 8)}
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 500).as("src"),
+          (col("l_suppkey") % 100).as("dst"))
+      val seeds = s.range(0, 20).toDF("node")
+      graft.operators.PageRank
+        .personalizedRanks(edges, "src", "dst", seeds, iters = 8)
+        .select(col("node"), col("rank").as("rank_micros"))
+        .orderBy("node")
+    }
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -3376,6 +3404,43 @@ object Queries {
             / col("n_tokens"), 6).as("avg_logprob"))
         .orderBy("bin")
     }
+  }
+
+  /** Character-distribution Shannon entropy per document
+    * (expressions/TextEntropy) — the compressibility quality gate
+    * beside the n-gram repetition gates: near-zero = repeated-char
+    * garbage, high = uniform noise, prose in between. The native
+    * single-pass expression emits the EXACT fixed-point integer
+    * −Σ cnt·floor(ln(cnt/n)·1e6); the oracle replays it with a char
+    * unnest+group — same floor-quantized log per distinct char, so
+    * the sum matches exactly whatever the partitioning. Map-only on
+    * the Spark side (no explode, no shuffle).
+    */
+  val qTCharEntropy = q(
+    "q_t_char_entropy",
+    """WITH ch AS (SELECT doc_id,
+      |         unnest(list_filter(string_split(text, ''), c -> len(c) > 0)) AS c
+      |       FROM documents),
+      |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM ch GROUP BY 1, 2),
+      |nn AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+      |       FROM cc GROUP BY 1),
+      |h AS (SELECT cc.doc_id, ANY_VALUE(n) AS n,
+      |        CAST(-SUM(cnt * CAST(FLOOR(ln(cnt / CAST(n AS DOUBLE))
+      |                 * 1000000.0) AS BIGINT)) AS BIGINT) AS hm
+      |      FROM cc JOIN nn USING (doc_id) GROUP BY cc.doc_id)
+      |SELECT doc_id, n AS n_chars,
+      |       ROUND((CAST(hm AS DOUBLE) / 1000000.0) / n, 6) AS entropy_nats
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.expressions.TextEntropy(col("text")).as("hm"))
+      .filter(col("n_chars") > 0) // SQL side drops empty docs at unnest
+      .select(col("doc_id"), col("n_chars"),
+        round((col("hm").cast("double") / lit(1000000.0))
+          / col("n_chars"), 6).as("entropy_nats"))
+      .orderBy("doc_id")
   }
 
   /** Tokenizer vocabulary coverage (OOV-rate audit): train a top-200
@@ -5964,7 +6029,7 @@ object Queries {
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
-    qGTriangles,
+    qGPprSeeded, qGTriangles,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
@@ -5981,7 +6046,7 @@ object Queries {
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
-    qTChunks, qPipePack,
+    qTCharEntropy, qTChunks, qPipePack,
     qPipeConcatCut,
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,

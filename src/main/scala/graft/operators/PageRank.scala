@@ -64,6 +64,78 @@ object PageRank {
     r
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * Haveliwala WWW'02): identical integer round structure, but the
+    * teleport mass re-seeds ONLY seed nodes and ranks start at 10⁶ on
+    * seeds / 0 elsewhere — the relevance-to-these-nodes measure
+    * (related-document discovery from a trusted core, crawl-frontier
+    * prioritization from verified seeds). Seed membership rides in as
+    * a BROADCAST flag on the |V|-sized node table; round cost is
+    * unchanged (one edge⋈rank shuffle + one inflow agg per round).
+    */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      seedNodes: DataFrame, iters: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val seeds = seedNodes.select(col(seedNodes.columns.head).cast("long")
+      .as("node")).distinct().withColumn("is_seed", lit(1))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgeDeg = e.join(deg, Seq("src"))
+
+    var r = nodes.withColumn("rank",
+      (col("is_seed").cast("long") * lit(1000000L)))
+    for (i <- 1 to iters) {
+      val inflow = edgeDeg
+        .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank * 85 div (100 * outdeg)").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (col("is_seed").cast("long") * lit(TeleportMicros)
+            + coalesce(col("inflow"), lit(0L))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint()
+    }
+    r.select(col("node"), col("rank"))
+  }
+
+  /** Oracle for [[personalizedRanks]]: unrolled rounds with the seed
+    * flag joined onto the node table; `seedsSql` yields (node).
+    */
+  def personalizedOracleSql(edgesSql: String, seedsSql: String,
+      iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         n.is_seed * $TeleportMicros + COALESCE(s.inflow, 0) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           SUM(r${i - 1}.rank * 85 // (100 * d.outdeg)) AS inflow
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |           JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ein AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM ein),
+       |sd AS (SELECT DISTINCT node FROM ($seedsSql)),
+       |n AS (SELECT nn.node,
+       |        CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+       |      FROM (SELECT DISTINCT node FROM (
+       |              SELECT src AS node FROM e
+       |              UNION ALL SELECT dst FROM e)) nn
+       |      LEFT JOIN sd ON sd.node = nn.node),
+       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank FROM n),
+       |$steps
+       |SELECT node, CAST(rank AS BIGINT) AS rank_micros FROM r$iters""".stripMargin
+  }
+
   /** The rank-iteration CTE chain against an existing edge CTE
     * `edgeCte(src, dst)` — composable into larger oracle statements
     * (q_d_authority_survivor splices it after the CC chain). Ends at

@@ -136,6 +136,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.values.sum <= a.size * 1000000L)
   }
 
+  test("personalized PageRank: mass localizes to the seed side; " +
+      "unreachable nodes stay at exactly 0; fully-seeded == global") {
+    import graft.operators.PageRank
+    // two disjoint 3-cycles; seeds only in the first
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (11L, 12L), (12L, 13L), (13L, 11L)).toDF("s", "t")
+    val seeds = Seq(1L).toDF("node")
+    val r = PageRank.personalizedRanks(g, "s", "t", seeds, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(11L) == 0L && r(12L) == 0L && r(13L) == 0L, r)
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L, r)
+    // the seed always holds at least its own teleport mass
+    assert(r(1L) >= PageRank.TeleportMicros, r)
+    // seeding EVERY node reproduces global PageRank exactly
+    val all = Seq(1L, 2L, 3L, 11L, 12L, 13L).toDF("node")
+    val glob = PageRank.ranks(g, "s", "t", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pers = PageRank.personalizedRanks(g, "s", "t", all, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(glob == pers)
+  }
+
   test("equiDepthBins: octiles hold ~n/8 each under skew, bins are " +
       "monotone in the value, boundary ties go left") {
     // heavily skewed group: half the mass at one value
