@@ -323,6 +323,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_l_fuzzy_linkage: all pairwise work on the vocab table — " +
+      "no fact-side self-join, no cartesian product") {
+    val p = planOf("q_l_fuzzy_linkage")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the distinct-name collapse (HashAggregate keyed on name) sits
+    // below the pair joins, so the joins never see the part fact
+    assert(p.linesIterator.exists(l =>
+      l.contains("Keys") && l.contains("name")), p.take(2000))
+  }
+
+  test("q_t_oov_rate: vocab joins the token stream as a broadcast") {
+    val p = planOf("q_t_oov_rate")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_t_char_entropy: map-only on Spark (no explode/shuffle of " +
+      "the char stream; the one Exchange is the output sort)") {
+    val p = planOf("q_t_char_entropy")
+    assert(!p.contains("Generate"), p.take(2000)) // no explode
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q_x_join_cardinality: prediction runs on the two count " +
+      "tables — no orders x lineitem fact join anywhere") {
+    val p = planOf("q_x_join_cardinality")
+    // both sides collapse to per-key counts (partial agg) before the
+    // only key join in the plan
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q_o13: weighted sample is TakeOrdered straight over the scan " +
       "— no exchange, no sort of the fact") {
     val p = planOf("q_o13_weighted_sample")
