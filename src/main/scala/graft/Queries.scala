@@ -1103,6 +1103,44 @@ object Queries {
     }
   }
 
+  /** k-core decomposition (operators/KCore, synchronous peel): the
+    * dense kernel of a sparse order-hash graph UNIONed with a planted
+    * 25-clique (nation×nation) — the clique is scale-invariant, so
+    * the core is non-empty at every sf while the sparse part peels
+    * away. k=4, 8 peel rounds (fixpoint at every test scale —
+    * KCoreSpec proves rounds 8 ≡ 10); the oracle replays each round
+    * as unrolled CTEs, so the peel fixpoint itself hash-matches.
+    * Graph-shape diagnostic beside gcc (q_g_triangles): coreness says
+    * how DEEP the dense kernel goes — template/boilerplate families
+    * in a near-dup candidate graph sit in high cores.
+    */
+  val qGKcore = {
+    val edgesSql =
+      """SELECT l_orderkey % 3000 AS src, (l_orderkey * 7 + l_partkey) % 3000 AS dst
+        |       FROM lineitem WHERE l_linenumber = 1
+        |       UNION ALL
+        |       SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst
+        |       FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey""".stripMargin
+    q(
+      "q_g_kcore",
+      s"""${graft.operators.KCore.oracleSql(edgesSql, k = 4, iters = 8)}
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val sparse = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 3000).as("src"),
+          ((col("l_orderkey") * 7 + col("l_partkey")) % 3000).as("dst"))
+      val n1 = Tables.nation(s, d).select(col("n_nationkey"))
+      val clique = n1.as("a")
+        .join(n1.as("b"),
+          col("a.n_nationkey") < col("b.n_nationkey"))
+        .select(col("a.n_nationkey").as("src"),
+          col("b.n_nationkey").as("dst"))
+      graft.operators.KCore
+        .peel(sparse.unionByName(clique), "src", "dst", k = 4, iters = 8)
+        .orderBy("node")
+    }
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -6029,7 +6067,7 @@ object Queries {
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
-    qGPprSeeded, qGTriangles,
+    qGPprSeeded, qGTriangles, qGKcore,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
