@@ -6060,6 +6060,196 @@ object Queries {
           col("priority_micros"))
   }
 
+  // ---------------------------------------------------------------
+  // Lake maintenance, data quality, and corpus-health diagnostics
+  // (round 8 tail batch: CDC apply, expectations, drift, Zipf,
+  // event transition matrix)
+  // ---------------------------------------------------------------
+
+  /** CDC log application (operators/Cdc.applyLatest): the events
+    * stream read as an out-of-order upsert/delete feed keyed by
+    * user — purchases are tombstones, everything else upserts — and
+    * folded to latest surviving state per user. ONE hash aggregation:
+    * the per-key argmax rides max(struct(ts, event_id, op, value))
+    * with map-side partial combine, so the log never shuffles whole
+    * and there is no window sort anywhere (the oracle replays the
+    * same head via ROW_NUMBER, proving the argmax ordering). A
+    * delete only wins when it is the key's LAST change — earlier
+    * tombstones are superseded by later upserts.
+    */
+  val qXCdcApply = q(
+    "q_x_cdc_apply",
+    """WITH log AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+      |    value
+      |  FROM events),
+      |last AS (SELECT user_id, ts, event_id, op, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM log)
+      |SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+      |       event_id, value, CAST(n_changes AS BIGINT) AS n_changes
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      col("value"))
+    graft.operators.Cdc.applyLatest(
+        ev, "user_id", Seq("ts", "event_id"), "op", Seq("value"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  /** Data-quality expectation audit (operators/Expectations): four
+    * row rules (range floors planted to actually fire on this data),
+    * a PK-uniqueness rule, and an FK-integrity rule over lineitem ⋈
+    * orders. The four row rules share ONE scan via conditional
+    * aggregation (ExpectationsSpec asserts the single-scan plan);
+    * the audit output is rules-sized metadata.
+    */
+  val qXExpectations = q(
+    "q_x_expectations",
+    """WITH ra AS (SELECT COUNT(*) AS n_checked,
+      |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |  CAST(SUM(CASE WHEN l_extendedprice < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      |  FROM lineitem),
+      |pk AS (SELECT CAST(SUM(n) AS BIGINT) AS n_checked,
+      |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS v
+      |  FROM (SELECT COUNT(*) AS n FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)),
+      |fk AS (SELECT (SELECT COUNT(*) FROM lineitem) AS n_checked,
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS v)
+      |SELECT * FROM (
+      |  SELECT 'r1_qty_range' AS rule, n_checked, v1 AS n_violations FROM ra
+      |  UNION ALL SELECT 'r2_discount_range', n_checked, v2 FROM ra
+      |  UNION ALL SELECT 'r3_shipdate_not_null', n_checked, v3 FROM ra
+      |  UNION ALL SELECT 'r4_price_floor', n_checked, v4 FROM ra
+      |  UNION ALL SELECT 'r5_pk_unique', n_checked, v FROM pk
+      |  UNION ALL SELECT 'r6_fk_orders', n_checked, v FROM fk)
+      |ORDER BY rule""".stripMargin) { (s, d) =>
+    import graft.operators.Expectations
+    import graft.operators.Expectations.RowRule
+    val li = Tables.lineitem(s, d)
+    Expectations.audit(li,
+      Seq(
+        RowRule("r1_qty_range", !col("l_quantity").between(1, 45)),
+        RowRule("r2_discount_range", !col("l_discount").between(0.0, 0.08)),
+        RowRule("r3_shipdate_not_null", col("l_shipdate").isNull),
+        RowRule("r4_price_floor", col("l_extendedprice") < 1000)),
+      Seq(
+        Expectations.auditUnique(li, "r5_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        Expectations.auditFk(li, "l_orderkey", Tables.orders(s, d),
+          "o_orderkey", "r6_fk_orders")))
+  }
+
+  /** PSI input-drift monitor (operators/Drift.psiNumeric): quantity
+    * distribution of 1995 shipments (reference) vs 1996 (current)
+    * over 10 fixed-width bins. Bin edges are pure integer-replayable
+    * arithmetic — no percentile estimation — so both engines bin
+    * identically; counts are exact, and only the final (p_c − p_r)·
+    * ln(p_c/p_r) term touches doubles (ratio spelled as a quotient
+    * of exact integer products, the house ln-score convention).
+    */
+  val qXPsiDrift = q(
+    "q_x_psi_drift",
+    """WITH r AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_ref
+      |           FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      |c AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_cur
+      |      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+      |j AS (SELECT bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      |      FROM r FULL OUTER JOIN c USING (bin)),
+      |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |             CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
+      |p AS (SELECT bin, n_ref, n_cur,
+      |  ROUND(((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+      |        * ln(CAST((n_cur + 1) * (t_ref + 10) AS DOUBLE)
+      |             / CAST((n_ref + 1) * (t_cur + 10) AS DOUBLE)), 6) AS psi_bin
+      |  FROM j CROSS JOIN t)
+      |SELECT bin, n_ref, n_cur, psi_bin,
+      |       (SELECT ROUND(CAST(SUM(psi_bin) AS DOUBLE), 6) FROM p) AS psi_total
+      |FROM p ORDER BY bin""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"), year(col("l_shipdate")).as("y"))
+    graft.operators.Drift.psiNumeric(
+      li.filter(col("y") === 1995).select("l_quantity"),
+      li.filter(col("y") === 1996).select("l_quantity"),
+      "l_quantity", lo = 1.0, hi = 51.0, nBins = 10)
+  }
+
+  /** Zipf-law fit over the corpus head — the corpus-health
+    * diagnostic that catches template floods and synthetic-text
+    * contamination (natural corpora fit slope ≈ −1; machine spam
+    * flattens or cliffs it): token counts (vocab-sized agg), top
+    * 1000 terms selected by a distributed TakeOrdered heap (never a
+    * global sort of the vocab), ranks assigned by a window over the
+    * surviving 1000 rows only, then least-squares slope of ln(count)
+    * on ln(rank) via regr_slope in both engines.
+    */
+  val qTZipfSlope = q(
+    "q_t_zipf_slope",
+    """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                       x -> len(x) > 0)) AS w
+      |             FROM documents),
+      |cnt AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+      |top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+      |        FROM cnt ORDER BY cnt DESC, w LIMIT 1000)
+      |SELECT ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+      |       COUNT(*) AS n_terms
+      |FROM top""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val cnt = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = cnt.orderBy(desc("cnt"), asc("w")).limit(1000)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+    ranked.agg(
+      round(regr_slope(log(col("cnt")), log(col("rank"))), 6)
+        .as("zipf_slope"),
+      count(lit(1)).as("n_terms"))
+  }
+
+  /** First-order Markov transition matrix over the event stream:
+    * per-user next-event via lead (one shuffle by user), then
+    * transition counts and integer-micros row-normalized
+    * probabilities (exact `div` — no float path at all). The
+    * transition table is |event types|² rows — metadata — so the
+    * normalizing window runs over a tiny frame, never the stream.
+    */
+  val qWMarkovTransitions = q(
+    "q_w_markov_transitions",
+    """WITH tr AS (SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT src, dst, COUNT(*) AS cnt FROM tr
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, cnt,
+      |       cnt * 1000000 // CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT)
+      |         AS p_micros
+      |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    tr.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .withColumn("p_micros", expr(
+        "cnt * 1000000 div sum(cnt) over (partition by src)"))
+      .orderBy("src", "dst")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6104,5 +6294,6 @@ object Queries {
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
+    qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
   )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitors between a reference slice and a
+  * current slice — the snapshot-to-snapshot complement of the
+  * per-source TVD monitor (Queries.qTSourceDivergence): TVD asks
+  * "does this source match the corpus", these ask "does today's
+  * corpus match yesterday's".
+  *
+  *  - [[psiNumeric]]: Population Stability Index over fixed-width
+  *    bins of a numeric column, the industry-standard model-input
+  *    drift score (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 act).
+  *  - [[chiSquaredCategorical]]: Pearson χ² statistic over a
+  *    categorical column's contingency table.
+  *
+  * Determinism: bin counts are exact integers (fixed-width bins are
+  * pure integer arithmetic — no percentile estimation, so the bin
+  * edges replay in any engine); Laplace +1 smoothing keeps empty
+  * bins finite. Only the FINAL per-bin contribution touches doubles
+  * — a product of two correctly-rounded IEEE terms from exact
+  * integer inputs, rounded at 6 dp, the house convention for
+  * ln-bearing scores (same stability argument as the DSIR weights).
+  *
+  * Scale shape: each slice folds to a bins-sized count table in one
+  * map-side-combined aggregation (the fact never shuffles — the
+  * bin id is the shuffle key, cardinality = nBins); the join and
+  * score arithmetic are metadata-sized. Adding slices (per-day
+  * PSI series) adds rows to the count table, not scans.
+  */
+object Drift {
+
+  /** Fixed-width bin id: floor((x - lo) / width), clamped to
+    * [0, nBins). Values outside [lo, hi) clamp into the edge bins so
+    * out-of-range drift still registers (standard PSI practice).
+    */
+  private def binId(x: Column, lo: Double, width: Double, nBins: Int): Column =
+    least(greatest(floor((x - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+
+  /** SQL rendering of [[binId]] for oracle replay. */
+  def binIdSql(x: String, lo: Double, width: Double, nBins: Int): String =
+    s"LEAST(GREATEST(CAST(FLOOR(($x - $lo) / $width) AS BIGINT), 0), ${nBins - 1})"
+
+  /** Per-bin PSI contributions plus their running total. Output:
+    * (bin, n_ref, n_cur, psi_bin, psi_total) — one row per bin id
+    * 0..nBins-1 (bins empty in BOTH slices are absent; they
+    * contribute 0 by the smoothing identity p_r = p_c).
+    */
+  def psiNumeric(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need >= 2 bins over a real range")
+    val width = (hi - lo) / nBins
+    def counts(df: DataFrame, out: String) = df
+      .groupBy(binId(col(valueCol), lo, width, nBins).as("bin"))
+      .agg(count(lit(1)).as(out))
+    val r = counts(ref, "n_ref")
+    val c = counts(cur, "n_cur")
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    // smoothed proportions: p = (n + 1) / (t + nBins); contribution
+    // (p_c - p_r) * ln(p_c / p_r) with the ratio spelled as a product
+    // of exact integers so both engines ln the identical double
+    val pr = (col("n_ref") + 1).cast("double") / (col("t_ref") + nBins)
+    val pc = (col("n_cur") + 1).cast("double") / (col("t_cur") + nBins)
+    val ratio = ((col("n_cur") + 1) * (col("t_ref") + nBins)).cast("double") /
+      ((col("n_ref") + 1) * (col("t_cur") + nBins)).cast("double")
+    val contrib = joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((pc - pr) * log(ratio), 6).as("psi_bin"))
+    val total = contrib.agg(round(sum("psi_bin"), 6).as("psi_total"))
+    contrib.crossJoin(broadcast(total)).orderBy("bin")
+  }
+
+  /** Pearson χ² over a categorical column: observed = current counts,
+    * expected = reference proportions scaled to the current total
+    * (+1 smoothing both sides). Output: (cat, n_ref, n_cur, chi2_cat,
+    * chi2_total), one row per category present in either slice.
+    */
+  def chiSquaredCategorical(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as(out))
+    val joined = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+      count(lit(1)).as("k"))
+    // expected_c = (n_ref + 1) / (t_ref + k) * (t_cur + k); observed
+    // = n_cur + 1; chi2 = (o - e)^2 / e, all from exact integers
+    val e = ((col("n_ref") + 1) * (col("t_cur") + col("k"))).cast("double") /
+      (col("t_ref") + col("k")).cast("double")
+    val o = (col("n_cur") + 1).cast("double")
+    val contrib = joined.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n_ref"), col("n_cur"),
+        round((o - e) * (o - e) / e, 6).as("chi2_cat"))
+    val total = contrib.agg(round(sum("chi2_cat"), 6).as("chi2_total"))
+    contrib.crossJoin(broadcast(total)).orderBy("cat")
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Drift, Expectations}
+import graft.operators.Expectations.RowRule
+
+/** CDC apply (arrival-order invariance, tombstone semantics),
+  * expectations audit (planted violations + the one-scan plan
+  * contract), and drift monitors (PSI/χ² zero on identical slices,
+  * positive under a planted shift, finite on empty bins).
+  */
+class CdcExpectationsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Cdc -------------------------------------------------------
+
+  lazy val cdcLog = Seq(
+    // key 1: upsert, upsert, delete, upsert  -> survives with v=40
+    (1L, 1L, 100L, "U", 10.0),
+    (1L, 2L, 101L, "U", 20.0),
+    (1L, 3L, 102L, "D", 0.0),
+    (1L, 4L, 103L, "U", 40.0),
+    // key 2: upsert then delete -> tombstoned
+    (2L, 1L, 200L, "U", 5.0),
+    (2L, 2L, 201L, "D", 0.0),
+    // key 3: same-seq tie broken by change id -> v=3.2 wins
+    (3L, 7L, 300L, "U", 3.1),
+    (3L, 7L, 301L, "U", 3.2))
+    .toDF("k", "seq", "cid", "op", "v")
+
+  private def applied(log: DataFrame): Set[(Long, Long, Long, Double, Long)] =
+    Cdc.applyLatest(log, "k", Seq("seq", "cid"), "op", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+      .toSet
+
+  test("applyLatest keeps last upsert, drops tombstoned keys, ties on id") {
+    assert(applied(cdcLog) === Set(
+      (1L, 4L, 103L, 40.0, 4L),
+      (3L, 7L, 301L, 3.2, 2L)))
+  }
+
+  test("applyLatest is arrival-order invariant") {
+    val shuffled = cdcLog.orderBy(rand(7)).repartition(5)
+    assert(applied(shuffled) === applied(cdcLog))
+  }
+
+  test("a delete superseded by a later upsert does not tombstone") {
+    val out = applied(cdcLog.filter(col("k") === 1L))
+    assert(out.map(_._1) === Set(1L))
+  }
+
+  test("applyLatest plan is one aggregate: no window, no sort, no join") {
+    val plan = Cdc.applyLatest(cdcLog, "k", Seq("seq", "cid"), "op", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sortmergejoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // --- Expectations ----------------------------------------------
+
+  lazy val facts = Seq(
+    (1L, 1, 10.0, "ok"),
+    (1L, 2, -1.0, "ok"),   // r_neg violation
+    (2L, 1, 5.0, null),    // r_null violation
+    (2L, 1, 7.0, "ok"))    // pk duplicate (2,1)
+    .toDF("k", "ln", "x", "tag")
+
+  test("row rules count planted violations in one pass") {
+    val out = Expectations.auditRows(facts, Seq(
+        RowRule("r_neg", col("x") < 0),
+        RowRule("r_null", col("tag").isNull)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("r_neg", 4L, 1L), ("r_null", 4L, 1L)))
+  }
+
+  test("N row rules share a single scan") {
+    val rules = (1 to 6).map(i => RowRule(s"r$i", col("x") < i))
+    val plan = Expectations.auditRows(facts, rules)
+      .queryExecution.optimizedPlan.toString
+    // one LocalRelation/scan leaf; no union of scans
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("uniqueness rule counts every row of a duplicated key") {
+    val out = Expectations.auditUnique(facts, "pk", Seq("k", "ln"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("pk", 4L, 2L)))
+  }
+
+  test("fk rule counts orphans") {
+    val dim = Seq(1L).toDF("k")
+    val out = Expectations.auditFk(facts, "k", dim, "k", "fk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("fk", 4L, 2L)))
+  }
+
+  // --- Drift -----------------------------------------------------
+
+  lazy val refSlice = (1 to 100).map(i => (i % 10) + 1.0).toDF("x")
+
+  test("PSI is zero between identical slices") {
+    val out = Drift.psiNumeric(refSlice, refSlice, "x", 1.0, 11.0, 5)
+      .select("psi_total").distinct().collect()
+    assert(out.map(_.getDouble(0)).toSeq === Seq(0.0))
+  }
+
+  test("PSI registers a planted shift and stays finite on empty bins") {
+    val cur = (1 to 100).map(i => (i % 3) + 1.0).toDF("x") // mass at 1..3
+    val rows = Drift.psiNumeric(refSlice, cur, "x", 1.0, 11.0, 5).collect()
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(total > 0.25, s"shifted slice must alarm, got $total")
+    assert(rows.forall(r => !r.getAs[Double]("psi_bin").isNaN))
+    assert(rows.forall(r => !r.getAs[Double]("psi_bin").isInfinite))
+  }
+
+  test("out-of-range values clamp into edge bins") {
+    val cur = Seq(-100.0, 1000.0).toDF("x")
+    val rows = Drift.psiNumeric(refSlice, cur, "x", 1.0, 11.0, 5)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_cur")))
+      .toMap
+    assert(rows(0L) === 1L && rows(4L) === 1L)
+  }
+
+  test("chi-squared is zero on identical slices, positive under drift") {
+    val ref = Seq("a", "a", "b", "c").toDF("c")
+    val zero = Drift.chiSquaredCategorical(ref, ref, "c")
+      .select("chi2_total").distinct().collect().head.getDouble(0)
+    assert(zero === 0.0)
+    val cur = Seq("a", "b", "b", "b").toDF("c")
+    val drift = Drift.chiSquaredCategorical(ref, cur, "c")
+      .select("chi2_total").distinct().collect().head.getDouble(0)
+    assert(drift > 0.0)
+  }
+}
