@@ -6250,6 +6250,193 @@ object Queries {
       .orderBy("src", "dst")
   }
 
+  /** PC1 by power iteration (operators/Pca): 4 rounds over the
+    * mean-centered embeddings, every round one distributed pass
+    * computing the scatter action y = Σ xc(xc·v) with per-row floored
+    * micros summed as exact longs — the oracle unrolls all 4 rounds
+    * as CTEs (the PageRank/k-means replay pattern) including the
+    * zero-vector guard, and must match bit-for-bit. Output: the unit
+    * PC1 (micros), the dominant scatter eigenvalue, and the
+    * explained-variance ratio against trace(S).
+    */
+  val qEPcaPower = {
+    val dim = 64
+    val rounds = 4
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(list_zip($a, $b), x -> x[1] * x[2])),
+         |    (a, b) -> a + b)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT xc, ${dotSql("xc", "v")} AS dot
+         |        FROM cx CROSS JOIN v${r - 1}),
+         |y$r AS (SELECT pos,
+         |          CAST(SUM(CAST(floor(xc[pos + 1] * dot * 1000000) AS BIGINT)) AS BIGINT) AS ym
+         |        FROM (SELECT xc, dot, unnest(range($dim)) AS pos FROM d$r)
+         |        GROUP BY pos),
+         |n$r AS (SELECT ys, vprev, lamprev,
+         |          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(ys, y -> y * y)), (a, b) -> a + b)) AS nrm
+         |        FROM (SELECT LIST(ym / 1000000.0 ORDER BY pos) AS ys FROM y$r)
+         |        CROSS JOIN (SELECT v AS vprev, lam AS lamprev FROM v${r - 1})),
+         |v$r AS (SELECT CASE WHEN nrm > 0 THEN list_transform(ys, y -> y / nrm)
+         |               ELSE vprev END AS v,
+         |               CASE WHEN nrm > 0 THEN nrm ELSE lamprev END AS lam
+         |        FROM n$r)""".stripMargin
+    }.mkString(",\n")
+    q(
+      "q_e_pca_power",
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS xv FROM embeddings),
+         |ex AS (SELECT xv, unnest(range($dim)) AS pos FROM e),
+         |mm AS (SELECT pos,
+         |         CAST(SUM(CAST(floor(xv[pos + 1] * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+         |         COUNT(*) AS n
+         |       FROM ex GROUP BY pos),
+         |mu AS (SELECT LIST(CAST((sm - ((sm % n) + n) % n) // n AS DOUBLE) / 1000000
+         |                   ORDER BY pos) AS m
+         |       FROM mm),
+         |cx AS (SELECT list_transform(list_zip(xv, m), x -> x[1] - x[2]) AS xc
+         |       FROM e CROSS JOIN mu),
+         |v0 AS (SELECT list_transform(range($dim), i -> 0.125) AS v, 0.0 AS lam),
+         |$roundCtes,
+         |tr AS (SELECT CAST(SUM(CAST(floor(
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(xc, x -> x * x)), (a, b) -> a + b)
+         |         * 1000000) AS BIGINT)) AS BIGINT) AS tm
+         |       FROM cx)
+         |SELECT t.pos AS d,
+         |       CAST(floor(v[t.pos + 1] * 1000000) AS BIGINT) AS v_micros,
+         |       CAST(floor(lam * 1000000) AS BIGINT) AS lambda_micros,
+         |       CAST(floor(lam / (tm / 1000000.0) * 1000000) AS BIGINT) AS evr_micros
+         |FROM v$rounds CROSS JOIN tr, range($dim) AS t(pos)
+         |ORDER BY d""".stripMargin) { (s, d) =>
+      graft.operators.Pca.powerIterationPC1(
+        Tables.embeddings(s, d), "embedding", dim, rounds).orderBy("d")
+    }
+  }
+
+  /** k-anonymity / l-diversity release audit (operators/Privacy):
+    * customer profiled against the (nation, market-segment) quasi-
+    * identifier with account-balance sign as the sensitive attribute.
+    * One hash aggregation yields group size and in-group sensitive
+    * diversity; the global minimum and rows-at-risk ride a broadcast
+    * grand agg. Output is QI-domain-sized metadata.
+    */
+  val qXKAnonymity = q(
+    "q_x_k_anonymity",
+    """WITH ps AS (SELECT c_nationkey, c_mktsegment,
+      |              CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS sv,
+      |              COUNT(*) AS n
+      |            FROM customer GROUP BY 1, 2, 3),
+      |g AS (SELECT c_nationkey, c_mktsegment,
+      |        CAST(SUM(n) AS BIGINT) AS group_n,
+      |        COUNT(*) AS l_div
+      |      FROM ps GROUP BY 1, 2),
+      |gg AS (SELECT c_nationkey, c_mktsegment, group_n, l_div,
+      |         CASE WHEN group_n < 10 THEN 1 ELSE 0 END AS below_k
+      |       FROM g),
+      |t AS (SELECT MIN(group_n) AS k_anonymity,
+      |        CAST(COALESCE(SUM(CASE WHEN below_k = 1 THEN group_n END), 0) AS BIGINT)
+      |          AS rows_at_risk
+      |      FROM gg)
+      |SELECT c_nationkey, c_mktsegment, group_n, l_div,
+      |       CAST(below_k AS BIGINT) AS below_k, k_anonymity, rows_at_risk
+      |FROM gg CROSS JOIN t
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+    graft.operators.Privacy.profile(
+      Tables.customer(s, d)
+        .withColumn("sv",
+          when(col("c_acctbal") < 0, "neg").otherwise("nonneg")),
+      Seq("c_nationkey", "c_mktsegment"), "sv", k = 10)
+  }
+
+  /** Event-time disorder audit — the watermark-sizing diagnostic for
+    * every streaming job in the library: per user, arrival order is
+    * the ingest id and lateness is how far behind the user's running
+    * event-time high-water mark each event arrives. Lateness
+    * histograms by minute (capped at 10) tell you the watermark
+    * delay that bounds state without dropping data. One shuffle by
+    * user; seconds-precision integer arithmetic end to end.
+    */
+  val qWLateData = q(
+    "q_w_late_data",
+    """WITH e AS (SELECT user_id, event_id,
+      |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec
+      |           FROM events),
+      |l AS (SELECT user_id,
+      |        GREATEST(COALESCE(MAX(sec) OVER (PARTITION BY user_id
+      |                   ORDER BY event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                 - sec, 0), 0) AS late_sec
+      |      FROM e)
+      |SELECT LEAST(late_sec // 60, 10) AS late_min_bucket,
+      |       COUNT(*) AS n_events,
+      |       MAX(late_sec) AS max_late_sec
+      |FROM l GROUP BY 1 ORDER BY late_min_bucket""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("late_sec",
+        greatest(coalesce(max("sec").over(w) - col("sec"), lit(0L)),
+          lit(0L)))
+      .groupBy(least(expr("late_sec div 60"), lit(10L))
+        .as("late_min_bucket"))
+      .agg(count(lit(1)).as("n_events"), max("late_sec").as("max_late_sec"))
+      .orderBy("late_min_bucket")
+  }
+
+  /** Degree assortativity of the synthetic part↔supplier graph (same
+    * edge derivation as q_g_triangles): Pearson correlation of
+    * endpoint degrees over the undirected edge multiset, computed
+    * from EXACT integer sums (degrees are longs; Σx, Σx², Σxy all
+    * long arithmetic, safe to ~10⁹ edges) with ONE final double
+    * division — no float-aggregation order anywhere, unlike a corr()
+    * rendering. Negative r = hubs attach to leaves (the usual shape
+    * for bipartite-ish meshes).
+    */
+  val qGAssortativity = q(
+    "q_g_assortativity",
+    """WITH ed AS (SELECT l_partkey % 500 AS src, l_suppkey % 100 + 500 AS dst
+      |            FROM lineitem),
+      |und AS (SELECT src AS a, dst AS b FROM ed
+      |        UNION ALL SELECT dst, src FROM ed),
+      |deg AS (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY a),
+      |p AS (SELECT x.d AS dx, y.d AS dy
+      |      FROM und JOIN deg x ON und.a = x.v JOIN deg y ON und.b = y.v),
+      |s AS (SELECT COUNT(*) AS n,
+      |        CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |        CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |        CAST(SUM(dy * dy) AS BIGINT) AS syy,
+      |        CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      |      FROM p)
+      |SELECT n AS n_endpoints,
+      |       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |         AS assortativity
+      |FROM s""".stripMargin) { (s, d) =>
+    val ed = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 500).as("src"),
+      (col("l_suppkey") % 100 + 500).as("dst"))
+    val und = ed.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(ed.select(col("dst").as("a"), col("src").as("b")))
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val p = und
+      .join(deg.select(col("v").as("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("dy")), "b")
+    p.agg(count(lit(1)).as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n").as("n_endpoints"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("assortativity"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6295,5 +6482,6 @@ object Queries {
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
+    qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pca, Privacy}
+
+/** Power-iteration PCA (known-direction recovery, partitioning
+  * invariance, zero-variance guard) and the privacy profile
+  * (k-anonymity minimum, l-diversity, rows-at-risk).
+  */
+class PcaPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // points along direction (3,4)/5 in 4-d space plus small fixed
+  // off-axis jitter: PC1 must recover (0.6, 0.8, 0, 0) up to sign
+  lazy val line: DataFrame = (-20 to 20).map { i =>
+    val t = i.toDouble
+    Array(0.6 * t + 0.01 * (i % 3), 0.8 * t, 0.02 * (i % 2), 0.0)
+  }.toDF("embedding")
+
+  private def pc1(df: DataFrame): Seq[(Int, Long, Long, Long)] =
+    Pca.powerIterationPC1(df, "embedding", 4, rounds = 8)
+      .orderBy("d").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("PC1 recovers a planted dominant direction") {
+    val out = pc1(line)
+    val v = out.map(_._2.toDouble / 1e6)
+    val cosWithPlanted = math.abs(v(0) * 0.6 + v(1) * 0.8)
+    assert(cosWithPlanted > 0.999, s"v=$v")
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"unit norm, got $norm")
+    // data is essentially 1-dimensional: explained variance ~ 1
+    assert(out.head._4 > 990000L, s"evr_micros=${out.head._4}")
+  }
+
+  test("result is partitioning-invariant") {
+    assert(pc1(line.repartition(7)) === pc1(line))
+    assert(pc1(line.coalesce(1)) === pc1(line))
+  }
+
+  test("zero-variance corpus keeps the seed direction, lambda 0") {
+    val flat = Seq.fill(5)(Array(1.0, 1.0, 1.0, 1.0)).toDF("embedding")
+    val out = pc1(flat)
+    assert(out.forall(_._3 === 0L), "lambda must be 0")
+    assert(out.forall(_._4 === 0L), "evr must be 0")
+    // v stays the 1/sqrt(dim) seed = 0.5 per component
+    assert(out.forall(_._2 === 500000L))
+  }
+
+  test("privacy profile: k-anonymity min, l-diversity, rows at risk") {
+    val t = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),  // group (a,1): n=3, l=2
+      ("b", 2, "x"),                                // group (b,2): n=1, l=1
+      ("b", 3, "x"), ("b", 3, "x"))                 // group (b,3): n=2, l=1
+      .toDF("q1", "q2", "sv")
+    val rows = Privacy.profile(t, Seq("q1", "q2"), "sv", k = 2)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getAs[Long]("group_n"), r.getAs[Long]("l_div"),
+          r.getAs[Long]("below_k"), r.getAs[Long]("k_anonymity"),
+          r.getAs[Long]("rows_at_risk"))))
+      .toMap
+    assert(rows(("a", 1)) === ((3L, 2L, 0L, 1L, 1L)))
+    assert(rows(("b", 2)) === ((1L, 1L, 1L, 1L, 1L)))
+    assert(rows(("b", 3)) === ((2L, 1L, 0L, 1L, 1L)))
+  }
+
+  test("late-data window registers planted out-of-order arrivals") {
+    // arrival order (event_id) 1..4; event-times: 100, 400, 160, 430
+    // -> event 3 arrives 240 s behind the high-water mark
+    val ev = Seq((1L, 1L, 100L), (1L, 2L, 400L), (1L, 3L, 160L),
+        (1L, 4L, 430L))
+      .toDF("user_id", "event_id", "sec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val late = ev.withColumn("late_sec",
+        greatest(coalesce(max("sec").over(w) - col("sec"), lit(0L)), lit(0L)))
+      .select("event_id", "late_sec").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(late === Map(1L -> 0L, 2L -> 0L, 3L -> 240L, 4L -> 0L))
+  }
+}
