@@ -6259,9 +6259,12 @@ object Queries {
     * PC1 (micros), the dominant scatter eigenvalue, and the
     * explained-variance ratio against trace(S).
     */
-  val qEPcaPower = {
-    val dim = 64
-    val rounds = 4
+  /** Shared DuckDB replay of Pca.fitPC1 (dim 64, seed 1/√64 = 0.125
+    * exact): CTEs `cx` (vec_id, centered vector) and `v{rounds}`
+    * (v, lam) for consumers to build on. The PageRank/k-means
+    * unrolled-round pattern.
+    */
+  private def duckPc1Ctes(dim: Int, rounds: Int): String = {
     def dotSql(a: String, b: String) =
       s"""list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(list_zip($a, $b), x -> x[1] * x[2])),
@@ -6283,21 +6286,27 @@ object Queries {
          |               CASE WHEN nrm > 0 THEN nrm ELSE lamprev END AS lam
          |        FROM n$r)""".stripMargin
     }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings),
+       |ex AS (SELECT xv, unnest(range($dim)) AS pos FROM e),
+       |mm AS (SELECT pos,
+       |         CAST(SUM(CAST(floor(xv[pos + 1] * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+       |         COUNT(*) AS n
+       |       FROM ex GROUP BY pos),
+       |mu AS (SELECT LIST(CAST((sm - ((sm % n) + n) % n) // n AS DOUBLE) / 1000000
+       |                   ORDER BY pos) AS m
+       |       FROM mm),
+       |cx AS (SELECT vec_id, list_transform(list_zip(xv, m), x -> x[1] - x[2]) AS xc
+       |       FROM e CROSS JOIN mu),
+       |v0 AS (SELECT list_transform(range($dim), i -> 0.125) AS v, 0.0 AS lam),
+       |$roundCtes""".stripMargin
+  }
+
+  val qEPcaPower = {
+    val dim = 64
+    val rounds = 4
     q(
       "q_e_pca_power",
-      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS xv FROM embeddings),
-         |ex AS (SELECT xv, unnest(range($dim)) AS pos FROM e),
-         |mm AS (SELECT pos,
-         |         CAST(SUM(CAST(floor(xv[pos + 1] * 1000000) AS BIGINT)) AS BIGINT) AS sm,
-         |         COUNT(*) AS n
-         |       FROM ex GROUP BY pos),
-         |mu AS (SELECT LIST(CAST((sm - ((sm % n) + n) % n) // n AS DOUBLE) / 1000000
-         |                   ORDER BY pos) AS m
-         |       FROM mm),
-         |cx AS (SELECT list_transform(list_zip(xv, m), x -> x[1] - x[2]) AS xc
-         |       FROM e CROSS JOIN mu),
-         |v0 AS (SELECT list_transform(range($dim), i -> 0.125) AS v, 0.0 AS lam),
-         |$roundCtes,
+      s"""WITH ${duckPc1Ctes(dim, rounds)},
          |tr AS (SELECT CAST(SUM(CAST(floor(
          |         list_reduce(list_prepend(0.0::DOUBLE,
          |           list_transform(xc, x -> x * x)), (a, b) -> a + b)
@@ -6311,6 +6320,38 @@ object Queries {
          |ORDER BY d""".stripMargin) { (s, d) =>
       graft.operators.Pca.powerIterationPC1(
         Tables.embeddings(s, d), "embedding", dim, rounds).orderBy("d")
+    }
+  }
+
+  /** ABTT common-direction removal (Pca.removeTopComponent): fit PC1
+    * with the same 4-round chain, then strip each embedding's
+    * projection on it — map-only over the corpus, the model riding
+    * as dim-sized literals. The oracle rebuilds the identical model
+    * via [[duckPc1Ctes]] and re-derives every corrected vector
+    * bit-for-bit (micros-floored element-wise), so any drift in
+    * EITHER the fit or the application hash-mismatches.
+    */
+  val qEAbttCorrect = {
+    val dim = 64
+    val rounds = 4
+    q(
+      "q_e_abtt_correct",
+      s"""WITH ${duckPc1Ctes(dim, rounds)},
+         |pr AS (SELECT vec_id, xc,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(list_zip(xc, v), x -> x[1] * x[2])),
+         |           (a, b) -> a + b) AS proj
+         |       FROM cx CROSS JOIN v$rounds)
+         |SELECT vec_id, proj,
+         |       list_transform(list_zip(xc, (SELECT v FROM v$rounds)),
+         |         x -> CAST(floor((x[1] - proj * x[2]) * 1000000) AS BIGINT))
+         |         AS corrected
+         |FROM pr ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.operators.Pca
+      val e = Tables.embeddings(s, d)
+      val model = Pca.fitPC1(e, "embedding", dim, rounds)
+      Pca.removeTopComponent(e, "vec_id", "embedding", model)
+        .orderBy("vec_id")
     }
   }
 
@@ -6437,6 +6478,43 @@ object Queries {
           6).as("assortativity"))
   }
 
+  /** Byte-level near-dup over opaque binary payloads
+    * (Multimodal.binaryNearDups): distinct 8-byte sliding shingles
+    * on the hex rendering, hot-postings-capped inverted-index join,
+    * exact byte-shingle Jaccard ≥ 0.5. The media-column analog of
+    * q_d_ngram_jaccard — catches tweaked-header re-encodes and
+    * truncations that content-hash dedup misses.
+    */
+  val qMmBinaryNearDup = q(
+    "q_mm_binary_neardup",
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             octet_length(encode(text)) AS n
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(n - 7),
+      |           i -> substr(hx, 2 * i + 1, 16))) AS gs
+      |       FROM b WHERE n >= 8),
+      |posts AS (SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM sh),
+      |rare AS (SELECT doc_id, sz, g FROM
+      |           (SELECT *, COUNT(*) OVER (PARTITION BY g) AS f FROM posts)
+      |         WHERE f <= 200),
+      |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |        a.sz AS sz_a, b2.sz AS sz_b, COUNT(*) AS inter
+      |      FROM rare a JOIN rare b2 USING (g)
+      |      WHERE a.doc_id < b2.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+      |FROM p WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.binaryNearDups(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
+        "doc_id", "payload", w = 8, minJaccard = 0.5, maxShingleFreq = 200)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6483,5 +6561,6 @@ object Queries {
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
+    qEAbttCorrect, qMmBinaryNearDup,
   )
 }

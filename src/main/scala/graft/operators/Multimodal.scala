@@ -259,4 +259,57 @@ object Multimodal {
     transform(sequence(lit(0), lit(buckets - 1)), b =>
       size(filter(hexChars, c => pmod(ascii(c), lit(buckets)) === b)))
   }
+
+  /** Byte-level near-duplicate pairs over OPAQUE binary payloads —
+    * the dedup primitive for media columns, where text shingling
+    * does not apply: distinct w-byte sliding shingles (taken over
+    * the hex rendering, so the shingle key is engine-portable and
+    * 2w chars wide) feed the same capped inverted-index join as
+    * [[Dedup.ngramJaccardPairs]], then exact byte-shingle Jaccard.
+    * Catches re-encodes-with-tweaked-headers, truncated uploads, and
+    * duplicated media blobs that differ in a few bytes — the classes
+    * exact content-hash dedup misses.
+    *
+    * Scale shape: the shuffle key is the shingle; ubiquitous byte
+    * runs (container magic, padding, whitespace) are exactly the
+    * hot-postings risk, so lists longer than `maxShingleFreq` are
+    * dropped from candidate generation (a shingle shared by
+    * everything carries no dedup signal — same cap philosophy as the
+    * text path, and part of the operator's oracle-replayed
+    * definition). Payloads under w bytes emit nothing. Candidates
+    * group-count intersections; no payload ever rides the pair
+    * shuffle.
+    */
+  def binaryNearDups(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      w: Int = 8,
+      minJaccard: Double = 0.5,
+      maxShingleFreq: Int = 200): DataFrame = {
+    val hx = hex(col(payloadCol))
+    val sh = df.select(col(idCol).as("id"),
+      when(octet_length(col(payloadCol)) >= w,
+        array_distinct(transform(
+          sequence(lit(0), octet_length(col(payloadCol)) - w),
+          i => hx.substr(i * 2 + 1, lit(2 * w)))))
+        .otherwise(array().cast("array<string>")).as("gs"))
+    val posts = sh.select(col("id"), size(col("gs")).as("sz"),
+      explode(col("gs")).as("g"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val rare = posts
+      .withColumn("f", count(lit(1)).over(w2))
+      .filter(col("f") <= maxShingleFreq)
+      .drop("f")
+    val a = rare.select(col("id").as("id_a"), col("sz").as("sz_a"), col("g"))
+    val b = rare.select(col("id").as("id_b"), col("sz").as("sz_b"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -41,12 +41,18 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  def powerIterationPC1(vecs: DataFrame, vecCol: String, dim: Int,
-      rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark = vecs.sparkSession
-    import spark.implicits._
+  /** The fitted model: mean, unit PC1, dominant scatter eigenvalue,
+    * and trace(S) — all at full double precision (every value is the
+    * deterministic result of the replayable iteration, so downstream
+    * consumers like [[removeTopComponent]] stay oracle-exact).
+    */
+  final case class Pc1Model(mu: Array[Double], v: Array[Double],
+      lambda: Double, trace: Double)
 
+  /** Fit PC1 (see object doc). Driver traffic per round: `dim` longs. */
+  def fitPC1(vecs: DataFrame, vecCol: String, dim: Int,
+      rounds: Int): Pc1Model = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val asD = vecs.select(col(vecCol).cast("array<double>").as("xv"))
     val mu = Similarity.groupCentroids(
         asD.withColumn("g", lit(1)), "g", "xv")
@@ -82,11 +88,42 @@ object Pca {
         aggregate(col("xc"), lit(0.0), (acc, x) => acc + x * x) * lit(1e6))
         .cast("long").as("t2m"))
       .agg(sum("t2m")).collect()(0).getLong(0) / 1e6
-    val evr = if (trace > 0.0) lambda / trace else 0.0
+    Pc1Model(mu, v, lambda, trace)
+  }
 
-    v.zipWithIndex.map { case (c, d) =>
-      (d, math.floor(c * 1e6).toLong, math.floor(lambda * 1e6).toLong,
+  def powerIterationPC1(vecs: DataFrame, vecCol: String, dim: Int,
+      rounds: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val m = fitPC1(vecs, vecCol, dim, rounds)
+    val evr = if (m.trace > 0.0) m.lambda / m.trace else 0.0
+    m.v.zipWithIndex.map { case (c, d) =>
+      (d, math.floor(c * 1e6).toLong, math.floor(m.lambda * 1e6).toLong,
         math.floor(evr * 1e6).toLong)
     }.toSeq.toDF("d", "v_micros", "lambda_micros", "evr_micros")
+  }
+
+  /** All-but-the-top common-direction removal (Mu & Viswanath,
+    * ICLR'18): re-express every embedding as xc = x − μ, then strip
+    * its projection on the fitted PC1 — the post-processing that
+    * measurably improves cosine-similarity quality on anisotropic
+    * embedding spaces ("the top direction encodes frequency, not
+    * meaning"). The model rides in as plan literals (dim-sized);
+    * the correction itself is MAP-ONLY — no shuffle, no collect, the
+    * 100 TB path is scan → project → sink. Output: idCol, `proj`
+    * (the stripped coefficient xc·v), `corrected` (micros-floored
+    * corrected vector, oracle-exact).
+    */
+  def removeTopComponent(vecs: DataFrame, idCol: String, vecCol: String,
+      model: Pc1Model): DataFrame = {
+    val xc = zip_with(col(vecCol).cast("array<double>"), lit(model.mu),
+      (a, b) => a - b)
+    val proj = aggregate(zip_with(xc, lit(model.v), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    vecs.select(col(idCol), xc.as("xc"), proj.as("proj"))
+      .select(col(idCol), col("proj"),
+        transform(zip_with(col("xc"), lit(model.v),
+            (c, vd) => c - col("proj") * vd),
+          x => floor(x * lit(1e6)).cast("long")).as("corrected"))
   }
 }

@@ -50,6 +50,39 @@ class PcaPrivacySpec extends SparkSpec {
     assert(out.forall(_._2 === 500000L))
   }
 
+  test("ABTT correction zeroes the projection on the removed direction") {
+    val withId = line.withColumn("id",
+      monotonically_increasing_id())
+    val model = Pca.fitPC1(line, "embedding", 4, rounds = 8)
+    val out = Pca.removeTopComponent(withId, "id", "embedding", model)
+    // corrected · v must be ~0 for every row (micros-floored elements:
+    // tolerance 4 micros per component accumulated over dim 4)
+    val resid = out.select(
+        aggregate(zip_with(col("corrected"), lit(model.v),
+          (c, vd) => c.cast("double") / 1e6 * vd),
+          lit(0.0), (a, x) => a + x).as("r"))
+      .collect().map(r => math.abs(r.getDouble(0)))
+    assert(resid.max < 1e-4, s"max residual ${resid.max}")
+    // and the map-only contract: no exchange in the correction plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("binaryNearDups finds a tweaked payload, not an unrelated one") {
+    import graft.operators.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (1L, base),
+      (2L, base + "tail-tweak"),         // near-dup of 1
+      (3L, "完全に異なるコンテンツです " * 20)) // unrelated
+      .toDF("id", "text")
+    val pairs = Multimodal.binaryNearDups(
+        Multimodal.withBinaryPayload(docs, "text"), "id", "payload",
+        w = 8, minJaccard = 0.5, maxShingleFreq = 200)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
   test("privacy profile: k-anonymity min, l-diversity, rows at risk") {
     val t = Seq(
       ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),  // group (a,1): n=3, l=2
