@@ -43,20 +43,25 @@ object Drift {
   def binIdSql(x: String, lo: Double, width: Double, nBins: Int): String =
     s"LEAST(GREATEST(CAST(FLOOR(($x - $lo) / $width) AS BIGINT), 0), ${nBins - 1})"
 
-  /** Per-bin PSI contributions plus their running total. Output:
-    * (bin, n_ref, n_cur, psi_bin, psi_total) — one row per bin id
-    * 0..nBins-1 (bins empty in BOTH slices are absent; they
-    * contribute 0 by the smoothing identity p_r = p_c).
+  /** Fixed-width bin counts — the bounded-key aggregation shared by
+    * the batch monitor and [[graft.streaming.StreamDrift]] (the count
+    * is an order-free sum over ≤ nBins keys, so the streaming
+    * rendering is the same plan as a stateful streaming agg).
+    * Output: (bin, `out`).
     */
-  def psiNumeric(ref: DataFrame, cur: DataFrame, valueCol: String,
-      lo: Double, hi: Double, nBins: Int): DataFrame = {
+  def binCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int, out: String): DataFrame = {
     require(nBins >= 2 && hi > lo, "need >= 2 bins over a real range")
     val width = (hi - lo) / nBins
-    def counts(df: DataFrame, out: String) = df
-      .groupBy(binId(col(valueCol), lo, width, nBins).as("bin"))
+    df.groupBy(binId(col(valueCol), lo, width, nBins).as("bin"))
       .agg(count(lit(1)).as(out))
-    val r = counts(ref, "n_ref")
-    val c = counts(cur, "n_cur")
+  }
+
+  /** PSI finish over two bin-count tables (bin, n_ref) / (bin, n_cur)
+    * — all arithmetic identical to [[psiNumeric]], so a streamed
+    * current-side state finishes to the exact batch result.
+    */
+  def psiFromCounts(r: DataFrame, c: DataFrame, nBins: Int): DataFrame = {
     val joined = r.join(c, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
@@ -75,6 +80,17 @@ object Drift {
     val total = contrib.agg(round(sum("psi_bin"), 6).as("psi_total"))
     contrib.crossJoin(broadcast(total)).orderBy("bin")
   }
+
+  /** Per-bin PSI contributions plus their running total. Output:
+    * (bin, n_ref, n_cur, psi_bin, psi_total) — one row per bin id
+    * 0..nBins-1 (bins empty in BOTH slices are absent; they
+    * contribute 0 by the smoothing identity p_r = p_c).
+    */
+  def psiNumeric(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    psiFromCounts(
+      binCounts(ref, valueCol, lo, hi, nBins, "n_ref"),
+      binCounts(cur, valueCol, lo, hi, nBins, "n_cur"), nBins)
 
   /** Pearson χ² over a categorical column: observed = current counts,
     * expected = reference proportions scaled to the current total
