@@ -5876,34 +5876,39 @@ object Queries {
     * replace IS greedy BPE in both engines, so three chained rounds
     * replay bit-for-bit. Output: the learned merge table.
     */
+  /** Shared DuckDB replay of TextOps.bpeTrain: CTEs `tok`, `wcs`,
+    * `v0`, then per round r the pair-count chain ending in the
+    * argmax merge `b$r` and merged vocab `v$r`.
+    */
+  private def duckBpeTrainCtes(rounds: Int): String = {
+    def roundCtes(r: Int): String = {
+      val vp = s"v${r - 1}"
+      s"""s$r AS (SELECT w, string_split(w, chr(31)) AS s, wc FROM $vp),
+         |e$r AS (SELECT s, wc, unnest(range(len(s) - 1)) AS i
+         |        FROM s$r WHERE len(s) >= 2),
+         |c$r AS (SELECT s[CAST(i AS INT) + 1] AS a,
+         |          s[CAST(i AS INT) + 2] AS b,
+         |          CAST(SUM(wc) AS BIGINT) AS cnt
+         |        FROM e$r GROUP BY a, b),
+         |b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (SELECT replace(w, a || chr(31) || b, a || b) AS w, wc
+         |        FROM $vp CROSS JOIN b$r)""".stripMargin
+    }
+    s"""tok AS (SELECT unnest($duckToks) AS w0 FROM documents),
+       |wcs AS (SELECT w0, COUNT(*) AS wc FROM tok GROUP BY w0),
+       |v0 AS (SELECT array_to_string(list_filter(string_split(w0, ''),
+       |         c -> len(c) > 0), chr(31)) AS w, wc FROM wcs),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
   val qTBpeTrain = q(
-    "q_t_bpe_train", {
-      def roundCtes(r: Int): String = {
-        val vp = s"v${r - 1}"
-        s"""s$r AS (SELECT w, string_split(w, chr(31)) AS s, wc FROM $vp),
-           |e$r AS (SELECT s, wc, unnest(range(len(s) - 1)) AS i
-           |        FROM s$r WHERE len(s) >= 2),
-           |c$r AS (SELECT s[CAST(i AS INT) + 1] AS a,
-           |          s[CAST(i AS INT) + 2] AS b,
-           |          CAST(SUM(wc) AS BIGINT) AS cnt
-           |        FROM e$r GROUP BY a, b),
-           |b$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |v$r AS (SELECT replace(w, a || chr(31) || b, a || b) AS w, wc
-           |        FROM $vp CROSS JOIN b$r)""".stripMargin
-      }
-      s"""WITH tok AS (SELECT unnest($duckToks) AS w0 FROM documents),
-         |wcs AS (SELECT w0, COUNT(*) AS wc FROM tok GROUP BY w0),
-         |v0 AS (SELECT array_to_string(list_filter(string_split(w0, ''),
-         |         c -> len(c) > 0), chr(31)) AS w, wc FROM wcs),
-         |${roundCtes(1)},
-         |${roundCtes(2)},
-         |${roundCtes(3)}
+    "q_t_bpe_train",
+      s"""WITH ${duckBpeTrainCtes(3)}
          |SELECT * FROM (
          |  SELECT 1 AS round, a, b, cnt FROM b1
          |  UNION ALL SELECT 2 AS round, a, b, cnt FROM b2
          |  UNION ALL SELECT 3 AS round, a, b, cnt FROM b3)
-         |ORDER BY round""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY round""".stripMargin) { (s, d) =>
     graft.operators.TextOps.bpeTrain(Tables.documents(s, d), "text", 3)
       .orderBy("round")
   }
@@ -6515,6 +6520,46 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** BPE encode + tokenizer fertility (TextOps.bpeEncode): train 3
+    * merges (one bounded-collect row per round), then tokenize the
+    * corpus under the learned vocab — chained greedy replaces over
+    * DISTINCT words only, joined back to the token stream. The
+    * oracle re-derives the merges via [[duckBpeTrainCtes]] and
+    * re-encodes every word itself, so trainer AND encoder replay in
+    * one query. Fertility (subtokens per word) is exact integer
+    * micros.
+    */
+  val qTBpeEncode = q(
+    "q_t_bpe_encode",
+    s"""WITH ${duckBpeTrainCtes(3)},
+       |tokd AS (SELECT doc_id, unnest($duckToks) AS w0 FROM documents),
+       |wsym AS (SELECT w0, array_to_string(list_filter(string_split(w0, ''),
+       |           c -> len(c) > 0), chr(31)) AS sym
+       |         FROM (SELECT DISTINCT w0 FROM tokd)),
+       |ve1 AS (SELECT w0, replace(sym, a || chr(31) || b, a || b) AS sym
+       |        FROM wsym CROSS JOIN b1),
+       |ve2 AS (SELECT w0, replace(sym, a || chr(31) || b, a || b) AS sym
+       |        FROM ve1 CROSS JOIN b2),
+       |ve3 AS (SELECT w0, replace(sym, a || chr(31) || b, a || b) AS sym
+       |        FROM ve2 CROSS JOIN b3),
+       |nsub AS (SELECT w0, CAST(len(string_split(sym, chr(31))) AS BIGINT)
+       |           AS n_sub FROM ve3),
+       |ag AS (SELECT doc_id, COUNT(*) AS n_words,
+       |         CAST(SUM(n_sub) AS BIGINT) AS n_subtokens
+       |       FROM tokd JOIN nsub USING (w0) GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_subtokens,
+       |       n_subtokens * 1000000 // n_words AS fertility_micros
+       |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val docs = Tables.documents(s, d)
+    val merges = TextOps.bpeTrain(docs, "text", 3).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .select(col("id").as("doc_id"), col("n_words"), col("n_subtokens"),
+        col("fertility_micros"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6561,6 +6606,6 @@ object Queries {
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
-    qEAbttCorrect, qMmBinaryNearDup,
+    qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode,
   )
 }

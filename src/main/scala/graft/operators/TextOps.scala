@@ -378,4 +378,40 @@ object TextOps {
     }
     learned.toSeq.toDF("round", "a", "b", "cnt")
   }
+
+  /** Apply a trained merge list ([[bpeTrain]]'s output, in round
+    * order) to tokenize the corpus — the ENCODE side of the BPE
+    * pair: per-document word count, subtoken count under the learned
+    * vocab, and tokenizer fertility (subtokens per word, micros) —
+    * the metric that decides whether a tokenizer suits a corpus
+    * (fertility ≫ 1 on a language means the model burns context
+    * window on fragments).
+    *
+    * Vocab-first, like the trainer: the corpus shuffles once into
+    * DISTINCT words; all merges apply as chained map-side string
+    * replaces over the vocab (same [[BpeSep]] greedy-replace
+    * semantics as training — encode and train can never disagree on
+    * a merge's effect); per-word subtoken counts join back to the
+    * token stream on the word. Per-doc output rides one final
+    * aggregation; fertility is exact integer micros.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("w0"))
+    val base = tok.select("w0").distinct()
+      .withColumn("sym", concat_ws(BpeSep,
+        filter(split(col("w0"), ""), c => length(c) > 0)))
+    val encoded = merges.foldLeft(base) { case (v, (a, b)) =>
+      v.withColumn("sym", call_function("replace", col("sym"),
+        lit(a + BpeSep + b), lit(a + b)))
+    }
+    val nsub = encoded.select(col("w0"),
+      size(split(col("sym"), BpeSep)).cast("long").as("n_sub"))
+    tok.join(nsub, Seq("w0"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))
+      .withColumn("fertility_micros",
+        expr("n_subtokens * 1000000 div n_words"))
+  }
 }

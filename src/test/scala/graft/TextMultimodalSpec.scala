@@ -72,6 +72,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(reps == List((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("bpeEncode applies merges in order; fertility is exact micros") {
+    // merges (a,b) then (ab,c): "abc" -> [abc] (1); "cab" -> [c, ab]
+    // (2); "abab" -> [ab, ab] (2); "xyz" untouched -> 3 subtokens
+    val docs = Seq((1L, "abc cab"), (2L, "abab xyz")).toDF("id", "text")
+    val out = TextOps.bpeEncode(docs, "id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 3L, 1500000L)))
+    assert(out(2L) === ((2L, 5L, 2500000L)))
+    // encode(vocab(train)) degenerates to the trainer's own merged
+    // vocab: a word made ONLY of learned merges collapses fully
+    val corpus = Seq((1L, "ab ab ab")).toDF("id", "text")
+    val enc = TextOps.bpeEncode(corpus, "id", "text", Seq(("a", "b")))
+      .collect().head
+    assert(enc.getLong(2) === 3L) // 3 words x 1 subtoken
+  }
+
   test("canonicalizeUrl: per-rule edge cases — wrong-scheme ports " +
       "kept, root slash kept, param sort, tracking-only query " +
       "vanishes, path case preserved") {
