@@ -6560,6 +6560,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source quantile normalization (Stats.quantileNormalize):
+    * each event's value re-expressed as the GLOBAL distribution's
+    * value at the event's source-local percentile — the calibration
+    * that makes one quality threshold meaningful across differently-
+    * scored sources. Histogram paths only: the fact is never sorted
+    * or value-shuffled; both bucket tables broadcast.
+    */
+  val qA20QuantileNormalize = {
+    val keep = Seq("event_id", "event_type", "value")
+    q(
+      "q_a20_quantile_normalize",
+      s"""SELECT event_id, event_type, value, pct_milli, norm_x
+         |FROM (${graft.operators.Stats.quantileNormalizeOracleSql(
+             "events", "event_type", "FLOOR(value * 100)", keep)})
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.operators.Stats.quantileNormalize(
+          Tables.events(s, d), "event_type", floor(col("value") * 100), keep)
+        .orderBy("event_id")
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6606,6 +6627,6 @@ object Queries {
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
-    qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode,
+    qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
   )
 }

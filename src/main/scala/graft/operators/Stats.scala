@@ -466,6 +466,79 @@ object Stats {
        |       CAST(cum0 * 1000 // n AS BIGINT) AS pct_milli
        |FROM wb JOIN cu USING ($group, bkt)""".stripMargin
 
+  /** Per-group quantile normalization onto the GLOBAL distribution —
+    * the cross-source score-calibration step before a single global
+    * quality threshold is applied to a mixed corpus: a score of "0.8
+    * from source A" and "0.8 from source B" mean different things
+    * when the sources' score distributions differ, so each row is
+    * mapped to its source-local percentile ([[
+    * approxPercentileRankMilli]] — the no-sort histogram path) and
+    * re-expressed as the global distribution's value at that
+    * percentile (inverse-CDF via a second, GLOBAL histogram).
+    *
+    * Scale shape: two histogram passes over the fact (one per-group,
+    * one global), both map-side-combined into bucket tables that
+    * broadcast back; the inverse lookup is a row-vs-256-bucket
+    * broadcast range join. The fact is never sorted, never shuffled
+    * by value. All bucket arithmetic is the selection-path formula;
+    * the normalized value `mn + bkt·(mx−mn)/B` (the matched global
+    * bucket's lower bound) is one deterministic double expression
+    * from exact integers — replayable in any engine. Approximation
+    * error on both the rank and the inverse is bounded by the
+    * largest bucket's mass/width, same contract as the rank op.
+    *
+    * Output: keep ++ (pct_milli, norm_x).
+    */
+  def quantileNormalize(
+      df: DataFrame, group: String, xInt: Column,
+      keep: Seq[String], buckets: Int = 256): DataFrame = {
+    val B = buckets
+    val pct = approxPercentileRankMilli(df, group, xInt, keep, buckets)
+    val base = df.withColumn("xl", xInt.cast("long"))
+    val gext = base.agg(count(lit(1)).as("ng"),
+      min("xl").as("mn"), max("xl").as("mx"))
+    val ghist = base.crossJoin(broadcast(gext))
+      .withColumn("bkt",
+        least(greatest(
+          floor((col("xl") - col("mn"))
+            / (col("mx") - col("mn") + lit(1e-300)) * B).cast("int"),
+          lit(0)), lit(B - 1)))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+      .withColumn("cum0",
+        sum("c").over(Window.orderBy("bkt")) - col("c"))
+    pct.crossJoin(broadcast(gext))
+      .withColumn("rg", expr("pct_milli * ng div 1000"))
+      .join(broadcast(ghist),
+        col("rg") >= col("cum0") && col("rg") < col("cum0") + col("c"))
+      .select(keep.map(col) ++ Seq(col("pct_milli"),
+        round(col("mn") + col("bkt") * (col("mx") - col("mn"))
+          / lit(B.toDouble), 6).as("norm_x")): _*)
+  }
+
+  /** DuckDB rendering of [[quantileNormalize]]. */
+  def quantileNormalizeOracleSql(
+      table: String, group: String, xIntSql: String,
+      keep: Seq[String], buckets: Int = 256): String = {
+    val B = buckets
+    s"""WITH pr AS (${approxPctRankOracleSql(table, group, xIntSql, keep,
+           buckets)}),
+       |gb AS (SELECT CAST($xIntSql AS BIGINT) AS xl FROM $table),
+       |gex AS (SELECT COUNT(*) AS ng, MIN(xl) AS mn, MAX(xl) AS mx FROM gb),
+       |gh AS (SELECT least(greatest(CAST(floor((xl - mn)
+       |         / (mx - mn + 1e-300) * $B) AS INT), 0), ${B - 1}) AS bkt,
+       |         COUNT(*) AS c
+       |       FROM gb CROSS JOIN gex GROUP BY 1),
+       |gcu AS (SELECT bkt, c,
+       |          CAST(SUM(c) OVER (ORDER BY bkt) - c AS BIGINT) AS cum0
+       |        FROM gh),
+       |tg AS (SELECT pr.*, CAST(pct_milli * ng // 1000 AS BIGINT) AS rg
+       |       FROM pr CROSS JOIN gex)
+       |SELECT ${keep.mkString(", ")}, pct_milli,
+       |       ROUND(mn + bkt * (mx - mn) / $B.0, 6) AS norm_x
+       |FROM tg JOIN gcu ON rg >= cum0 AND rg < cum0 + c
+       |CROSS JOIN gex""".stripMargin
+  }
+
   /** DuckDB rendering of `equiDepthBins` (identical comparisons on
     * the same ⌈p·n⌉ order statistics).
     */

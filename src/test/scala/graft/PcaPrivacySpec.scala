@@ -101,6 +101,40 @@ class PcaPrivacySpec extends SparkSpec {
     assert(rows(("b", 3)) === ((2L, 1L, 0L, 1L, 1L)))
   }
 
+  test("quantileNormalize is rank-preserving and maps a shifted source " +
+      "onto the global scale") {
+    import graft.operators.Stats
+    // source a: values 0..99; source b: same shape shifted +1000 —
+    // after normalization both land on the GLOBAL value scale
+    val rows = (0 until 100).map(i => (i.toLong, "a", i.toLong)) ++
+      (0 until 100).map(i => (100L + i, "b", 1000L + i))
+    val df = rows.toDF("id", "src", "x")
+    val out = Stats.quantileNormalize(df, "src", col("x"),
+        Seq("id", "src", "x"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // within each source, norm_x is non-decreasing in x
+    for (s <- Seq("a", "b")) {
+      val bySrc = out.filter(_._1 == s).sortBy(_._2)
+      assert(bySrc.sliding(2).forall(p => p(0)._4 <= p(1)._4),
+        s"monotone in $s")
+    }
+    // equal local percentiles -> equal global values across sources:
+    // the two sources share the same internal shape, so sorting each
+    // by x aligns equal percentiles position-by-position
+    val aSorted = out.filter(_._1 == "a").sortBy(_._2)
+    val bSorted = out.filter(_._1 == "b").sortBy(_._2)
+    assert(aSorted.map(_._3).sameElements(bSorted.map(_._3)),
+      "identical shapes must get identical local percentiles")
+    assert(aSorted.map(_._4).sameElements(bSorted.map(_._4)),
+      "calibrated sources must agree on the global value scale")
+    // the fact is never sorted: no global Sort node in the plan
+    val plan = Stats.quantileNormalize(df, "src", col("x"),
+      Seq("id", "src", "x")).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortExec"), plan)
+  }
+
   test("late-data window registers planted out-of-order arrivals") {
     // arrival order (event_id) 1..4; event-times: 100, 400, 160, 430
     // -> event 3 arrives 240 s behind the high-water mark
