@@ -6495,10 +6495,18 @@ object Queries {
     """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
       |             octet_length(encode(text)) AS n
       |           FROM documents),
+      |bb AS (SELECT doc_id, n, list_transform(range(n), i ->
+      |         CAST(strpos('123456789ABCDEF', substr(hx, 2 * i + 1, 1)) * 16
+      |            + strpos('123456789ABCDEF', substr(hx, 2 * i + 2, 1))
+      |            AS BIGINT)) AS bs
+      |       FROM b),
       |sh AS (SELECT doc_id,
-      |         list_distinct(list_transform(range(n - 7),
-      |           i -> substr(hx, 2 * i + 1, 16))) AS gs
-      |       FROM b WHERE n >= 8),
+      |         list_distinct(list_filter(list_transform(range(n - 7),
+      |           i -> ((((((bs[i + 1] * 31 + bs[i + 2]) * 31 + bs[i + 3]) * 31
+      |                 + bs[i + 4]) * 31 + bs[i + 5]) * 31 + bs[i + 6]) * 31
+      |                 + bs[i + 7]) * 31 + bs[i + 8]),
+      |           h -> h % 4 = 0)) AS gs
+      |       FROM bb WHERE n >= 8),
       |posts AS (SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM sh),
       |rare AS (SELECT doc_id, sz, g FROM
       |           (SELECT *, COUNT(*) OVER (PARTITION BY g) AS f FROM posts)
@@ -6581,6 +6589,68 @@ object Queries {
     }
   }
 
+  /** HyperANF neighborhood function (operators/HyperAnf), 3 rounds
+    * over the undirected part↔supplier mesh: per-node HLL balls
+    * merged along edges each round, N(t) = Σ_v est|ball(v,t)|. The
+    * oracle replays hash, ranks, register maxes, per-node finish,
+    * and the global sum for every round — the full Boldi-Rosa-Vigna
+    * chain as unrolled CTEs on the deterministic Sketch stack.
+    */
+  val qGHyperAnf = {
+    import graft.operators.Sketch.{A1, A2, B1, B2, P1, P2, RankCap}
+    val rounds = 3
+    def finishCtes(t: Int): String =
+      s"""ag$t AS (SELECT v, COUNT(*) AS present,
+         |        CAST(SUM(1::BIGINT << ($RankCap - mj)) AS BIGINT) AS sum_scaled
+         |        FROM r$t GROUP BY v),
+         |es$t AS (SELECT v, 256 - present AS zeros,
+         |  (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+         |    / (CAST(sum_scaled + (256 - present) * (1::BIGINT << $RankCap) AS DOUBLE)
+         |       / ${1L << RankCap}.0) AS raw
+         |  FROM ag$t),
+         |nf$t AS (SELECT $t AS t, CAST(SUM(
+         |    CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+         |               THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+         |               ELSE raw END) AS BIGINT)) AS BIGINT) AS nf
+         |  FROM es$t)""".stripMargin
+    val roundCtes = (1 to rounds).map { t =>
+      s"""p$t AS (SELECT ed.dst AS v, bucket, mj
+         |        FROM ed JOIN r${t - 1} r ON r.v = ed.src),
+         |r$t AS (SELECT v, bucket, MAX(mj) AS mj FROM
+         |          (SELECT * FROM r${t - 1} UNION ALL SELECT * FROM p$t)
+         |        GROUP BY v, bucket),
+         |${finishCtes(t)}""".stripMargin
+    }.mkString(",\n")
+    q(
+      "q_g_hyperanf",
+      s"""WITH ed AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem
+         |  UNION ALL
+         |  SELECT l_suppkey % 100, l_partkey % 500 FROM lineitem)),
+         |nd AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+         |hx AS (SELECT v, ((v % $P1) * $A1 + $B1) % $P1 AS x1,
+         |               ((v % $P2) * $A2 + $B2) % $P2 AS x2 FROM nd),
+         |hh AS (SELECT v, ((x1 * x1 % $P1 * 31 + x1) % $P1)
+         |        + (((x2 * x2 % $P2 * 131 + x2) % $P2) << 30) AS h FROM hx),
+         |r0 AS (SELECT v, h & 255 AS bucket,
+         |  CASE WHEN (h >> 8) = 0 THEN $RankCap
+         |       ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1, $RankCap)
+         |  END AS mj FROM hh),
+         |${finishCtes(0)},
+         |$roundCtes
+         |SELECT * FROM (${(0 to rounds).map(t => s"SELECT t, nf FROM nf$t")
+             .mkString(" UNION ALL ")})
+         |ORDER BY t""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_partkey") % 500).as("src"),
+        (col("l_suppkey") % 100).as("dst"))
+      val und = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.HyperAnf.neighborhoodFunction(und, rounds)
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6628,5 +6698,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
+    qGHyperAnf,
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HyperANF (Boldi, Rosa & Vigna, WWW'11): the neighborhood function
+  * N(t) = Σ_v |ball(v, t)| of a graph, estimated by giving every node
+  * an HLL sketch of its reachable set and, each round, merging every
+  * node's sketch with its in-neighbors' — register-wise MAX, the HLL
+  * union. N(t) is how reachability GROWS with distance: the
+  * effective-diameter estimate (first t where N(t) ≥ 0.9·N(∞)) and
+  * the connectivity health-check for the dedup cluster graph at a
+  * scale where exact BFS-from-every-node is quadratic fantasy.
+  *
+  * Everything rides the deterministic [[Sketch]] HLL stack (integer
+  * affine-square hash, trailing-zero ranks, register MAX — all
+  * engine-replayable; the estimate finish is the exact q_a5
+  * arithmetic), so the whole iteration unrolls into oracle CTEs.
+  *
+  * Scale shape per round: registers live as (v, bucket, mj) rows —
+  * at most m=256 per node, in practice min(|ball|, 256) — and the
+  * round is ONE join (edges ⋈ registers on src, projecting to dst)
+  * + union + group-max on (v, bucket): map-side partial max, one
+  * exchange keyed by node. localCheckpoint between rounds cuts the
+  * lineage exactly like PageRank/CC. The per-node finish + global
+  * sum is register-table-sized. Total: O(rounds) shuffles, no
+  * quadratic path anywhere — THE published algorithm for diameter
+  * at 100 TB graph scale.
+  */
+object HyperAnf {
+
+  /** Neighborhood-function table (t, nf) for t = 0..rounds, where nf
+    * = Σ_v hll_est(ball(v, t)) over `edges` (src, dst) treated as
+    * directed reach-TO edges; pass both directions for undirected
+    * graphs. Deterministic and partitioning-invariant.
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var reg = Sketch.hllRegisters(
+      nodes.withColumn("k", col("v")), Seq("v"), "k").localCheckpoint()
+
+    def nf(t: Int, r: DataFrame): DataFrame =
+      Sketch.hllFinish(r, Seq("v"))
+        .agg(lit(t).as("t"), sum("hll_est").as("nf"))
+
+    var out = nf(0, reg)
+    for (t <- 1 to rounds) {
+      val pushed = e.join(reg.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), col("bucket"), col("mj"))
+      reg = reg.unionByName(pushed)
+        .groupBy("v", "bucket").agg(max("mj").as("mj"))
+        .localCheckpoint()
+      out = out.unionByName(nf(t, reg))
+    }
+    out.orderBy("t")
+  }
+}

@@ -135,6 +135,20 @@ class PcaPrivacySpec extends SparkSpec {
     assert(!plan.contains("SortExec"), plan)
   }
 
+  test("HyperANF: N(0)=|V|, monotone growth, saturation at diameter") {
+    import graft.operators.HyperAnf
+    // path 1-2-3-4-5 (diameter 4): N grows each round until t=4,
+    // then is exactly stationary (register state is a fixpoint)
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val und = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val nf = HyperAnf.neighborhoodFunction(und, rounds = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf(0) === 5L, "singleton balls estimate exactly 1 each")
+    assert((0 to 3).forall(t => nf(t) < nf(t + 1)), s"monotone: $nf")
+    assert(nf(5) === nf(4), s"stationary past the diameter: $nf")
+  }
+
   test("late-data window registers planted out-of-order arrivals") {
     // arrival order (event_id) 1..4; event-times: 100, 400, 160, 430
     // -> event 3 arrives 240 s behind the high-water mark
