@@ -62,10 +62,16 @@ object Drift {
     * current-side state finishes to the exact batch result.
     */
   def psiFromCounts(r: DataFrame, c: DataFrame, nBins: Int): DataFrame = {
+    // joined and contrib are bins-sized but each is referenced TWICE
+    // (totals + per-bin output); left lazy, every reference replays
+    // the upstream FACT aggregation — the plan audit counted 8 fact
+    // scans. localCheckpoint pins the <=nBins rows so the fact is
+    // scanned exactly once per slice.
     val joined = r.join(c, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint()
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
     // smoothed proportions: p = (n + 1) / (t + nBins); contribution
     // (p_c - p_r) * ln(p_c / p_r) with the ratio spelled as a product
@@ -77,6 +83,7 @@ object Drift {
     val contrib = joined.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round((pc - pr) * log(ratio), 6).as("psi_bin"))
+      .localCheckpoint()
     val total = contrib.agg(round(sum("psi_bin"), 6).as("psi_total"))
     contrib.crossJoin(broadcast(total)).orderBy("bin")
   }

@@ -355,6 +355,74 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q_x_cdc_apply: one two-phase aggregation — no window, no " +
+      "join; the argmax rides max(struct), partial-agg'd map-side " +
+      "(struct max plans as SortAggregate — sorts are WITHIN tasks, " +
+      "the log still crosses the wire as one combined row per key)") {
+    val p = planOf("q_x_cdc_apply")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    // partial aggregate BELOW the exchange: the Exchange's child
+    // chain must contain an aggregate (map-side combine proof)
+    val nAggs = p.linesIterator.count(l =>
+      l.contains("SortAggregate") || l.contains("HashAggregate"))
+    assert(nAggs >= 2, s"two-phase agg expected:\n${p.take(2000)}")
+  }
+
+  test("q_x_expectations: the four row rules share ONE lineitem scan " +
+      "(conditional aggregation, not a union of scans)") {
+    val p = planOf("q_x_expectations")
+    // formatted mode prints one `(N) Scan parquet` detail header per
+    // scan node; expected: row rules 1 + pk-unique 1 + fk fact count
+    // 1 + fk orphan anti-join 1 (all lineitem) + orders 1 = 5. The
+    // naive per-rule rendering would be 8+.
+    val scans = p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans <= 5, s"$scans parquet scans:\n${p.take(3000)}")
+  }
+
+  test("q_x_psi_drift: the fact folds to bins-sized counts in a " +
+      "two-phase hash agg; joins run on bin tables only (a full-outer " +
+      "SMJ over <=10 rows is metadata, not a fact shuffle)") {
+    val p = planOf("q_x_psi_drift")
+    // the bins-sized intermediates are PINNED (localCheckpoint) at
+    // operator construction, so the final plan reads only the pinned
+    // RDDs — zero parquet scans here, and the construction itself
+    // scanned the fact exactly once per slice. Before the pin this
+    // audit counted 8 fact scans (every reuse replayed the agg).
+    val scans = p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans == 0, s"$scans parquet scans:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD"), p.take(2000))
+  }
+
+  test("q_e_abtt_correct: the correction itself is map-only over the " +
+      "scan — the model rides as literals, no join on the data path") {
+    import graft.operators.Pca
+    val e = Tables.embeddings(spark, Sf001)
+    val model = Pca.fitPC1(e, "embedding", 64, 4)
+    val p = Pca.removeTopComponent(e, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+  }
+
+  test("q_mm_binary_neardup: the posting shuffle key is an 8-byte " +
+      "long (native kernel), never a shingle string") {
+    val df = Queries.specs.find(_.name == "q_mm_binary_neardup").get
+      .fn(spark, Sf001)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("binary_shingle_hashes"), analyzed.take(2000))
+  }
+
+  test("q_a20_quantile_normalize: fact never sorts; both histogram " +
+      "tables broadcast back") {
+    val p = planOf("q_a20_quantile_normalize")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // no sort-merge anywhere: every join is against a broadcast
+    // bucket table (the fact's only Sort is the presentation orderBy)
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q_o13: weighted sample is TakeOrdered straight over the scan " +
       "— no exchange, no sort of the fact") {
     val p = planOf("q_o13_weighted_sample")
