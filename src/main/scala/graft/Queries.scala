@@ -6651,6 +6651,73 @@ object Queries {
     }
   }
 
+  /** Poisson-bootstrap CI for per-flag mean price
+    * (Stats.bootstrapMeanCi): 40 replicate weighted means from ONE
+    * map-side-combined pass, weights drawn by integer-threshold
+    * comparison on the house affine hash — resampling uncertainty at
+    * any scale without ever reshuffling a row. The oracle replays
+    * all 80 conditional sums and both order-statistic bounds.
+    */
+  val qA21BootstrapCi = q(
+    "q_a21_bootstrap_ci",
+    s"""SELECT l_returnflag, n, mean, ci_lo, ci_hi FROM (
+       |${graft.operators.Stats.bootstrapMeanCiOracleSql(
+           "lineitem", "l_returnflag",
+           "(l_orderkey * 16 + l_linenumber)",
+           "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")})
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    graft.operators.Stats.bootstrapMeanCi(
+        Tables.lineitem(s, d), "l_returnflag",
+        col("l_orderkey") * 16 + col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy("l_returnflag")
+  }
+
+  /** SCD2 retention GC plan (Scd2.retentionPlan): rebuild the event
+    * dimension, then classify every version against a time-travel
+    * watermark — closed versions whose validity ended before it are
+    * vacuum-safe (no as-of query at/after the watermark can read
+    * them). One aggregation over the dim; keys-sized output for the
+    * partition-delete pass.
+    */
+  val qXScd2Retention = q(
+    "q_x_scd2_retention",
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |             event_type FROM events),
+       |c AS (SELECT user_id, ts, event_id, event_type,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS pv
+       |      FROM e),
+       |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+       |       WHERE pv IS NULL OR pv <> event_type),
+       |v AS (SELECT user_id, ts AS vf,
+       |        lead(ts) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS vt
+       |      FROM ch),
+       |g AS (SELECT user_id,
+       |        vt IS NOT NULL AND vt < TIMESTAMP '2024-01-20 00:00:00'
+       |          AS expired,
+       |        vf
+       |      FROM v)
+       |SELECT user_id, COUNT(*) AS n_versions,
+       |  CAST(COALESCE(SUM(CASE WHEN expired THEN 1 END), 0) AS BIGINT)
+       |    AS n_expired,
+       |  epoch_ms(MIN(CASE WHEN NOT expired THEN vf END)) // 1000
+       |    AS keep_from_sec
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.operators.Scd2
+    val dim = Scd2.fromChangeLog(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+      "user_id", "ts", "event_id", "event_type")
+    Scd2.retentionPlan(dim, "user_id",
+        lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("n_versions"), col("n_expired"),
+        unix_timestamp(col("keep_from")).as("keep_from_sec"))
+      .orderBy("user_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6698,6 +6765,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention,
   )
 }

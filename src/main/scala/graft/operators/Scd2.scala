@@ -87,4 +87,22 @@ object Scd2 {
   def asOf(dim: DataFrame, at: Column): DataFrame =
     dim.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Retention GC plan: per key, how many closed versions expired
+    * before the time-travel `watermark` (their validity ENDED before
+    * it, so no as-of query at or after the watermark can ever read
+    * them — the standard lakehouse vacuum rule) vs. versions that
+    * must stay, plus the earliest surviving `valid_from`. The planner
+    * is metadata-scale: one aggregation over the dimension, output
+    * one row per key for the partition-delete pass to consume.
+    */
+  def retentionPlan(dim: DataFrame, keyCol: String,
+      watermark: Column): DataFrame = {
+    val expired = col("valid_to").isNotNull && col("valid_to") < watermark
+    dim.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        coalesce(sum(when(expired, 1L)), lit(0L)).as("n_expired"),
+        min(when(!expired, col("valid_from"))).as("keep_from"))
+  }
 }

@@ -515,6 +515,93 @@ object Stats {
           / lit(B.toDouble), 6).as("norm_x")): _*)
   }
 
+  /** Poisson-bootstrap thresholds for λ=1 in integer MICROS of the
+    * uniform draw: P(X ≤ k) = e⁻¹ Σ_{j≤k} 1/j!, floored at 1e-6 —
+    * weights come from pure integer comparisons, no float anywhere
+    * in the draw (the exp-free trick the DSIR sampler uses for its
+    * log-space priorities). Weight capped at 5 (P ≈ 6e-4 truncated —
+    * negligible and replayable).
+    */
+  private val PoissonCdfMicros: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+
+  /** Per-group bootstrap confidence interval for a mean — the
+    * Poisson(1) bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google TR'12): instead of resampling
+    * rows (impossible distributed — a resample is a global shuffle),
+    * every row gets an independent Poisson(1) weight per replicate,
+    * and replicate means are weighted means. One pass: all B·2
+    * conditional sums fold into a single map-side-combined hash
+    * aggregation; everything after is groups-sized metadata. The
+    * draw is the house affine hash of (rowKey·131 + b) compared
+    * against integer CDF thresholds — no float path until the final
+    * per-replicate division, so replicates replay exactly in any
+    * engine.
+    *
+    * Output per group: n, mean (= Σx/n/100, 4 dp), ci_lo, ci_hi
+    * (2.5%/97.5% order statistics of the B sorted replicate means,
+    * in the same /100 units — `xCents` is integer cents).
+    */
+  def bootstrapMeanCi(df: DataFrame, group: String, rowKey: Column,
+      xCents: Column, b: Int = 40): DataFrame = {
+    require(b >= 40 && b % 40 == 0, "b >= 40 keeps the 2.5% index >= 1")
+    def weight(r: Int): Column = {
+      val u = Sampling.hashBucket(rowKey * 131 + lit(r), 1000000)
+      PoissonCdfMicros.zipWithIndex.foldRight(lit(5L): Column) {
+        case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+      }
+    }
+    val base = df.select(Seq(col(group), xCents.cast("long").as("cents")) ++
+      (0 until b).map(r => weight(r).as(s"w$r")): _*)
+    val aggs = (0 until b).flatMap(r => Seq(
+      sum(col(s"w$r") * col("cents")).as(s"swx_$r"),
+      sum(col(s"w$r")).as(s"sw_$r"))) ++ Seq(
+      count(lit(1)).as("n"), sum("cents").as("sc"))
+    val agg = base.groupBy(group).agg(aggs.head, aggs.tail: _*)
+    val means = array_sort(array((0 until b).map(r =>
+      col(s"swx_$r").cast("double") / col(s"sw_$r")): _*))
+    val loIdx = math.ceil(0.025 * b).toInt
+    val hiIdx = math.ceil(0.975 * b).toInt
+    agg.select(col(group), col("n"),
+      round(col("sc").cast("double") / col("n") / lit(100.0), 4).as("mean"),
+      round(element_at(means, loIdx) / lit(100.0), 4).as("ci_lo"),
+      round(element_at(means, hiIdx) / lit(100.0), 4).as("ci_hi"))
+  }
+
+  /** DuckDB rendering of [[bootstrapMeanCi]]. `xCentsSql` must cast
+    * to BIGINT cents exactly like the Scala side's column.
+    */
+  def bootstrapMeanCiOracleSql(table: String, group: String,
+      rowKeySql: String, xCentsSql: String, b: Int = 40): String = {
+    val wCols = (0 until b).map { r =>
+      val u = Sampling.hashBucketSql(s"($rowKeySql * 131 + $r)", 1000000)
+      val cases = PoissonCdfMicros.zipWithIndex
+        .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
+      s"CASE $cases ELSE 5 END AS w$r"
+    }.mkString(",\n|         ")
+    val sums = (0 until b).map(r =>
+      s"CAST(SUM(w$r * cents) AS BIGINT) AS swx_$r, CAST(SUM(w$r) AS BIGINT) AS sw_$r")
+      .mkString(",\n|         ")
+    val meansList = (0 until b).map(r =>
+      s"CAST(swx_$r AS DOUBLE) / sw_$r").mkString(", ")
+    val loIdx = math.ceil(0.025 * b).toInt
+    val hiIdx = math.ceil(0.975 * b).toInt
+    s"""WITH base AS (SELECT $group, CAST($xCentsSql AS BIGINT) AS cents,
+       |         $wCols
+       |       FROM $table),
+       |agg AS (SELECT $group,
+       |         $sums,
+       |         COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sc
+       |       FROM base GROUP BY $group),
+       |ms AS (SELECT $group, n, sc,
+       |         list_sort([$meansList]) AS m FROM agg)
+       |SELECT $group, n,
+       |       ROUND(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean,
+       |       ROUND(m[$loIdx] / 100.0, 4) AS ci_lo,
+       |       ROUND(m[$hiIdx] / 100.0, 4) AS ci_hi
+       |FROM ms""".stripMargin
+  }
+
   /** DuckDB rendering of [[quantileNormalize]]. */
   def quantileNormalizeOracleSql(
       table: String, group: String, xIntSql: String,

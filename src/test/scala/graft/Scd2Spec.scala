@@ -113,4 +113,23 @@ class Scd2Spec extends SparkSpec {
       .select("k", "v").as[(Long, String)].collect().toSet
     assert(at2 == Set((1L, "a"))) // key 2 not yet born
   }
+
+  test("retentionPlan expires only versions whose validity ENDED " +
+      "before the watermark; the covering version always survives") {
+    val dim = Scd2.fromChangeLog(log, "k", "ts", "eid", "v")
+    // watermark between key 1's v2 (ends 01-05) and the open v3:
+    // v1 [01-01,01-03) and v2 [01-03,01-05) both expired; v3 kept
+    val plan = Scd2.retentionPlan(dim, "k",
+        lit(ts("2024-01-06 00:00:00")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(plan(1L) === ((3L, 2L)))
+    assert(plan(2L) === ((1L, 0L))) // single open version, never expires
+    // a watermark INSIDE v2's validity keeps v2 (as-of at wm reads it)
+    val plan2 = Scd2.retentionPlan(dim, "k",
+        lit(ts("2024-01-04 00:00:00")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plan2(1L) === 1L)
+  }
 }

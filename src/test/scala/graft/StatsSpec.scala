@@ -181,4 +181,20 @@ class StatsSpec extends SparkSpec {
     a.foreach(r =>
       assert(math.abs(r.getDouble(1) - c(r.getString(0))) < 1e-9))
   }
+
+  test("bootstrapMeanCi: CI brackets the mean, narrows with n, and " +
+      "is partitioning-invariant") {
+    def data(n: Int) = (1 to n)
+      .map(i => ("g", i.toLong, ((i % 100) + 1) * 100L))
+      .toDF("g", "k", "cents")
+    def ci(df: org.apache.spark.sql.DataFrame) =
+      Stats.bootstrapMeanCi(df, "g", col("k"), col("cents"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).head
+    val (n1, m1, lo1, hi1) = ci(data(400))
+    assert(lo1 < m1 && m1 < hi1, s"bracket: $lo1 $m1 $hi1")
+    val (_, m2, lo2, hi2) = ci(data(6400))
+    assert(hi2 - lo2 < hi1 - lo1, "width shrinks with n")
+    assert(ci(data(400).repartition(13)) === ((n1, m1, lo1, hi1)))
+  }
 }
