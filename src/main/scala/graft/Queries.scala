@@ -6718,6 +6718,95 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Cross-source content-overlap matrix (Sketch.hllOverlapMatrix):
+    * one scan builds per-source HLL registers over 3-gram shingle
+    * hashes; every source PAIR's union/intersection estimate then
+    * rides the groups×256 metadata table — "which sources share
+    * content" without ever joining text. The oracle replays
+    * registers, pairwise union maxes, and both finishes.
+    */
+  val qDSourceOverlap = {
+    import graft.operators.Sketch.{A1, A2, B1, B2, P1, P2, RankCap}
+    def finish(regCte: String, gCols: String, out: String): String =
+      s"""ag_$out AS (SELECT $gCols, COUNT(*) AS present,
+         |        CAST(SUM(1::BIGINT << ($RankCap - mj)) AS BIGINT) AS sum_scaled
+         |        FROM $regCte GROUP BY ALL),
+         |es_$out AS (SELECT $gCols, 256 - present AS zeros,
+         |  (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+         |    / (CAST(sum_scaled + (256 - present) * (1::BIGINT << $RankCap) AS DOUBLE)
+         |       / ${1L << RankCap}.0) AS raw
+         |  FROM ag_$out),
+         |$out AS (SELECT $gCols,
+         |  CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+         |             THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+         |             ELSE raw END) AS BIGINT) AS hll_est
+         |  FROM es_$out)""".stripMargin
+    q(
+      "q_d_source_overlap",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |${duckShingleHashes(3)},
+         |sx AS (SELECT d.source AS g, unnest(list_distinct(h.hs)) AS k
+         |       FROM h JOIN documents d USING (doc_id)),
+         |x AS (SELECT g, ((k % $P1) * $A1 + $B1) % $P1 AS x1,
+         |             ((k % $P2) * $A2 + $B2) % $P2 AS x2 FROM sx),
+         |hh AS (SELECT g, ((x1 * x1 % $P1 * 31 + x1) % $P1)
+         |        + (((x2 * x2 % $P2 * 131 + x2) % $P2) << 30) AS h FROM x),
+         |bk AS (SELECT g, h & 255 AS bucket,
+         |  CASE WHEN (h >> 8) = 0 THEN $RankCap
+         |       ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1, $RankCap)
+         |  END AS rnk FROM hh),
+         |reg AS (SELECT g, bucket, MAX(rnk) AS mj FROM bk GROUP BY 1, 2),
+         |${finish("reg", "g", "est")},
+         |prs AS (SELECT a.g AS ga, b.g AS gb
+         |        FROM (SELECT DISTINCT g FROM reg) a
+         |        JOIN (SELECT DISTINCT g FROM reg) b ON a.g < b.g),
+         |ureg AS (SELECT ga, gb, bucket, MAX(mj) AS mj
+         |         FROM prs JOIN reg ON reg.g = ga OR reg.g = gb
+         |         GROUP BY 1, 2, 3),
+         |${finish("ureg", "ga, gb", "uest")}
+         |SELECT ga AS group_a, gb AS group_b,
+         |       ea.hll_est AS est_a, eb.hll_est AS est_b,
+         |       u.hll_est AS est_union,
+         |       GREATEST(ea.hll_est + eb.hll_est - u.hll_est, 0) AS est_inter
+         |FROM uest u
+         |JOIN est ea ON ea.g = u.ga JOIN est eb ON eb.g = u.gb
+         |ORDER BY group_a, group_b""".stripMargin) { (s, d) =>
+      val keys = Tables.documents(s, d).select(col("source"),
+        explode(array_distinct(
+          graft.expressions.TextShingleHashes(col("text"), 3))).as("k"))
+      graft.operators.Sketch.hllOverlapMatrix(keys, "source", "k")
+        .orderBy("group_a", "group_b")
+    }
+  }
+
+  /** CUSUM mean-shift changepoint (operators/Changepoint) over MONTHLY
+    * order volume: argmax of the exact-integer cumulative deviation
+    * |S_t·T − t·Total| plus floor-div split means. The fact folds to
+    * one row per month map-side; everything after is periods-sized.
+    */
+  val qWChangepoint = q(
+    "q_w_changepoint",
+    """WITH daily AS (SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))::DATE AS t,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT t, x,
+      |    CAST(SUM(x) OVER (ORDER BY t) AS BIGINT) AS s,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS idx
+      |  FROM daily),
+      |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS total, COUNT(*) AS tt FROM daily),
+      |d AS (SELECT t, s, idx, total, tt,
+      |    abs(s * tt - idx * total) AS dstat
+      |  FROM c CROSS JOIN tot WHERE idx < tt)
+      |SELECT t AS change_at, tt AS n_periods, dstat,
+      |       s // idx AS mean_before_cents,
+      |       (total - s) // (tt - idx) AS mean_after_cents
+      |FROM d ORDER BY dstat DESC, t LIMIT 1""".stripMargin) { (s, d) =>
+    graft.operators.Changepoint.cusumMeanShift(
+      Tables.orders(s, d),
+      date_trunc("month", col("o_orderdate")).cast("date"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6765,6 +6854,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint,
   )
 }

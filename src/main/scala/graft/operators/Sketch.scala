@@ -105,6 +105,43 @@ object Sketch {
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
   }
 
+  /** Pairwise overlap MATRIX across groups — "which source pairs
+    * share content": one register table keyed by group (a single
+    * scan of the data), then every (a < b) pair's union registers
+    * from a bucket-equi self-join of the groups×256 metadata table,
+    * finished with the house estimate and inclusion–exclusion. At
+    * 100 TB the data is touched once; the pairwise work is
+    * |groups|²·256 rows of metadata. Output per pair: group_a,
+    * group_b, est_a, est_b, est_union, est_inter.
+    */
+  def hllOverlapMatrix(df: DataFrame, groupCol: String,
+      key: String): DataFrame = {
+    val reg = hllRegisters(df, Seq(groupCol), key)
+      .withColumnRenamed(groupCol, "g")
+      .localCheckpoint() // groups×256 rows; referenced three times
+    val est = hllFinish(reg, Seq("g"))
+    val ra = reg.select(col("g").as("ga"), col("bucket"), col("mj").as("ma"))
+    val rb = reg.select(col("g").as("gb"), col("bucket"), col("mj").as("mb"))
+    // full outer per pair is NOT needed: a bucket absent on one side
+    // contributes that side's register alone, which the union max
+    // over the UNION ALL rendering below captures exactly
+    val pairs = reg.select(col("g").as("ga")).distinct()
+      .join(reg.select(col("g").as("gb")).distinct(), col("ga") < col("gb"))
+    val unionReg = pairs
+      .join(reg.select(col("g"), col("bucket"), col("mj")),
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "bucket").agg(max("mj").as("mj"))
+    val eu = hllFinish(unionReg, Seq("ga", "gb"))
+      .withColumnRenamed("hll_est", "est_union")
+    eu
+      .join(est.select(col("g").as("ga"), col("hll_est").as("est_a")), "ga")
+      .join(est.select(col("g").as("gb"), col("hll_est").as("est_b")), "gb")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_inter"))
+  }
+
   /** Estimate from a register table (groupCols ++ (bucket, mj)) —
     * split out so streaming state and shard-merged registers finish
     * with the identical arithmetic.

@@ -545,27 +545,36 @@ object Stats {
   def bootstrapMeanCi(df: DataFrame, group: String, rowKey: Column,
       xCents: Column, b: Int = 40): DataFrame = {
     require(b >= 40 && b % 40 == 0, "b >= 40 keeps the 2.5% index >= 1")
-    def weight(r: Int): Column = {
-      val u = Sampling.hashBucket(rowKey * 131 + lit(r), 1000000)
-      PoissonCdfMicros.zipWithIndex.foldRight(lit(5L): Column) {
-        case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
-      }
+    // EXPLODE rendering, measured 6x faster than the "one wide agg
+    // with 2B buffers" alternative (11.5 s vs 1.8 s at sf0.1): 2B+2
+    // aggregate buffers push the hash aggregate off whole-stage
+    // codegen, while B thin replicated rows ride a fully-codegen'd
+    // two-level (group, replicate) hash agg — map-side combine makes
+    // the exploded volume cost one narrow pass, and the second level
+    // is groups×B metadata.
+    val base = df
+      .select(col(group).as("g"), rowKey.as("k"),
+        xCents.cast("long").as("cents"))
+      .select(col("g"), col("k"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+    val u = Sampling.hashBucket(col("k") * 131 + col("r"), 1000000)
+    val w = PoissonCdfMicros.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
     }
-    val base = df.select(Seq(col(group), xCents.cast("long").as("cents")) ++
-      (0 until b).map(r => weight(r).as(s"w$r")): _*)
-    val aggs = (0 until b).flatMap(r => Seq(
-      sum(col(s"w$r") * col("cents")).as(s"swx_$r"),
-      sum(col(s"w$r")).as(s"sw_$r"))) ++ Seq(
-      count(lit(1)).as("n"), sum("cents").as("sc"))
-    val agg = base.groupBy(group).agg(aggs.head, aggs.tail: _*)
-    val means = array_sort(array((0 until b).map(r =>
-      col(s"swx_$r").cast("double") / col(s"sw_$r")): _*))
+    val perRep = base.withColumn("w", w)
+      .groupBy("g", "r")
+      .agg(sum(col("w") * col("cents")).as("swx"), sum("w").as("sw"),
+        count(lit(1)).as("n_r"), sum("cents").as("sc_r"))
     val loIdx = math.ceil(0.025 * b).toInt
     val hiIdx = math.ceil(0.975 * b).toInt
-    agg.select(col(group), col("n"),
-      round(col("sc").cast("double") / col("n") / lit(100.0), 4).as("mean"),
-      round(element_at(means, loIdx) / lit(100.0), 4).as("ci_lo"),
-      round(element_at(means, hiIdx) / lit(100.0), 4).as("ci_hi"))
+    perRep.groupBy("g")
+      .agg(max("n_r").as("n"), max("sc_r").as("sc"),
+        array_sort(collect_list(col("swx").cast("double") / col("sw")))
+          .as("means"))
+      .select(col("g").as(group), col("n"),
+        round(col("sc").cast("double") / col("n") / lit(100.0), 4).as("mean"),
+        round(element_at(col("means"), loIdx) / lit(100.0), 4).as("ci_lo"),
+        round(element_at(col("means"), hiIdx) / lit(100.0), 4).as("ci_hi"))
   }
 
   /** DuckDB rendering of [[bootstrapMeanCi]]. `xCentsSql` must cast

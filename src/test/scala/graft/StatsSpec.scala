@@ -182,6 +182,42 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(1) - c(r.getString(0))) < 1e-9))
   }
 
+  test("cusumMeanShift recovers a planted level shift exactly") {
+    import graft.operators.Changepoint
+    // 30 periods at 1000 cents, then 30 at 3000: split at period 30
+    val rows = (1 to 60).map(i =>
+      (java.sql.Date.valueOf(f"2024-01-01").toLocalDate.plusDays(i),
+        if (i <= 30) 1000L else 3000L))
+      .map { case (d, v) => (java.sql.Date.valueOf(d), v) }
+    val df = rows.toDF("t", "cents")
+    val out = Changepoint.cusumMeanShift(df, col("t"), col("cents"))
+      .collect().head
+    assert(out.getDate(0).toString === "2024-01-31") // last BEFORE period
+    assert(out.getLong(1) === 60L)
+    assert(out.getLong(3) === 1000L && out.getLong(4) === 3000L)
+  }
+
+  test("hllOverlapMatrix pairwise rows agree with hllOverlap") {
+    import graft.operators.Sketch
+    val a = (1 to 300).map(i => ("a", i.toLong))
+    val b = (151 to 450).map(i => ("b", i.toLong))
+    val c = (1000 to 1100).map(i => ("c", i.toLong))
+    val df = (a ++ b ++ c).toDF("g", "k")
+    val m = Sketch.hllOverlapMatrix(df, "g", "k")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val ab = Sketch.hllOverlap(
+        df.filter(col("g") === "a"), df.filter(col("g") === "b"), "k")
+      .collect().head
+    assert(m(("a", "b")) ===
+      ((ab.getLong(0), ab.getLong(1), ab.getLong(2), ab.getLong(3))))
+    // disjoint pair: intersection estimate collapses to ~0
+    val (_, _, _, interAc) = m(("a", "c"))
+    assert(interAc < 30, s"disjoint inter est $interAc")
+  }
+
   test("bootstrapMeanCi: CI brackets the mean, narrows with n, and " +
       "is partitioning-invariant") {
     def data(n: Int) = (1 to n)
