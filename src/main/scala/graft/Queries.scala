@@ -6807,6 +6807,92 @@ object Queries {
       (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
   }
 
+  /** Ingest-health capstone: the ops-family monitors composed into
+    * ONE audit table — expectations violations, PSI drift total,
+    * event-time lateness histogram, CDC live-key count — each already
+    * individually oracled; the composition proves they union into a
+    * single (check, item, value) gate feed, all metadata-sized.
+    */
+  val qPipeIngestHealth = q(
+    "q_pipe_ingest_health",
+    """WITH ra AS (SELECT
+      |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(SUM(CASE WHEN l_extendedprice < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      |  FROM lineitem),
+      |r AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_ref
+      |      FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      |c AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_cur
+      |      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+      |j AS (SELECT bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      |      FROM r FULL OUTER JOIN c USING (bin)),
+      |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |             CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
+      |p AS (SELECT ROUND(((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+      |        * ln(CAST((n_cur + 1) * (t_ref + 10) AS DOUBLE)
+      |             / CAST((n_ref + 1) * (t_cur + 10) AS DOUBLE)), 6) AS psi_bin
+      |      FROM j CROSS JOIN t),
+      |psi AS (SELECT CAST(ROUND(ROUND(CAST(SUM(psi_bin) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS v FROM p),
+      |le AS (SELECT user_id, event_id,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec FROM events),
+      |ld AS (SELECT GREATEST(COALESCE(MAX(sec) OVER (PARTITION BY user_id
+      |                 ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |               - sec, 0), 0) AS late_sec
+      |       FROM le),
+      |cdc AS (SELECT COUNT(*) AS v FROM (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+      |  FROM events) WHERE rn = 1 AND op <> 'D')
+      |SELECT * FROM (
+      |  SELECT 'expectations' AS chk, 'r1_qty_range' AS item, v1 AS value FROM ra
+      |  UNION ALL SELECT 'expectations', 'r4_price_floor', v4 FROM ra
+      |  UNION ALL SELECT 'psi_drift', 'total_micros', v FROM psi
+      |  UNION ALL SELECT 'late_data', 'max_late_sec',
+      |    CAST(MAX(late_sec) AS BIGINT) FROM ld
+      |  UNION ALL SELECT 'cdc', 'live_keys', v FROM cdc)
+      |ORDER BY chk, item""".stripMargin) { (s, d) =>
+    import graft.operators.{Cdc, Drift, Expectations}
+    import graft.operators.Expectations.RowRule
+    val li = Tables.lineitem(s, d)
+    val exp = Expectations.auditRows(li, Seq(
+        RowRule("r1_qty_range", !col("l_quantity").between(1, 45)),
+        RowRule("r4_price_floor", col("l_extendedprice") < 1000)))
+      .select(lit("expectations").as("chk"), col("rule").as("item"),
+        col("n_violations").as("value"))
+    val liQ = li.select(col("l_quantity"), year(col("l_shipdate")).as("y"))
+    val psi = Drift.psiNumeric(
+        liQ.filter(col("y") === 1995).select("l_quantity"),
+        liQ.filter(col("y") === 1996).select("l_quantity"),
+        "l_quantity", 1.0, 51.0, 10)
+      .select(lit("psi_drift").as("chk"), lit("total_micros").as("item"),
+        round(col("psi_total") * 1000000, 0).cast("long").as("value"))
+      .limit(1)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("late_sec",
+        greatest(coalesce(max("sec").over(w) - col("sec"), lit(0L)), lit(0L)))
+      .agg(max("late_sec").as("value"))
+      .select(lit("late_data").as("chk"), lit("max_late_sec").as("item"),
+        col("value"))
+    val cdc = Cdc.applyLatest(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("value")),
+        "user_id", Seq("ts", "event_id"), "op", Seq("value"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("cdc").as("chk"), lit("live_keys").as("item"), col("value"))
+    exp.unionByName(psi).unionByName(late).unionByName(cdc)
+      .orderBy("chk", "item")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6854,6 +6940,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth,
   )
 }
