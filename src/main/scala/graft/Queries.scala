@@ -6893,6 +6893,102 @@ object Queries {
       .orderBy("chk", "item")
   }
 
+  /** Entity-resolution capstone: blocked Jaro-Winkler linkage pairs
+    * (the oracled q_l_fuzzy_linkage chain) → connected components
+    * over the match graph → canonical entity per cluster
+    * (lexicographic-min name) with singletons as their own entity.
+    * The record-linkage face of the dedup survivorship pattern; the
+    * oracle replays linkage, the textbook recursive-CTE CC, and the
+    * canonical pick end to end.
+    */
+  val qPipeEntityResolution = q(
+    "q_pipe_entity_resolution",
+    """WITH RECURSIVE v AS (
+      |  SELECT DISTINCT p_name AS name,
+      |         substr(p_name, 1, 1) AS k1,
+      |         list_extract(string_split(p_name, ' '), -1) AS k2
+      |  FROM part),
+      |cand AS (
+      |  SELECT a.name AS name1, b.name AS name2
+      |  FROM v a JOIN v b ON a.k1 = b.k1 AND a.name < b.name
+      |  UNION
+      |  SELECT a.name AS name1, b.name AS name2
+      |  FROM v a JOIN v b ON a.k2 = b.k2 AND a.name < b.name),
+      |m AS (SELECT name1, name2 FROM cand
+      |      WHERE jaro_winkler_similarity(name1, name2) >= 0.82),
+      |nm AS (SELECT p_name AS name, MIN(p_partkey) AS nid
+      |       FROM part GROUP BY 1),
+      |e AS (SELECT a.nid AS src, b.nid AS dst
+      |      FROM m JOIN nm a ON a.name = m.name1
+      |             JOIN nm b ON b.name = m.name2),
+      |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |vtx AS (SELECT DISTINCT src AS id FROM und),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM vtx
+      |  UNION
+      |  SELECT u.src, r.lab FROM und u JOIN reach r ON r.id = u.dst),
+      |comp AS (SELECT id AS nid, MIN(lab) AS component FROM reach GROUP BY id),
+      |lab AS (SELECT nm.name, nm.nid,
+      |          COALESCE(comp.component, nm.nid) AS component
+      |        FROM nm LEFT JOIN comp USING (nid)),
+      |canon AS (SELECT component, MIN(name) AS canonical,
+      |            COUNT(*) AS n_members
+      |          FROM lab GROUP BY 1)
+      |SELECT lab.name, canonical, n_members
+      |FROM lab JOIN canon USING (component)
+      |ORDER BY name""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, RecordLinkage}
+    val part = Tables.part(s, d)
+    val nm = part.groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("nid"))
+    val pairs = RecordLinkage.fuzzyNamePairs(part, "p_name", 0.82)
+    val e = pairs
+      .join(nm.select(col("name").as("name1"), col("nid").as("id_a")),
+        "name1")
+      .join(nm.select(col("name").as("name2"), col("nid").as("id_b")),
+        "name2")
+      .select("id_a", "id_b")
+    val comp = ConnectedComponents.run(e, "id_a", "id_b")
+      .withColumnRenamed("id", "nid").localCheckpoint()
+    val lab = nm.join(comp, Seq("nid"), "left")
+      .withColumn("component", coalesce(col("component"), col("nid")))
+    val canon = lab.groupBy("component")
+      .agg(min("name").as("canonical"), count(lit(1)).as("n_members"))
+    lab.join(canon, "component")
+      .select("name", "canonical", "n_members")
+      .orderBy("name")
+  }
+
+  /** A-Priori frequent pairs (operators/FrequentItemsets) over order
+    * baskets (items = partkey mod 200 so co-occurrence is dense
+    * enough to mine): frequent-item prune BEFORE the pair join (the
+    * monotonicity bound), exact integer-micros lift.
+    */
+  val qA22FrequentPairs = q(
+    "q_a22_frequent_pairs",
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+      |            FROM lineitem),
+      |nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+      |fr AS (SELECT i, COUNT(*) AS supp FROM bi GROUP BY i
+      |       HAVING COUNT(*) >= 40),
+      |fbi AS (SELECT b, bi.i, supp FROM bi JOIN fr USING (i)),
+      |p AS (SELECT a.i AS item_a, c.i AS item_b,
+      |        a.supp AS supp_a, c.supp AS supp_b, COUNT(*) AS support
+      |      FROM fbi a JOIN fbi c ON a.b = c.b AND a.i < c.i
+      |      GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 40)
+      |SELECT item_a, item_b, support,
+      |       support * n * 1000000 // (supp_a * supp_b) AS lift_micros
+      |FROM p CROSS JOIN nb
+      |ORDER BY lift_micros DESC, item_a, item_b LIMIT 20""".stripMargin) {
+    (s, d) =>
+      graft.operators.FrequentItemsets.frequentPairs(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), (col("l_partkey") % 50).as("item")),
+          "l_orderkey", "item", minSupport = 40)
+        .orderBy(desc("lift_micros"), asc("item_a"), asc("item_b"))
+        .limit(20)
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -6940,6 +7036,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs,
   )
 }

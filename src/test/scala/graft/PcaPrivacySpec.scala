@@ -149,6 +149,28 @@ class PcaPrivacySpec extends SparkSpec {
     assert(nf(5) === nf(4), s"stationary past the diameter: $nf")
   }
 
+  test("frequentPairs: a-priori prune, exact support and lift") {
+    import graft.operators.FrequentItemsets
+    // 6 baskets: {1,2} together in 4; item 3 in 4 baskets but never
+    // with 1; item 9 appears once (pruned before the pair join)
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 1L), (13L, 2L),
+      (14L, 3L), (15L, 3L), (10L, 3L), (11L, 3L),
+      (14L, 9L))
+    val df = rows.toDF("b", "i")
+    val out = FrequentItemsets.frequentPairs(df, "b", "i", minSupport = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // (1,2): support 4 of 6 baskets; supp_1=supp_2=4
+    // lift = 4*6*1e6 / 16 = 1_500_000
+    assert(out((1L, 2L)) === ((4L, 1500000L)))
+    // (2,3): co-occur in baskets 10,11 -> support 2; lift 2*6e6/16
+    assert(out((2L, 3L)) === ((2L, 750000L)))
+    assert(!out.keySet.exists(p => p._1 == 9L || p._2 == 9L), "pruned")
+  }
+
   test("late-data window registers planted out-of-order arrivals") {
     // arrival order (event_id) 1..4; event-times: 100, 400, 160, 430
     // -> event 3 arrives 240 s behind the high-water mark
