@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{LangId, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot}
+import graft.expressions.{BinaryShingleHashes, JaroWinkler, LangId, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL callers and its planner strategy —
@@ -77,6 +77,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"text_shingle_hashes: n must be a literal int, got $other")
         })))
+    e.injectFunction((
+      // binary_shingle_hashes(payload, 8, 4): w and sampleMod as
+      // literal ints (same convention as text_shingle_hashes)
+      new FunctionIdentifier("binary_shingle_hashes"),
+      new ExpressionInfo(classOf[BinaryShingleHashes].getName,
+        "binary_shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"binary_shingle_hashes: $what must be a literal int, got $other")
+        }
+        BinaryShingleHashes(exprs(0), litInt(exprs(1), "w"),
+          litInt(exprs(2), "sampleMod"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinkler(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("z_value2"),
       new ExpressionInfo(graft.operators.ZOrder.getClass.getName, "z_value2"),
@@ -151,6 +173,19 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"text_shingle_hashes: n must be a literal int, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("binary_shingle_hashes",
+      exprs => {
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"binary_shingle_hashes: $what must be a literal int, got $other")
+        }
+        BinaryShingleHashes(exprs(0), litInt(exprs(1), "w"),
+          litInt(exprs(2), "sampleMod"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("z_value2", zValue2Builder, "built-in")
     reg.createOrReplaceTempFunction("weighted_priority",
       weightedPriorityBuilder, "built-in")

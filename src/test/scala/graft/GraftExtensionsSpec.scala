@@ -89,4 +89,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       api.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
+
+  test("binary_shingle_hashes and jaro_winkler callable from SQL, " +
+      "matching the Scala API") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftSession.tune(s2)
+    Tables.documents(s2, Sf0001).limit(20)
+      .createOrReplaceTempView("docs_ext")
+    val sql = s2.sql(
+      """SELECT size(binary_shingle_hashes(encode(text, 'UTF-8'), 8, 4)) AS n,
+        |       jaro_winkler(text, text) AS jw
+        |FROM docs_ext""".stripMargin).collect()
+    val api = Tables.documents(s2, Sf0001).limit(20)
+      .select(
+        org.apache.spark.sql.functions.size(
+          graft.expressions.BinaryShingleHashes(
+            org.apache.spark.sql.functions.encode(
+              org.apache.spark.sql.functions.col("text"), "UTF-8"),
+            8, 4)).as("n"),
+        graft.expressions.JaroWinkler(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("text")).as("jw"))
+      .collect()
+    assert(sql.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      api.map(r => (r.getInt(0), r.getDouble(1))).toSeq)
+    assert(sql.forall(_.getDouble(1) == 1.0))
+  }
 }
