@@ -6969,22 +6969,29 @@ object Queries {
     """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
       |            FROM lineitem),
       |nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+      |ms AS (SELECT GREATEST(4, n // 375) AS t FROM nb),
       |fr AS (SELECT i, COUNT(*) AS supp FROM bi GROUP BY i
-      |       HAVING COUNT(*) >= 40),
+      |       HAVING COUNT(*) >= (SELECT t FROM ms)),
       |fbi AS (SELECT b, bi.i, supp FROM bi JOIN fr USING (i)),
       |p AS (SELECT a.i AS item_a, c.i AS item_b,
       |        a.supp AS supp_a, c.supp AS supp_b, COUNT(*) AS support
       |      FROM fbi a JOIN fbi c ON a.b = c.b AND a.i < c.i
-      |      GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 40)
+      |      GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= (SELECT t FROM ms))
       |SELECT item_a, item_b, support,
       |       support * n * 1000000 // (supp_a * supp_b) AS lift_micros
       |FROM p CROSS JOIN nb
       |ORDER BY lift_micros DESC, item_a, item_b LIMIT 20""".stripMargin) {
     (s, d) =>
+      // scale-adaptive support floor: ~nB/375 baskets (= 40 at the
+      // sf0.01 gate, 4 at the sf0.001 smoke) so the threshold keeps
+      // the same selectivity at every SF; GREATEST/`max` and integer
+      // division spell identically both sides
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), (col("l_partkey") % 50).as("item"))
+      val nB = li.select("l_orderkey").distinct().count()
       graft.operators.FrequentItemsets.frequentPairs(
-          Tables.lineitem(s, d)
-            .select(col("l_orderkey"), (col("l_partkey") % 50).as("item")),
-          "l_orderkey", "item", minSupport = 40)
+          li, "l_orderkey", "item",
+          minSupport = math.max(4L, nB / 375L).toInt)
         .orderBy(desc("lift_micros"), asc("item_a"), asc("item_b"))
         .limit(20)
   }
