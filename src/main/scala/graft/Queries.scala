@@ -6996,6 +6996,59 @@ object Queries {
         .limit(20)
   }
 
+  /** Weekday-seasonality strength of daily order volume: one-way η²
+    * (SS_between / SS_total over day-of-week groups) from EXACT
+    * sufficient statistics — daily cents totals are exact longs,
+    * squares sum in DECIMAL(38) (the pearsonExact convention), and
+    * only the final η² expression touches doubles in an op order
+    * spelled identically both sides. η² ≈ 0 means no weekly cycle;
+    * the companion diagnostic to q_w_changepoint's level shifts.
+    */
+  val qWSeasonality = q(
+    "q_w_seasonality",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS t,
+      |    CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |g AS (SELECT dow, COUNT(*) AS ng, CAST(SUM(x) AS BIGINT) AS sg
+      |      FROM daily GROUP BY dow),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+      |          SUM(CAST(x AS DECIMAL(38,0)) * x) AS ss
+      |        FROM daily),
+      |b AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+      |        LIST(CAST(sg AS DOUBLE) * sg / ng ORDER BY dow)),
+      |        (a, t) -> a + t) AS sb
+      |      FROM g)
+      |SELECT n AS n_days,
+      |  ROUND((sb - CAST(s AS DOUBLE) * s / n)
+      |        / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6) AS eta2
+      |FROM tot CROSS JOIN b""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("t"),
+        weekdayMon0(col("o_orderdate")).as("dow"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("x"))
+    val g = daily.groupBy("dow")
+      .agg(count(lit(1)).as("ng"), sum("x").as("sg"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"))
+    // 7 per-dow terms fold in dow order (a bare SUM over doubles is
+    // partition-order-dependent; the fold is the house convention)
+    val b = g
+      .select(struct(col("dow"),
+        (col("sg").cast("double") * col("sg") / col("ng")).as("term"))
+        .as("p"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(col("p"))), x => x.getField("term")),
+        lit(0.0), (a, t) => a + t).as("sb"))
+    tot.crossJoin(broadcast(b))
+      .select(col("n").as("n_days"),
+        round((col("sb") - col("s").cast("double") * col("s") / col("n"))
+          / (col("ss").cast("double")
+            - col("s").cast("double") * col("s") / col("n")), 6)
+          .as("eta2"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7043,6 +7096,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality,
   )
 }
