@@ -7049,6 +7049,83 @@ object Queries {
           .as("eta2"))
   }
 
+  /** Language segmentation of mixed-language documents: 20-token
+    * non-overlapping windows, per-window marker-based langid (the
+    * q_t_langid expression applied chunk-wise), adjacent same-lang
+    * windows merged gaps-and-islands into segments — the curation
+    * pass that lets a mixed doc contribute its majority-language
+    * spans instead of being dropped whole. Map-only scoring; the
+    * island merge windows over each doc's own chunk sequence.
+    */
+  val qTLangSegments = {
+    def scoreCase(toksExpr: String): String = {
+      def s(ms: Seq[String]) =
+        s"len(list_filter($toksExpr, t -> list_contains(${
+          ms.mkString("['", "','", "']")}, t)))"
+      val en = s(Seq("the", "and", "of", "to", "is"))
+      val de = s(Seq("der", "die", "und", "das", "ist"))
+      val fr = s(Seq("le", "la", "et", "les", "est"))
+      val es = s(Seq("el", "los", "que", "y", "es"))
+      val nl = s(Seq("de", "het", "een", "en", "van"))
+      s"""CASE WHEN $en = greatest($en, $de, $fr, $es, $nl) AND $en > 0 THEN 'en'
+         |     WHEN $de = greatest($en, $de, $fr, $es, $nl) AND $de > 0 THEN 'de'
+         |     WHEN $fr = greatest($en, $de, $fr, $es, $nl) AND $fr > 0 THEN 'fr'
+         |     WHEN $es = greatest($en, $de, $fr, $es, $nl) AND $es > 0 THEN 'es'
+         |     WHEN $nl = greatest($en, $de, $fr, $es, $nl) AND $nl > 0 THEN 'nl'
+         |     ELSE 'und' END""".stripMargin
+    }
+    q(
+      "q_t_lang_segments",
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |ch AS (SELECT doc_id, len(toks) AS ntok,
+         |    unnest(range((len(toks) + 19) // 20)) AS w, toks
+         |  FROM t WHERE len(toks) > 0),
+         |sc AS (SELECT doc_id, ntok, w,
+         |    ${scoreCase("list_slice(toks, w * 20 + 1, w * 20 + 20)")} AS lang
+         |  FROM ch),
+         |fl AS (SELECT doc_id, ntok, w, lang,
+         |    CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY w)
+         |           IS DISTINCT FROM lang THEN 1 ELSE 0 END AS ns
+         |  FROM sc),
+         |isl AS (SELECT doc_id, ntok, w, lang,
+         |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY w) AS seg
+         |  FROM fl)
+         |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+         |       MIN(w) * 20 AS seg_start_tok,
+         |       LEAST((MAX(w) + 1) * 20, CAST(MAX(ntok) AS BIGINT)) AS seg_end_tok,
+         |       MIN(lang) AS seg_lang, COUNT(*) AS n_chunks
+         |FROM isl GROUP BY doc_id, seg
+         |ORDER BY doc_id, seg""".stripMargin) { (s, d) =>
+      import graft.operators.TextOps
+      val w = Window.partitionBy("doc_id").orderBy("w")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val sc = t.select(col("doc_id"),
+          size(col("toks")).cast("long").as("ntok"),
+          explode(sequence(lit(0L),
+            expr("(size(toks) + 19) div 20") - 1)).as("w"),
+          col("toks"))
+        .select(col("doc_id"), col("ntok"), col("w"),
+          graft.expressions.LangId(
+            concat_ws(" ", slice(col("toks"), (col("w") * 20 + 1).cast("int"),
+              lit(20)))).as("lang"))
+      sc
+        .withColumn("ns",
+          when(!(lag("lang", 1).over(w) <=> col("lang")), 1L).otherwise(0L))
+        .withColumn("seg", sum("ns").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "seg")
+        .agg((min("w") * 20).as("seg_start_tok"),
+          least((max("w") + 1) * 20, max("ntok")).as("seg_end_tok"),
+          min("lang").as("seg_lang"), count(lit(1)).as("n_chunks"))
+        .orderBy("doc_id", "seg")
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7096,6 +7173,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments,
   )
 }
