@@ -7126,6 +7126,144 @@ object Queries {
     }
   }
 
+  /** First/last-touch conversion attribution: each purchase credits
+    * the user's first and most recent preceding non-purchase event
+    * (running IGNORE-NULLS window values — one shuffle by user, no
+    * self-join), then counts by touch type and model. The behavioral
+    * complement to q_w_funnel's step conversion.
+    */
+  val qWAttribution = q(
+    "q_w_attribution",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+      |a AS (SELECT user_id, event_type,
+      |        last_value(CASE WHEN event_type <> 'purchase'
+      |                        THEN event_type END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS last_touch,
+      |        first_value(CASE WHEN event_type <> 'purchase'
+      |                         THEN event_type END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS first_touch
+      |      FROM e),
+      |p AS (SELECT last_touch, first_touch FROM a
+      |      WHERE event_type = 'purchase' AND last_touch IS NOT NULL),
+      |lt AS (SELECT last_touch AS touch, COUNT(*) AS last_touch_n
+      |       FROM p GROUP BY 1),
+      |ft AS (SELECT first_touch AS touch, COUNT(*) AS first_touch_n
+      |       FROM p GROUP BY 1)
+      |SELECT touch, COALESCE(last_touch_n, 0) AS last_touch_n,
+      |       COALESCE(first_touch_n, 0) AS first_touch_n
+      |FROM lt FULL OUTER JOIN ft USING (touch)
+      |ORDER BY touch""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val a = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_touch").isNotNull)
+    val lt = a.groupBy(col("last_touch").as("touch"))
+      .agg(count(lit(1)).as("last_touch_n"))
+    val ft = a.groupBy(col("first_touch").as("touch"))
+      .agg(count(lit(1)).as("first_touch_n"))
+    lt.join(ft, Seq("touch"), "full_outer")
+      .select(col("touch"),
+        coalesce(col("last_touch_n"), lit(0L)).as("last_touch_n"),
+        coalesce(col("first_touch_n"), lit(0L)).as("first_touch_n"))
+      .orderBy("touch")
+  }
+
+  /** RFM segmentation: per-customer recency / frequency / monetary
+    * metrics quintiled by the selection-path equi-depth machinery
+    * (three bucket passes over the CUSTOMER-sized table — dimension
+    * scale, never the fact) and combined into the classic 3-digit
+    * segment code. The fact is touched once to build the metrics.
+    */
+  val qA23Rfm = {
+    import graft.operators.Stats
+    q(
+      "q_a23_rfm",
+      s"""WITH cust AS (SELECT o_custkey,
+         |    CAST(epoch_ms(MAX(CAST(o_orderdate AS TIMESTAMP))) // 86400000 AS BIGINT) AS rec,
+         |    COUNT(*) AS freq,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS mon
+         |  FROM orders GROUP BY 1),
+         |rb AS (SELECT o_custkey, bin AS r_bin FROM (${Stats
+             .equiDepthOracleSql("cust", "g", "rec", 5, Seq("o_custkey"))
+             .replace("FROM cust", "FROM (SELECT *, 1 AS g FROM cust)")})),
+         |fb AS (SELECT o_custkey, bin AS f_bin FROM (${Stats
+             .equiDepthOracleSql("cust", "g", "freq", 5, Seq("o_custkey"))
+             .replace("FROM cust", "FROM (SELECT *, 1 AS g FROM cust)")})),
+         |mb AS (SELECT o_custkey, bin AS m_bin FROM (${Stats
+             .equiDepthOracleSql("cust", "g", "mon", 5, Seq("o_custkey"))
+             .replace("FROM cust", "FROM (SELECT *, 1 AS g FROM cust)")}))
+         |SELECT o_custkey, r_bin, f_bin, m_bin,
+         |       r_bin * 100 + f_bin * 10 + m_bin AS rfm_code
+         |FROM rb JOIN fb USING (o_custkey) JOIN mb USING (o_custkey)
+         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          expr("unix_timestamp(max(o_orderdate)) div 86400").as("rec"),
+          count(lit(1)).as("freq"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).as("mon"))
+        .withColumn("g", lit(1))
+        .localCheckpoint() // referenced by three bucket passes
+      def bins(m: String, out: String) =
+        Stats.equiDepthBins(cust, "g", col(m), 5, Seq("o_custkey"))
+          .withColumnRenamed("bin", out)
+      bins("rec", "r_bin")
+        .join(bins("freq", "f_bin"), "o_custkey")
+        .join(bins("mon", "m_bin"), "o_custkey")
+        .select(col("o_custkey"), col("r_bin"), col("f_bin"), col("m_bin"),
+          (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+            .as("rfm_code"))
+        .orderBy("o_custkey")
+    }
+  }
+
+  /** ABC (Pareto) classification of parts by revenue: exact-integer
+    * cumulative share over the PART-sized revenue aggregate (the
+    * fact folds map-side first; the global sort runs on dimension
+    * scale), class cuts at 80% / 95% by cross-multiplied integer
+    * comparison — no percentage float anywhere.
+    */
+  val qA24Abc = q(
+    "q_a24_abc",
+    """WITH pr AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, cents,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT) AS cum
+      |  FROM pr),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM pr)
+      |SELECT l_partkey, cents, cum,
+      |       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |            WHEN cum * 100 <= total * 95 THEN 'B'
+      |            ELSE 'C' END AS abc
+      |FROM c CROSS JOIN t
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    val pr = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("cents"))
+    val w = Window.orderBy(desc("cents"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = pr.agg(sum("cents").as("total"))
+    pr.withColumn("cum", sum("cents").over(w))
+      .crossJoin(broadcast(t))
+      .select(col("l_partkey"), col("cents"), col("cum"),
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("l_partkey")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7173,6 +7311,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc,
   )
 }

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * sum is register-table-sized. Total: O(rounds) shuffles, no
   * quadratic path anywhere — THE published algorithm for diameter
   * at 100 TB graph scale.
+  *
+  * Register width is m = 256 (inherited from the shared [[Sketch]]
+  * stack so the oracle replay is one arithmetic); production
+  * HyperANF typically shrinks m to 2⁵–2⁷ — per-round join volume is
+  * |E| × occupied registers, so m is the direct cost lever (rsd
+  * grows as 1.04/√m). Parameterizing m here only means forking the
+  * finish constants; the plan shape is m-independent.
   */
 object HyperAnf {
 
