@@ -7264,6 +7264,74 @@ object Queries {
       .orderBy("l_partkey")
   }
 
+  /** Top event paths: per-user ordered event-type 3-grams (two leads
+    * over one user-keyed window — no self-joins), counted and
+    * top-20'd by frequency. The path-mining staple for behavioral
+    * analysis; the trigram table is |types|³-bounded metadata.
+    */
+  val qWEventPaths = q(
+    "q_w_event_paths",
+    """WITH e AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT event_type AS s1, e2 AS s2, e3 AS s3, COUNT(*) AS n
+      |FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead("s1", 1).over(w))
+      .withColumn("s3", lead("s1", 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("s1"), asc("s2"), asc("s3"))
+      .limit(20)
+  }
+
+  /** Period-over-period top movers: part revenue ranks in 1995 vs
+    * 1996 (two slices of ONE scan via conditional aggregation — the
+    * expectations trick), rank delta on the part-sized table, top 15
+    * climbers. Ranks are dense integer windows over the dimension
+    * agg; absent-in-a-period parts rank last via a sentinel.
+    */
+  val qA25TopMovers = q(
+    "q_a25_top_movers",
+    """WITH pr AS (SELECT l_partkey,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS c95,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS c96
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT l_partkey, c95, c96,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c95 DESC, l_partkey) AS BIGINT) AS r95,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c96 DESC, l_partkey) AS BIGINT) AS r96
+      |  FROM pr)
+      |SELECT l_partkey, c95, c96, r95, r96, r95 - r96 AS rank_gain
+      |FROM r
+      |ORDER BY rank_gain DESC, l_partkey LIMIT 15""".stripMargin) { (s, d) =>
+    def cents(y: Int) = sum(when(year(col("l_shipdate")) === y,
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .otherwise(0L))
+    val pr = Tables.lineitem(s, d).groupBy("l_partkey")
+      .agg(cents(1995).as("c95"), cents(1996).as("c96"))
+    val r = pr
+      .withColumn("r95", row_number()
+        .over(Window.orderBy(desc("c95"), asc("l_partkey"))).cast("long"))
+      .withColumn("r96", row_number()
+        .over(Window.orderBy(desc("c96"), asc("l_partkey"))).cast("long"))
+    r.select(col("l_partkey"), col("c95"), col("c96"), col("r95"),
+        col("r96"), (col("r95") - col("r96")).as("rank_gain"))
+      .orderBy(desc("rank_gain"), asc("l_partkey"))
+      .limit(15)
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7311,6 +7379,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers,
   )
 }
