@@ -6177,8 +6177,8 @@ object Queries {
       |             CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
       |p AS (SELECT bin, n_ref, n_cur,
       |  ROUND(((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
-      |        * ln(CAST((n_cur + 1) * (t_ref + 10) AS DOUBLE)
-      |             / CAST((n_ref + 1) * (t_cur + 10) AS DOUBLE)), 6) AS psi_bin
+      |        * ln(((n_cur + 1.0) / (t_cur + 10))
+      |             / ((n_ref + 1.0) / (t_ref + 10))), 6) AS psi_bin
       |  FROM j CROSS JOIN t)
       |SELECT bin, n_ref, n_cur, psi_bin,
       |       (SELECT ROUND(CAST(SUM(psi_bin) AS DOUBLE), 6) FROM p) AS psi_total
@@ -6830,8 +6830,8 @@ object Queries {
       |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
       |             CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM j),
       |p AS (SELECT ROUND(((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
-      |        * ln(CAST((n_cur + 1) * (t_ref + 10) AS DOUBLE)
-      |             / CAST((n_ref + 1) * (t_cur + 10) AS DOUBLE)), 6) AS psi_bin
+      |        * ln(((n_cur + 1.0) / (t_cur + 10))
+      |             / ((n_ref + 1.0) / (t_ref + 10))), 6) AS psi_bin
       |      FROM j CROSS JOIN t),
       |psi AS (SELECT CAST(ROUND(ROUND(CAST(SUM(psi_bin) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS v FROM p),
       |le AS (SELECT user_id, event_id,
@@ -6960,9 +6960,9 @@ object Queries {
   }
 
   /** A-Priori frequent pairs (operators/FrequentItemsets) over order
-    * baskets (items = partkey mod 200 so co-occurrence is dense
+    * baskets (items = partkey mod 50 so co-occurrence is dense
     * enough to mine): frequent-item prune BEFORE the pair join (the
-    * monotonicity bound), exact integer-micros lift.
+    * monotonicity bound), exact integer-micros lift, top-20 by lift.
     */
   val qA22FrequentPairs = q(
     "q_a22_frequent_pairs",

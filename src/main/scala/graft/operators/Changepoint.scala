@@ -31,8 +31,12 @@ object Changepoint {
     */
   def cusumMeanShift(df: DataFrame, timeCol: Column,
       xCents: Column): DataFrame = {
+    // daily is periods-sized but consumed by BOTH the totals agg and
+    // the windowed chain — pinned so the corpus-sized fold runs once
+    // (the Drift.psiFromCounts lesson)
     val daily = df.groupBy(timeCol.as("t"))
       .agg(sum(xCents.cast("long")).as("x"))
+      .localCheckpoint()
     val w = Window.orderBy("t")
     val tot = daily.agg(sum("x").as("total"), count(lit(1)).as("tt"))
     daily

@@ -74,15 +74,16 @@ object Drift {
       .localCheckpoint()
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
     // smoothed proportions: p = (n + 1) / (t + nBins); contribution
-    // (p_c - p_r) * ln(p_c / p_r) with the ratio spelled as a product
-    // of exact integers so both engines ln the identical double
+    // (p_c - p_r) * ln(p_c / p_r) with the ratio as the quotient of
+    // the two already-rounded double proportions — each a single IEEE
+    // division of exact integers, so both engines ln the identical
+    // double at ANY count scale (the earlier long*long product
+    // spelling overflowed past ~2^63/t rows per slice)
     val pr = (col("n_ref") + 1).cast("double") / (col("t_ref") + nBins)
     val pc = (col("n_cur") + 1).cast("double") / (col("t_cur") + nBins)
-    val ratio = ((col("n_cur") + 1) * (col("t_ref") + nBins)).cast("double") /
-      ((col("n_ref") + 1) * (col("t_cur") + nBins)).cast("double")
     val contrib = joined.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        round((pc - pr) * log(ratio), 6).as("psi_bin"))
+        round((pc - pr) * log(pc / pr), 6).as("psi_bin"))
       .localCheckpoint()
     val total = contrib.agg(round(sum("psi_bin"), 6).as("psi_total"))
     contrib.crossJoin(broadcast(total)).orderBy("bin")
@@ -116,9 +117,12 @@ object Drift {
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
       count(lit(1)).as("k"))
     // expected_c = (n_ref + 1) / (t_ref + k) * (t_cur + k); observed
-    // = n_cur + 1; chi2 = (o - e)^2 / e, all from exact integers
-    val e = ((col("n_ref") + 1) * (col("t_cur") + col("k"))).cast("double") /
-      (col("t_ref") + col("k")).cast("double")
+    // = n_cur + 1; the ratio divides BEFORE the scale multiply so no
+    // integer product can overflow at any count scale (each factor is
+    // one correctly-rounded IEEE op from exact integers)
+    val e = (col("n_ref") + 1).cast("double") /
+      (col("t_ref") + col("k")).cast("double") *
+      (col("t_cur") + col("k")).cast("double")
     val o = (col("n_cur") + 1).cast("double")
     val contrib = joined.crossJoin(broadcast(tot))
       .select(col("cat"), col("n_ref"), col("n_cur"),

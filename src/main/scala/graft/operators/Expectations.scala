@@ -25,8 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Expectations {
 
-  /** A row-level expectation: `violated` is true on rows breaking it. */
-  final case class RowRule(name: String, violated: Column)
+  /** A row-level expectation: `violated` is true on rows breaking it.
+    * Names must be identifier-shaped (`[A-Za-z_][A-Za-z0-9_]*`) —
+    * they become SQL column references in the one-scan unpivot, and
+    * an unquoted `-` or `'` would silently parse as arithmetic /
+    * break the literal.
+    */
+  final case class RowRule(name: String, violated: Column) {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rule name must be identifier-shaped, got '$name'")
+  }
 
   /** All row rules in one scan. Output: (rule, n_checked, n_violations). */
   def auditRows(df: DataFrame, rules: Seq[RowRule]): DataFrame = {

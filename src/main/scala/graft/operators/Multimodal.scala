@@ -293,7 +293,10 @@ object Multimodal {
       minJaccard: Double = 0.5,
       maxShingleFreq: Int = 200,
       sampleMod: Int = 4): DataFrame = {
-    require(w == 8, "w is fixed at 8: the no-modulus Horner bound")
+    // no-modulus Horner bound: max hash = 255·(31^w − 1)/30, which
+    // stays under 2^63 through w = 9 (≈2.2e14 at w=9)
+    require(w >= 2 && w <= 9,
+      s"w must be in [2, 9] (exact-long Horner bound), got $w")
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.expressions.BinaryShingleHashes(
         col(payloadCol), w, sampleMod)).as("gs"))

@@ -32,9 +32,13 @@ object Privacy {
     val qi = qiCols.map(col)
     val perSens = df.groupBy(qi :+ col(sensitiveCol): _*)
       .agg(count(lit(1)).as("_n"))
+    // groups is QI-domain-sized but consumed by both the grand agg
+    // and the output join — pinned so the table-sized two-level
+    // aggregation runs once
     val groups = perSens.groupBy(qi: _*)
       .agg(sum("_n").as("group_n"), count(lit(1)).as("l_div"))
       .withColumn("below_k", when(col("group_n") < k, 1L).otherwise(0L))
+      .localCheckpoint()
     val global = groups.agg(
       min("group_n").as("k_anonymity"),
       coalesce(sum(when(col("below_k") === 1, col("group_n"))), lit(0L))

@@ -120,11 +120,9 @@ object Sketch {
       .withColumnRenamed(groupCol, "g")
       .localCheckpoint() // groups×256 rows; referenced three times
     val est = hllFinish(reg, Seq("g"))
-    val ra = reg.select(col("g").as("ga"), col("bucket"), col("mj").as("ma"))
-    val rb = reg.select(col("g").as("gb"), col("bucket"), col("mj").as("mb"))
-    // full outer per pair is NOT needed: a bucket absent on one side
-    // contributes that side's register alone, which the union max
-    // over the UNION ALL rendering below captures exactly
+    // no full outer per pair needed: a bucket absent on one side
+    // contributes the other side's register alone, which the group
+    // max over the OR-joined rows below captures exactly
     val pairs = reg.select(col("g").as("ga")).distinct()
       .join(reg.select(col("g").as("gb")).distinct(), col("ga") < col("gb"))
     val unionReg = pairs

@@ -567,10 +567,17 @@ object Stats {
         count(lit(1)).as("n_r"), sum("cents").as("sc_r"))
     val loIdx = math.ceil(0.025 * b).toInt
     val hiIdx = math.ceil(0.975 * b).toInt
+    // a replicate whose every row drew weight 0 (probability e^-n per
+    // replicate — real for tiny groups) is a degenerate resample: it
+    // contributes the group's own mean, keeping all B order-statistic
+    // slots occupied identically in both engines (a NULL mean would
+    // silently shift the CI indices — collect_list drops NULLs)
+    val repMean = when(col("sw") === 0,
+      col("sc_r").cast("double") / col("n_r"))
+      .otherwise(col("swx").cast("double") / col("sw"))
     perRep.groupBy("g")
       .agg(max("n_r").as("n"), max("sc_r").as("sc"),
-        array_sort(collect_list(col("swx").cast("double") / col("sw")))
-          .as("means"))
+        array_sort(collect_list(repMean)).as("means"))
       .select(col("g").as(group), col("n"),
         round(col("sc").cast("double") / col("n") / lit(100.0), 4).as("mean"),
         round(element_at(col("means"), loIdx) / lit(100.0), 4).as("ci_lo"),
@@ -592,7 +599,9 @@ object Stats {
       s"CAST(SUM(w$r * cents) AS BIGINT) AS swx_$r, CAST(SUM(w$r) AS BIGINT) AS sw_$r")
       .mkString(",\n|         ")
     val meansList = (0 until b).map(r =>
-      s"CAST(swx_$r AS DOUBLE) / sw_$r").mkString(", ")
+      s"""CASE WHEN sw_$r = 0 THEN CAST(sc AS DOUBLE) / n
+         |ELSE CAST(swx_$r AS DOUBLE) / sw_$r END""".stripMargin
+        .replace("\n", " ")).mkString(", ")
     val loIdx = math.ceil(0.025 * b).toInt
     val hiIdx = math.ceil(0.975 * b).toInt
     s"""WITH base AS (SELECT $group, CAST($xCentsSql AS BIGINT) AS cents,

@@ -229,6 +229,12 @@ class StatsSpec extends SparkSpec {
           r.getDouble(3), r.getDouble(4))).head
     val (n1, m1, lo1, hi1) = ci(data(400))
     assert(lo1 < m1 && m1 < hi1, s"bracket: $lo1 $m1 $hi1")
+    // degenerate 1-row group: ~37% of replicates draw total weight 0
+    // and fall back to the group mean — all 40 order-statistic slots
+    // stay occupied, so the CI is the point value, never NULL
+    val (n0, m0, lo0, hi0) = ci(data(1))
+    assert(n0 === 1L && lo0 === m0 && hi0 === m0,
+      s"degenerate group must collapse to the point mean: $lo0 $m0 $hi0")
     val (_, m2, lo2, hi2) = ci(data(6400))
     assert(hi2 - lo2 < hi1 - lo1, "width shrinks with n")
     assert(ci(data(400).repartition(13)) === ((n1, m1, lo1, hi1)))
