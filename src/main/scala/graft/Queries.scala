@@ -7332,6 +7332,49 @@ object Queries {
       .limit(15)
   }
 
+  /** Seasonal-naive forecast baseline + MASE — the evaluation floor
+    * every forecast model must beat (Hyndman & Koehler '06), and the
+    * thematic tie back to the reference's traffic-forecast job: daily
+    * order volume forecast by "same weekday last week" (lag 7) and
+    * by "yesterday" (lag 1), scored as exact-integer absolute-error
+    * sums; MASE = MAE₇/MAE₁ in micros via one integer division. The
+    * fact folds to the daily series map-side; lags/errors run on the
+    * periods-sized table.
+    */
+  val qWForecastBaseline = q(
+    "q_w_forecast_baseline",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS t,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT t, x,
+      |    lag(x, 7) OVER (ORDER BY t) AS f7,
+      |    lag(x, 1) OVER (ORDER BY t) AS f1
+      |  FROM daily),
+      |e AS (SELECT abs(x - f7) AS e7, abs(x - f1) AS e1 FROM l
+      |      WHERE f7 IS NOT NULL AND f1 IS NOT NULL)
+      |SELECT COUNT(*) AS n_scored,
+      |  CAST(SUM(e7) AS BIGINT) // COUNT(*) AS mae7_cents,
+      |  CAST(SUM(e1) AS BIGINT) // COUNT(*) AS mae1_cents,
+      |  CAST(SUM(e7) AS BIGINT) * 1000000 // CAST(SUM(e1) AS BIGINT)
+      |    AS mase_micros
+      |FROM e""".stripMargin) { (s, d) =>
+    val w = Window.orderBy("t")
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("t"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("x"))
+    daily
+      .withColumn("f7", lag("x", 7).over(w))
+      .withColumn("f1", lag("x", 1).over(w))
+      .filter(col("f7").isNotNull && col("f1").isNotNull)
+      .select(abs(col("x") - col("f7")).as("e7"),
+        abs(col("x") - col("f1")).as("e1"))
+      .agg(count(lit(1)).as("n_scored"),
+        expr("sum(e7) div count(1)").as("mae7_cents"),
+        expr("sum(e1) div count(1)").as("mae1_cents"),
+        expr("sum(e7) * 1000000 div sum(e1)").as("mase_micros"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7379,6 +7422,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline,
   )
 }
