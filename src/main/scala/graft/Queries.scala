@@ -7375,6 +7375,82 @@ object Queries {
         expr("sum(e7) * 1000000 div sum(e1)").as("mase_micros"))
   }
 
+  /** Benford first-digit conformance of order totals — the data-
+    * forensics screen for fabricated or truncated numeric feeds:
+    * observed first-digit counts (exact integers; the digit is pure
+    * string arithmetic on the cents value, no float) vs the Benford
+    * expectation n·log10(1+1/d), χ² per digit. A synthetic uniform
+    * price distribution fails loudly — the point of the diagnostic:
+    * it fingerprints the GENERATOR, not the schema.
+    */
+  val qXBenford = q(
+    "q_x_benford",
+    """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |           FROM orders WHERE o_totalprice > 0),
+      |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |             COUNT(*) AS n_obs
+      |      FROM v GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d)
+      |SELECT digit, n_obs,
+      |  ROUND(n * log10(1.0 + 1.0 / digit), 2) AS n_exp,
+      |  ROUND((n_obs - n * log10(1.0 + 1.0 / digit))
+      |        * (n_obs - n * log10(1.0 + 1.0 / digit))
+      |        / (n * log10(1.0 + 1.0 / digit)), 4) AS chi2_d
+      |FROM d CROSS JOIN t ORDER BY digit""".stripMargin) { (s, d) =>
+    val v = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("c"))
+    val dd = v.groupBy(substring(col("c").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val t = dd.agg(sum("n_obs").as("n"))
+    val nExp = col("n") * log10(lit(1.0) + lit(1.0) / col("digit"))
+    dd.crossJoin(broadcast(t))
+      .select(col("digit"), col("n_obs"),
+        round(nExp, 2).as("n_exp"),
+        round((col("n_obs") - nExp) * (col("n_obs") - nExp) / nExp, 4)
+          .as("chi2_d"))
+      .orderBy("digit")
+  }
+
+  /** Gini coefficient of part-revenue concentration — the inequality
+    * summary behind the ABC classes: G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
+    * (n·Σx) over ascending-sorted revenues, every sum an exact long
+    * (rank·cents products bound by n·total ≤ 2⁶³ for n·Σx < 9.2e18),
+    * ONE double division at the end. The rank window runs on the
+    * part-sized aggregate.
+    */
+  val qA26Gini = q(
+    "q_a26_gini",
+    """WITH pr AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT c,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c, l_partkey) AS BIGINT) AS i
+      |  FROM pr),
+      |s AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sx,
+      |        CAST(SUM(i * c) AS BIGINT) AS six
+      |      FROM r)
+      |SELECT n AS n_parts,
+      |  ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * sx), 6) AS gini
+      |FROM s""".stripMargin) { (s, d) =>
+    val pr = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("c"))
+    val r = pr.withColumn("i",
+      row_number().over(Window.orderBy(asc("c"), asc("l_partkey")))
+        .cast("long"))
+    r.agg(count(lit(1)).as("n"), sum("c").as("sx"),
+        sum(col("i") * col("c")).as("six"))
+      .select(col("n").as("n_parts"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx"))
+          .cast("double")
+          / (col("n").cast("double") * col("sx")), 6).as("gini"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7422,6 +7498,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini,
   )
 }
