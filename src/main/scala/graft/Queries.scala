@@ -7451,6 +7451,58 @@ object Queries {
           / (col("n").cast("double") * col("sx")), 6).as("gini"))
   }
 
+  /** Expanding seasonal-mean forecaster: each day predicted by the
+    * running mean of all PRIOR same-weekday days (one window per
+    * dow partition — no recursion, no model state), scored against
+    * the lag-1 naive as a skill ratio in exact integer micros. The
+    * third leg of the forecasting family (changepoint, seasonal-naive
+    * MASE, seasonal-mean skill), all on the periods-sized series.
+    */
+  val qWSeasonalMeanForecast = q(
+    "q_w_seasonal_mean_forecast",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS t,
+      |    CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (SELECT t, x,
+      |    CAST(SUM(x) OVER (PARTITION BY dow ORDER BY t
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS ps,
+      |    CAST(COUNT(*) OVER (PARTITION BY dow ORDER BY t
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pn,
+      |    lag(x, 1) OVER (ORDER BY t) AS f1
+      |  FROM daily),
+      |e AS (SELECT abs(x - (ps - ((ps % pn) + pn) % pn) // pn) AS es,
+      |        abs(x - f1) AS e1
+      |      FROM f WHERE pn > 0 AND f1 IS NOT NULL)
+      |SELECT COUNT(*) AS n_scored,
+      |  CAST(SUM(es) AS BIGINT) // COUNT(*) AS mae_seasonal_cents,
+      |  CAST(SUM(e1) AS BIGINT) // COUNT(*) AS mae_naive_cents,
+      |  CAST(SUM(es) AS BIGINT) * 1000000 // CAST(SUM(e1) AS BIGINT)
+      |    AS skill_micros
+      |FROM e""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("t"),
+        weekdayMon0(col("o_orderdate")).as("dow"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("x"))
+      .localCheckpoint() // consumed by two window chains
+    val wd = Window.partitionBy("dow").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wt = Window.orderBy("t")
+    daily
+      .withColumn("ps", sum("x").over(wd))
+      .withColumn("pn", count(lit(1)).over(wd))
+      .withColumn("f1", lag("x", 1).over(wt))
+      .filter(col("pn") > 0 && col("f1").isNotNull)
+      .select(
+        abs(col("x") - expr("(ps - ((ps % pn) + pn) % pn) div pn")).as("es"),
+        abs(col("x") - col("f1")).as("e1"))
+      .agg(count(lit(1)).as("n_scored"),
+        expr("sum(es) div count(1)").as("mae_seasonal_cents"),
+        expr("sum(e1) div count(1)").as("mae_naive_cents"),
+        expr("sum(es) * 1000000 div sum(e1)").as("skill_micros"))
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7498,6 +7550,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini,
+    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast,
   )
 }
