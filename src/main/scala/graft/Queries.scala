@@ -7149,31 +7149,37 @@ object Queries {
       |      FROM e),
       |p AS (SELECT last_touch, first_touch FROM a
       |      WHERE event_type = 'purchase' AND last_touch IS NOT NULL),
-      |lt AS (SELECT last_touch AS touch, COUNT(*) AS last_touch_n
-      |       FROM p GROUP BY 1),
-      |ft AS (SELECT first_touch AS touch, COUNT(*) AS first_touch_n
-      |       FROM p GROUP BY 1)
-      |SELECT touch, COALESCE(last_touch_n, 0) AS last_touch_n,
-      |       COALESCE(first_touch_n, 0) AS first_touch_n
-      |FROM lt FULL OUTER JOIN ft USING (touch)
+      |x AS (SELECT 'last' AS model, last_touch AS touch FROM p
+      |      UNION ALL SELECT 'first', first_touch FROM p)
+      |SELECT touch,
+      |  CAST(SUM(CASE WHEN model = 'last' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS last_touch_n,
+      |  CAST(SUM(CASE WHEN model = 'first' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS first_touch_n
+      |FROM x GROUP BY touch
       |ORDER BY touch""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    // ONE pass: both attribution models explode from the same window
+    // chain (two lazy groupBys would re-run the fact-sized windows —
+    // the multiply-referenced-frame trap), then one conditional agg
     val a = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase" &&
         col("last_touch").isNotNull)
-    val lt = a.groupBy(col("last_touch").as("touch"))
-      .agg(count(lit(1)).as("last_touch_n"))
-    val ft = a.groupBy(col("first_touch").as("touch"))
-      .agg(count(lit(1)).as("first_touch_n"))
-    lt.join(ft, Seq("touch"), "full_outer")
-      .select(col("touch"),
-        coalesce(col("last_touch_n"), lit(0L)).as("last_touch_n"),
-        coalesce(col("first_touch_n"), lit(0L)).as("first_touch_n"))
+    a.select(explode(array(
+        struct(lit("last").as("model"), col("last_touch").as("touch")),
+        struct(lit("first").as("model"), col("first_touch").as("touch"))))
+        .as("x"))
+      .groupBy(col("x.touch").as("touch"))
+      .agg(
+        sum(when(col("x.model") === "last", 1L).otherwise(0L))
+          .as("last_touch_n"),
+        sum(when(col("x.model") === "first", 1L).otherwise(0L))
+          .as("first_touch_n"))
       .orderBy("touch")
   }
 
@@ -7248,10 +7254,13 @@ object Queries {
       |            ELSE 'C' END AS abc
       |FROM c CROSS JOIN t
       |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    // pr is part-sized but consumed by both the cumsum window and the
+    // grand total — pinned so the fact folds once
     val pr = Tables.lineitem(s, d)
       .groupBy("l_partkey")
       .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
         .cast("long")).as("cents"))
+      .localCheckpoint()
     val w = Window.orderBy(desc("cents"), asc("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val t = pr.agg(sum("cents").as("total"))

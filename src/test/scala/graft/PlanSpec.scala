@@ -423,6 +423,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q_w_attribution: one events scan, one user-keyed window " +
+      "chain — both models ride a single explode+agg, never two " +
+      "re-executions of the fact windows") {
+    val p = planOf("q_w_attribution")
+    val scans = p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans == 1, s"$scans scans:\n${p.take(2000)}")
+  }
+
+  test("q_a25_top_movers: both period slices come from ONE " +
+      "conditional-agg lineitem scan") {
+    val p = planOf("q_a25_top_movers")
+    val scans = p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans == 1, s"$scans scans:\n${p.take(2000)}")
+  }
+
+  test("q_a24_abc / q_a26_gini: one fact scan folding to the part " +
+      "table — the rank/cumsum window runs on dimension scale") {
+    for (name <- Seq("q_a24_abc", "q_a26_gini")) {
+      val p = planOf(name)
+      val scans = p.linesIterator.count(l =>
+        l.startsWith("(") && l.contains("Scan parquet"))
+      // abc pins its part aggregate (localCheckpoint -> 0 parquet
+      // scans in the final plan, 1 at construction); gini reads once
+      assert(scans <= 1, s"$name: $scans scans\n${p.take(1500)}")
+      assert(p.contains("HashAggregate"), name)
+    }
+  }
+
   test("q_o13: weighted sample is TakeOrdered straight over the scan " +
       "— no exchange, no sort of the fact") {
     val p = planOf("q_o13_weighted_sample")
