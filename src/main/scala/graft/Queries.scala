@@ -4747,7 +4747,10 @@ object Queries {
     * turns a 256-byte vector column into an 8-byte code column.
     * The oracle replays every argmin (ROW_NUMBER over exact d2, tie
     * to the smaller index) and the micros error sum, so a drifted
-    * slice boundary, fold order, or tie-break hash-fails.
+    * slice boundary, fold order, or tie-break hash-fails. Codes ride
+    * out as a deterministic comma-joined string (`codes_csv`) — the
+    * r8 array<int> column crashed the driver comparator's pandas
+    * sort before any value compare.
     */
   val qEPqCodes = q(
     "q_e_pq_codes",
@@ -4761,7 +4764,9 @@ object Queries {
        |                 ${duckD2("cv[(s*8+1):(s*8+8)]", "ce[(s*8+1):(s*8+8)]")} AS d2
        |               FROM c CROSS JOIN sub CROSS JOIN cent)),
        |enc AS (SELECT cid, s, cj, d2 FROM enc0 WHERE rn = 1)
-       |SELECT cid AS vec_id, list(CAST(cj AS INT) ORDER BY s) AS codes,
+       |SELECT cid AS vec_id,
+       |       array_to_string(list(CAST(cj AS VARCHAR) ORDER BY s), ',')
+       |         AS codes_csv,
        |       CAST(SUM(CAST(floor(d2 * 1000000) AS BIGINT)) AS BIGINT)
        |         AS recon_micros
        |FROM enc GROUP BY cid ORDER BY vec_id""".stripMargin) { (s, d) =>
@@ -4773,7 +4778,10 @@ object Queries {
     val cb = Similarity.pqCodebooksFromRows(rows, m = 8)
     Similarity.pqEncode(
         e.select(col("vec_id").as("cid"), col("embedding").as("cvec")), cb)
-      .select(col("cid").as("vec_id"), col("codes"), col("recon_micros"))
+      .select(col("cid").as("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes_csv"),
+        col("recon_micros"))
       .orderBy("vec_id")
   }
 
@@ -4922,13 +4930,17 @@ object Queries {
       .orderBy("cluster", "rank")
   }
 
-  /** Per-label embedding centroid (Similarity.groupCentroids) — the
-    * vector-aggregation primitive (class prototypes / k-means update).
-    * Elements fixed-pointed to integer micros so the cross-row mean is
-    * summation-order-free, and the mean is a FLOOR integer division in
-    * micros (a float `round` here half-way-ulp-diverges across
-    * engines); the oracle replays the same integer arithmetic, so any
-    * drift in the explode/partial-agg/reassembly chain hash-mismatches.
+  /** Per-label embedding centroid (Similarity.groupCentroidMicros) —
+    * the vector-aggregation primitive (class prototypes / k-means
+    * update). Elements fixed-pointed to integer micros so the
+    * cross-row mean is summation-order-free, and the mean is a FLOOR
+    * integer division in micros (a float `round` here half-way-ulp-
+    * diverges across engines); the oracle replays the same integer
+    * arithmetic, so any drift in the explode/partial-agg chain
+    * hash-mismatches. Output is the flat (label, pos, centroid_micros,
+    * n) rendering — scalar columns only: the r8 array-valued
+    * `centroid` column crashed the driver comparator's pandas sort
+    * before any value compare (CORRECTNESS_r08 err).
     */
   val qECentroids = q(
     "q_e_centroids",
@@ -4942,23 +4954,25 @@ object Queries {
       |      FROM m GROUP BY label, pos),
       |c AS (SELECT label, pos, n,
       |        (sm - ((sm % n) + n) % n) // n AS cm FROM g)
-      |SELECT label,
-      |       list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS centroid,
-      |       MAX(n) AS n
-      |FROM c GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-    graft.operators.Similarity.groupCentroids(
+      |SELECT label, pos, cm AS centroid_micros, n
+      |FROM c ORDER BY label, pos""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.groupCentroidMicros(
         Tables.embeddings(s, d), "label", "embedding")
-      .orderBy("label")
+      .select(col("label"), col("pos"), col("cm").as("centroid_micros"),
+        col("n"))
+      .orderBy("label", "pos")
   }
 
   /** One full k-means (Lloyd's) update step over the embeddings table:
     * map-side assignment to 16 literal seed centroids (vec_id < 16,
     * the q_e_ivf seeding), then the micros-deterministic per-cluster
-    * mean — Similarity.kmeansStep. The oracle replays assignment by
-    * ROW_NUMBER over exact d2 and the same micros mean, so a drifted
-    * distance, a wrong tie-break, or a lost cluster member all
-    * hash-mismatch. This is the distributed inner loop of k-means:
-    * only the k·dim model would return to the driver between steps.
+    * mean — Similarity.kmeansStepMicros, output in the flat (cluster,
+    * pos, centroid_micros, n) scalar rendering the driver comparator
+    * can hash. The oracle replays assignment by ROW_NUMBER over exact
+    * d2 and the same micros mean, so a drifted distance, a wrong
+    * tie-break, or a lost cluster member all hash-mismatch. This is
+    * the distributed inner loop of k-means: only the k·dim model
+    * would return to the driver between steps.
     */
   val qEKmeansStep = q(
     "q_e_kmeans_step",
@@ -4977,17 +4991,18 @@ object Queries {
        |      FROM m GROUP BY cluster, pos),
        |fd AS (SELECT cluster, pos, n,
        |         (sm - ((sm % n) + n) % n) // n AS cm FROM g)
-       |SELECT cluster,
-       |       list(CAST(cm AS DOUBLE) / 1000000 ORDER BY pos) AS centroid,
-       |       MAX(n) AS n
-       |FROM fd GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+       |SELECT cluster, pos, cm AS centroid_micros, n
+       |FROM fd ORDER BY cluster, pos""".stripMargin) { (s, d) =>
     import graft.operators.Similarity
     val e = Tables.embeddings(s, d)
     val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
       .select(col("embedding").cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    Similarity.kmeansStep(vecs, centers).orderBy("cluster")
+    Similarity.kmeansStepMicros(vecs, centers)
+      .select(col("cluster"), col("pos"), col("cm").as("centroid_micros"),
+        col("n"))
+      .orderBy("cluster", "pos")
   }
 
   /** Full Lloyd's k-means, 3 rounds, k = 8 (Similarity.kmeans): the
@@ -4998,7 +5013,9 @@ object Queries {
     * micros floor-division mean, empty-cluster carry-forward), so the
     * green row proves three chained rounds of assignment + update are
     * bit-identical cross-engine — any drift anywhere in the chain
-    * compounds into the final model and hash-mismatches.
+    * compounds into the final model and hash-mismatches. The final
+    * model rides out flat as (cluster, pos, centroid_micros, n) —
+    * scalar columns only, the driver-comparator-hashable shape.
     */
   val qEKmeansLloyd = {
     val iters = 3
@@ -5031,15 +5048,18 @@ object Queries {
          |c0 AS (SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS ce
          |       FROM embeddings WHERE vec_id < 8),
          |${(1 to iters).map(iterSql).mkString(",\n")}
-         |SELECT cluster, ce AS centroid, n FROM n$iters
-         |ORDER BY cluster""".stripMargin) { (s, d) =>
+         |SELECT cluster, pos, cm AS centroid_micros, n FROM f$iters
+         |ORDER BY cluster, pos""".stripMargin) { (s, d) =>
       import graft.operators.Similarity
       val e = Tables.embeddings(s, d)
       val vecs = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val seeds = e.filter(col("vec_id") < 8).orderBy("vec_id")
         .select(col("embedding").cast("array<double>")).collect()
         .map(_.getSeq[Double](0).toArray)
-      Similarity.kmeans(vecs, seeds, iters).orderBy("cluster")
+      Similarity.kmeansMicros(vecs, seeds, iters)
+        .select(col("cluster"), col("pos"), col("cm").as("centroid_micros"),
+          col("n"))
+        .orderBy("cluster", "pos")
     }
   }
 
@@ -5049,7 +5069,8 @@ object Queries {
     * literals, each component an ordered double fold. The oracle
     * inlines the identical seeded planes and replays every fold
     * bit-for-bit (rounded 6dp for output stability, like the cosine
-    * family).
+    * family). One row per (vec_id, pos) — scalar columns only; the
+    * r8 array-valued `proj` crashed the driver comparator.
     */
   val qERandomProjection = {
     val rpOut = 8
@@ -5060,19 +5081,20 @@ object Queries {
     q(
       "q_e_random_projection",
       s"""WITH hp AS (SELECT $hsLit::DOUBLE[][] AS hs),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-         |SELECT vec_id,
-         |       list_transform(range($rpOut), i ->
-         |         ROUND(${duckDot("e", "hs[CAST(i AS INT) + 1]")}, 6)) AS proj
-         |FROM v CROSS JOIN hp ORDER BY vec_id""".stripMargin) { (s, d) =>
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (SELECT unnest(range($rpOut)) AS pos)
+         |SELECT vec_id, pos,
+         |       ROUND(${duckDot("e", "hs[CAST(pos AS INT) + 1]")}, 6) AS proj
+         |FROM v CROSS JOIN hp CROSS JOIN p
+         |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
       import graft.operators.Similarity
       Tables.embeddings(s, d)
         .select(col("vec_id"),
-          transform(
+          posexplode(transform(
             Similarity.randomProjection(col("embedding"), dim = 64,
               outDim = rpOut),
-            x => round(x, 6)).as("proj"))
-        .orderBy("vec_id")
+            x => round(x, 6))).as(Seq("pos", "proj")))
+        .orderBy("vec_id", "pos")
     }
   }
 
@@ -6320,7 +6342,9 @@ object Queries {
          |SELECT t.pos AS d,
          |       CAST(floor(v[t.pos + 1] * 1000000) AS BIGINT) AS v_micros,
          |       CAST(floor(lam * 1000000) AS BIGINT) AS lambda_micros,
-         |       CAST(floor(lam / (tm / 1000000.0) * 1000000) AS BIGINT) AS evr_micros
+         |       CASE WHEN tm = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(floor(lam / (tm / 1000000.0) * 1000000) AS BIGINT)
+         |       END AS evr_micros
          |FROM v$rounds CROSS JOIN tr, range($dim) AS t(pos)
          |ORDER BY d""".stripMargin) { (s, d) =>
       graft.operators.Pca.powerIterationPC1(
@@ -6334,7 +6358,10 @@ object Queries {
     * as dim-sized literals. The oracle rebuilds the identical model
     * via [[duckPc1Ctes]] and re-derives every corrected vector
     * bit-for-bit (micros-floored element-wise), so any drift in
-    * EITHER the fit or the application hash-mismatches.
+    * EITHER the fit or the application hash-mismatches. One row per
+    * (vec_id, d) — the corrected vector rides out element-wise as
+    * scalar `corrected_micros` (the r8 array<bigint> column crashed
+    * the driver comparator), `proj` repeated per row.
     */
   val qEAbttCorrect = {
     val dim = 64
@@ -6346,17 +6373,22 @@ object Queries {
          |         list_reduce(list_prepend(0.0::DOUBLE,
          |           list_transform(list_zip(xc, v), x -> x[1] * x[2])),
          |           (a, b) -> a + b) AS proj
-         |       FROM cx CROSS JOIN v$rounds)
-         |SELECT vec_id, proj,
-         |       list_transform(list_zip(xc, (SELECT v FROM v$rounds)),
-         |         x -> CAST(floor((x[1] - proj * x[2]) * 1000000) AS BIGINT))
-         |         AS corrected
-         |FROM pr ORDER BY vec_id""".stripMargin) { (s, d) =>
+         |       FROM cx CROSS JOIN v$rounds),
+         |co AS (SELECT vec_id, proj,
+         |         list_transform(list_zip(xc, (SELECT v FROM v$rounds)),
+         |           x -> CAST(floor((x[1] - proj * x[2]) * 1000000) AS BIGINT))
+         |           AS corrected
+         |       FROM pr)
+         |SELECT vec_id, proj, t.pos AS d, corrected[t.pos + 1] AS corrected_micros
+         |FROM co, range($dim) AS t(pos)
+         |ORDER BY vec_id, d""".stripMargin) { (s, d) =>
       import graft.operators.Pca
       val e = Tables.embeddings(s, d)
       val model = Pca.fitPC1(e, "embedding", dim, rounds)
       Pca.removeTopComponent(e, "vec_id", "embedding", model)
-        .orderBy("vec_id")
+        .select(col("vec_id"), col("proj"),
+          posexplode(col("corrected")).as(Seq("d", "corrected_micros")))
+        .orderBy("vec_id", "d")
     }
   }
 

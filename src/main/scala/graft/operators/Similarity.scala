@@ -596,6 +596,17 @@ object Similarity {
       assignNearest(vecs, centers).select(col("cluster"), col("cvec")),
       "cluster", "cvec")
 
+  /** [[kmeansStep]] in the flat (cluster, pos, cm, n) rendering of
+    * [[groupCentroidMicros]] — the scalar-column shape the driver's
+    * comparator can hash (an array-typed result column crashes its
+    * pandas sort; CORRECTNESS_r08 q_e_kmeans_step).
+    */
+  def kmeansStepMicros(vecs: DataFrame, centers: Array[Array[Double]])
+      : DataFrame =
+    groupCentroidMicros(
+      assignNearest(vecs, centers).select(col("cluster"), col("cvec")),
+      "cluster", "cvec")
+
   /** Deterministic farthest-point (maxmin) seeding — the k-means++
     * idea with the D²-sampling randomness replaced by the exact
     * argmax (Gonzalez '85): seed 1 is the min-id point; each next
@@ -672,7 +683,23 @@ object Similarity {
     * [[kmeansStep]]'s contract. Returns (cluster, centroid, n).
     */
   def kmeans(vecs: DataFrame, seeds: Array[Array[Double]], iters: Int)
-      : DataFrame = {
+      : DataFrame =
+    kmeansStep(vecs, lloydCenters(vecs, seeds, iters))
+
+  /** [[kmeans]] with the final model in the flat (cluster, pos, cm, n)
+    * rendering of [[groupCentroidMicros]] — same iteration chain, same
+    * fixed points, scalar output columns (driver-comparator-hashable).
+    */
+  def kmeansMicros(vecs: DataFrame, seeds: Array[Array[Double]], iters: Int)
+      : DataFrame =
+    kmeansStepMicros(vecs, lloydCenters(vecs, seeds, iters))
+
+  /** The Lloyd's driver loop shared by [[kmeans]] / [[kmeansMicros]]:
+    * iters−1 collect-and-reinline rounds (only the k·dim model crosses
+    * to the driver), returning the centers the FINAL step runs from.
+    */
+  private def lloydCenters(vecs: DataFrame, seeds: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(seeds.nonEmpty, "seeds must be non-empty")
     var centers = seeds
@@ -683,7 +710,7 @@ object Similarity {
         .toMap
       centers = Array.tabulate(centers.length)(i => upd.getOrElse(i, centers(i)))
     }
-    kmeansStep(vecs, centers)
+    centers
   }
 
   /** Per-group element-wise mean embedding (the vector-aggregation
@@ -709,6 +736,24 @@ object Similarity {
     * rows per group. No vector ever crosses the wire twice.
     */
   def groupCentroids(df: DataFrame, keyCol: String, vecCol: String)
+      : DataFrame =
+    groupCentroidMicros(df, keyCol, vecCol)
+      .groupBy(keyCol)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("cm")))),
+          s => s.getField("cm").cast("double") / lit(1e6)).as("centroid"),
+        max("n").as("n"))
+
+  /** The per-position micros core of [[groupCentroids]]: one row per
+    * (key, pos) with the floor-divided mean element `cm` in integer
+    * micros and the member count `n` — all the arithmetic, none of the
+    * array reassembly. This flat rendering is also the catalog-query
+    * output shape: every column is a scalar the driver's comparator
+    * can sort and hash (an `array<double>` result column crashes its
+    * pandas canonicalization — CORRECTNESS_r08 q_e_centroids).
+    */
+  def groupCentroidMicros(df: DataFrame, keyCol: String, vecCol: String)
       : DataFrame = {
     val e = df.select(col(keyCol),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -720,11 +765,6 @@ object Similarity {
       // nonneg pmod so the numerator divides exactly — `div` then has
       // nothing to truncate (safe past 2^53 where a double floor isn't)
       .withColumn("cm", expr("(sm - ((sm % n) + n) % n) div n"))
-      .groupBy(keyCol)
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("cm")))),
-          s => s.getField("cm").cast("double") / lit(1e6)).as("centroid"),
-        max("n").as("n"))
+      .select(col(keyCol), col("pos"), col("cm"), col("n"))
   }
 }

@@ -18,18 +18,35 @@ import duckdb
 import pandas as pd
 
 
+def array_cols(df: pd.DataFrame) -> list:
+    """Columns holding list/array/struct cells. The DRIVER's comparator
+    does NOT stringify these — pandas sort_values dies on unhashable
+    numpy.ndarray before any value compare (CORRECTNESS_r08: six err
+    rows). This mirror must fail exactly where the driver fails, so
+    any non-scalar result column is a hard FAIL here, never silently
+    canonicalized (the r8 lesson: a lenient local gate let six
+    array-output queries ship "green").
+    """
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            probe = df[c].dropna().head(5)
+            if any(hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+                   for v in probe):
+                bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes BEFORE sorting: list/array cells (numpy arrays)
-    # are unhashable and unorderable, so object columns become strings
-    # first; timestamps -> iso str, floats -> repr
+    # normalize dtypes BEFORE sorting: timestamps -> iso str, floats ->
+    # repr. Array/struct cells never reach here — array_cols() fails
+    # the query first, matching the driver's crash.
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: str(list(v)) if hasattr(v, "__len__")
-                and not isinstance(v, (str, bytes)) else str(v))
+            df[c] = df[c].map(str)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
@@ -75,6 +92,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        arr = sorted(set(array_cols(spark_df)) | set(array_cols(duck_df)))
+        if arr:
+            print(f"FAIL {name}: array-typed result column(s) {arr} — "
+                  f"the driver comparator crashes on these; reshape to "
+                  f"scalar (explode or array_join)")
             n_bad += 1
             continue
         a, b = canon(spark_df), canon(duck_df)
