@@ -6219,8 +6219,14 @@ object Queries {
     * flattens or cliffs it): token counts (vocab-sized agg), top
     * 1000 terms selected by a distributed TakeOrdered heap (never a
     * global sort of the vocab), ranks assigned by a window over the
-    * surviving 1000 rows only, then least-squares slope of ln(count)
-    * on ln(rank) via regr_slope in both engines.
+    * surviving 1000 rows only, then the least-squares slope of
+    * ln(count) on ln(rank) from sufficient statistics folded in FIXED
+    * rank order — regr_slope sums doubles in engine/partition order,
+    * which violates the repo's exact-or-ordered convention and can
+    * flake the 6-dp rounding on a near-tie; here each of Σx, Σy,
+    * Σx², Σxy is a left-to-right fold over the 1000 (ln rank,
+    * ln cnt) pairs (the qWSeasonality eta² pattern), bit-identical
+    * in both engines.
     */
   val qTZipfSlope = q(
     "q_t_zipf_slope",
@@ -6229,10 +6235,24 @@ object Queries {
       |             FROM documents),
       |cnt AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
       |top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
-      |        FROM cnt ORDER BY cnt DESC, w LIMIT 1000)
-      |SELECT ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
-      |       COUNT(*) AS n_terms
-      |FROM top""".stripMargin) { (s, d) =>
+      |        FROM cnt ORDER BY cnt DESC, w LIMIT 1000),
+      |t AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS lx,
+      |             ln(CAST(cnt AS DOUBLE)) AS ly
+      |      FROM top),
+      |ag AS (SELECT COUNT(*) AS n,
+      |         list_reduce(list_prepend(0.0::DOUBLE,
+      |           list(lx ORDER BY rank)), (a, b) -> a + b) AS sx,
+      |         list_reduce(list_prepend(0.0::DOUBLE,
+      |           list(ly ORDER BY rank)), (a, b) -> a + b) AS sy,
+      |         list_reduce(list_prepend(0.0::DOUBLE,
+      |           list(lx * lx ORDER BY rank)), (a, b) -> a + b) AS sxx,
+      |         list_reduce(list_prepend(0.0::DOUBLE,
+      |           list(lx * ly ORDER BY rank)), (a, b) -> a + b) AS sxy
+      |       FROM t)
+      |SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      |         AS zipf_slope,
+      |       n AS n_terms
+      |FROM ag""".stripMargin) { (s, d) =>
     import graft.operators.TextOps
     val cnt = Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
@@ -6240,10 +6260,29 @@ object Queries {
     val top = cnt.orderBy(desc("cnt"), asc("w")).limit(1000)
     val ranked = top.withColumn("rank",
       row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
-    ranked.agg(
-      round(regr_slope(log(col("cnt")), log(col("rank"))), 6)
-        .as("zipf_slope"),
-      count(lit(1)).as("n_terms"))
+      .select(col("rank").cast("long").as("rank"),
+        log(col("rank").cast("double")).as("lx"),
+        log(col("cnt").cast("double")).as("ly"))
+    // ordered fold: collect the 1000 pairs, sort by the unique rank,
+    // fold each sufficient statistic left-to-right (same order and
+    // same per-step IEEE adds as the oracle's list_reduce)
+    def foldSum(arr: Column, f: Column => Column): Column =
+      aggregate(transform(arr, f), lit(0.0), (a, x) => a + x)
+    ranked
+      .agg(collect_list(struct(col("rank"), col("lx"), col("ly"))).as("ps"))
+      .select(array_sort(col("ps")).as("ps"))
+      .select(size(col("ps")).cast("long").as("n"),
+        foldSum(col("ps"), _.getField("lx")).as("sx"),
+        foldSum(col("ps"), _.getField("ly")).as("sy"),
+        foldSum(col("ps"), s2 => s2.getField("lx") * s2.getField("lx"))
+          .as("sxx"),
+        foldSum(col("ps"), s2 => s2.getField("lx") * s2.getField("ly"))
+          .as("sxy"))
+      .select(
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        col("n").as("n_terms"))
   }
 
   /** First-order Markov transition matrix over the event stream:
@@ -6516,11 +6555,13 @@ object Queries {
   }
 
   /** Byte-level near-dup over opaque binary payloads
-    * (Multimodal.binaryNearDups): distinct 8-byte sliding shingles
-    * on the hex rendering, hot-postings-capped inverted-index join,
-    * exact byte-shingle Jaccard ≥ 0.5. The media-column analog of
-    * q_d_ngram_jaccard — catches tweaked-header re-encodes and
-    * truncations that content-hash dedup misses.
+    * (Multimodal.binaryNearDups): distinct 7-byte sliding shingles
+    * hashed with the INJECTIVE base-257 Horner (base > byte alphabet
+    * ⇒ distinct windows never collide; exact long through w=7),
+    * hot-postings-capped inverted-index join, exact byte-shingle
+    * Jaccard ≥ 0.5. The media-column analog of q_d_ngram_jaccard —
+    * catches tweaked-header re-encodes and truncations that
+    * content-hash dedup misses.
     */
   val qMmBinaryNearDup = q(
     "q_mm_binary_neardup",
@@ -6533,12 +6574,12 @@ object Queries {
       |            AS BIGINT)) AS bs
       |       FROM b),
       |sh AS (SELECT doc_id,
-      |         list_distinct(list_filter(list_transform(range(n - 7),
-      |           i -> ((((((bs[i + 1] * 31 + bs[i + 2]) * 31 + bs[i + 3]) * 31
-      |                 + bs[i + 4]) * 31 + bs[i + 5]) * 31 + bs[i + 6]) * 31
-      |                 + bs[i + 7]) * 31 + bs[i + 8]),
+      |         list_distinct(list_filter(list_transform(range(n - 6),
+      |           i -> (((((bs[i + 1] * 257 + bs[i + 2]) * 257 + bs[i + 3]) * 257
+      |                 + bs[i + 4]) * 257 + bs[i + 5]) * 257 + bs[i + 6]) * 257
+      |                 + bs[i + 7]),
       |           h -> h % 4 = 0)) AS gs
-      |       FROM bb WHERE n >= 8),
+      |       FROM bb WHERE n >= 7),
       |posts AS (SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM sh),
       |rare AS (SELECT doc_id, sz, g FROM
       |           (SELECT *, COUNT(*) OVER (PARTITION BY g) AS f FROM posts)
@@ -6555,7 +6596,7 @@ object Queries {
     import graft.operators.Multimodal
     Multimodal.binaryNearDups(
         Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
-        "doc_id", "payload", w = 8, minJaccard = 0.5, maxShingleFreq = 200)
+        "doc_id", "payload", w = 7, minJaccard = 0.5, maxShingleFreq = 200)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }

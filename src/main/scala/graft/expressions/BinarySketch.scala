@@ -13,9 +13,14 @@ import org.apache.spark.sql.types._
   */
 object BinarySketchKernels {
 
-  /** Rolling Horner hashes (base 31, NO modulus — for w=8 over
-    * unsigned bytes the maximum is Σ 255·31^j < 2^43, exact in a
-    * long) of every w-byte window, mod-hash-sampled 1-in-sampleMod.
+  /** Rolling Horner hashes (base 257, NO modulus) of every w-byte
+    * window, mod-hash-sampled 1-in-sampleMod. Base 257 > the byte
+    * alphabet (256) makes the map INJECTIVE on w-byte windows —
+    * distinct windows get distinct hashes, so sampled-shingle Jaccard
+    * estimates the true byte-gram Jaccard without systematic
+    * collision bias (the earlier base 31 < 256 collided e.g. [1,0]
+    * with [0,31], inflating similarity by construction). The no-mod
+    * long bound caps w at 7: max = 255·(257⁷−1)/256 ≈ 7.4e16 < 2⁶³.
     * Exact integer arithmetic end to end, so the DuckDB oracle
     * replays every value from the hex rendering. One O(n) pass, no
     * string materialization — the interpreted HOF rendering over
@@ -26,16 +31,16 @@ object BinarySketchKernels {
   def shingleHashes(bytes: Array[Byte], w: Int, sampleMod: Int): GenericArrayData = {
     val n = bytes.length
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
-    var pow = 1L // 31^(w-1)
+    var pow = 1L // 257^(w-1)
     var j = 1
-    while (j < w) { pow *= 31L; j += 1 }
+    while (j < w) { pow *= 257L; j += 1 }
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var h = 0L
     var i = 0
-    while (i < w) { h = h * 31L + (bytes(i) & 0xFF); i += 1 }
+    while (i < w) { h = h * 257L + (bytes(i) & 0xFF); i += 1 }
     if (h % sampleMod == 0) out += h
     while (i < n) {
-      h = (h - (bytes(i - w) & 0xFF) * pow) * 31L + (bytes(i) & 0xFF)
+      h = (h - (bytes(i - w) & 0xFF) * pow) * 257L + (bytes(i) & 0xFF)
       if (h % sampleMod == 0) out += h
       i += 1
     }
@@ -49,6 +54,12 @@ object BinarySketchKernels {
   */
 case class BinaryShingleHashes(child: Expression, w: Int, sampleMod: Int)
     extends UnaryExpression {
+  // injective-Horner long bound (kernel doc): 255·(257^w − 1)/256 < 2^63
+  // holds through w = 7; w = 8 silently wraps
+  require(w >= 1 && w <= 7,
+    s"binary_shingle_hashes: w must be in [1, 7] (base-257 exact-long bound), got $w")
+  require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a binary input")

@@ -103,15 +103,21 @@ object Drift {
   /** Pearson χ² over a categorical column: observed = current counts,
     * expected = reference proportions scaled to the current total
     * (+1 smoothing both sides). Output: (cat, n_ref, n_cur, chi2_cat,
-    * chi2_total), one row per category present in either slice.
+    * chi2_total), one row per category present in either slice. A
+    * NULL category is a real category (unlabeled rows drift too): the
+    * count tables pair on NULL-SAFE equality, so NULL-in-both yields
+    * ONE paired row — a plain full-outer equi-join never matches NULL
+    * keys and would double-count the smoothing penalty as two
+    * half-rows, each seeing the other side's count as 0.
     */
   def chiSquaredCategorical(ref: DataFrame, cur: DataFrame,
       catCol: String): DataFrame = {
-    def counts(df: DataFrame, out: String) = df
-      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as(out))
-    val joined = counts(ref, "n_ref")
-      .join(counts(cur, "n_cur"), Seq("cat"), "full_outer")
-      .select(col("cat"),
+    def counts(df: DataFrame, cat: String, out: String) = df
+      .groupBy(col(catCol).as(cat)).agg(count(lit(1)).as(out))
+    val joined = counts(ref, "cat_r", "n_ref")
+      .join(counts(cur, "cat_c", "n_cur"),
+        col("cat_r") <=> col("cat_c"), "full_outer")
+      .select(coalesce(col("cat_r"), col("cat_c")).as("cat"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),

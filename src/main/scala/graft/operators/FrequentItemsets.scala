@@ -31,6 +31,14 @@ object FrequentItemsets {
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct()
     val nB = bi.select("b").distinct().count() // one scalar to the driver
+    // lift numerator support·nB·10⁶ must fit a long; support ≤ nB, so
+    // nB²·10⁶ < 2⁶³ ⇔ nB ≤ 3,037,000 guarantees it for every pair.
+    // Fail loudly instead of silently corrupting lift past the bound
+    // (the doc's "swap the numerator to decimal" is the web-scale fix).
+    require(nB <= 3037000L,
+      s"frequentPairs lift_micros long arithmetic overflows past " +
+        s"nB = 3,037,000 baskets (got $nB); widen the lift numerator " +
+        s"to DECIMAL(38) for larger corpora (same SQL shape)")
     val freq = bi.groupBy("i").agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= minSupport)
     val fbi = bi.join(freq, Seq("i"))

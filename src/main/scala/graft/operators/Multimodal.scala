@@ -263,15 +263,18 @@ object Multimodal {
   /** Byte-level near-duplicate pairs over OPAQUE binary payloads —
     * the dedup primitive for media columns, where text shingling
     * does not apply: every w-byte sliding window is folded to an
-    * EXACT integer Horner hash (base 31 over unsigned byte values —
-    * for w=8 the maximum is ~7.3e12, no modulus needed, so the key
-    * replays digit-for-digit in any engine and the posting table
-    * shuffles 8-byte longs, never 2w-char strings), mod-hash-SAMPLED
-    * 1-in-`sampleMod` (min-wise style sketching: both docs keep or
-    * drop a shared shingle identically, so sampled-set Jaccard is an
-    * unbiased-in-practice estimate of the true byte-gram Jaccard —
-    * the sampling is part of the operator's oracle-replayed
-    * definition), then the same capped inverted-index join as
+    * EXACT integer Horner hash (base 257 over unsigned byte values —
+    * INJECTIVE on windows since the base exceeds the 256-byte
+    * alphabet, so distinct windows never collide; no modulus needed
+    * through w=7, so the key replays digit-for-digit in any engine
+    * and the posting table shuffles 8-byte longs, never 2w-char
+    * strings), mod-hash-SAMPLED 1-in-`sampleMod` (min-wise style
+    * sketching: both docs keep or drop a shared shingle identically,
+    * so sampled-set Jaccard is an unbiased-in-practice estimate of
+    * the true byte-gram Jaccard — the sampling is part of the
+    * operator's oracle-replayed definition, and injectivity means no
+    * cross-window collision inflates it), then the same capped
+    * inverted-index join as
     * [[Dedup.ngramJaccardPairs]]. Catches re-encodes with tweaked
     * headers, truncated uploads, and near-identical blobs that
     * content-hash dedup misses.
@@ -289,14 +292,15 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       payloadCol: String,
-      w: Int = 8,
+      w: Int = 7,
       minJaccard: Double = 0.5,
       maxShingleFreq: Int = 200,
       sampleMod: Int = 4): DataFrame = {
-    // no-modulus Horner bound: max hash = 255·(31^w − 1)/30, which
-    // stays under 2^63 through w = 9 (≈2.2e14 at w=9)
-    require(w >= 2 && w <= 9,
-      s"w must be in [2, 9] (exact-long Horner bound), got $w")
+    // no-modulus base-257 Horner bound (injective on byte windows —
+    // see BinarySketchKernels doc): max hash = 255·(257^w − 1)/256,
+    // under 2^63 through w = 7 (≈7.4e16)
+    require(w >= 2 && w <= 7,
+      s"w must be in [2, 7] (base-257 exact-long Horner bound), got $w")
     val sh = df.select(col(idCol).as("id"),
       array_distinct(graft.expressions.BinaryShingleHashes(
         col(payloadCol), w, sampleMod)).as("gs"))

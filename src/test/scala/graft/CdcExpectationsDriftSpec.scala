@@ -136,4 +136,16 @@ class CdcExpectationsDriftSpec extends SparkSpec {
       .select("chi2_total").distinct().collect().head.getDouble(0)
     assert(drift > 0.0)
   }
+
+  test("chi-squared pairs a NULL category present in both slices as " +
+      "ONE row (null-safe join), and identical-with-nulls is zero") {
+    val refN = Seq(Some("a"), Some("a"), None, None).toDF("c")
+    val rows = Drift.chiSquaredCategorical(refN, refN, "c").collect()
+    // one row per category including the null one — not two half-rows
+    assert(rows.length === 2, rows.mkString("; "))
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("n_ref") === 2L)
+    assert(nullRow.getAs[Long]("n_cur") === 2L)
+    assert(rows.forall(_.getAs[Double]("chi2_cat") === 0.0))
+  }
 }

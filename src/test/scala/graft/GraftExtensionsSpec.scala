@@ -98,7 +98,7 @@ class GraftExtensionsSpec extends SparkSpec {
     Tables.documents(s2, Sf0001).limit(20)
       .createOrReplaceTempView("docs_ext")
     val sql = s2.sql(
-      """SELECT size(binary_shingle_hashes(encode(text, 'UTF-8'), 8, 4)) AS n,
+      """SELECT size(binary_shingle_hashes(encode(text, 'UTF-8'), 7, 4)) AS n,
         |       jaro_winkler(text, text) AS jw
         |FROM docs_ext""".stripMargin).collect()
     val api = Tables.documents(s2, Sf0001).limit(20)
@@ -107,7 +107,7 @@ class GraftExtensionsSpec extends SparkSpec {
           graft.expressions.BinaryShingleHashes(
             org.apache.spark.sql.functions.encode(
               org.apache.spark.sql.functions.col("text"), "UTF-8"),
-            8, 4)).as("n"),
+            7, 4)).as("n"),
         graft.expressions.JaroWinkler(
           org.apache.spark.sql.functions.col("text"),
           org.apache.spark.sql.functions.col("text")).as("jw"))

@@ -78,7 +78,7 @@ class PcaPrivacySpec extends SparkSpec {
       .toDF("id", "text")
     val pairs = Multimodal.binaryNearDups(
         Multimodal.withBinaryPayload(docs, "text"), "id", "payload",
-        w = 8, minJaccard = 0.5, maxShingleFreq = 200)
+        w = 7, minJaccard = 0.5, maxShingleFreq = 200)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((1L, 2L)))
   }
