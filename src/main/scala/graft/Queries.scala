@@ -6668,22 +6668,27 @@ object Queries {
     * oracle replays hash, ranks, register maxes, per-node finish,
     * and the global sum for every round — the full Boldi-Rosa-Vigna
     * chain as unrolled CTEs on the deterministic Sketch stack.
+    * Parameterized over register width m (the per-round join-volume
+    * lever): the catalog carries m=256 (the shared Sketch default)
+    * AND m=32 (the production width — rsd 1.04/√32 ≈ 18%, fine for
+    * an effective-diameter read, 8× less register state per round);
+    * both fully oracle-replayed with Flajolet's forked α constants.
     */
-  val qGHyperAnf = {
-    import graft.operators.Sketch.{A1, A2, B1, B2, P1, P2, RankCap}
-    val rounds = 3
+  private def hyperAnfQuery(name: String, m: Int, rounds: Int): QSpec = {
+    import graft.operators.Sketch.{A1, A2, B1, B2, P1, P2, RankCap, alphaM2Sql}
+    val log2m = Integer.numberOfTrailingZeros(m)
     def finishCtes(t: Int): String =
       s"""ag$t AS (SELECT v, COUNT(*) AS present,
          |        CAST(SUM(1::BIGINT << ($RankCap - mj)) AS BIGINT) AS sum_scaled
          |        FROM r$t GROUP BY v),
-         |es$t AS (SELECT v, 256 - present AS zeros,
-         |  (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
-         |    / (CAST(sum_scaled + (256 - present) * (1::BIGINT << $RankCap) AS DOUBLE)
+         |es$t AS (SELECT v, $m - present AS zeros,
+         |  ${alphaM2Sql(m)}
+         |    / (CAST(sum_scaled + ($m - present) * (1::BIGINT << $RankCap) AS DOUBLE)
          |       / ${1L << RankCap}.0) AS raw
          |  FROM ag$t),
          |nf$t AS (SELECT $t AS t, CAST(SUM(
-         |    CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
-         |               THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+         |    CAST(floor(CASE WHEN raw <= ${m * 2.5} AND zeros > 0
+         |               THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE))
          |               ELSE raw END) AS BIGINT)) AS BIGINT) AS nf
          |  FROM es$t)""".stripMargin
     val roundCtes = (1 to rounds).map { t =>
@@ -6695,7 +6700,7 @@ object Queries {
          |${finishCtes(t)}""".stripMargin
     }.mkString(",\n")
     q(
-      "q_g_hyperanf",
+      name,
       s"""WITH ed AS (SELECT DISTINCT src, dst FROM (
          |  SELECT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem
          |  UNION ALL
@@ -6706,9 +6711,9 @@ object Queries {
          |               ((v % $P2) * $A2 + $B2) % $P2 AS x2 FROM nd),
          |hh AS (SELECT v, ((x1 * x1 % $P1 * 31 + x1) % $P1)
          |        + (((x2 * x2 % $P2 * 131 + x2) % $P2) << 30) AS h FROM hx),
-         |r0 AS (SELECT v, h & 255 AS bucket,
-         |  CASE WHEN (h >> 8) = 0 THEN $RankCap
-         |       ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1, $RankCap)
+         |r0 AS (SELECT v, h & ${m - 1} AS bucket,
+         |  CASE WHEN (h >> $log2m) = 0 THEN $RankCap
+         |       ELSE least(bit_count(((h >> $log2m) & -(h >> $log2m)) - 1) + 1, $RankCap)
          |  END AS mj FROM hh),
          |${finishCtes(0)},
          |$roundCtes
@@ -6720,9 +6725,17 @@ object Queries {
         (col("l_suppkey") % 100).as("dst"))
       val und = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.HyperAnf.neighborhoodFunction(und, rounds)
+      graft.operators.HyperAnf.neighborhoodFunction(und, rounds, m)
     }
   }
+
+  val qGHyperAnf = hyperAnfQuery("q_g_hyperanf", m = 256, rounds = 3)
+
+  /** The production-width variant — same chain at m=32; its bench row
+    * against q_g_hyperanf is the measured cost of the register-width
+    * lever (|E| × occupied-registers join volume per round).
+    */
+  val qGHyperAnfM32 = hyperAnfQuery("q_g_hyperanf_m32", m = 32, rounds = 3)
 
   /** Poisson-bootstrap CI for per-flag mean price
     * (Stats.bootstrapMeanCi): 40 replicate weighted means from ONE
@@ -7632,6 +7645,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast,
   )
 }

@@ -27,12 +27,14 @@ import org.apache.spark.sql.functions._
   * quadratic path anywhere — THE published algorithm for diameter
   * at 100 TB graph scale.
   *
-  * Register width is m = 256 (inherited from the shared [[Sketch]]
-  * stack so the oracle replay is one arithmetic); production
+  * Register width `m` defaults to 256 (the shared [[Sketch]] stack's
+  * width, so the m=256 oracle replay is one arithmetic); production
   * HyperANF typically shrinks m to 2⁵–2⁷ — per-round join volume is
-  * |E| × occupied registers, so m is the direct cost lever (rsd
-  * grows as 1.04/√m). Parameterizing m here only means forking the
-  * finish constants; the plan shape is m-independent.
+  * |E| × occupied registers, so m is THE direct cost lever (rsd
+  * grows as 1.04/√m: m=32 trades ~18% per-node error — fine for an
+  * effective-diameter read — for an 8× smaller register table).
+  * The finish constants fork per m inside [[Sketch.alphaM2]]; the
+  * plan shape is m-independent.
   */
 object HyperAnf {
 
@@ -41,17 +43,18 @@ object HyperAnf {
     * directed reach-TO edges; pass both directions for undirected
     * graphs. Deterministic and partitioning-invariant.
     */
-  def neighborhoodFunction(edges: DataFrame, rounds: Int): DataFrame = {
+  def neighborhoodFunction(edges: DataFrame, rounds: Int,
+      m: Int = 256): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
     var reg = Sketch.hllRegisters(
-      nodes.withColumn("k", col("v")), Seq("v"), "k").localCheckpoint()
+      nodes.withColumn("k", col("v")), Seq("v"), "k", m).localCheckpoint()
 
     def nf(t: Int, r: DataFrame): DataFrame =
-      Sketch.hllFinish(r, Seq("v"))
+      Sketch.hllFinish(r, Seq("v"), m)
         .agg(lit(t).as("t"), sum("hll_est").as("nf"))
 
     var out = nf(0, reg)

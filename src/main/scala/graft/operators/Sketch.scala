@@ -72,14 +72,55 @@ object Sketch {
     * B's registers, which is also just the registers of the
     * concatenated rows. Split out so [[hllOverlap]] and shard-merge
     * paths build state once per side.
+    *
+    * `m` (power of two, default 256) is the register count — the
+    * direct state-size/accuracy lever: rsd ≈ 1.04/√m, state rows ≤
+    * |groups|·m. Iterative consumers whose per-round join volume is
+    * |E|·occupied-registers (HyperANF) shrink m to 2⁵–2⁷; pass the
+    * SAME m to [[hllFinish]] (its α constant is forked per m).
     */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: String): DataFrame = {
-    val m = 256
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: String,
+      m: Int = 256): DataFrame = {
+    val shift = requirePow2(m)
     val h = hash60(col(key))
     df.select(groupCols.map(col) :+ h.bitwiseAND(m - 1).as("bucket")
-        :+ hllRank(shiftright(h, 8)).as("rnk"): _*)
+        :+ hllRank(shiftright(h, shift)).as("rnk"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("rnk").as("mj"))
+  }
+
+  /** log2(m) for a valid register count (power of two in [16, 65536] —
+    * below 16 Flajolet's α table doesn't apply, above 2¹⁶ the bucket
+    * bits would collide with the 60-bit hash's rank bits' headroom).
+    */
+  private def requirePow2(m: Int): Int = {
+    require(m >= 16 && m <= 65536 && Integer.bitCount(m) == 1,
+      s"HLL register count m must be a power of two in [16, 65536], got $m")
+    Integer.numberOfTrailingZeros(m)
+  }
+
+  /** Flajolet's bias-correction constant α_m · m² as a Column — the
+    * EXACT literal-expression spelling both engines replay (fixed
+    * constants for the small-m cases, the asymptotic formula from
+    * m = 128 up; Flajolet et al. 2007, Fig. 3).
+    */
+  def alphaM2(m: Int): Column = m match {
+    case 16 => lit(0.673) * lit(256.0)
+    case 32 => lit(0.697) * lit(1024.0)
+    case 64 => lit(0.709) * lit(4096.0)
+    case _ =>
+      lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+        lit(m.toDouble * m.toDouble)
+  }
+
+  /** SQL spelling of [[alphaM2]] for oracle replay — the identical
+    * literal arithmetic, so both engines round identically.
+    */
+  def alphaM2Sql(m: Int): String = m match {
+    case 16 => "(0.673 * 256.0)"
+    case 32 => "(0.697 * 1024.0)"
+    case 64 => "(0.709 * 4096.0)"
+    case _ => s"(0.7213 / (1.0 + 1.079 / $m.0) * ${m.toDouble * m.toDouble})"
   }
 
   /** Set-overlap estimate between two keyed row sets via sketch
@@ -144,8 +185,9 @@ object Sketch {
     * split out so streaming state and shard-merged registers finish
     * with the identical arithmetic.
     */
-  def hllFinish(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val m = 256
+  def hllFinish(reg: DataFrame, groupCols: Seq[String],
+      m: Int = 256): DataFrame = {
+    requirePow2(m)
     // Σ 2^(RankCap − M_j) over present buckets; absent buckets add 2^RankCap.
     val agg = reg.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("present"),
@@ -156,10 +198,9 @@ object Sketch {
     val scale = math.pow(2.0, RankCap) // 2^45, exact
     val denomScaled =
       col("sum_scaled") + (lit(m.toLong) - col("present")) * lit(1L << RankCap)
-    // alpha_256 * m^2, written as the same literal expression the
+    // alpha_m * m^2, written as the same literal expression the
     // oracle uses so both engines round identically at every step.
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
-    val raw = alphaM2 / (denomScaled.cast("double") / lit(scale))
+    val raw = alphaM2(m) / (denomScaled.cast("double") / lit(scale))
     val zeros = lit(m.toLong) - col("present")
     // Flajolet's small-range correction: linear counting on the count
     // of untouched registers when the raw estimate is ≤ 2.5m. (Both

@@ -25,6 +25,39 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll at m=32 (forked alpha_32): per-group error within 3x the " +
+      "1.04/sqrt(m) rsd bound, register table 8x smaller than m=256") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val m = 32
+    val reg = Sketch.hllRegisters(li, Seq("l_returnflag"), "l_partkey", m)
+    val est = Sketch.hllFinish(reg, Seq("l_returnflag"), m)
+    val exact = li.select("l_returnflag", "l_partkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact"))
+    val rows = est.join(exact, Seq("l_returnflag")).collect()
+    assert(rows.nonEmpty)
+    val bound = 3.0 * 1.04 / math.sqrt(m.toDouble) // 3 sigma = 55%
+    rows.foreach { r =>
+      val e = r.getAs[Long]("hll_est").toDouble
+      val x = r.getAs[Long]("exact").toDouble
+      assert(math.abs(e - x) / x < bound,
+        s"${r.getString(0)}: hll=$e exact=$x bound=$bound")
+    }
+    // the cost-lever claim: state rows capped at |groups| * m
+    val nGroups = rows.length
+    assert(reg.count() <= nGroups.toLong * m)
+  }
+
+  test("hll rejects a non-power-of-two register count") {
+    val df = spark.range(10).select(col("id").as("k"))
+    intercept[IllegalArgumentException] {
+      Sketch.hllRegisters(df, Nil, "k", 48)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.hllFinish(df.select(col("k").as("bucket"), lit(1).as("mj")),
+        Nil, 8)
+    }
+  }
+
   test("register state is partitioning-invariant (bitwise-equal estimates)") {
     val li = Tables.lineitem(spark, Sf0001)
     val a = Sketch.hllEstimate(li, Seq("l_returnflag"), "l_partkey")
