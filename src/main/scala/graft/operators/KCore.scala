@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
   * web-scale graphs (hubs survive; chains peel in parallel, not one
   * node at a time). `localCheckpoint` every `checkpointEvery` rounds
   * truncates lineage exactly as CC/PageRank do.
+  *
+  * RECOMPUTE-CADENCE CONTRACT (the incremental-maintenance stance,
+  * cf. ConnectedComponents.incremental / PageRank.ranksConverged):
+  * k-core is NOT incrementally maintained here — deleting or adding
+  * one edge can cascade peels arbitrarily far (coreness is a global
+  * fixpoint, unlike CC's purely-growing merge structure), so a sound
+  * delta algorithm needs the full traversal machinery of Sarıyüce et
+  * al.'s incremental core maintenance, which buys little when the
+  * consumer (template-family detection) reads the core at curation
+  * cadence, not per arrival batch. Contract: recompute per curation
+  * run over the current candidate graph; cost is O(peel-depth)
+  * rounds over edges that only shrink — the cheapest of the graph
+  * suite's iterations — and the run is deterministic, so replays are
+  * free to schedule.
   */
 object KCore {
 

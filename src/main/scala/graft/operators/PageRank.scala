@@ -64,6 +64,89 @@ object PageRank {
     r
   }
 
+  /** Run-to-convergence with optional WARM START — the incremental
+    * face of [[ranks]] (the CC-incremental analogue for rank
+    * maintenance): a continuously-ingesting corpus re-ranks after
+    * each edge batch, and restarting from the PREVIOUS fixed point
+    * reaches the new one in far fewer rounds than the cold 10⁶ start
+    * (each round is one edge⋈rank shuffle — rounds saved are shuffles
+    * saved; PageRankSpec measures the planted-delta drop).
+    *
+    * The integer iteration makes exact convergence DETECTABLE: ranks
+    * are micros longs and the update is a deterministic pure-integer
+    * map, so `r_{t+1} == r_t` is an exact fixed-point test, not an
+    * epsilon heuristic — no float drift can oscillate below a
+    * tolerance forever. Each round costs one extra |V|-sized
+    * changed-row probe (anti-join with LIMIT 1, short-circuits on the
+    * first difference); state localCheckpoints every round (the
+    * iterative-operator cadence, cf. k-core 18.4→3.7 s) because the
+    * probe is an action per round.
+    *
+    * Warm-vs-cold contract: any run that converges stops at an exact,
+    * VERIFIABLE fixed point of the same update map (re-running from
+    * it converges in one round — the spec checks this). Floor
+    * division sheds sub-micro mass, so the map's fixed points form a
+    * micro-PLATEAU rather than a single point: warm and cold starts
+    * can land a few micros apart (measured ≤ 2 micros on the
+    * planted-delta fixture — relative ~10⁻⁶, far below the sketch's
+    * semantic resolution; authority ORDERING is what consumers read).
+    * This differs from CC.incremental's bit-exact guarantee and is
+    * inherent to rank iteration; pipelines needing bit-stable reruns
+    * should pin the fixed-cadence [[ranks]] output instead. On a
+    * graph where `maxIters` elapses first, the result is the
+    * maxIters-round iterate from the given start.
+    *
+    * `init`: prior (node, rank) fixed point; nodes absent from it
+    * cold-start at 10⁶, stale init nodes (no longer in the edge set)
+    * drop out. Returns (ranks, roundsRun) — roundsRun counts update
+    * rounds INCLUDING the final no-change round that proves the fixed
+    * point.
+    */
+  def ranksConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      init: Option[DataFrame] = None,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgeDeg = e.join(deg, Seq("src")).localCheckpoint()
+
+    var r = init match {
+      case Some(prior) =>
+        nodes.join(
+          prior.select(col("node").cast("long").as("node"),
+            col("rank").cast("long").as("prank")),
+          Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("prank"), lit(1000000L)).as("rank"))
+          .localCheckpoint()
+      case None => nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+    }
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val inflow = edgeDeg
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank * 85 div (100 * outdeg)").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(TeleportMicros) + coalesce(col("inflow"), lit(0L)))
+            .as("rank"))
+        .localCheckpoint()
+      rounds += 1
+      converged = next
+        .join(r.select(col("node"), col("rank").as("rank_prev")), Seq("node"))
+        .filter(col("rank") =!= col("rank_prev"))
+        .limit(1).count() == 0L
+      r = next
+    }
+    (r, rounds)
+  }
+
   /** Personalized PageRank (random walk with restart to a SEED set —
     * Haveliwala WWW'02): identical integer round structure, but the
     * teleport mass re-seeds ONLY seed nodes and ranks start at 10⁶ on

@@ -136,6 +136,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.values.sum <= a.size * 1000000L)
   }
 
+  test("PageRank warm-start: planted-delta warm run lands on the cold " +
+      "fixed-point plateau (<= 2 micros/node), in fewer rounds, and " +
+      "both results are verified fixed points") {
+    import graft.operators.PageRank
+    // deterministic dense-ish base graph (same generator family as the
+    // invariance test) — converges to an exact integer fixed point
+    val base = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 23).toLong))
+      .toDF("s", "t")
+    val (r0, rounds0) = PageRank.ranksConverged(base, "s", "t")
+    assert(rounds0 < 50, s"base graph failed to converge in $rounds0")
+    // planted delta: a handful of new edges, incl. one brand-new node
+    val delta = Seq((500L, 3L), (3L, 500L), (17L, 4L), (22L, 9L))
+      .toDF("s", "t")
+    val updated = base.unionByName(delta)
+    val (cold, coldRounds) = PageRank.ranksConverged(updated, "s", "t")
+    val (warm, warmRounds) =
+      PageRank.ranksConverged(updated, "s", "t", init = Some(r0))
+    val cm = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wm = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // floor shedding makes the fixed-point set a micro-plateau, not a
+    // single point (operator doc): same node set, every rank within
+    // 2 micros (relative ~1e-6), authority ORDER identical
+    assert(cm.keySet == wm.keySet)
+    cm.foreach { case (n, r) =>
+      assert(math.abs(r - wm(n)) <= 2L, s"node $n: cold=$r warm=${wm(n)}")
+    }
+    val coldOrder = cm.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1)
+    val warmOrder = wm.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1)
+    assert(coldOrder == warmOrder, "authority ordering diverged")
+    assert(wm.contains(500L)) // the new node entered the ranking
+    assert(warmRounds < coldRounds,
+      s"warm start saved no rounds: warm=$warmRounds cold=$coldRounds")
+    // each result is a true fixed point: restarting FROM it converges
+    // in one (no-change) round and reproduces it bit-for-bit
+    val (coldAgainDf, coldAgain) = PageRank.ranksConverged(updated, "s", "t",
+      init = Some(cold))
+    assert(coldAgain == 1, s"cold re-run took $coldAgain rounds")
+    assert(coldAgainDf.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap == cm)
+    val (warmAgainDf, warmAgain) = PageRank.ranksConverged(updated, "s", "t",
+      init = Some(warm))
+    assert(warmAgain == 1, s"warm re-run took $warmAgain rounds")
+    assert(warmAgainDf.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap == wm)
+  }
+
   test("personalized PageRank: mass localizes to the seed side; " +
       "unreachable nodes stay at exactly 0; fully-seeded == global") {
     import graft.operators.PageRank
