@@ -27,7 +27,7 @@ import org.apache.spark.sql.streaming.{
   * as history accumulates. State shards by group key on the usual
   * RocksDB store.
   *
-  * MEMORY CONTRACT: the include-current-batch semantics force
+  * MEMORY CONTRACT: the default include-current-batch semantics force
   * handleInputRows to buffer one key's micro-batch rows in executor
   * memory (`rows.toArray`) before emitting — the clamp bounds depend
   * on every row of the batch, so rows cannot stream through one at a
@@ -35,10 +35,21 @@ import org.apache.spark.sql.streaming.{
   * NOT O(stream history) — the history lives in the bounded bucket
   * sketch. A hot key in a huge micro-batch therefore bounds its
   * memory by the trigger size: cap `maxOffsetsPerTrigger` (or
-  * equivalent) accordingly, or clamp with PRE-batch bounds (drop the
-  * ingest-before-estimate ordering) to stream rows through at O(1) —
-  * that variant trades the AvailableNow ≡ batch equivalence away, so
-  * it is not the default.
+  * equivalent) accordingly — or use `preBatchBounds = true`.
+  *
+  * PRE-BATCH VARIANT (`preBatchBounds = true`): bounds are estimated
+  * ONCE from the sketch state as of batch start, then rows stream
+  * through lazily at O(1) per-key memory (each row ingests into the
+  * sketch and clamps against the pinned bounds — no buffering). The
+  * trade: a row is clamped by its PREDECESSORS' distribution, not its
+  * own batch's, so a single AvailableNow pass no longer equals the
+  * batch winsorize (bounds lag one batch), and the FIRST batch of a
+  * key passes through unclamped with the sentinel bounds
+  * (Long.MinValue, Long.MaxValue) — there is no prior state to clamp
+  * against, and inventing bounds from a partial batch would be the
+  * buffering variant again. Right choice for hot-key/huge-trigger
+  * regimes where O(batch) buffering is the risk; the spec proves its
+  * batch-2 bounds equal the default variant's batch-1-prefix bounds.
   */
 object StreamWinsorize {
 
@@ -74,7 +85,8 @@ object StreamWinsorize {
   }
 
   class Processor(stateKeyEnc: org.apache.spark.sql.Encoder[Long],
-      stateValEnc: org.apache.spark.sql.Encoder[Long])
+      stateValEnc: org.apache.spark.sql.Encoder[Long],
+      preBatchBounds: Boolean = false)
       extends StatefulProcessor[String, EventIn, WinsOut] {
 
     @transient private var sketch: MapState[Long, Long] = _
@@ -101,32 +113,54 @@ object StreamWinsorize {
       bucketMid(entries.maxBy(_._1)._1) // n == 0 can't reach here
     }
 
+    private def ingest(cents: Long): Unit = {
+      val bk = bucketKey(cents)
+      val cur = if (sketch.containsKey(bk)) sketch.getValue(bk) else 0L
+      sketch.updateValue(bk, cur + 1L)
+    }
+
     override def handleInputRows(
         key: String,
         rows: Iterator[EventIn],
         timerValues: TimerValues): Iterator[WinsOut] = {
-      val batch = rows.toArray
-      batch.foreach { r =>
-        val bk = bucketKey(r.cents)
-        val cur = if (sketch.containsKey(bk)) sketch.getValue(bk) else 0L
-        sketch.updateValue(bk, cur + 1L)
-      }
-      val entries = sketch.iterator().map(t => (t._1, t._2)).toArray
-      val lo = estimate(entries, 1L, 20L)
-      val hi = estimate(entries, 19L, 20L)
-      batch.iterator.map { r =>
-        val w = math.min(math.max(r.cents, lo), hi)
-        WinsOut(key, r.event_id, r.cents, w, lo, hi)
+      if (preBatchBounds) {
+        // bounds pinned from state AS OF batch start; rows then stream
+        // through lazily — O(1) per-key memory (object doc). An empty
+        // prior state (first batch of the key) passes through with the
+        // sentinel no-clamp bounds.
+        val entries = sketch.iterator().map(t => (t._1, t._2)).toArray
+        val (lo, hi) =
+          if (entries.isEmpty) (Long.MinValue, Long.MaxValue)
+          else (estimate(entries, 1L, 20L), estimate(entries, 19L, 20L))
+        rows.map { r =>
+          ingest(r.cents)
+          val w = math.min(math.max(r.cents, lo), hi)
+          WinsOut(key, r.event_id, r.cents, w, lo, hi)
+        }
+      } else {
+        val batch = rows.toArray
+        batch.foreach(r => ingest(r.cents))
+        val entries = sketch.iterator().map(t => (t._1, t._2)).toArray
+        val lo = estimate(entries, 1L, 20L)
+        val hi = estimate(entries, 19L, 20L)
+        batch.iterator.map { r =>
+          val w = math.min(math.max(r.cents, lo), hi)
+          WinsOut(key, r.event_id, r.cents, w, lo, hi)
+        }
       }
     }
   }
 
-  /** Wire the processor over a stream keyed by event_type. */
-  def clamp(events: Dataset[EventIn]): Dataset[WinsOut] = {
+  /** Wire the processor over a stream keyed by event_type.
+    * `preBatchBounds = true` selects the O(1)-memory pre-batch-bounds
+    * variant (object doc: MEMORY CONTRACT / PRE-BATCH VARIANT).
+    */
+  def clamp(events: Dataset[EventIn],
+      preBatchBounds: Boolean = false): Dataset[WinsOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
       .transformWithState(
-        new Processor(Encoders.scalaLong, Encoders.scalaLong),
+        new Processor(Encoders.scalaLong, Encoders.scalaLong, preBatchBounds),
         TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

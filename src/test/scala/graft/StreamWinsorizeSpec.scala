@@ -98,4 +98,59 @@ class StreamWinsorizeSpec extends SparkSpec {
       assert(nBuckets <= 64 * (1 << (Sketch.QSubBits - 1)))
     }
   }
+
+  test("preBatchBounds variant: first batch passes with sentinel " +
+      "bounds, batch 2 clamps with state-as-of-batch-start (= the " +
+      "default variant's prefix-1 bounds), rows never buffer") {
+    withRocks {
+      val ckpt = tmpDir("swinspre-ckpt")
+      val outDir = tmpDir("swinspre-out")
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[EventIn]
+      def drain(): Unit = {
+        val q = StreamWinsorize.clamp(input.toDS(), preBatchBounds = true)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      val b1 = (0 until 100).map(i =>
+        EventIn("g", i.toLong, 1000L + i)) :+ EventIn("g", 900L, 500000L)
+      val b2 = (100 until 200).map(i =>
+        EventIn("g", i.toLong, 1000L + i)) :+ EventIn("g", 901L, 1L)
+      input.addData(b1: _*); drain()
+      input.addData(b2: _*); drain()
+
+      val out = spark.read.parquet(outDir)
+        .collect().map(r => r.getLong(1) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+      // batch 1: no prior state → sentinel bounds, nothing clamped
+      b1.foreach { e =>
+        val (c, w, lo, hi) = out(e.event_id)
+        assert(lo == Long.MinValue && hi == Long.MaxValue,
+          s"b1 sentinel bounds for ${e.event_id}")
+        assert(w == c, s"b1 row ${e.event_id} must pass unclamped")
+      }
+      // batch 2's bounds are the state AS OF batch start — exactly the
+      // default variant's prefix-1 bounds from the batch sketch
+      val sk = Sketch.quantileSketch(
+        b1.toDF("event_type", "event_id", "cents"),
+        Seq("event_type"), col("cents"))
+      val est = Sketch.quantileEstimates(sk, Seq("event_type"),
+        Seq(("lo", 1, 20), ("hi", 19, 20)))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val (lo1, hi1) = (est("lo"), est("hi"))
+      b2.foreach { e =>
+        val (_, _, lo, hi) = out(e.event_id)
+        assert(lo == lo1 && hi == hi1, s"b2 bounds for ${e.event_id}")
+      }
+      // the batch-2 outlier clamps against the PRIOR distribution
+      assert(out(901L)._2 == lo1 && out(901L)._1 == 1L)
+    }
+  }
 }
