@@ -39,10 +39,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
-    // min of 2 runs per query: first run pays codegen/JIT/footer-cache
-    // noise; min is the steady-state cost the cluster would see.
-    def timeMinOf2(name: String)(run: => Unit): Double =
-      (1 to 2).map { _ =>
+    // 2 runs per query: first run pays codegen/JIT/footer-cache noise;
+    // min is the steady-state cost the cluster would see, and BOTH
+    // samples ride into the artifact so round-over-round noise (the
+    // documented ±8% box) is quantifiable per query, not by narrative.
+    def timeBoth(name: String)(run: => Unit): (Double, Double) = {
+      val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try run
         catch {
@@ -50,11 +52,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      (ts.min, ts.max)
+    }
     val catalogResults = Queries.specs
       .filter(sp => sp.bench && only.forall(_.contains(sp.name)))
       .map { sp =>
-        sp.name -> timeMinOf2(sp.name) {
+        sp.name -> timeBoth(sp.name) {
           sp.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       }
@@ -66,7 +70,7 @@ object Bench {
     // Broadcast is disabled for BOTH sides: this models the regime the
     // bucketing exists for (neither fact fits in memory), which at
     // sf0.1 a broadcast of orders would otherwise short-circuit.
-    val bucketPair: Seq[(String, Double)] =
+    val bucketPair: Seq[(String, (Double, Double))] =
       if (only.isDefined) Seq.empty
       else {
         import org.apache.spark.sql.DataFrame
@@ -91,14 +95,14 @@ object Bench {
         val pair = try {
           Seq(
             "q_x_bucketed_join_bucketed" ->
-              timeMinOf2("q_x_bucketed_join_bucketed") {
+              timeBoth("q_x_bucketed_join_bucketed") {
                 joinAgg(
                   graft.sinks.Bucketed.table(spark, "bench_bx_orders"),
                   graft.sinks.Bucketed.table(spark, "bench_bx_lineitem"))
                   .write.format("noop").mode("overwrite").save()
               },
             "q_x_bucketed_join_plain" ->
-              timeMinOf2("q_x_bucketed_join_plain") {
+              timeBoth("q_x_bucketed_join_plain") {
                 joinAgg(
                   Tables.orders(spark, sfDir)
                     .select("o_orderkey", "o_totalprice"),
@@ -123,14 +127,18 @@ object Bench {
     // whole-file parsers; (3) a compact total line LAST, so the tail
     // always ends with a parseable total no matter the window size.
     val sorted = results.sortBy(_._1)
-    sorted.foreach { case (k, v) =>
+    sorted.foreach { case (k, (v, _)) =>
       println(f"""{"bench_query":"$k","sec":$v%.3f}""")
     }
-    val qs = sorted.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = sorted.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // both raw samples per entry — the per-query noise record
+    val runs = sorted.map { case (k, (v, v2)) =>
+      "\"" + k + f"\":{\"min\":$v%.3f,\"second\":$v2%.3f}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
     val detail =
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","n_queries":${results.size}}"""
     println(detail)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
