@@ -7598,6 +7598,75 @@ object Queries {
         expr("sum(es) * 1000000 div sum(e1)").as("skill_micros"))
   }
 
+  /** Star-schema sink round-trip (SURVEY §2 K1–K3), hash-gated: build
+    * an hourly weather dimension + traffic predictions from `events`,
+    * drive the FULL sink path — createTables, TWO idempotentAppend
+    * runs of the same payload (the second must add 0 rows: ON
+    * CONFLICT parity, require-checked in-query), TWO FK-resolving
+    * appendTraffic runs — then read the written tables back and join
+    * fact⋈dim. The oracle recomputes the expected READBACK directly
+    * from events (surrogate ids replay as ROW_NUMBER in natural-key
+    * order — the sink's range-partition+prefix-sum assignment equals
+    * a global rank by construction), so the green row hash-proves the
+    * whole write→read path, not just the spec-level row counts. The
+    * warehouse dir is deleted up front: the readback is a pure
+    * function of the input table, replayable at any sf.
+    */
+  val qKStarReadback = q(
+    "q_k_star_readback",
+    """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS dt,
+      |             CAST(MAX(user_id % 30) AS INT) AS wind,
+      |             CAST(MIN(user_id % 20) AS INT) AS temp,
+      |             COUNT(*) AS n
+      |           FROM events GROUP BY 1),
+      |w AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY dt) AS BIGINT)
+      |        AS weather_id,
+      |        dt, wind, temp, (n % 2 = 0) AS precip, CAST(n AS INT)
+      |          AS intensity
+      |      FROM h)
+      |SELECT weather_id, CAST(epoch(dt) AS BIGINT) AS epoch_s,
+      |       wind, temp, precip,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY weather_id) AS BIGINT)
+      |         AS traffic_id,
+      |       intensity
+      |FROM w ORDER BY weather_id""".stripMargin) { (s, d) =>
+    import graft.sinks.StarSchemaSink
+    val wh = "spark-warehouse/star_readback_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    StarSchemaSink.createTables(s, wh)
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("DateTime"))
+      .agg(max(col("user_id") % 30).cast("int").as("WindSpeed"),
+        min(col("user_id") % 20).cast("int").as("Temperature"),
+        (count(lit(1)) % 2 === 0).as("Precipitation"),
+        count(lit(1)).cast("int").as("__n"))
+      .localCheckpoint() // appended twice + predictions — scan once
+    val wb = hourly.select("DateTime", "WindSpeed", "Temperature",
+      "Precipitation")
+    StarSchemaSink.idempotentAppend(s, wh, "weather", wb, Seq("DateTime"))
+    val again = StarSchemaSink.idempotentAppend(s, wh, "weather", wb,
+      Seq("DateTime"))
+    require(again == 0L, s"idempotent re-append added $again weather rows")
+    val preds = hourly.select(col("DateTime"), col("__n").as("Intensity"))
+    StarSchemaSink.appendTraffic(s, wh, preds)
+    val tAgain = StarSchemaSink.appendTraffic(s, wh, preds)
+    require(tAgain == 0L, s"idempotent re-append added $tAgain traffic rows")
+    val w = StarSchemaSink.readTable(s, wh, "weather")
+    val t = StarSchemaSink.readTable(s, wh, "traffic")
+    t.join(w.select(col("id").as("date_id"), col("DateTime"),
+        col("WindSpeed"), col("Temperature"), col("Precipitation")),
+        Seq("date_id"))
+      .select(col("date_id").as("weather_id"),
+        unix_timestamp(col("DateTime")).as("epoch_s"),
+        col("WindSpeed").as("wind"), col("Temperature").as("temp"),
+        col("Precipitation").as("precip"),
+        col("id").as("traffic_id"), col("Intensity").as("intensity"))
+      .orderBy("weather_id")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -7645,6 +7714,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback,
   )
 }
