@@ -7598,6 +7598,41 @@ object Queries {
         expr("sum(es) * 1000000 div sum(e1)").as("skill_micros"))
   }
 
+  /** Isotonic quality-score calibration (Stats.isotonicCalibrate —
+    * PAV via minimax over score bins): raw quality score → monotone
+    * P(good | score), the calibration a curation pipeline needs
+    * before "keep everything above probability p" means anything.
+    * Corpus folds to ≤50 (bin, n, Σy) rows in one map-side-combined
+    * agg; the whole PAV solve is metadata joins (segment-average
+    * grid + minimax). Label here is a deterministic doc-id-hashed
+    * proxy that RISES with doc length but with enough noise to plant
+    * real monotonicity violations — the oracle replays the identical
+    * prefix sums, floor-div segment averages, and max-min, so the
+    * green row proves the solver, not just the binning.
+    */
+  val qTIsotonicCalibration = {
+    val srcSql =
+      """SELECT CAST(LEAST(length(text), 999) AS DOUBLE) AS x,
+        |       CASE WHEN doc_id % 10 < LEAST(9, length(text) // 120)
+        |            THEN 1 ELSE 0 END AS y
+        |FROM documents""".stripMargin
+    q(
+      "q_t_isotonic_calibration",
+      s"""WITH ${graft.operators.Stats.isotonicOracleSql(srcSql, 0.0, 1000.0, 50)}
+         |SELECT p.bin, p.n, p.sy, p.sy * 1000000 // p.n AS p_raw_micros,
+         |       iso.p_cal_micros
+         |FROM p JOIN iso ON p.bin = iso.ib ORDER BY bin""".stripMargin) {
+      (s, d) =>
+        graft.operators.Stats.isotonicCalibrate(
+            Tables.documents(s, d),
+            least(length(col("text")), lit(999)).cast("double"),
+            (col("doc_id") % 10 <
+              least(lit(9), expr("length(text) div 120"))).cast("int"),
+            lo = 0.0, hi = 1000.0, nBins = 50)
+          .orderBy("bin")
+    }
+  }
+
   /** Star-schema sink round-trip (SURVEY §2 K1–K3), hash-gated: build
     * an hourly weather dimension + traffic predictions from `events`,
     * drive the FULL sink path — createTables, TWO idempotentAppend
@@ -7714,6 +7749,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration,
   )
 }

@@ -730,4 +730,95 @@ object Stats {
        |          CAST(CAST($y AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl
        |        FROM $table)
        |  GROUP BY $group)""".stripMargin
+
+  /** Isotonic (monotone non-decreasing) score calibration — PAV via
+    * the minimax characterization (Barlow et al. '72; Robertson-
+    * Wright-Dykstra): the calibration step that turns a raw quality-
+    * classifier score into P(label | score) before thresholding a
+    * corpus keep/drop decision — the fastText-quality-filter pattern
+    * every LLM curation pipeline runs, where an uncalibrated score
+    * makes "keep the top 30% probability-of-good" unanswerable.
+    *
+    * Scale shape — the bin-then-solve decomposition sklearn-at-scale
+    * uses: ONE map-side-combined aggregation folds the corpus to
+    * ≤ nBins (bin, n, Σy) rows (the fact never shuffles more than the
+    * bin id; same envelope as Drift.binCounts), and the PAV solve
+    * runs ENTIRELY on that metadata: iso(i) = max_{j≤i} min_{k≥i}
+    * avg(y over bins j..k), materialized as the (j,k) segment-average
+    * grid (≤ B² rows from prefix sums) joined against bins i (≤ B³
+    * rows — at B=50, 125k metadata rows; the corpus size never enters
+    * the solve). No driver-side loop, no sequential pool scan.
+    *
+    * Determinism: bin edges are the fixed-width integer rule of
+    * [[graft.operators.Drift.binIdSql]]; counts and label sums are
+    * exact longs; each segment average is ONE floor division of
+    * exact integers in micros (y ∈ {0,1} ⇒ numerators nonneg — `div`
+    * is floor); floor commutes with finite min/max, so the output IS
+    * floor(10⁶ · exact-rational isotonic fit) — bit-replayable, and
+    * monotone by construction (spec-asserted). Long capacity:
+    * Σy·10⁶ < 2⁶³ ⇒ safe past 9·10¹² positive labels per bin.
+    *
+    * Output: one row per NON-EMPTY bin — (bin, n, sy, p_raw_micros,
+    * p_cal_micros); empty bins are absent (no evidence — callers
+    * joining the table back interpolate or carry the neighbor, their
+    * policy choice). Apply is a broadcast join of this table on the
+    * bin id — map-only over the corpus.
+    */
+  def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need >= 2 bins over a real range")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((score - lit(lo)) / lit(width))
+      .cast("long"), lit(0L)), lit(nBins - 1L))
+    val bins = df.select(bin.as("bin"), label.cast("long").as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    // prefix sums over the ≤nBins metadata frame (the single-partition
+    // window runs on bins, never the fact)
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val pre = bins
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cy", sum("sy").over(w))
+      .localCheckpoint() // referenced 4× below; bins-sized
+    val j = pre.select(col("bin").as("jb"),
+      (col("cn") - col("n")).as("cnj"), (col("cy") - col("sy")).as("cyj"))
+    val k = pre.select(col("bin").as("kb"),
+      col("cn").as("cnk"), col("cy").as("cyk"))
+    val grid = j.join(k, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        expr("(cyk - cyj) * 1000000 div (cnk - cnj)").as("avgm"))
+    val iso = grid
+      .join(pre.select(col("bin").as("ib")),
+        col("jb") <= col("ib") && col("ib") <= col("kb"))
+      .groupBy("ib", "jb").agg(min("avgm").as("mn"))
+      .groupBy("ib").agg(max("mn").as("p_cal_micros"))
+    pre.join(iso, col("bin") === col("ib"))
+      .select(col("bin"), col("n"), col("sy"),
+        expr("sy * 1000000 div n").as("p_raw_micros"),
+        col("p_cal_micros"))
+  }
+
+  /** Oracle rendering of [[isotonicCalibrate]] — identical prefix
+    * sums, segment grid, and minimax; `srcSql` yields (x, y).
+    */
+  def isotonicOracleSql(srcSql: String, lo: Double, hi: Double,
+      nBins: Int): String = {
+    val width = (hi - lo) / nBins
+    s"""d AS (SELECT ${Drift.binIdSql("x", lo, width, nBins)} AS bin, y
+       |      FROM ($srcSql)),
+       |b AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy
+       |      FROM d GROUP BY bin),
+       |p AS (SELECT bin, n, sy,
+       |        CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |        CAST(SUM(sy) OVER (ORDER BY bin) AS BIGINT) AS cy
+       |      FROM b),
+       |g AS (SELECT j.bin AS jb, k.bin AS kb,
+       |        (k.cy - (j.cy - j.sy)) * 1000000
+       |          // (k.cn - (j.cn - j.n)) AS avgm
+       |      FROM p j JOIN p k ON j.bin <= k.bin),
+       |mi AS (SELECT i.bin AS ib, g.jb, MIN(g.avgm) AS mn
+       |       FROM g JOIN p i ON g.jb <= i.bin AND i.bin <= g.kb
+       |       GROUP BY 1, 2),
+       |iso AS (SELECT ib, CAST(MAX(mn) AS BIGINT) AS p_cal_micros
+       |        FROM mi GROUP BY ib)""".stripMargin
+  }
 }

@@ -70,6 +70,46 @@ class CurationOpsSpec extends SparkSpec {
       6L -> "added"), got)
   }
 
+  test("isotonicCalibrate: matches sequential PAV on a violation-" +
+      "planted fixture, is monotone, and pools to the exact mean on " +
+      "pure noise") {
+    import graft.operators.Stats
+    // bins 0..4 (x = bin*10+1, width 10): raw props 0.2, 0.8, 0.6,
+    // 0.4, 1.0 — bins 1..3 violate and must pool to (4+3+2)/15 = 0.6
+    def mk(bin: Int, ones: Int, zeros: Int) =
+      Seq.fill(ones)((bin * 10 + 1.0, 1)) ++
+        Seq.fill(zeros)((bin * 10 + 1.0, 0))
+    val rows = mk(0, 1, 4) ++ mk(1, 4, 1) ++ mk(2, 3, 2) ++
+      mk(3, 2, 3) ++ mk(4, 5, 0)
+    val df = rows.toDF("x", "y")
+    val got = Stats.isotonicCalibrate(df, col("x"), col("y"),
+        lo = 0.0, hi = 50.0, nBins = 5)
+      .orderBy("bin").collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("p_cal_micros"))
+    // sequential pool-adjacent-violators on the same 5 bins
+    assert(got.toSeq == Seq(0L -> 200000L, 1L -> 600000L, 2L -> 600000L,
+      3L -> 600000L, 4L -> 1000000L), got.mkString(", "))
+    // catalog-scale input: monotone non-decreasing by construction
+    val cal = Stats.isotonicCalibrate(
+        Tables.documents(spark, Sf0001),
+        least(length(col("text")), lit(999)).cast("double"),
+        (col("doc_id") % 10 <
+          least(lit(9), expr("length(text) div 120"))).cast("int"),
+        lo = 0.0, hi = 1000.0, nBins = 50)
+      .orderBy("bin").collect()
+      .map(r => r.getAs[Long]("p_cal_micros"))
+    assert(cal.length > 1)
+    cal.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"monotonicity violated: $a > $b")
+    }
+    // label independent of score → one global pool at the exact mean
+    val noise = (0 until 200).map(i => (i.toDouble, i % 2)).toDF("x", "y")
+    val pooled = Stats.isotonicCalibrate(noise, col("x"), col("y"),
+        0.0, 200.0, 10)
+      .select("p_cal_micros").distinct().collect().map(_.getLong(0))
+    assert(pooled.toSeq == Seq(500000L), pooled.mkString(", "))
+  }
+
   test("winsorize: every row survives, output clamped to the group's " +
       "selection quantiles, invariant under repartitioning") {
     val ev = Tables.events(spark, Sf0001)
