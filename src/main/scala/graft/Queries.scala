@@ -7633,6 +7633,56 @@ object Queries {
     }
   }
 
+  /** Confident-learning label-noise audit (operators/LabelNoise,
+    * Northcutt et al. JAIR'21): per-class self-confidence thresholds
+    * from ONE conditional-agg scan, threshold-gated argmax as the
+    * suggested class, confusion matrix of (given, suggested) with
+    * off-diagonal rows the flagged annotation-error mass. The
+    * fixture plants a known corruption — every 7th doc's label
+    * rotated off its argmax class — on deterministic pseudo-prob
+    * columns, so the audit must light up exactly the off-diagonal
+    * structure the corruption creates; the oracle replays thresholds,
+    * eligibility, abstention, and tie-order bit-for-bit.
+    */
+  val qTLabelNoise = {
+    val srcSql =
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN (clean + 1) % 3
+        |            ELSE clean END AS y, p0, p1, p2
+        |FROM (SELECT w0 * 1000000 // (w0 + w1 + w2) AS p0,
+        |             w1 * 1000000 // (w0 + w1 + w2) AS p1,
+        |             w2 * 1000000 // (w0 + w1 + w2) AS p2,
+        |             CASE WHEN w0 >= w1 AND w0 >= w2 THEN 0
+        |                  WHEN w1 >= w2 THEN 1 ELSE 2 END AS clean,
+        |             doc_id
+        |      FROM (SELECT doc_id,
+        |              (doc_id * 131 + length(text)) % 997 + 1 AS w0,
+        |              (doc_id * 577 + length(text) * 7) % 997 + 1 AS w1,
+        |              (doc_id * 919 + length(text) * 13) % 997 + 1 AS w2
+        |            FROM documents))""".stripMargin
+    q(
+      "q_t_label_noise",
+      s"""WITH ${graft.operators.LabelNoise.oracleSql(srcSql, 3)}
+         |SELECT given, suggested, n, (given <> suggested) AS flagged
+         |FROM cl ORDER BY given, suggested""".stripMargin) { (s, d) =>
+      val withProbs = Tables.documents(s, d)
+        .withColumn("w0", expr("(doc_id * 131 + length(text)) % 997 + 1"))
+        .withColumn("w1", expr("(doc_id * 577 + length(text) * 7) % 997 + 1"))
+        .withColumn("w2", expr("(doc_id * 919 + length(text) * 13) % 997 + 1"))
+        .withColumn("p0", expr("w0 * 1000000 div (w0 + w1 + w2)"))
+        .withColumn("p1", expr("w1 * 1000000 div (w0 + w1 + w2)"))
+        .withColumn("p2", expr("w2 * 1000000 div (w0 + w1 + w2)"))
+        .withColumn("clean", expr(
+          "CASE WHEN w0 >= w1 AND w0 >= w2 THEN 0 " +
+            "WHEN w1 >= w2 THEN 1 ELSE 2 END"))
+        .withColumn("y", expr(
+          "CASE WHEN doc_id % 7 = 0 THEN (clean + 1) % 3 ELSE clean END"))
+      graft.operators.LabelNoise.confusionAudit(withProbs, col("y"),
+          Seq(col("p0"), col("p1"), col("p2")))
+        .withColumn("flagged", col("given") =!= col("suggested"))
+        .orderBy("given", "suggested")
+    }
+  }
+
   /** Star-schema sink round-trip (SURVEY §2 K1–K3), hash-gated: build
     * an hourly weather dimension + traffic predictions from `events`,
     * drive the FULL sink path — createTables, TWO idempotentAppend
@@ -7749,6 +7799,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise,
   )
 }

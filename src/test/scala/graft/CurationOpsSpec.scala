@@ -70,6 +70,41 @@ class CurationOpsSpec extends SparkSpec {
       6L -> "added"), got)
   }
 
+  test("LabelNoise.confusionAudit: thresholds, abstention, tie-break, " +
+      "and the flagged cell match hand computation") {
+    import graft.operators.LabelNoise
+    // class-0 labeled rows: p0 = 800k, 600k → t0 = 700k
+    // class-1 labeled rows: p1 = 900k, 500k → t1 = 700k
+    // rows (y, p0, p1):
+    //  a (0, 800k, 100k): only p0 ≥ t0 → suggested 0 (diagonal)
+    //  b (0, 600k, 100k): clears nothing → abstains
+    //  c (1, 900k, 900k): both clear → tie on p → smaller class id 0
+    //    → FLAGGED (1, 0)
+    //  d (1, 100k, 500k): clears nothing → abstains
+    val df = Seq(
+      (0, 800000L, 100000L), (0, 600000L, 100000L),
+      (1, 900000L, 900000L), (1, 100000L, 500000L))
+      .toDF("y", "p0", "p1")
+    val got = LabelNoise.confusionAudit(df, col("y"),
+        Seq(col("p0"), col("p1")))
+      .collect()
+      .map(r => (r.getAs[Int]("given"), r.getAs[Int]("suggested")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got == Map((0, 0) -> 1L, (1, 0) -> 1L), got)
+    // a class with NO labeled examples is never suggested (null
+    // threshold), and doesn't crash the audit
+    val df2 = Seq((0, 100000L, 999999L), (0, 200000L, 999999L))
+      .toDF("y", "p0", "p1")
+    val got2 = LabelNoise.confusionAudit(df2, col("y"),
+        Seq(col("p0"), col("p1")))
+      .collect()
+      .map(r => (r.getAs[Int]("given"), r.getAs[Int]("suggested")) ->
+        r.getAs[Long]("n")).toMap
+    // t0 = 150k; row 2 clears it → (0,0); class 1 ineligible despite
+    // its huge probability
+    assert(got2 == Map((0, 0) -> 1L), got2)
+  }
+
   test("isotonicCalibrate: matches sequential PAV on a violation-" +
       "planted fixture, is monotone, and pools to the exact mean on " +
       "pure noise") {
