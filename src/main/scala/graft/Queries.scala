@@ -7644,6 +7644,33 @@ object Queries {
     * structure the corruption creates; the oracle replays thresholds,
     * eligibility, abstention, and tie-order bit-for-bit.
     */
+  /** Scorer rank-stability (operators/RankStability): Kendall τ-b +
+    * top-k set Jaccard between a quality scorer and its perturbed
+    * "retrained" version over the top-400 docs — the deploy gate for
+    * scorer swaps ("did the ranking the pipeline acts on change?").
+    * Both top-k selections are TakeOrdered heaps; the quadratic pair
+    * pass runs on the 400-row metadata frame only. The oracle replays
+    * the heap ranking, every pair-sign count, and the tie-corrected
+    * τ finish.
+    */
+  val qLRankStability = {
+    val k = 400
+    val srcSql =
+      """SELECT doc_id AS id,
+        |       CAST(length(text) AS BIGINT) AS a,
+        |       CAST(length(text) + (doc_id % 21) - 10 AS BIGINT) AS b
+        |FROM documents""".stripMargin
+    q(
+      "q_l_rank_stability",
+      s"""WITH ${graft.operators.RankStability.oracleSql(srcSql, k)}
+         |SELECT * FROM rs""".stripMargin) { (s, d) =>
+      graft.operators.RankStability.compare(
+        Tables.documents(s, d), col("doc_id"),
+        length(col("text")),
+        length(col("text")) + (col("doc_id") % 21) - 10, k)
+    }
+  }
+
   val qTLabelNoise = {
     val srcSql =
       """SELECT CASE WHEN doc_id % 7 = 0 THEN (clean + 1) % 3
@@ -7799,6 +7826,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability,
   )
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank-stability audit between two scoring functions — the
+  * scorer-version drift monitor: when a quality/importance scorer is
+  * retrained or re-prompted, "did the RANKING the pipeline acts on
+  * actually change?" is the deploy gate, not the score values. Over
+  * the top-k documents by scorer A: Kendall τ-b between A's and B's
+  * scores (tie-corrected — coarse scores tie constantly) plus the
+  * top-k set Jaccard under each scorer (threshold decisions read set
+  * membership; τ reads order).
+  *
+  * Scale shape: both top-k selections are TakeOrdered heaps (never a
+  * global sort of the corpus); ALL pairwise work runs on the k-row
+  * metadata frame — k²/2 comparison rows at k = 400 is 80k, corpus
+  * size never enters the quadratic term. One conditional-agg pass
+  * over the pair frame yields every sufficient statistic.
+  *
+  * Determinism: scores enter as exact longs; concordance is the sign
+  * of an integer product (|score| ≤ 10⁹ ⇒ products ≤ 10¹⁸, exact);
+  * τ-b's finish is a fixed sequence of IEEE ops on exact integers
+  * (the assortativity convention) rounded at 6 dp; a fully-tied side
+  * (zero denominator) reports τ = 0, mirrored in the oracle.
+  *
+  * Output (1 row): n, n_pairs, concordant, discordant, ties_a,
+  * ties_b, tau_b, topk_jaccard_micros.
+  */
+object RankStability {
+
+  def compare(df: DataFrame, idCol: Column, scoreA: Column,
+      scoreB: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = df.select(idCol.cast("long").as("id"),
+      scoreA.cast("long").as("a"), scoreB.cast("long").as("b"))
+      .localCheckpoint() // two heap selections over the same scan
+    val top = base.orderBy(desc("a"), asc("id")).limit(k)
+      .localCheckpoint() // k rows, referenced three times
+    val l = top.select(col("id").as("i"), col("a").as("ai"),
+      col("b").as("bi"))
+    val r = top.select(col("id").as("j"), col("a").as("aj"),
+      col("b").as("bj"))
+    val sgn = (col("ai") - col("aj")) * (col("bi") - col("bj"))
+    val pairAgg = l.join(r, col("i") < col("j"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("ai") === col("aj"), 1L).otherwise(0L)).as("ties_a"),
+        sum(when(col("bi") === col("bj"), 1L).otherwise(0L)).as("ties_b"))
+    val nDf = top.agg(count(lit(1)).as("n"))
+    val topB = base.orderBy(desc("b"), asc("id")).limit(k)
+    val interDf = top.select("id").join(topB.select("id"), Seq("id"))
+      .agg(count(lit(1)).as("top_inter"))
+    val denom = (col("n_pairs") - col("ties_a")).cast("double") *
+      (col("n_pairs") - col("ties_b")).cast("double")
+    pairAgg.crossJoin(broadcast(nDf)).crossJoin(broadcast(interDf))
+      .select(col("n"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_a"), col("ties_b"),
+        when(denom > 0,
+          round((col("concordant") - col("discordant")).cast("double")
+            / sqrt(denom), 6)).otherwise(lit(0.0)).as("tau_b"),
+        expr("top_inter * 1000000 div (2 * n - top_inter)")
+          .as("topk_jaccard_micros"))
+  }
+
+  /** Oracle rendering — identical heap-ranked top-k, pair statistics,
+    * and τ-b finish; `srcSql` yields (id, a, b). Ends at CTE
+    * `rs(n, n_pairs, concordant, discordant, ties_a, ties_b, tau_b,
+    * topk_jaccard_micros)`.
+    */
+  def oracleSql(srcSql: String, k: Int): String =
+    s"""base AS ($srcSql),
+       |ta AS (SELECT id, a, b FROM (
+       |         SELECT *, ROW_NUMBER() OVER (ORDER BY a DESC, id) AS rn
+       |         FROM base) WHERE rn <= $k),
+       |tb AS (SELECT id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (ORDER BY b DESC, id) AS rn
+       |         FROM base) WHERE rn <= $k),
+       |pg AS (SELECT COUNT(*) AS n_pairs,
+       |         CAST(COALESCE(SUM(CASE WHEN (l.a - r.a) * (l.b - r.b) > 0
+       |                       THEN 1 END), 0) AS BIGINT) AS concordant,
+       |         CAST(COALESCE(SUM(CASE WHEN (l.a - r.a) * (l.b - r.b) < 0
+       |                       THEN 1 END), 0) AS BIGINT) AS discordant,
+       |         CAST(COALESCE(SUM(CASE WHEN l.a = r.a THEN 1 END), 0)
+       |           AS BIGINT) AS ties_a,
+       |         CAST(COALESCE(SUM(CASE WHEN l.b = r.b THEN 1 END), 0)
+       |           AS BIGINT) AS ties_b
+       |       FROM ta l JOIN ta r ON l.id < r.id),
+       |nn AS (SELECT COUNT(*) AS n FROM ta),
+       |ii AS (SELECT COUNT(*) AS top_inter FROM ta JOIN tb USING (id)),
+       |rs AS (SELECT n, n_pairs, concordant, discordant, ties_a, ties_b,
+       |         CASE WHEN CAST(n_pairs - ties_a AS DOUBLE)
+       |                   * CAST(n_pairs - ties_b AS DOUBLE) > 0
+       |              THEN ROUND(CAST(concordant - discordant AS DOUBLE)
+       |                / sqrt(CAST(n_pairs - ties_a AS DOUBLE)
+       |                       * CAST(n_pairs - ties_b AS DOUBLE)), 6)
+       |              ELSE 0.0 END AS tau_b,
+       |         top_inter * 1000000 // (2 * n - top_inter)
+       |           AS topk_jaccard_micros
+       |       FROM pg CROSS JOIN nn CROSS JOIN ii)""".stripMargin
+}

@@ -70,6 +70,45 @@ class CurationOpsSpec extends SparkSpec {
       6L -> "added"), got)
   }
 
+  test("RankStability.compare: perfect agreement tau=1, full reversal " +
+      "tau=-1, tie correction and top-k overlap by hand") {
+    import graft.operators.RankStability
+    val ab = Seq((1L, 40L, 40L), (2L, 30L, 30L), (3L, 20L, 20L),
+      (4L, 10L, 10L)).toDF("id", "a", "b")
+    val same = RankStability.compare(ab, col("id"), col("a"), col("b"), 10)
+      .collect().head
+    assert(same.getAs[Double]("tau_b") === 1.0)
+    assert(same.getAs[Long]("topk_jaccard_micros") === 1000000L)
+    val rev = Seq((1L, 40L, 10L), (2L, 30L, 20L), (3L, 20L, 30L),
+      (4L, 10L, 40L)).toDF("id", "a", "b")
+    val r = RankStability.compare(rev, col("id"), col("a"), col("b"), 10)
+      .collect().head
+    assert(r.getAs[Double]("tau_b") === -1.0)
+    // ties: a = (2,2,1), b = (3,2,1). pairs: (1,2) tied in a,
+    // concordant pairs (1,3),(2,3) → C=2, D=0, ties_a=1, ties_b=0
+    // tau_b = 2 / sqrt((3-1)*(3-0)) = 2/sqrt(6) ≈ 0.816497
+    val tied = Seq((1L, 2L, 3L), (2L, 2L, 2L), (3L, 1L, 1L))
+      .toDF("id", "a", "b")
+    val t = RankStability.compare(tied, col("id"), col("a"), col("b"), 10)
+      .collect().head
+    assert(t.getAs[Long]("concordant") === 2L)
+    assert(t.getAs[Long]("discordant") === 0L)
+    assert(t.getAs[Long]("ties_a") === 1L)
+    assert(t.getAs[Double]("tau_b") === 0.816497)
+    // top-k disagreement: k=2, A picks {1,2}, B picks {3,4} → 0 overlap
+    val disj = Seq((1L, 40L, 1L), (2L, 30L, 2L), (3L, 20L, 30L),
+      (4L, 10L, 40L)).toDF("id", "a", "b")
+    val d2 = RankStability.compare(disj, col("id"), col("a"), col("b"), 2)
+      .collect().head
+    assert(d2.getAs[Long]("topk_jaccard_micros") === 0L)
+    // fully-tied side: zero denominator reports tau = 0, not NaN
+    val flat = Seq((1L, 5L, 3L), (2L, 5L, 2L), (3L, 5L, 1L))
+      .toDF("id", "a", "b")
+    val f = RankStability.compare(flat, col("id"), col("a"), col("b"), 10)
+      .collect().head
+    assert(f.getAs[Double]("tau_b") === 0.0)
+  }
+
   test("LabelNoise.confusionAudit: thresholds, abstention, tie-break, " +
       "and the flagged cell match hand computation") {
     import graft.operators.LabelNoise
