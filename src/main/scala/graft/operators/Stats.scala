@@ -765,13 +765,31 @@ object Stats {
     * bin id — map-only over the corpus.
     */
   def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    isotonicFromCounts(calibrationBinCounts(df, score, label, lo, hi, nBins))
+
+  /** The binning aggregation of [[isotonicCalibrate]]: (bin, n, sy)
+    * over ≤ nBins fixed-width-bin keys. Count and sum are ORDER-FREE
+    * merges over a bounded key domain, so the identical expression
+    * runs as an incremental stateful STREAMING aggregation
+    * ([[graft.streaming.StreamCalibration]]) — the StreamDrift/
+    * StreamSketch argument — and the streamed state finishes to the
+    * bit-exact batch calibration via [[isotonicFromCounts]].
+    */
+  def calibrationBinCounts(df: DataFrame, score: Column, label: Column,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 2 && hi > lo, "need >= 2 bins over a real range")
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((score - lit(lo)) / lit(width))
       .cast("long"), lit(0L)), lit(nBins - 1L))
-    val bins = df.select(bin.as("bin"), label.cast("long").as("y"))
+    df.select(bin.as("bin"), label.cast("long").as("y"))
       .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+  }
+
+  /** The PAV finish of [[isotonicCalibrate]] over a (bin, n, sy)
+    * count table — bins-sized metadata in, calibration table out.
+    */
+  def isotonicFromCounts(bins: DataFrame): DataFrame = {
     // prefix sums over the ≤nBins metadata frame (the single-partition
     // window runs on bins, never the fact)
     val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
