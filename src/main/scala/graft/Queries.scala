@@ -7644,6 +7644,93 @@ object Queries {
     * structure the corruption creates; the oracle replays thresholds,
     * eligibility, abstention, and tie-order bit-for-bit.
     */
+  /** Calibrated keep/drop capstone: the isotonic calibration table
+    * (q_t_isotonic_calibration's solve, verbatim) broadcast-joined
+    * back onto the corpus by score bin, every doc kept iff its bin's
+    * CALIBRATED P(good) ≥ 0.5 — the downstream decision the
+    * calibration exists for ("keep everything the classifier thinks
+    * is probably good" — meaningless on raw scores, exact on
+    * calibrated ones). Corpus folds once for the solve and once for
+    * the decision; the decision join is a ≤50-row broadcast. The
+    * oracle replays solve + join + decision, so the kept/dropped
+    * masses hash-match.
+    */
+  val qPipeCalibratedKeep = {
+    val srcSql =
+      """SELECT CAST(LEAST(length(text), 999) AS DOUBLE) AS x,
+        |       CASE WHEN doc_id % 10 < LEAST(9, length(text) // 120)
+        |            THEN 1 ELSE 0 END AS y
+        |FROM documents""".stripMargin
+    q(
+      "q_pipe_calibrated_keep",
+      s"""WITH ${graft.operators.Stats.isotonicOracleSql(srcSql, 0.0, 1000.0, 50)},
+         |docs2 AS (SELECT ${graft.operators.Drift.binIdSql(
+             "CAST(LEAST(length(text), 999) AS DOUBLE)", 0.0, 20.0, 50)}
+         |            AS bin,
+         |            CAST(length(text) AS BIGINT) AS len
+         |          FROM documents),
+         |kk AS (SELECT (iso.p_cal_micros >= 500000) AS kept, len
+         |       FROM docs2 JOIN iso ON docs2.bin = iso.ib)
+         |SELECT kept, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len
+         |FROM kk GROUP BY kept ORDER BY kept""".stripMargin) { (s, d) =>
+      import graft.operators.Stats
+      val docs = Tables.documents(s, d)
+      val score = least(length(col("text")), lit(999)).cast("double")
+      val label = (col("doc_id") % 10 <
+        least(lit(9), expr("length(text) div 120"))).cast("int")
+      val cal = Stats.isotonicCalibrate(docs, score, label,
+          lo = 0.0, hi = 1000.0, nBins = 50)
+        .select(col("bin"), col("p_cal_micros"))
+      val bin = least(greatest(floor(score / lit(20.0)).cast("long"),
+        lit(0L)), lit(49L))
+      docs.select(bin.as("bin"), length(col("text")).cast("long").as("len"))
+        .join(broadcast(cal), Seq("bin"))
+        .select((col("p_cal_micros") >= 500000).as("kept"), col("len"))
+        .groupBy("kept")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+        .orderBy("kept")
+    }
+  }
+
+  /** LSH banding S-curve planner (Dedup.lshPlan): for every (b, r)
+    * factorization of the 64-slot MinHash signature and a probed
+    * Jaccard grid, the candidate-catch probability 1−(1−sʳ)ᵇ — the
+    * table you read BEFORE a corpus-scale dedup run to pick the
+    * banding (the shipped b=16/r=4 catches s=0.8 near-certainly
+    * while s=0.3 stays cold). Pure metadata, no corpus scan; every
+    * power is a left-to-right multiply fold (never libm pow), so the
+    * 6-dp probabilities hash-match the oracle's identical folds.
+    */
+  val qDLshPlan = {
+    val sigLen = 64
+    val sGrid = Seq(300000L, 500000L, 700000L, 800000L, 900000L)
+    val cfgs = (1 to sigLen).filter(sigLen % _ == 0)
+      .map(b => s"($b, ${sigLen / b})").mkString(", ")
+    q(
+      "q_d_lsh_plan",
+      s"""WITH cfg AS (SELECT * FROM (VALUES $cfgs) AS t(b, r)),
+         |sv AS (SELECT unnest([${sGrid.mkString(", ")}]::BIGINT[])
+         |         AS s_micros),
+         |c AS (SELECT b, r, s_micros, s_micros / 1000000.0 AS s
+         |      FROM cfg CROSS JOIN sv),
+         |pr AS (SELECT b, r, s_micros,
+         |         list_reduce(list_prepend(1.0::DOUBLE,
+         |           list_transform(range(r), i -> s)), (a, x) -> a * x)
+         |           AS sr
+         |       FROM c),
+         |qb AS (SELECT b, r, s_micros,
+         |         list_reduce(list_prepend(1.0::DOUBLE,
+         |           list_transform(range(b), i -> 1.0 - sr)),
+         |           (a, x) -> a * x) AS qq
+         |       FROM pr)
+         |SELECT CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+         |       s_micros, ROUND(1.0 - qq, 6) AS p_candidate
+         |FROM qb ORDER BY bands, s_micros""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.lshPlan(s, sigLen, sGrid)
+        .orderBy("bands", "s_micros")
+    }
+  }
+
   /** Scorer rank-stability (operators/RankStability): Kendall τ-b +
     * top-k set Jaccard between a quality scorer and its perturbed
     * "retrained" version over the top-400 docs — the deploy gate for
@@ -7826,6 +7913,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep,
   )
 }

@@ -689,4 +689,39 @@ object Dedup {
         graft.expressions.TextFingerprint(concat_ws(" ", col("kept")))
           .as("masked_fp"))
   }
+
+  /** LSH S-curve planner — the (bands, rowsPerBand) knob-tuning table
+    * for the MinHash family, computed BEFORE burning a corpus-scale
+    * run: for every (b, r) factorization of the signature length and
+    * every probed Jaccard level s, the candidate-catch probability
+    * p = 1 − (1 − sʳ)ᵇ. Read it as the banding S-curve: pick the
+    * config whose p is ≈1 just above your dedup threshold and ≈0
+    * just below (e.g. at n=64, the shipped b=16/r=4 catches s=0.8
+    * with p≈0.999 while s=0.3 stays under p≈0.13).
+    *
+    * Pure configuration metadata — no corpus scan, |divisors(n)|·|s|
+    * rows. Determinism: s enters as exact micros; every power is an
+    * explicit left-to-right multiply fold (NEVER libm pow, whose ulps
+    * differ across engines) — the oracle replays the identical folds
+    * and the 6-dp rounded probabilities hash-match.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, sigLen: Int,
+      sMicros: Seq[Long]): DataFrame = {
+    require(sigLen >= 2, s"sigLen must be >= 2, got $sigLen")
+    import spark.implicits._
+    val rows = for {
+      b <- (1 to sigLen) if sigLen % b == 0
+      r = sigLen / b
+      s <- sMicros
+    } yield {
+      val sd = s.toDouble / 1e6
+      val sr = (1 to r).foldLeft(1.0)((acc, _) => acc * sd)
+      val q = 1.0 - sr
+      val qb = (1 to b).foldLeft(1.0)((acc, _) => acc * q)
+      (b, r, s, 1.0 - qb)
+    }
+    rows.toDF("bands", "rows_per_band", "s_micros", "p_raw")
+      .select(col("bands"), col("rows_per_band"), col("s_micros"),
+        round(col("p_raw"), 6).as("p_candidate"))
+  }
 }
