@@ -7644,6 +7644,71 @@ object Queries {
     * structure the corruption creates; the oracle replays thresholds,
     * eligibility, abstention, and tie-order bit-for-bit.
     */
+  /** Embedding dimension-truncation evaluation — the storage planner
+    * for Matryoshka-style prefix truncation: recall@10 of cosine
+    * top-k computed on the FIRST d dims against the full-64-dim
+    * ranking, for d ∈ {8,16,32,64} ("can I store a quarter of the
+    * vector and keep the neighborhood?"). Truncated search is the
+    * candidate-generation economics question at 100 TB: prefix dims
+    * cut scan bytes linearly while the measured recall answer comes
+    * from THIS table, not a guess. Each ranking is the brute-force
+    * broadcast-probe shape (10 probes); recall is exact-integer
+    * micros over fixed nq·k. The d=64 row is the built-in sanity
+    * anchor (recall ≡ 1). The oracle replays all four rankings
+    * (ordered-fold cosines, rank ties to the smaller id) and the
+    * floor-div recall.
+    */
+  val qEDimTruncation = {
+    val dims = Seq(8, 16, 32, 64)
+    val k = 10
+    def dimCtes(dim: Int): String =
+      s"""t$dim AS (SELECT qid, cid FROM (
+         |  SELECT q.qid, v.vec_id AS cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckCos(s"q.qv[1:$dim]", s"v.e[1:$dim]")} DESC,
+         |               v.vec_id) AS rn
+         |  FROM q JOIN v ON q.qid <> v.vec_id) WHERE rn <= $k),
+         |r$dim AS (SELECT $dim AS dim_kept,
+         |  (SELECT COUNT(*) FROM t$dim JOIN t64f USING (qid, cid))
+         |    * 1000000 // ((SELECT COUNT(*) FROM q) * $k)
+         |    AS mean_recall_micros)""".stripMargin
+    q(
+      "q_e_dim_truncation",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 10),
+         |t64f AS (SELECT qid, cid FROM (
+         |  SELECT q.qid, v.vec_id AS cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckCos("q.qv", "v.e")} DESC, v.vec_id) AS rn
+         |  FROM q JOIN v ON q.qid <> v.vec_id) WHERE rn <= $k),
+         |${dims.map(dimCtes).mkString(",\n")}
+         |SELECT * FROM (${dims.map(d2 => s"SELECT * FROM r$d2")
+             .mkString(" UNION ALL ")})
+         |ORDER BY dim_kept""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      def probes(dim: Int) = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding").cast("array<double>"), 1, dim).as("qvec"))
+      def cands(dim: Int) = e
+        .select(col("vec_id").as("cid"),
+          slice(col("embedding").cast("array<double>"), 1, dim).as("cvec"))
+      val full = Similarity.bruteForceTopK(probes(64), cands(64), k)
+        .select("qid", "cid").localCheckpoint() // reused per dim
+      val nq = e.filter(col("vec_id") < 10).agg(count(lit(1)).as("nq"))
+      dims.map { dim =>
+        Similarity.bruteForceTopK(probes(dim), cands(dim), k)
+          .select("qid", "cid")
+          .join(full, Seq("qid", "cid"))
+          .agg(count(lit(1)).as("h"))
+          .crossJoin(broadcast(nq))
+          .select(lit(dim).as("dim_kept"),
+            expr(s"h * 1000000 div (nq * $k)").as("mean_recall_micros"))
+      }.reduce(_ unionByName _).orderBy("dim_kept")
+    }
+  }
+
   /** Calibrated keep/drop capstone: the isotonic calibration table
     * (q_t_isotonic_calibration's solve, verbatim) broadcast-joined
     * back onto the corpus by score bin, every doc kept iff its bin's
@@ -7913,6 +7978,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation,
   )
 }
