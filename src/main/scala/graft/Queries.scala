@@ -7644,6 +7644,63 @@ object Queries {
     * structure the corruption creates; the oracle replays thresholds,
     * eligibility, abstention, and tie-order bit-for-bit.
     */
+  /** Per-segment metric trend (Stats.groupedOlsSlope): OLS slope of
+    * event value (cents) over epoch days per event type — "how fast
+    * is each segment moving", the pearsonExact sibling. The fact
+    * folds to a groups-sized sufficient-statistics table in one
+    * map-side-combined agg; slope finish is fixed IEEE on exact
+    * accumulators (decimal Σty, long Σt²), rounded 6 dp.
+    */
+  val qWGroupTrend = {
+    val srcSql =
+      """SELECT event_type AS g,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS t,
+        |       CAST(FLOOR(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin
+    q(
+      "q_w_group_trend",
+      s"""SELECT g AS event_type, n, slope AS slope_cents_per_day
+         |FROM (${graft.operators.Stats.olsSlopeOracleSql(srcSql)})
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.Stats.groupedOlsSlope(
+          Tables.events(s, d).select(col("event_type").as("g"),
+            col("ts"), col("value")),
+          "g",
+          expr("unix_timestamp(ts) div 86400"),
+          floor(col("value") * 100).cast("long"))
+        .select(col("g").as("event_type"), col("n"),
+          col("slope").as("slope_cents_per_day"))
+        .orderBy("event_type")
+    }
+  }
+
+  /** Theil–Sen robust daily-revenue trend (Stats.theilSenSlope): the
+    * median of all pairwise slopes over the daily order-total series
+    * — the 29.3%-breakdown trend read beside the forecast family's
+    * OLS-fragile baselines. The fact folds to the periods-sized
+    * daily series first; the pairwise table is periods² metadata.
+    * Median pair selected by exact-tie-broken rank and reported both
+    * as the exact (dy, dx) rational and floor-div micros — all
+    * oracle-replayed.
+    */
+  val qWTheilSen = {
+    val srcSql =
+      """SELECT CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000
+        |         AS BIGINT) AS t,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS y
+        |FROM orders GROUP BY 1""".stripMargin
+    q(
+      "q_w_theilsen_trend",
+      graft.operators.Stats.theilSenOracleSql(srcSql)) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("y"))
+      graft.operators.Stats.theilSenSlope(daily, col("t"), col("y"))
+    }
+  }
+
   /** Embedding dimension-truncation evaluation — the storage planner
     * for Matryoshka-style prefix truncation: recall@10 of cosine
     * top-k computed on the FIRST d dims against the full-64-dim
@@ -7997,6 +8054,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen,
   )
 }

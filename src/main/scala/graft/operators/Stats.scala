@@ -731,6 +731,114 @@ object Stats {
        |        FROM $table)
        |  GROUP BY $group)""".stripMargin
 
+  /** Per-group OLS trend slope — "how fast is this segment's metric
+    * moving": the regression-slope sibling of [[pearsonExact]], same
+    * convention end to end. One map-side-combined aggregation folds
+    * the fact to a groups-sized sufficient-statistics table (n, Σt,
+    * Σy, Σty, Σt²) — the fact never shuffles more than the group
+    * key — and the slope finish is a fixed sequence of IEEE ops on
+    * exact accumulators, rounded 6 dp.
+    *
+    * `tInt`/`yInt` must be integer-valued quantizations (epoch days,
+    * cents). Overflow budget: Σty squares decimal(18,0) operands
+    * (t·y per row can pass 2⁶³ across 10⁹-row groups); Σt² stays
+    * long (epoch-day² ≈ 4e8/row ⇒ safe past 10¹⁰ rows/group).
+    * Output: (group, n, slope) — slope in y-units per t-unit.
+    */
+  def groupedOlsSlope(df: DataFrame, group: String, tInt: Column,
+      yInt: Column): DataFrame = {
+    val t = tInt.cast("long")
+    val y = yInt.cast("long")
+    val s = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(t).as("st"), sum(y).as("sy"),
+      sum(t.cast("decimal(18,0)") * y.cast("decimal(18,0)")).as("sty"),
+      sum(t * t).as("stt"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    s.select(col(group), col("n"),
+      round((n * d("sty") - d("st") * d("sy"))
+        / (n * d("stt") - d("st") * d("st")), 6).as("slope"))
+  }
+
+  /** Oracle rendering of [[groupedOlsSlope]]; srcSql yields
+    * (g, t, y) integer-valued.
+    */
+  def olsSlopeOracleSql(srcSql: String): String =
+    s"""SELECT g, n,
+       |  ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+       |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+       |           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS slope
+       |FROM (
+       |  SELECT g, COUNT(*) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(t AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sty,
+       |    CAST(SUM(t * t) AS BIGINT) AS stt
+       |  FROM ($srcSql) GROUP BY g)""".stripMargin
+
+  /** Theil–Sen robust trend slope (Theil '50, Sen '68) — the median
+    * of all pairwise slopes: the trend estimator a monitoring series
+    * needs when OLS is one bad day away from nonsense (29.3%
+    * breakdown point vs OLS's zero). Operates on an ALREADY-REDUCED
+    * series (daily totals — the caller aggregates the fact first),
+    * so the pair table is periods²-bounded METADATA: 2 400 days ⇒
+    * 2.9M pair rows, distributed joins, never a corpus-scale
+    * quadratic. The median-rank window sorts only that pair table —
+    * for minute-grain series use [[groupedOlsSlope]] instead.
+    *
+    * Determinism: pair slopes are exact rational (dy, dx) longs; the
+    * median element is selected by rank over (dy/dx double, dy, dx) —
+    * the division of two exact longs is one identically-rounded IEEE
+    * op in any engine, and the exact tie-breaks pin equal ratios —
+    * and reported BOTH as the exact pair and as floor-div micros.
+    * Output (1 row): n_points, n_pairs, med_dy, med_dx,
+    * slope_micros.
+    */
+  def theilSenSlope(series: DataFrame, tInt: Column, yInt: Column)
+      : DataFrame = {
+    val base = series.select(tInt.cast("long").as("t"),
+      yInt.cast("long").as("y")).localCheckpoint()
+    val l = base.select(col("t").as("ti"), col("y").as("yi"))
+    val r = base.select(col("t").as("tj"), col("y").as("yj"))
+    val pairs = l.join(r, col("ti") < col("tj"))
+      .select((col("yj") - col("yi")).as("dy"),
+        (col("tj") - col("ti")).as("dx"))
+    val ranked = pairs.withColumn("rk",
+      row_number().over(Window.orderBy(
+        (col("dy").cast("double") / col("dx").cast("double")).asc,
+        col("dy").asc, col("dx").asc)))
+    val cnt = pairs.agg(count(lit(1)).as("n_pairs"))
+    val med = ranked.crossJoin(broadcast(cnt))
+      .filter(expr("rk = (n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("dy").as("med_dy"),
+        col("dx").as("med_dx"))
+    val np = base.agg(count(lit(1)).as("n_points"))
+    np.crossJoin(broadcast(med))
+      .select(col("n_points"), col("n_pairs"), col("med_dy"),
+        col("med_dx"),
+        // floorDiv of a signed numerator over the positive dx
+        expr("(med_dy * 1000000 - (((med_dy * 1000000 % med_dx) + med_dx)" +
+          " % med_dx)) div med_dx").as("slope_micros"))
+  }
+
+  /** Oracle rendering of [[theilSenSlope]] (self-contained statement);
+    * srcSql yields (t, y) integer-valued.
+    */
+  def theilSenOracleSql(srcSql: String): String =
+    s"""WITH base AS ($srcSql),
+       |prs AS (SELECT r.y - l.y AS dy, r.t - l.t AS dx
+       |        FROM base l JOIN base r ON l.t < r.t),
+       |rkd AS (SELECT dy, dx, (SELECT COUNT(*) FROM prs) AS n_pairs,
+       |          ROW_NUMBER() OVER (ORDER BY CAST(dy AS DOUBLE) / dx,
+       |                             dy, dx) AS rk
+       |        FROM prs)
+       |SELECT (SELECT COUNT(*) FROM base) AS n_points, n_pairs,
+       |       dy AS med_dy, dx AS med_dx,
+       |       (dy * 1000000 - (((dy * 1000000 % dx) + dx) % dx)) // dx
+       |         AS slope_micros
+       |FROM rkd WHERE rk = (n_pairs + 1) // 2""".stripMargin
+
   /** Isotonic (monotone non-decreasing) score calibration — PAV via
     * the minimax characterization (Barlow et al. '72; Robertson-
     * Wright-Dykstra): the calibration step that turns a raw quality-

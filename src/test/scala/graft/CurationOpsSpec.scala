@@ -70,6 +70,35 @@ class CurationOpsSpec extends SparkSpec {
       6L -> "added"), got)
   }
 
+  test("trend family: OLS slope matches hand computation; Theil-Sen " +
+      "shrugs off the outlier that drags OLS") {
+    import graft.operators.Stats
+    // exact line y = 3t + 5 over t = 0..4 → slope 3, both estimators
+    val line = (0L to 4L).map(t => ("a", t, 3 * t + 5)).toDF("g", "t", "y")
+    val ols = Stats.groupedOlsSlope(line, "g", col("t"), col("y"))
+      .collect().head
+    assert(ols.getAs[Double]("slope") === 3.0)
+    val ts = Stats.theilSenSlope(line.select(col("t"), col("y")),
+      col("t"), col("y")).collect().head
+    assert(ts.getAs[Long]("slope_micros") === 3000000L)
+    assert(ts.getAs[Long]("n_pairs") === 10L)
+    // same line with one wrecked point (t=4 → 1000): OLS slope jumps
+    // far from 3; the pairwise-median slope stays exactly 3
+    val wrecked = (Seq(("a", 0L, 5L), ("a", 1L, 8L), ("a", 2L, 11L),
+      ("a", 3L, 14L), ("a", 4L, 1000L))).toDF("g", "t", "y")
+    val olsW = Stats.groupedOlsSlope(wrecked, "g", col("t"), col("y"))
+      .collect().head.getAs[Double]("slope")
+    assert(olsW > 100.0, s"outlier must drag OLS, got $olsW")
+    val tsW = Stats.theilSenSlope(wrecked.select(col("t"), col("y")),
+      col("t"), col("y")).collect().head
+    assert(tsW.getAs[Long]("slope_micros") === 3000000L,
+      s"Theil-Sen moved: ${tsW.getAs[Long]("slope_micros")}")
+    // negative-slope floor division: y = -3t → median pair slope -3
+    val neg = (0L to 4L).map(t => (t, -3 * t)).toDF("t", "y")
+    val tsN = Stats.theilSenSlope(neg, col("t"), col("y")).collect().head
+    assert(tsN.getAs[Long]("slope_micros") === -3000000L)
+  }
+
   test("RankStability.compare: perfect agreement tau=1, full reversal " +
       "tau=-1, tie correction and top-k overlap by hand") {
     import graft.operators.RankStability
