@@ -746,19 +746,39 @@ object Stats {
     * Output: (group, n, slope) — slope in y-units per t-unit.
     */
   def groupedOlsSlope(df: DataFrame, group: String, tInt: Column,
+      yInt: Column): DataFrame =
+    olsSlopeFromStats(olsSufficientStats(df, group, tInt, yInt))
+
+  /** The sufficient-statistics aggregation of [[groupedOlsSlope]]:
+    * (group, n, Σt, Σy, Σty, Σt²) — count and exact sums are
+    * ORDER-FREE merges, so the identical expression runs as an
+    * incremental stateful STREAMING aggregation
+    * ([[graft.streaming.StreamTrend]]) and the streamed state
+    * finishes to the bit-exact batch slope via
+    * [[olsSlopeFromStats]] — the StreamDrift/StreamCalibration
+    * theorem.
+    */
+  def olsSufficientStats(df: DataFrame, group: String, tInt: Column,
       yInt: Column): DataFrame = {
     val t = tInt.cast("long")
     val y = yInt.cast("long")
-    val s = df.groupBy(group).agg(
+    df.groupBy(group).agg(
       count(lit(1)).as("n"),
       sum(t).as("st"), sum(y).as("sy"),
       sum(t.cast("decimal(18,0)") * y.cast("decimal(18,0)")).as("sty"),
       sum(t * t).as("stt"))
+  }
+
+  /** The slope finish of [[groupedOlsSlope]] over a sufficient-
+    * statistics table (keeps every non-stat column, e.g. the group).
+    */
+  def olsSlopeFromStats(s: DataFrame): DataFrame = {
     val n = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
-    s.select(col(group), col("n"),
-      round((n * d("sty") - d("st") * d("sy"))
-        / (n * d("stt") - d("st") * d("st")), 6).as("slope"))
+    s.select(
+      s.columns.filterNot(Set("st", "sy", "sty", "stt")).map(col) :+
+        round((n * d("sty") - d("st") * d("sy"))
+          / (n * d("stt") - d("st") * d("st")), 6).as("slope"): _*)
   }
 
   /** Oracle rendering of [[groupedOlsSlope]]; srcSql yields
