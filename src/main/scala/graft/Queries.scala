@@ -6601,6 +6601,95 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shared DuckDB replay of content-defined chunking
+    * (Multimodal.cdcChunkTable / expressions.BinaryCdcChunks): bytes
+    * from the hex rendering, rolling base-257 window hashes, cut
+    * positions where hash ≡ 0 (mod maskMod), chunk fingerprints as
+    * mod-P Horner folds. Ends at CTE `cdc(doc_id, ci, chunk_len, fp)`.
+    */
+  private def duckCdcCtes(w: Int, maskMod: Int): String = {
+    val horner = (1 until w).foldLeft("bs[s + 1]")((acc, j) =>
+      s"($acc * 257 + bs[s + ${j + 1}])")
+    s"""b AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |        octet_length(encode(text)) AS n FROM documents),
+       |bb AS (SELECT doc_id, n, list_transform(range(n), i ->
+       |         CAST(strpos('123456789ABCDEF', substr(hx, 2 * i + 1, 1)) * 16
+       |            + strpos('123456789ABCDEF', substr(hx, 2 * i + 2, 1))
+       |            AS BIGINT)) AS bs
+       |       FROM b),
+       |ws AS (SELECT doc_id, n, bs,
+       |         list_transform(range(GREATEST(n - ${w - 1}, 0)),
+       |                        s -> $horner) AS wh
+       |       FROM bb),
+       |ce AS (SELECT doc_id, n, bs,
+       |         list_transform(list_filter(range(len(wh)),
+       |             s -> wh[s + 1] % $maskMod = 0), s -> s + $w) AS ends0
+       |       FROM ws),
+       |ee AS (SELECT doc_id, n, bs,
+       |         CASE WHEN len(ends0) = 0 OR ends0[len(ends0)] < n
+       |              THEN list_append(ends0, CAST(n AS BIGINT))
+       |              ELSE ends0 END AS ends
+       |       FROM ce),
+       |ck AS (SELECT doc_id, k AS ci,
+       |         CASE WHEN k = 0 THEN 0 ELSE ends[CAST(k AS INT)] END AS cstart,
+       |         ends[CAST(k AS INT) + 1] AS cend, bs
+       |       FROM (SELECT doc_id, bs, ends, unnest(range(len(ends))) AS k
+       |             FROM ee)),
+       |cdc AS (SELECT doc_id, ci, CAST(cend - cstart AS BIGINT) AS chunk_len,
+       |          list_reduce(list_prepend(0::BIGINT,
+       |              bs[CAST(cstart AS INT) + 1:CAST(cend AS INT)]),
+       |            (a, x) -> (a * 257 + x) % 1000000007) AS fp
+       |        FROM ck WHERE cend > cstart)""".stripMargin
+  }
+
+  /** Content-defined chunk table (Multimodal.cdcChunkTable over the
+    * native BinaryCdcChunks kernel): the FastCDC-family boundary set
+    * — cuts follow content, so an insertion shifts only its own
+    * chunk — with the pure per-position cut rule that makes the
+    * whole chunking oracle-replayable (kernel doc). One O(n) native
+    * pass per payload, map-only; the oracle rebuilds every boundary
+    * and every mod-P chunk fingerprint from the hex rendering.
+    */
+  val qMmCdcChunks = q(
+    "q_mm_cdc_chunks",
+    s"""WITH ${duckCdcCtes(7, 61)}
+       |SELECT doc_id, ci, chunk_len, fp FROM cdc
+       |ORDER BY doc_id, ci""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.cdcChunkTable(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
+        "doc_id", "payload", w = 7, maskMod = 61)
+      .select(col("id").as("doc_id"), col("ci"), col("chunk_len"),
+        col("fp"))
+      .orderBy("doc_id", "ci")
+  }
+
+  /** Corpus chunk-dedup savings (Multimodal.cdcDedupStats): what
+    * content-addressed storage would save on this corpus — one
+    * (fp, len)-partial shuffle off the chunk table, savings ratio in
+    * exact integer micros; the deterministic min-length-kept rule
+    * makes an fp collision under-report rather than corrupt.
+    */
+  val qMmCdcDedup = q(
+    "q_mm_cdc_dedup",
+    s"""WITH ${duckCdcCtes(7, 61)},
+       |pf AS (SELECT fp, COUNT(*) AS cnt,
+       |         CAST(SUM(chunk_len) AS BIGINT) AS slen,
+       |         MIN(chunk_len) AS mlen
+       |       FROM cdc GROUP BY fp)
+       |SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+       |       COUNT(*) AS distinct_fps,
+       |       CAST(SUM(slen) AS BIGINT) AS total_bytes,
+       |       CAST(SUM(slen - mlen) AS BIGINT) AS saved_bytes,
+       |       CAST(SUM(slen - mlen) AS BIGINT) * 1000000
+       |         // CAST(SUM(slen) AS BIGINT) AS savings_micros
+       |FROM pf""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.cdcDedupStats(
+      Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
+      "doc_id", "payload", w = 7, maskMod = 61)
+  }
+
   /** BPE encode + tokenizer fertility (TextOps.bpeEncode): train 3
     * merges (one bounded-collect row per round), then tokenize the
     * corpus under the learned vocab — chained greedy replaces over
@@ -8054,6 +8143,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup,
   )
 }

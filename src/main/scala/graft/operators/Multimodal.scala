@@ -322,4 +322,47 @@ object Multimodal {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Content-defined chunk table over opaque payloads — the
+    * storage-dedup view of a media corpus (the FastCDC/rsync family;
+    * see [[graft.expressions.BinarySketchKernels.cdcChunks]] for the
+    * pure-content-cut variant and why it has no length clamp): one
+    * row per chunk with its length and base-257-mod-P fingerprint.
+    * Map-only over the corpus (one native O(n) pass per payload +
+    * one explode); expected chunk length ≈ maskMod bytes. Output:
+    * (id, ci, chunk_len, fp), ci 0-based in payload order.
+    */
+  def cdcChunkTable(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int = 7, maskMod: Int = 61): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(graft.expressions.BinaryCdcChunks(
+          col(payloadCol), w, maskMod)).as(Seq("ci", "packed")))
+      .select(col("id"), col("ci"),
+        shiftright(col("packed"), 32).as("chunk_len"),
+        col("packed").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
+
+  /** Corpus-level chunk-dedup savings estimate — "what would
+    * content-addressed storage save": group the chunk table by
+    * fingerprint (one map-side-combined shuffle of (fp, len)
+    * partials), keep one copy per distinct fp, report the saved
+    * bytes and the savings ratio in exact integer micros. Collision
+    * handling is deterministic: the kept copy per fp is the MIN
+    * length, so a (vanishingly rare at P ≈ 10⁹) fp collision
+    * under-reports savings rather than corrupting them. Output
+    * (1 row): total_chunks, distinct_fps, total_bytes, saved_bytes,
+    * savings_micros.
+    */
+  def cdcDedupStats(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int = 7, maskMod: Int = 61): DataFrame =
+    cdcChunkTable(df, idCol, payloadCol, w, maskMod)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), sum("chunk_len").as("slen"),
+        min("chunk_len").as("mlen"))
+      .agg(sum("cnt").as("total_chunks"),
+        count(lit(1)).as("distinct_fps"),
+        sum("slen").as("total_bytes"),
+        sum(col("slen") - col("mlen")).as("saved_bytes"))
+      .select(col("total_chunks"), col("distinct_fps"),
+        col("total_bytes"), col("saved_bytes"),
+        expr("saved_bytes * 1000000 div total_bytes").as("savings_micros"))
 }

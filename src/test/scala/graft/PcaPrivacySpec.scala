@@ -83,6 +83,49 @@ class PcaPrivacySpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("cdcChunkTable: lengths cover the payload; an insertion only " +
+      "disturbs chunks near the edit (the shift-resistance CDC " +
+      "exists for); dedup stats see the replica") {
+    import graft.operators.Multimodal
+    // non-periodic content: exactly-periodic text has at most
+    // period-many distinct windows, so it legitimately chunks into
+    // period-aligned cuts or none at all (kernel doc) — the property
+    // under test needs content with full window diversity
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = base.substring(0, 900) + "INSERTED!" + base.substring(900)
+    val docs = Seq((1L, base), (2L, edited), (3L, base)).toDF("id", "text")
+    val ch = Multimodal.cdcChunkTable(
+        Multimodal.withBinaryPayload(docs, "text"), "id", "payload")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(r =>
+          (r.getLong(2), r.getLong(3)))
+      }
+    // chunk lengths tile the payload exactly
+    assert(ch(1L).map(_._1).sum === base.getBytes("UTF-8").length.toLong)
+    assert(ch(2L).map(_._1).sum === edited.getBytes("UTF-8").length.toLong)
+    // identical payloads chunk identically
+    assert(ch(1L).toSeq == ch(3L).toSeq)
+    // shift resistance: the edit may change the chunk it lands in and
+    // its immediate neighbor; every other chunk fingerprint survives
+    val fps1 = ch(1L).map(_._2).toSeq
+    val fps2 = ch(2L).map(_._2).toSeq
+    val shared = fps1.intersect(fps2).size
+    assert(fps1.size > 5, s"degenerate chunking: ${fps1.size} chunks")
+    assert(shared >= fps1.size - 2,
+      s"insertion disturbed ${fps1.size - shared} of ${fps1.size} chunks")
+    // corpus savings: doc 3 is a full replica of doc 1 → at least
+    // doc 1's bytes minus one kept copy per fp are saved
+    val stats = Multimodal.cdcDedupStats(
+        Multimodal.withBinaryPayload(docs, "text"), "id", "payload")
+      .collect().head
+    assert(stats.getAs[Long]("saved_bytes") >=
+      base.getBytes("UTF-8").length.toLong)
+    assert(stats.getAs[Long]("savings_micros") > 0L)
+  }
+
   test("privacy profile: k-anonymity min, l-diversity, rows at risk") {
     val t = Seq(
       ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),  // group (a,1): n=3, l=2
