@@ -6601,6 +6601,28 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Kaplan–Meier user-retention survival curve (operators/Survival):
+    * the censoring-aware churn read beside q_w_cohort_retention —
+    * users still active at the observation cutoff are CENSORED, not
+    * churned, and the survival product multiplies hazards only over
+    * true churn events. Fact folds to one row per user in one agg;
+    * the curve arithmetic runs on the distinct-duration table with a
+    * left-to-right factor fold per row, replayed exactly by the
+    * oracle.
+    */
+  val qWKaplanMeier = {
+    val gap = 7
+    q(
+      "q_w_kaplan_meier",
+      graft.operators.Survival.kaplanMeierOracleSql(
+        """SELECT user_id AS u,
+          |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec
+          |FROM events""".stripMargin, gap)) { (s, d) =>
+      graft.operators.Survival.kaplanMeier(
+        Tables.events(s, d), "user_id", unix_timestamp(col("ts")), gap)
+    }
+  }
+
   /** Shared DuckDB replay of content-defined chunking
     * (Multimodal.cdcChunkTable / expressions.BinaryCdcChunks): bytes
     * from the hex rendering, rolling base-257 window hashes, cut
@@ -8143,6 +8165,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier,
   )
 }

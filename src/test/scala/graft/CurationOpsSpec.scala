@@ -70,6 +70,32 @@ class CurationOpsSpec extends SparkSpec {
       6L -> "added"), got)
   }
 
+  test("Kaplan-Meier: hand-computed curve with censoring; survival " +
+      "only drops at churn events; censored users never count as churn") {
+    import graft.operators.Survival
+    def day(d: Long) = d * 86400L
+    // u1/u2: dur 1, long quiet before the cutoff -> churn events
+    // u3: dur 96, still active within the 7-day gap -> censored
+    // u4: dur 50, last activity IS the observation end -> censored
+    val rows = Seq(
+      ("u1", day(0)), ("u1", day(1)),
+      ("u2", day(0)), ("u2", day(1)),
+      ("u3", day(0)), ("u3", day(96)),
+      ("u4", day(50)), ("u4", day(100))).toDF("user_id", "sec")
+    val km = Survival.kaplanMeier(rows, "user_id", col("sec"), 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // d=1: 4 at risk, 2 churn -> S = (4-2)/4 = 0.5
+    assert(km(1L) === ((4L, 2L, 0L, 0.5)))
+    // d=50, d=96: no events, curve flat at 0.5, censored counted
+    assert(km(50L) === ((2L, 0L, 1L, 0.5)))
+    assert(km(96L) === ((1L, 0L, 1L, 0.5)))
+    // monotone non-increasing from 1
+    val curve = km.toSeq.sortBy(_._1).map(_._2._4)
+    assert(curve.head <= 1.0 + 1e-9)
+    curve.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9) }
+  }
+
   test("trend family: OLS slope matches hand computation; Theil-Sen " +
       "shrugs off the outlier that drags OLS") {
     import graft.operators.Stats
