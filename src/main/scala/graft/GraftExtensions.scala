@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BinaryShingleHashes, JaroWinkler, LangId, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot}
+import graft.expressions.{BinaryCdcChunks, BinaryShingleHashes, JaroWinkler, LangId, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL callers and its planner strategy —
@@ -95,6 +95,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(exprs(2), "sampleMod"))
       }))
     e.injectFunction((
+      // binary_cdc_chunks(payload, 7, 61): w and maskMod literal ints
+      new FunctionIdentifier("binary_cdc_chunks"),
+      new ExpressionInfo(classOf[BinaryCdcChunks].getName,
+        "binary_cdc_chunks"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"binary_cdc_chunks: $what must be a literal int, got $other")
+        }
+        BinaryCdcChunks(exprs(0), litInt(exprs(1), "w"),
+          litInt(exprs(2), "maskMod"))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -183,6 +199,17 @@ object GraftExtensions {
         }
         BinaryShingleHashes(exprs(0), litInt(exprs(1), "w"),
           litInt(exprs(2), "sampleMod"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("binary_cdc_chunks",
+      exprs => {
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"binary_cdc_chunks: $what must be a literal int, got $other")
+        }
+        BinaryCdcChunks(exprs(0), litInt(exprs(1), "w"),
+          litInt(exprs(2), "maskMod"))
       }, "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler",
       exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")

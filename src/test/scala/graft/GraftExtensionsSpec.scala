@@ -90,6 +90,25 @@ class GraftExtensionsSpec extends SparkSpec {
       api.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("binary_cdc_chunks callable from SQL, matching the Scala API") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftSession.tune(s2)
+    Tables.documents(s2, Sf0001).limit(20)
+      .createOrReplaceTempView("docs_cdc")
+    val sql = s2.sql(
+      """SELECT size(binary_cdc_chunks(encode(text, 'UTF-8'), 7, 61)) AS n
+        |FROM docs_cdc""".stripMargin).collect().map(_.getInt(0)).toSeq
+    val api = Tables.documents(s2, Sf0001).limit(20)
+      .select(org.apache.spark.sql.functions.size(
+        graft.expressions.BinaryCdcChunks(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8"),
+          7, 61)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sql == api && sql.sum > 20)
+  }
+
   test("binary_shingle_hashes and jaro_winkler callable from SQL, " +
       "matching the Scala API") {
     val s2 = spark.newSession()
