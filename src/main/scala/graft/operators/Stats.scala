@@ -821,7 +821,10 @@ object Stats {
     * bucket, and only that bucket's ~n/4096 pairs rank — the
     * quantile-selection pattern the exact-quantile family uses.
     * Degenerate worst case (every pair the same slope) collapses to
-    * one bucket whose sort is the tie-broken scan. Output (1 row):
+    * one bucket whose sort is the tie-broken scan. Long bound:
+    * |dy|·10⁶ must fit 2⁶³ ⇒ |Δy| ≤ 9.2·10¹² per pair — cents-scale
+    * daily series clear this by orders of magnitude; rescale y first
+    * past it. Output (1 row):
     * n_points, n_pairs, med_dy, med_dx, slope_micros (the exact
     * floor-div micros of the median pair).
     */
