@@ -264,7 +264,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_e_centroids: dim-explode partially aggregates map-side — " +
-      "2 exchanges ((key,pos) partials + per-key reassembly), " +
+      "2 exchanges ((key,pos) partials + output sort), " +
       "no Window, no join") {
     val p = planOf("q_e_centroids")
     assert(!p.contains("Window"), p)
@@ -272,8 +272,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
     val nEx = p.linesIterator.count(l =>
       l.contains(") Exchange") && !l.contains("Reused"))
-    // (key,pos) agg + key agg + output sort
-    assert(nEx == 3, s"$nEx exchanges\n$p")
+    // (key,pos) agg + output sort. The r9 flat (label, pos,
+    // centroid_micros) rendering DROPPED the per-key array-reassembly
+    // aggregation the r8 shape needed — one less shuffle than before.
+    assert(nEx == 2, s"$nEx exchanges\n$p")
   }
 
   test("q_d_semantic_dedup: candidate (window) shuffle partitions by " +
