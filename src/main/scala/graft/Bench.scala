@@ -43,6 +43,9 @@ object Bench {
     // min is the steady-state cost the cluster would see, and BOTH
     // samples ride into the artifact so round-over-round noise (the
     // documented ±8% box) is quantifiable per query, not by narrative.
+    // returns (first, second) in CHRONOLOGICAL order — the artifact's
+    // runs map must keep which sample was the cold one; min() is taken
+    // at the use sites
     def timeBoth(name: String)(run: => Unit): (Double, Double) = {
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -53,7 +56,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (ts.min, ts.max)
+      (ts(0), ts(1))
     }
     val catalogResults = Queries.specs
       .filter(sp => sp.bench && only.forall(_.contains(sp.name)))
@@ -127,16 +130,19 @@ object Bench {
     // whole-file parsers; (3) a compact total line LAST, so the tail
     // always ends with a parseable total no matter the window size.
     val sorted = results.sortBy(_._1)
-    sorted.foreach { case (k, (v, _)) =>
-      println(f"""{"bench_query":"$k","sec":$v%.3f}""")
+    def mn(p: (Double, Double)) = math.min(p._1, p._2)
+    sorted.foreach { case (k, p) =>
+      println(f"""{"bench_query":"$k","sec":${mn(p)}%.3f}""")
     }
-    val qs = sorted.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
+    val qs = sorted.map { case (k, p) => "\"" + k + f"\":${mn(p)}%.3f" }
       .mkString("{", ",", "}")
-    // both raw samples per entry — the per-query noise record
-    val runs = sorted.map { case (k, (v, v2)) =>
-      "\"" + k + f"\":{\"min\":$v%.3f,\"second\":$v2%.3f}" }
+    // both raw samples per entry, chronological — the per-query noise
+    // AND warm-up record (run 1 pays codegen/JIT; labeling the min as
+    // "second" lost which sample was cold)
+    val runs = sorted.map { case (k, (v1, v2)) =>
+      "\"" + k + f"\":{\"first\":$v1%.3f,\"second\":$v2%.3f}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    val total = results.map(p => mn(p._2)).sum
     val detail =
       f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","n_queries":${results.size}}"""
     println(detail)

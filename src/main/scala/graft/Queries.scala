@@ -7750,17 +7750,6 @@ object Queries {
     }
   }
 
-  /** Confident-learning label-noise audit (operators/LabelNoise,
-    * Northcutt et al. JAIR'21): per-class self-confidence thresholds
-    * from ONE conditional-agg scan, threshold-gated argmax as the
-    * suggested class, confusion matrix of (given, suggested) with
-    * off-diagonal rows the flagged annotation-error mass. The
-    * fixture plants a known corruption — every 7th doc's label
-    * rotated off its argmax class — on deterministic pseudo-prob
-    * columns, so the audit must light up exactly the off-diagonal
-    * structure the corruption creates; the oracle replays thresholds,
-    * eligibility, abstention, and tie-order bit-for-bit.
-    */
   /** Per-segment metric trend (Stats.groupedOlsSlope): OLS slope of
     * event value (cents) over epoch days per event type — "how fast
     * is each segment moving", the pearsonExact sibling. The fact
@@ -8016,6 +8005,17 @@ object Queries {
     }
   }
 
+  /** Confident-learning label-noise audit (operators/LabelNoise,
+    * Northcutt et al. JAIR'21): per-class self-confidence thresholds
+    * from ONE conditional-agg scan, threshold-gated argmax as the
+    * suggested class, confusion matrix of (given, suggested) with
+    * off-diagonal rows the flagged annotation-error mass. The
+    * fixture plants a known corruption — every 7th doc's label
+    * rotated off its argmax class — on deterministic pseudo-prob
+    * columns, so the audit must light up exactly the off-diagonal
+    * structure the corruption creates; the oracle replays thresholds,
+    * eligibility, abstention, and tie-order bit-for-bit.
+    */
   val qTLabelNoise = {
     val srcSql =
       """SELECT CASE WHEN doc_id % 7 = 0 THEN (clean + 1) % 3

@@ -32,9 +32,13 @@ object RankStability {
   def compare(df: DataFrame, idCol: Column, scoreA: Column,
       scoreB: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // NOT checkpointed: both TakeOrdered heaps read the (columnar,
+    // pruned) source directly — materializing a corpus-sized 3-long
+    // projection to block storage to save one scan would be the only
+    // fact-scale checkpoint in the library, against this operator's
+    // own "corpus size never enters the heavy terms" contract
     val base = df.select(idCol.cast("long").as("id"),
       scoreA.cast("long").as("a"), scoreB.cast("long").as("b"))
-      .localCheckpoint() // two heap selections over the same scan
     val top = base.orderBy(desc("a"), asc("id")).limit(k)
       .localCheckpoint() // k rows, referenced three times
     val l = top.select(col("id").as("i"), col("a").as("ai"),
@@ -42,12 +46,18 @@ object RankStability {
     val r = top.select(col("id").as("j"), col("a").as("aj"),
       col("b").as("bj"))
     val sgn = (col("ai") - col("aj")) * (col("bi") - col("bj"))
+    // coalesce mirrors the oracle: with < 2 rows the pair frame is
+    // empty and bare SUMs would be NULL where the oracle reports 0
     val pairAgg = l.join(r, col("i") < col("j"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
-        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
-        sum(when(col("ai") === col("aj"), 1L).otherwise(0L)).as("ties_a"),
-        sum(when(col("bi") === col("bj"), 1L).otherwise(0L)).as("ties_b"))
+        coalesce(sum(when(sgn > 0, 1L).otherwise(0L)), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when(sgn < 0, 1L).otherwise(0L)), lit(0L))
+          .as("discordant"),
+        coalesce(sum(when(col("ai") === col("aj"), 1L).otherwise(0L)),
+          lit(0L)).as("ties_a"),
+        coalesce(sum(when(col("bi") === col("bj"), 1L).otherwise(0L)),
+          lit(0L)).as("ties_b"))
     val nDf = top.agg(count(lit(1)).as("n"))
     val topB = base.orderBy(desc("b"), asc("id")).limit(k)
     val interDf = top.select("id").join(topB.select("id"), Seq("id"))
@@ -60,8 +70,11 @@ object RankStability {
         when(denom > 0,
           round((col("concordant") - col("discordant")).cast("double")
             / sqrt(denom), 6)).otherwise(lit(0.0)).as("tau_b"),
-        expr("top_inter * 1000000 div (2 * n - top_inter)")
-          .as("topk_jaccard_micros"))
+        // empty-input guard like tau_b's: 2n − inter is 0 only when
+        // the corpus is empty — report 0, matching the oracle's CASE
+        when(col("n") > 0,
+          expr("top_inter * 1000000 div (2 * n - top_inter)"))
+          .otherwise(lit(0L)).as("topk_jaccard_micros"))
   }
 
   /** Oracle rendering — identical heap-ranked top-k, pair statistics,
@@ -96,7 +109,8 @@ object RankStability {
        |                / sqrt(CAST(n_pairs - ties_a AS DOUBLE)
        |                       * CAST(n_pairs - ties_b AS DOUBLE)), 6)
        |              ELSE 0.0 END AS tau_b,
-       |         top_inter * 1000000 // (2 * n - top_inter)
-       |           AS topk_jaccard_micros
+       |         CASE WHEN n > 0
+       |              THEN top_inter * 1000000 // (2 * n - top_inter)
+       |              ELSE CAST(0 AS BIGINT) END AS topk_jaccard_micros
        |       FROM pg CROSS JOIN nn CROSS JOIN ii)""".stripMargin
 }

@@ -56,10 +56,16 @@ object Survival {
         col("n_total") - coalesce(sum("cnt").over(wPrev), lit(0L)))
       .withColumn("rk", row_number().over(Window.orderBy("dur_days")))
       .localCheckpoint() // durations-sized; factor array + output rows
-    val fa = risk.orderBy("dur_days")
-      .agg(collect_list(
+    // collect_list order is partition-dependent (the house rule every
+    // other collect site follows): collect (dur, factor) STRUCTS and
+    // array_sort — dur_days is the leading struct field and distinct,
+    // so the sorted array is the duration order on any cluster, not
+    // just in local mode where shuffle blocks happen to arrive in order
+    val fa = risk
+      .agg(array_sort(collect_list(struct(col("dur_days"),
         ((col("n_risk") - col("n_events")).cast("double")
-          / col("n_risk").cast("double"))).as("fa"))
+          / col("n_risk").cast("double")).as("f")))).as("faz"))
+      .select(transform(col("faz"), s => s.getField("f")).as("fa"))
     risk.crossJoin(broadcast(fa))
       .select(col("dur_days"), col("n_risk"), col("n_events"),
         (col("cnt") - col("n_events")).as("n_censored"),

@@ -47,7 +47,10 @@ import org.apache.spark.sql.streaming.{
   * key passes through unclamped with the sentinel bounds
   * (Long.MinValue, Long.MaxValue) — there is no prior state to clamp
   * against, and inventing bounds from a partial batch would be the
-  * buffering variant again. Right choice for hot-key/huge-trigger
+  * buffering variant again. Ingestion rides INSIDE the lazy output
+  * iterator, so full consumption is load-bearing for state (the
+  * stateful operator drains it; don't splice early-stopping consumers
+  * into the processor's output). Right choice for hot-key/huge-trigger
   * regimes where O(batch) buffering is the risk; the spec proves its
   * batch-2 bounds equal the default variant's batch-1-prefix bounds.
   */
@@ -128,6 +131,13 @@ object StreamWinsorize {
         // through lazily — O(1) per-key memory (object doc). An empty
         // prior state (first batch of the key) passes through with the
         // sentinel no-clamp bounds.
+        // LAZINESS CONTRACT: sketch ingestion happens inside the
+        // returned iterator, so FULL consumption is load-bearing for
+        // state — Spark's stateful operator drains the iterator before
+        // committing state, but an early-stopping consumer spliced
+        // downstream (e.g. a local limit) would silently drop the
+        // unconsumed tail from the quantile history. The buffering
+        // default variant ingests eagerly and has no such coupling.
         val entries = sketch.iterator().map(t => (t._1, t._2)).toArray
         val (lo, hi) =
           if (entries.isEmpty) (Long.MinValue, Long.MaxValue)
