@@ -34,10 +34,29 @@ import org.apache.spark.sql.functions._
 object Survival {
 
   def kaplanMeier(df: DataFrame, userCol: String, tsSec: Column,
+      censorGapDays: Int): DataFrame =
+    kaplanMeierFromExtents(userExtents(df, userCol, tsSec), censorGapDays)
+
+  /** The per-user activity-extent aggregation of [[kaplanMeier]]:
+    * (userCol, first_s, last_s). min and max are ORDER-FREE merges,
+    * so the identical expression runs as an incremental stateful
+    * STREAMING aggregation ([[graft.streaming.StreamSurvival]]) —
+    * one tiny state row per user — and the drained state finishes to
+    * the bit-exact batch curve via [[kaplanMeierFromExtents]] (the
+    * StreamDrift/StreamCalibration/StreamTrend theorem).
+    */
+  def userExtents(df: DataFrame, userCol: String, tsSec: Column)
+      : DataFrame =
+    df.groupBy(userCol)
+      .agg(min(tsSec).as("first_s"), max(tsSec).as("last_s"))
+
+  /** The curve finish of [[kaplanMeier]] over a (user, first_s,
+    * last_s) extent table.
+    */
+  def kaplanMeierFromExtents(extents: DataFrame,
       censorGapDays: Int): DataFrame = {
     require(censorGapDays >= 1, "censorGapDays must be >= 1")
-    val perUser = df.groupBy(userCol)
-      .agg(min(tsSec).as("first_s"), max(tsSec).as("last_s"))
+    val perUser = extents
       .localCheckpoint() // users-sized; referenced twice (gmax + durs)
     val gmax = perUser.agg(max("last_s").as("gmax"))
     val durs = perUser.crossJoin(broadcast(gmax))
