@@ -6607,6 +6607,55 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sentence-aware budgeted chunking (TextOps.sentenceChunks): the
+    * context-window packing that never splits a sentence — each
+    * sentence joins chunk ⌊tokens-before-it / budget⌋ (the prefix-sum
+    * rule that keeps the packing deterministic and replayable; a
+    * greedy fill-reset walk would be sequential state). One explode +
+    * one doc-keyed window shuffle; the oracle replays sentence
+    * splitting, token counts, the prefix sums, and the floor-div
+    * assignment. The synthetic corpus carries no sentence
+    * punctuation (one giant sentence per doc), so the fixture PLANTS
+    * deterministic boundaries first — the same regexp_replace in
+    * both engines (the pseudo-prob-fixture convention) — making
+    * every doc genuinely multi-sentence and the packing non-trivial;
+    * CurationOpsSpec covers naturally-punctuated text by hand.
+    */
+  val qTSentenceChunks = {
+    val budget = 16
+    q(
+      "q_t_sentence_chunks",
+      s"""WITH s0 AS (SELECT doc_id,
+         |              regexp_split_to_array(
+         |                regexp_replace(text, ' (the|a|value) ', '. ', 'g'),
+         |                '[.!?]+') AS ss
+         |            FROM documents),
+         |s1 AS (SELECT doc_id, unnest(range(len(ss))) AS si, ss FROM s0),
+         |s2 AS (SELECT doc_id, si,
+         |         CAST(len(list_filter(regexp_split_to_array(
+         |             ss[CAST(si AS INT) + 1], '\\s+'), x -> len(x) > 0))
+         |           AS BIGINT) AS nt
+         |       FROM s1),
+         |s3 AS (SELECT doc_id, si, nt FROM s2 WHERE nt > 0),
+         |s4 AS (SELECT doc_id, nt,
+         |         CAST(COALESCE(SUM(nt) OVER (PARTITION BY doc_id
+         |             ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING
+         |             AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+         |       FROM s3)
+         |SELECT doc_id, cumb // $budget AS chunk_id,
+         |       COUNT(*) AS n_sentences, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |FROM s4 GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.TextOps.sentenceChunks(
+            Tables.documents(s, d).withColumn("stext",
+              regexp_replace(col("text"), " (the|a|value) ", ". ")),
+            "doc_id", "stext", budget)
+          .select(col("id").as("doc_id"), col("chunk_id"),
+            col("n_sentences"), col("n_tokens"))
+          .orderBy("doc_id", "chunk_id")
+    }
+  }
+
   /** Kaplan–Meier user-retention survival curve (operators/Survival):
     * the censoring-aware churn read beside q_w_cohort_retention —
     * users still active at the observation cutoff are CENSORED, not
@@ -8171,6 +8220,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnOps.bind
@@ -20,6 +21,39 @@ object TextOps {
   /** Whitespace tokens, empties dropped (split keeps leading empties). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Sentence-aware budgeted chunking — the context-window packing
+    * that never splits a sentence (the RAG/pretraining-prep
+    * alternative to [[chunks]]' fixed token windows, which cut
+    * mid-sentence): sentences split on `[.!?]+` runs, each assigned
+    * to chunk ⌊tokens-before-it / budget⌋ — a PREFIX-SUM rule, so a
+    * straddling sentence joins the chunk its first token lands in
+    * and chunks overflow by at most one sentence. The prefix rule is
+    * what makes the packing deterministic and SQL-replayable (a
+    * greedy fill-then-reset walk is sequential state no oracle could
+    * follow — the same trade the CDC chunker documents).
+    *
+    * Scale shape: one sentence explode (map-side), ONE shuffle by doc
+    * for the per-doc prefix window (sentences-per-doc-sized frames),
+    * then the (doc, chunk) agg reuses the doc partitioning. Output:
+    * (id, chunk_id, n_sentences, n_tokens) — chunk ids are floor
+    * quotients, so a sentence longer than the budget skips ids
+    * (deterministic, documented).
+    */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    val w = Window.partitionBy("id").orderBy("si")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("si", "sent")))
+      .select(col("id"), col("si"),
+        size(tokens(col("sent"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("cumb", coalesce(sum("nt").over(w), lit(0L)))
+      .groupBy(col("id"), expr(s"cumb div $tokenBudget").as("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"), sum("nt").as("n_tokens"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -70,6 +70,37 @@ class CurationOpsSpec extends SparkSpec {
       6L -> "added"), got)
   }
 
+  test("sentenceChunks: hand-computed packing, sentences never split, " +
+      "over-budget sentence skips chunk ids") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "One two three. Four five. Six seven eight nine. Ten."),
+      (2L, "a b c d e f. g.")).toDF("doc_id", "text")
+    val got = TextOps.sentenceChunks(docs, "doc_id", "text", 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // doc 1: sentence tokens 3,2,4,1; prefix 0,3,5,9 -> chunks 0,0,1,2
+    assert(got((1L, 0L)) === ((2L, 5L)))
+    assert(got((1L, 1L)) === ((1L, 4L)))
+    assert(got((1L, 2L)) === ((1L, 1L)))
+    // doc 2 at budget 4: 6-token sentence fills chunk 0 past budget;
+    // next sentence starts at prefix 6 -> chunk 1 (6 div 4)
+    assert(got((2L, 0L)) === ((1L, 6L)))
+    assert(got((2L, 1L)) === ((1L, 1L)))
+    // over-budget skip: budget 3 puts the 2nd sentence at 6 div 3 = 2,
+    // skipping chunk id 1 entirely (floor-quotient contract)
+    val skip = TextOps.sentenceChunks(docs.filter(col("doc_id") === 2),
+        "doc_id", "text", 3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(skip == Seq(0L, 2L), skip)
+    // token conservation: chunk token sums equal the doc token count
+    val total = TextOps.sentenceChunks(docs, "doc_id", "text", 4)
+      .groupBy("id").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(total == Map(1L -> 10L, 2L -> 7L), total)
+  }
+
   test("Kaplan-Meier: hand-computed curve with censoring; survival " +
       "only drops at churn events; censored users never count as churn") {
     import graft.operators.Survival
