@@ -3658,6 +3658,54 @@ object Queries {
       .orderBy("seq_id")
   }
 
+  /** Length-bucketed batching planner (Packing.lengthBucketPlan):
+    * the padding-waste decision for variable-length training batches
+    * — 8 equal-population length buckets vs the single-bucket
+    * baseline, each bucket's n·max−Σlen waste in exact integers. The
+    * corpus folds ONCE to the (len, cnt) histogram; the cumulative
+    * counts, the integer bucket rule cum_below·b div n, and all
+    * per-bucket aggregates run on that ≤max-context-length metadata
+    * table — the only ordered single-partition stage is bounded by
+    * the tokenizer limit, never the corpus. The oracle replays the
+    * histogram, the window cumsum, the truncating bucket division,
+    * and both waste computations exactly.
+    */
+  val qTLengthBuckets = {
+    val b = 8
+    q(
+      "q_t_length_buckets",
+      s"""WITH lens AS (SELECT len($duckToks) AS len FROM documents),
+         |hist AS (SELECT len, COUNT(*) AS cnt FROM lens GROUP BY len),
+         |n AS (SELECT SUM(cnt) AS n FROM hist),
+         |bk AS (SELECT len, cnt,
+         |         CAST(TRUNC(CAST((SUM(cnt) OVER (ORDER BY len
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             - cnt) * $b AS DOUBLE) / n) AS BIGINT) AS bucket
+         |       FROM hist CROSS JOIN n),
+         |g AS (SELECT CAST(SUM(cnt) * MAX(len) - SUM(len * cnt) AS BIGINT)
+         |        AS baseline_waste_tokens FROM bk)
+         |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_docs, MAX(len) AS max_len,
+         |       CAST(SUM(len * cnt) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(cnt) * MAX(len) - SUM(len * cnt) AS BIGINT)
+         |         AS waste_tokens,
+         |       CASE WHEN SUM(cnt) * MAX(len) = 0 THEN 0
+         |            ELSE CAST(FLOOR(1000000.0
+         |              * (SUM(cnt) * MAX(len) - SUM(len * cnt))
+         |              / (SUM(cnt) * MAX(len))) AS BIGINT)
+         |       END AS waste_ppm,
+         |       baseline_waste_tokens
+         |FROM bk CROSS JOIN g
+         |GROUP BY bucket, baseline_waste_tokens
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.operators.{Packing, TextOps}
+      Packing.lengthBucketPlan(
+          Tables.documents(s, d), TextOps.tokenCount(col("text")), b)
+        .select("bucket", "n_docs", "max_len", "sum_tokens",
+          "waste_tokens", "waste_ppm", "baseline_waste_tokens")
+        .orderBy("bucket")
+    }
+  }
+
   /** Data-mixture sampling (Sampling.mixtureSample): per-source keep
     * rates — the pretraining-mix reweighting step. A pure map-only
     * filter of (key, source): no shuffle at any scale, survivors
@@ -3799,6 +3847,49 @@ object Queries {
         .select(col("doc_id"), col("source"),
           col("epoch").cast("long").as("epoch"), col("order_key"))
         .orderBy("order_key", "doc_id", "epoch")
+    }
+  }
+
+  /** Deterministic training-shard shuffle, audited (Sampling
+    * .shardShuffle + shardAudit): documents hash into 16 shards and a
+    * pseudo-random within-shard order — the final write step of a
+    * pretraining pipeline, as ONE shuffle-by-shard + within-partition
+    * sort instead of the 100 TB global `ORDER BY rand()` sort. The
+    * gate hash-pins the PERMUTATION itself: per-shard doc/token
+    * counts, head/tail doc, and the exact order fingerprint
+    * Σ pos·(orderHash mod 1000003) mod P — one swapped pair anywhere
+    * in any shard flips its row. The oracle replays both affine hash
+    * families and the rank. Assignment is append-stable by
+    * construction (bucket hash of the key); positions are
+    * snapshot-scoped, which is what "global shuffle" means.
+    */
+  val qO23ShardShuffle = {
+    val nShards = 16
+    val P = graft.operators.Sampling.P
+    q(
+      "q_o23_shard_shuffle",
+      s"""WITH tok AS (SELECT doc_id, len($duckToks) AS nt FROM documents),
+         |h AS (SELECT doc_id, nt,
+         |        ${graft.operators.Sampling.hashBucketSql("doc_id", nShards)} AS shard,
+         |        ${graft.operators.Sampling.orderHashSql("doc_id")} AS oh
+         |      FROM tok),
+         |p AS (SELECT doc_id, nt, shard, oh,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |                                ORDER BY oh, doc_id) AS BIGINT) AS pos
+         |      FROM h)
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CAST(pos AS HUGEINT) * (oh % 1000003)) % $P
+         |            AS BIGINT) AS order_fp,
+         |       MIN_BY(doc_id, pos) AS head_doc,
+         |       MAX_BY(doc_id, pos) AS tail_doc
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      import graft.operators.{Sampling, TextOps}
+      val docs = Tables.documents(s, d)
+      val sharded = Sampling.shardShuffle(
+        docs.select(col("doc_id"), col("text")), "doc_id", nShards)
+      Sampling.shardAudit(sharded, "doc_id",
+          TextOps.tokenCount(col("text")))
+        .orderBy("shard")
     }
   }
 
@@ -8198,9 +8289,10 @@ object Queries {
     qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,
-    qPipeConcatCut,
+    qPipeConcatCut, qTLengthBuckets,
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
+    qO23ShardShuffle,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,

@@ -110,4 +110,54 @@ object Packing {
       .withColumn("start_offset",
         pmod(col("cum_tokens") - col(nTokensCol), lit(ctx.toLong)))
   }
+
+  /** Length-bucketed batching planner — the padding-waste decision
+    * for VARIABLE-length training (SFT / reranker / encoder batches,
+    * where examples are padded to the batch max rather than packed
+    * end-to-end like [[concatCut]]): split the corpus into `b`
+    * equal-population length buckets and report each bucket's padding
+    * waste n_b·max_b − Σlen, next to the single-bucket baseline
+    * n·max − Σlen the plan is rescuing you from.
+    *
+    * Equi-depth on the LENGTH HISTOGRAM, not the rows: the corpus
+    * folds once to (len, cnt) — at most max-sequence-length rows of
+    * metadata — and every downstream step (cumulative counts, the
+    * bucket rule, per-bucket aggregates) runs on that table. The only
+    * ordered single-partition stage is the histogram scan, bounded by
+    * the tokenizer's context limit, never by corpus size. Bucket rule
+    * is pure integer arithmetic — bucket(len) = cum_below(len)·b
+    * div n — so assignment is exact, deterministic, monotone in len,
+    * and puts every row of one length in one bucket (population
+    * balance is then within one length-value's multiplicity of
+    * perfect — the best any non-splitting rule can do). Long bounds:
+    * cum·b ≤ n·b and n_b·max_b both < 2⁶³ past 10¹⁵ token-rows.
+    */
+  def lengthBucketPlan(df: DataFrame, len: org.apache.spark.sql.Column,
+      b: Int): DataFrame = {
+    require(b > 0, s"bucket count must be positive, got $b")
+    val hist = df.select(len.cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = hist
+      .withColumn("cum", sum("cnt").over(wcum))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n"))))
+      .withColumn("bucket", ((col("cum") - col("cnt")) * b / col("n"))
+        .cast("long"))
+    val glob = bucketed.agg(
+      (sum(col("cnt")) * max(col("len")) - sum(col("len") * col("cnt")))
+        .as("baseline_waste_tokens"))
+    bucketed.groupBy("bucket")
+      .agg(
+        sum("cnt").as("n_docs"),
+        max("len").as("max_len"),
+        sum(col("len") * col("cnt")).as("sum_tokens"))
+      .withColumn("waste_tokens",
+        col("n_docs") * col("max_len") - col("sum_tokens"))
+      .withColumn("waste_ppm",
+        when(col("n_docs") * col("max_len") === 0, 0L)
+          .otherwise(floor(lit(1e6) * col("waste_tokens")
+            / (col("n_docs") * col("max_len"))).cast("long")))
+      .crossJoin(broadcast(glob))
+  }
 }

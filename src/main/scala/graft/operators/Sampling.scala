@@ -272,4 +272,72 @@ object Sampling {
     df.withColumn("priority", weightedPriority(col(key), weight))
       .orderBy(col("priority").desc, col(key))
       .limit(k)
+
+  // Second affine family — intra-shard ORDER. Distinct constants from
+  // the bucket family above so a row's shard and its position within
+  // the shard never correlate (same rationale as the CMS split).
+  private val A2 = 611953843L
+  private val B2 = 387420489L
+
+  /** Full-range order hash in [0, P): the pseudo-random sort key for
+    * [[shardShuffle]]. No overflow: (key mod P) · A2 ≈ 6.2e17 < 2⁶³.
+    */
+  def orderHash(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(P)) * A2 + B2, lit(P))
+
+  /** SQL rendering of [[orderHash]] (signed-% wrapped like pmod). */
+  def orderHashSql(key: String): String =
+    s"(((($key % $P) + $P) % $P) * $A2 + $B2) % $P"
+
+  /** Deterministic global example shuffle into `nShards` training
+    * shards — the LAST step of a pretraining-data pipeline: the model
+    * must see examples in an order uncorrelated with crawl/source
+    * order, and every re-run of the writer must produce the identical
+    * shards (resumable training, reproducible ablations). `ORDER BY
+    * rand()` gives neither; a full random sort of 100 TB is also the
+    * single most expensive plan there is. This shape instead:
+    *
+    *   shard = affine-bucket(key, nShards)      — map-only assignment
+    *   pos   = row_number over (shard) by (orderHash(key), key)
+    *
+    * ONE shuffle (by shard — the write partitioning the sink needs
+    * anyway) and a within-partition sort; no global sort ever exists.
+    * Assignment is append-stable (a new doc never moves an old doc's
+    * shard); positions are snapshot-scoped by definition of a global
+    * shuffle — appending renumbers only the shards the new docs land
+    * in. Two independent hash families so intra-shard order does not
+    * replay the assignment order. At 100 TB: nShards ≈ 10⁴–10⁵ keeps
+    * shards at the 1–10 GB object-store sweet spot; the sort key is
+    * 8 bytes, so the within-partition sort is as cheap as sorts get.
+    */
+  def shardShuffle(df: DataFrame, key: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("__oh"), col(key))
+    df.withColumn("shard", hashBucket(col(key), nShards))
+      .withColumn("__oh", orderHash(col(key)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__oh")
+  }
+
+  /** Shard-level audit of a [[shardShuffle]] result: doc/token
+    * balance plus an exact ORDER fingerprint —
+    * Σ pos·(orderHash(key) mod 1000003)  (mod P, summed in
+    * decimal(38) so shards of any size stay exact) — one swapped pair
+    * anywhere flips it, so the gate pins the permutation itself, not
+    * just the partition contents. Output is nShards rows: the entire
+    * 100 TB write audits into a broadcast-sized table.
+    */
+  def shardAudit(sharded: DataFrame, key: String,
+      tokens: Column): DataFrame =
+    sharded
+      .withColumn("__ohm", orderHash(col(key)) % 1000003L)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"),
+        pmod(sum((col("pos") * col("__ohm")).cast("decimal(38,0)")),
+          lit(P).cast("decimal(38,0)")).cast("long").as("order_fp"),
+        min_by(col(key), col("pos")).as("head_doc"),
+        max_by(col(key), col("pos")).as("tail_doc"))
 }

@@ -311,4 +311,104 @@ class SamplingSpec extends SparkSpec {
     // each bucket expects 1000; chi-square-ish slack
     assert(counts.forall { case (_, c) => c > 800 && c < 1200 }, counts.minBy(_._2))
   }
+
+  test("lengthBucketPlan: hand fixture waste math, monotone buckets, " +
+      "single-length rows never split, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // 8 docs, lengths 1,1,2,2,3,3,10,10 → b=2 → bucket0 = lens {1,2}
+    // (cum_below*2/8 = 0), bucket1 = {3,10}
+    val docs = Seq(1L, 1L, 2L, 2L, 3L, 3L, 10L, 10L).toDF("len")
+    val plan = Packing.lengthBucketPlan(docs, col("len"), 2)
+      .orderBy("bucket").collect()
+    assert(plan.length == 2)
+    val b0 = plan(0); val b1 = plan(1)
+    assert(b0.getAs[Long]("n_docs") == 4 && b0.getAs[Long]("max_len") == 2)
+    assert(b0.getAs[Long]("waste_tokens") == 4 * 2 - 6) // pad 1,1,2,2 → 2
+    assert(b1.getAs[Long]("n_docs") == 4 && b1.getAs[Long]("max_len") == 10)
+    assert(b1.getAs[Long]("waste_tokens") == 4 * 10 - 26)
+    // baseline: everything padded to the global max 10
+    assert(b0.getAs[Long]("baseline_waste_tokens") == 8 * 10 - 32)
+    assert(b0.getAs[Long]("waste_ppm") == 250000L) // 2/8 of the pad grid
+    // bucketed waste strictly beats the single bucket
+    assert(plan.map(_.getAs[Long]("waste_tokens")).sum
+      < b0.getAs[Long]("baseline_waste_tokens"))
+    // skewed multiplicities: one length's rows all land in ONE bucket
+    val skew = (Seq.fill(90)(5L) ++ Seq.fill(10)(50L)).toDF("len")
+    val sp = Packing.lengthBucketPlan(skew, col("len"), 4)
+      .orderBy("bucket").collect()
+    assert(sp.length == 2) // non-splitting rule collapses empty buckets
+    assert(sp.map(_.getAs[Long]("n_docs")).toSeq == Seq(90L, 10L))
+    // partitioning invariance
+    val re = Packing.lengthBucketPlan(docs.repartition(7), col("len"), 2)
+      .orderBy("bucket").collect().map(_.toSeq)
+    assert(re.toSeq == plan.map(_.toSeq).toSeq)
+  }
+
+  test("shardShuffle: positions contiguous per shard, partition-" +
+      "invariant, shard assignment append-stable, order decorrelated " +
+      "from key order") {
+    import spark.implicits._
+    val df = spark.range(0, 2000).toDF("id")
+    val sh = Sampling.shardShuffle(df, "id", nShards = 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sh.map(_._2).distinct.sorted.toSeq == (0L until 8L))
+    // positions are exactly 1..n_b within every shard
+    sh.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong),
+        s"shard $s positions not contiguous")
+    }
+    // pure function of the key: partitioning cannot move anything
+    val re = Sampling.shardShuffle(df.repartition(17), "id", 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == sh.toSet)
+    // append stability of ASSIGNMENT: an appended key never moves an
+    // existing key's shard (positions renumber — snapshot-scoped)
+    val bigger = Sampling.shardShuffle(
+        spark.range(0, 2500).toDF("id"), "id", 8)
+      .select("id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.foreach { case (id, shard, _) => assert(bigger(id) == shard) }
+    // the within-shard order must not replay key order: Spearman-ish
+    // check — in at least one shard, pos is not monotone in id
+    val monotoneShards = sh.groupBy(_._2).values.count { rows =>
+      val byPos = rows.sortBy(_._3).map(_._1)
+      byPos.sorted.sameElements(byPos)
+    }
+    assert(monotoneShards == 0, "order hash degenerated to key order")
+  }
+
+  test("shardAudit: balance within 2x at uniform keys, fingerprint " +
+      "flips when two rows swap positions") {
+    import spark.implicits._
+    val docs = spark.range(0, 3000)
+      .select($"id", (($"id" % 7) + 1).as("nt"))
+    val sharded = Sampling.shardShuffle(docs.toDF("id", "nt"), "id", 8)
+    val audit = Sampling.shardAudit(sharded, "id", col("nt"))
+      .collect()
+    assert(audit.length == 8)
+    val nd = audit.map(_.getAs[Long]("n_docs"))
+    assert(nd.sum == 3000L && nd.max < 2 * nd.min, nd.toSeq)
+    // head/tail really are the pos=1 / pos=max keys
+    val byShard = sharded.select("shard", "pos", "id").collect()
+      .groupBy(_.getLong(0))
+    audit.foreach { r =>
+      val rows = byShard(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("head_doc") == rows.minBy(_.getLong(1)).getLong(2))
+      assert(r.getAs[Long]("tail_doc") == rows.maxBy(_.getLong(1)).getLong(2))
+    }
+    // fingerprint sensitivity: swapping two rows' positions in one
+    // shard changes that shard's order_fp (pos-weighted sum)
+    val tweaked = sharded.withColumn("pos",
+      when($"shard" === 0 && $"pos" === 1, 2L)
+        .when($"shard" === 0 && $"pos" === 2, 1L)
+        .otherwise($"pos"))
+    val fp0 = audit.find(_.getAs[Long]("shard") == 0L).get
+      .getAs[Long]("order_fp")
+    val fp0Tweaked = Sampling.shardAudit(tweaked, "id", col("nt"))
+      .filter($"shard" === 0).collect().head.getAs[Long]("order_fp")
+    assert(fp0 != fp0Tweaked)
+  }
 }
