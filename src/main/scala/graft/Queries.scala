@@ -8031,6 +8031,81 @@ object Queries {
     }
   }
 
+  /** SQ8 scalar-quantization recall (Similarity.sq8MinMax/sq8Code/
+    * sq8TopK): one uint8 code per dimension — the storage rung UNDER
+    * PQ (4× smaller than float32, no codebook training) — scored by
+    * exact INTEGER dot products of the codes, measured as recall@10
+    * against the exact cosine ranking per probe. The build is two
+    * scans (per-dim min/max agg → map-only encode); the scored scan
+    * reads 64 bytes/vector instead of 256 — at 100 TB that IO ratio
+    * IS the decision this query prices. Everything after the encode
+    * is integer (scores, ranks, floor-div recall); the encode itself
+    * is a pinned IEEE chain (subtract, ×255, divide, floor) the
+    * oracle spells identically, so codes — and therefore every rank
+    * and recall value — replay bit-for-bit.
+    */
+  val qESq8Recall = q(
+    "q_e_sq8_recall",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |dims AS (SELECT unnest(range(64)) AS i),
+       |st AS (SELECT i, MIN(e[CAST(i AS INT) + 1]) AS mn,
+       |              MAX(e[CAST(i AS INT) + 1]) AS mx
+       |       FROM v CROSS JOIN dims GROUP BY i),
+       |cd AS (SELECT vec_id, i,
+       |         CASE WHEN mx > mn
+       |           THEN CAST(FLOOR((e[CAST(i AS INT) + 1] - mn) * 255.0
+       |                           / (mx - mn)) AS BIGINT)
+       |           ELSE 0 END AS code
+       |       FROM v CROSS JOIN st),
+       |sc AS (SELECT qc.vec_id AS qid, cc.vec_id AS cid,
+       |         CAST(SUM(qc.code * cc.code) AS BIGINT) AS score
+       |       FROM cd qc JOIN cd cc USING (i)
+       |       WHERE qc.vec_id < 10 AND qc.vec_id <> cc.vec_id
+       |       GROUP BY 1, 2),
+       |t8 AS (SELECT qid, cid, rn FROM (
+       |         SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY score DESC, cid) AS rn FROM sc)
+       |       WHERE rn <= 10),
+       |tex AS (SELECT qid, cid, rn FROM (
+       |         SELECT q.qid, v2.vec_id AS cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY ${duckCos("q.qv", "v2.e")} DESC,
+       |                      v2.vec_id) AS rn
+       |         FROM (SELECT vec_id AS qid, e AS qv FROM v
+       |               WHERE vec_id < 10) q
+       |         JOIN v v2 ON q.qid <> v2.vec_id) WHERE rn <= 10),
+       |hits AS (SELECT t8.qid, COUNT(*) AS h FROM t8
+       |         JOIN tex USING (qid, cid) GROUP BY t8.qid),
+       |s1 AS (SELECT qid, MIN_BY(cid, rn) AS sq8_top1 FROM t8 GROUP BY qid),
+       |e1 AS (SELECT qid, MIN_BY(cid, rn) AS exact_top1 FROM tex GROUP BY qid)
+       |SELECT s1.qid, (COALESCE(h, 0) * 1000000) // 10 AS recall_ppm,
+       |       sq8_top1, exact_top1
+       |FROM s1 JOIN e1 USING (qid) LEFT JOIN hits ON hits.qid = s1.qid
+       |ORDER BY s1.qid""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val (mins, maxs) = Similarity.sq8MinMax(e, "embedding")
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val sq8 = Similarity.sq8TopK(qs, cands, mins, maxs, k = 10)
+      .localCheckpoint() // nq×k rows, referenced twice
+    val exact = Similarity.bruteForceTopK(qs, cands, k = 10)
+      .localCheckpoint()
+    val hits = sq8.join(exact.select("qid", "cid"), Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    val s1 = sq8.filter(col("rank") === 1)
+      .select(col("qid"), col("cid").as("sq8_top1"))
+    val e1 = exact.filter(col("rank") === 1)
+      .select(col("qid"), col("cid").as("exact_top1"))
+    s1.join(e1, "qid").join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("h"))
+      .select(col("qid"), expr("h * 1000000 div 10").as("recall_ppm"),
+        col("sq8_top1"), col("exact_top1"))
+      .orderBy("qid")
+  }
+
   /** Calibrated keep/drop capstone: the isotonic calibration table
     * (q_t_isotonic_calibration's solve, verbatim) broadcast-joined
     * back onto the corpus by score bin, every doc kept iff its bin's
@@ -8312,6 +8387,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

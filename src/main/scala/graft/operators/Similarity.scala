@@ -767,4 +767,73 @@ object Similarity {
       .withColumn("cm", expr("(sm - ((sm % n) + n) % n) div n"))
       .select(col(keyCol), col("pos"), col("cm"), col("n"))
   }
+
+  // ---------------------------------------------------------------
+  // SQ8 scalar quantization — the storage tier UNDER product
+  // quantization: one uint8 code per dimension (4× smaller than
+  // float32, no codebook training), scored by exact INTEGER dot
+  // products of the codes. The standard first rung of the vector-
+  // storage ladder (FAISS's SQ8 / "int8 embeddings"): cheap to build
+  // (two scans: one min/max agg, one map-only encode), decent recall,
+  // and the scored scan reads 64 bytes/vector instead of 256.
+  // ---------------------------------------------------------------
+
+  /** Per-dimension (min, max) over the corpus — the SQ8 "training"
+    * in one map-side-combined agg; output is dim rows of metadata
+    * (collected: dim ≤ a few thousand, same contract as the centroid
+    * collects above).
+    */
+  def sq8MinMax(vecs: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val stats = vecs
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos")
+      .collect()
+    (stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  /** SQ8 codes (array<long>, each in [0,255]): per dim,
+    * floor((x−mn)·255 / (mx−mn)); a constant dimension (mx=mn) codes
+    * to 0. No clamp needed: for x ∈ [mn,mx] the quotient is within
+    * one float ulp of [0,255], so the floor lands in range. The op
+    * ORDER (subtract, ×255, divide, floor) is part of the contract —
+    * the oracle spells the identical IEEE chain.
+    */
+  def sq8Code(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnLit = array(mins.map(lit).toIndexedSeq: _*)
+    val mxLit = array(maxs.map(lit).toIndexedSeq: _*)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx > mn, floor((x - mn) * lit(255.0) / (mx - mn)).cast("long"))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** SQ8 top-k: rank candidates per query by the exact integer dot
+    * product of their codes (ties to the smaller cid). Queries
+    * broadcast; candidates stream map-side carrying only their 8-bit
+    * codes — the whole scored scan is integer arithmetic inside
+    * whole-stage codegen, and at 100 TB it reads the code column,
+    * never the float vectors. Max score 64·255² ≈ 4.2e6: a long
+    * holds dims past 10¹⁰.
+    */
+  def sq8TopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
+    val qc = queries.select(col("qid"),
+      sq8Code(col("qvec"), mins, maxs).as("qcodes"))
+    val cc = candidates.select(col("cid"),
+      sq8Code(col("cvec"), mins, maxs).as("ccodes"))
+    val scored = cc.crossJoin(broadcast(qc))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qcodes"), col("ccodes"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("score"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("score").desc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "score", "rank")
+  }
 }
