@@ -4985,6 +4985,94 @@ object Queries {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-ADC top-5 (Similarity.ivfPqEncode/ivfPqTopK — r9): the
+    * Jégou et al. PAMI'11 §V composition (FAISS "IVFx,PQy") joining
+    * the catalog's q_e_ivf_topk and q_e_pq_adc_topk rungs — coarse
+    * lists cut the candidate COUNT nlist/nProbe-fold, residual PQ
+    * codes cut the bytes-per-candidate 32-fold, multiplied. The
+    * coarse quantizer is the pinned vec_id<16 table; the residual
+    * codebook rows are vec_id∈[16,32)'s residuals against their
+    * assigned centroid (deterministic AND in residual space — raw
+    * rows would mis-frame a codebook whose inputs are
+    * origin-centered). The oracle replays the FULL chain: coarse
+    * assignment, residual subtraction, per-subspace argmin encode,
+    * probe set, per-list query residuals, micros ADC sum, rank —
+    * any drifted tie, slice, or fold hash-fails.
+    */
+  val qEIvfPq = q(
+    "q_e_ivfpq_topk",
+    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |asg AS (SELECT id, cl FROM (
+       |          SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id
+       |                           ORDER BY d2, cl) AS rn
+       |          FROM (SELECT id, cl, ${duckD2("e", "ce")} AS d2
+       |                FROM v CROSS JOIN cent)) WHERE rn = 1),
+       |res AS (SELECT v.id, asg.cl,
+       |          list_transform(range(64), i ->
+       |            e[CAST(i AS INT) + 1] - ce[CAST(i AS INT) + 1]) AS r
+       |        FROM v JOIN asg ON asg.id = v.id
+       |               JOIN cent ON cent.cl = asg.cl),
+       |cb AS (SELECT id - 16 AS cj, r AS cr FROM res
+       |       WHERE id >= 16 AND id < 32),
+       |sub AS (SELECT unnest(range(8)) AS s),
+       |enc0 AS (SELECT cid, s, cj,
+       |           ROW_NUMBER() OVER (PARTITION BY cid, s
+       |                              ORDER BY d2, cj) AS rn
+       |         FROM (SELECT res.id AS cid, s, cj,
+       |                 ${duckD2("r[(s*8+1):(s*8+8)]", "cr[(s*8+1):(s*8+8)]")} AS d2
+       |               FROM res CROSS JOIN sub CROSS JOIN cb)),
+       |enc AS (SELECT cid, s, cj FROM enc0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |probe AS (SELECT qid, cl, ce FROM (
+       |            SELECT qid, cl, ce, ROW_NUMBER() OVER (PARTITION BY qid
+       |                                  ORDER BY d2, cl) AS rn
+       |            FROM (SELECT qid, cl, ce, ${duckD2("qv", "ce")} AS d2
+       |                  FROM q CROSS JOIN cent)) WHERE rn <= 4),
+       |qres AS (SELECT qid, cl,
+       |           list_transform(range(64), i ->
+       |             qv[CAST(i AS INT) + 1] - ce[CAST(i AS INT) + 1]) AS qr
+       |         FROM probe JOIN q USING (qid)),
+       |ad AS (SELECT qres.qid, enc.cid,
+       |         CAST(SUM(CAST(floor(
+       |           ${duckD2("qr[(s*8+1):(s*8+8)]", "cr[(s*8+1):(s*8+8)]")}
+       |           * 1000000) AS BIGINT)) AS BIGINT) AS ad2_micros
+       |       FROM qres JOIN asg ON asg.cl = qres.cl
+       |            JOIN enc ON enc.cid = asg.id
+       |            JOIN cb ON cb.cj = enc.cj
+       |       WHERE qres.qid <> enc.cid
+       |       GROUP BY qres.qid, enc.cid)
+       |SELECT qid, cid, ad2_micros, rank FROM (
+       |  SELECT qid, cid, ad2_micros,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY ad2_micros, cid) AS rank
+       |  FROM ad)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val trainRows = e.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cbRows = trainRows.map { x =>
+      val c = centers(Similarity.nearestCenter(x, centers))
+      Array.tabulate(x.length)(i => x(i) - c(i))
+    }
+    val cb = Similarity.pqCodebooksFromRows(cbRows, m = 8)
+    val index = Similarity.ivfPqEncode(
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      centers, cb)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopK(queries, index, centers, cb, nProbe = 4, k = 5)
+      .orderBy("qid", "rank")
+  }
+
   /** Per-cluster representatives (Similarity.clusterRepresentatives)
     * — semantic-diversity sampling: the 3 most central members of
     * each of 16 embedding clusters (fixed quantizer centroids, the
@@ -8375,7 +8463,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEPqCodes, qEPqAdcTopK,
-    qEPqRerank,
+    qEPqRerank, qEIvfPq,
     qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
     qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,

@@ -221,23 +221,30 @@ object Similarity {
     * yields a cross-engine-exact query while `ivfTopK` keeps the
     * sampled-Lloyd's production path.
     */
+  /** Nearest-centroid ranking as a pure column expression: centroids
+    * are literals, so both assignment and probing are map-side only —
+    * the single shuffle in IVF-family operators is the probe join on
+    * cluster. Element 1 of the sorted struct array is the assignment;
+    * a prefix slice is the probe set. Ties break to the smaller
+    * cluster id (struct sort on (d2, cluster)), replayed by the
+    * oracle's ROW_NUMBER ORDER BY d2, cl.
+    */
+  private def centroidRanked(vec: Column, centers: Array[Array[Double]]): Column =
+    array_sort(array(centers.zipWithIndex.map { case (c, i) =>
+      val lits = array(c.map(lit).toSeq: _*)
+      // native fused loop; same index-ordered fold as the HOF
+      // zip_with/aggregate rendering (bitwise-identical values)
+      val d2 = graft.expressions.VecExpressions.vec_d2(vec, lits)
+      struct(d2.as("d2"), lit(i).as("cluster"))
+    }.toSeq: _*))
+
   def ivfTopKWithCenters(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       k: Int,
       centers: Array[Array[Double]],
       nProbe: Int): DataFrame = {
-    // Nearest-centroid ranking as a pure column expression: centroids
-    // are literals, so both assignment and probing are map-side only —
-    // the single shuffle in this operator is the probe join on cluster.
-    def ranked(vec: Column): Column =
-      array_sort(array(centers.zipWithIndex.map { case (c, i) =>
-        val lits = array(c.map(lit).toSeq: _*)
-        // native fused loop; same index-ordered fold as the HOF
-        // zip_with/aggregate rendering (bitwise-identical values)
-        val d2 = graft.expressions.VecExpressions.vec_d2(vec, lits)
-        struct(d2.as("d2"), lit(i).as("cluster"))
-      }.toSeq: _*))
+    def ranked(vec: Column): Column = centroidRanked(vec, centers)
 
     val indexed = candidates.withColumn("cluster",
       element_at(ranked(col("cvec")), 1).getField("cluster"))
@@ -381,6 +388,25 @@ object Similarity {
     Array.tabulate(m)(s => rows.map(_.slice(s * subdim, (s + 1) * subdim)))
   }
 
+  /** Driver-side nearest-center assignment — the scalar twin of
+    * centroidRanked (index-ordered d2 fold, strict < keeps the first
+    * ⇒ ties to the smaller index), for building residual codebook
+    * rows from a handful of collected vectors.
+    */
+  def nearestCenter(x: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var s = 0.0; var i = 0
+      while (i < x.length) {
+        val t = x(i) - centers(c)(i); s += t * t; i += 1
+      }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Production codebook training: per-subspace Lloyd's on a bounded
     * driver-side sample (like ivfTopK's coarse quantizer — the model
     * is m·ksub·subdim doubles regardless of corpus size). Recall is
@@ -405,6 +431,87 @@ object Similarity {
       lloyd(sampled.map(_.slice(s * subdim, (s + 1) * subdim)),
         ksub, maxIter, seed + s)
     }
+  }
+
+  // -----------------------------------------------------------------
+  // IVF-ADC (Jégou et al., PAMI 2011 §V — the FAISS "IVFx,PQy"
+  // composition): coarse-quantize candidates into inverted lists and
+  // PQ-encode the RESIDUAL (vector − its centroid), so at query time
+  // only the nProbe probed lists are scanned, and scanned as CODES —
+  // the two scale levers multiplied: IVF cuts the candidate count
+  // nlist/nProbe-fold, PQ cuts the bytes-per-candidate 32-fold.
+  // Residual encoding is what makes the shared codebook tight: after
+  // subtracting the centroid every list's vectors live in the same
+  // origin-centered ball. At 100 TB this is THE published
+  // billion-scale layout; the index build is one map-only pass and
+  // the query scan's single shuffle is the probe join on cluster id.
+  // -----------------------------------------------------------------
+
+  /** Element-wise residual against the assigned centroid: vec −
+    * centers[cluster]. Plain IEEE double subtraction per dimension —
+    * the oracle replays it as `e[i+1] − ce[i+1]` over the same
+    * parquet doubles, so residuals are bit-identical cross-engine.
+    */
+  def centroidResidual(
+      vec: Column, cluster: Column, centers: Array[Array[Double]]): Column = {
+    val centLit = array(centers.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    zip_with(vec.cast("array<double>"), element_at(centLit, cluster + 1),
+      (a, b) => a - b)
+  }
+
+  /** Build the IVF-ADC index: (cid, cluster, codes). Assignment and
+    * residual-encode are both pure column expressions over literal
+    * tables (no shuffle at all — at 100 TB this pass is the one that
+    * turns the 256-byte vector column into 1 cluster id + m bytes).
+    */
+  def ivfPqEncode(
+      candidates: DataFrame, // (cid, cvec)
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    candidates
+      .withColumn("cluster",
+        element_at(centroidRanked(col("cvec"), centers), 1)
+          .getField("cluster"))
+      // rvec as its OWN projection: the m·ksub argmin terms in pqCode
+      // each reference the residual, and inlining the zip_with into
+      // all of them re-evaluates it m·ksub× per row (measured 6×
+      // slower); CollapseProject keeps a non-cheap multiply-referenced
+      // alias as a separate projection, so this evaluates once.
+      .withColumn("rvec",
+        centroidResidual(col("cvec"), col("cluster"), centers))
+      .withColumn("codes", pqCode(col("rvec"), codebooks))
+      .select("cid", "cluster", "codes")
+
+  /** IVF-ADC top-k: each query probes its nProbe nearest lists; within
+    * a probed list the QUERY's residual against THAT list's centroid
+    * scores every member's codes by asymmetric distance (integer
+    * micros — see pqAdcMicros). Each candidate lives in exactly one
+    * list, so probe hits need no dedup; the top-k runs on the
+    * TopKPerGroup heap. Distances are comparable across probed lists
+    * because ‖q − c‖² = ‖(q − μℓ) − (c − μℓ)‖² for the shared μℓ —
+    * the residual trick changes the codebook's frame, not the metric.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (cid, cluster, codes) from ivfPqEncode
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val probed = queries
+      .withColumn("probe",
+        slice(centroidRanked(col("qvec"), centers), 1, nProbe))
+      .select(col("qid"), col("qvec"),
+        explode(col("probe.cluster")).as("cluster"))
+      .select(col("qid"), col("cluster"),
+        centroidResidual(col("qvec"), col("cluster"), centers).as("qres"))
+    val scored = probed.join(index, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        pqAdcMicros(col("qres"), col("codes"), codebooks).as("ad2_micros"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("ad2_micros").asc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "ad2_micros", "rank")
   }
 
   /** Plain Lloyd's k-means over a driver-held sample (deterministic:

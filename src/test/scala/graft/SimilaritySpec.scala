@@ -377,6 +377,55 @@ class SimilaritySpec extends SparkSpec {
     assert(rerRecall >= 0.9, f"re-rank recall $rerRecall%.2f below gate")
   }
 
+  test("IVF-ADC: every candidate in exactly one list, residual codes " +
+      "well-formed, top-5 recalls exact-L2 neighbors at production " +
+      "geometry") {
+    val e = Tables.embeddings(spark, Sf001)
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // coarse quantizer = full-dim Lloyd's (pqTrain at m=1 IS that);
+    // residual codebooks trained on residual-space rows, as production
+    // IVFPQ does — raw-row codebooks would mis-frame the origin-
+    // centered residuals
+    val centers = Similarity.pqTrain(cands, m = 1, ksub = 16)(0)
+    val resRows = cands.select(col("cvec").cast("array<double>"))
+      .limit(256).collect().map(_.getSeq[Double](0).toArray)
+      .map { x =>
+        val c = centers(Similarity.nearestCenter(x, centers))
+        Array.tabulate(x.length)(i => x(i) - c(i))
+      }
+    val resDf = spark.createDataFrame(
+      resRows.toIndexedSeq.zipWithIndex.map { case (r, i) => (i.toLong, r) })
+      .toDF("cid", "cvec")
+    val cb = Similarity.pqTrain(resDf, m = 16, ksub = 64)
+
+    val index = Similarity.ivfPqEncode(cands, centers, cb)
+    // partition function: one list per candidate, codes in range
+    assert(index.count() == cands.count())
+    assert(index.filter(size(col("codes")) =!= 16).count() == 0)
+    assert(index.filter(
+      exists(col("codes"), c => c < 0 || c >= 64)).count() == 0)
+
+    val scored = cands.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        graft.expressions.VecExpressions.vec_d2(col("qvec"), col("cvec"))
+          .as("d2"))
+    val exact = graft.operators.TopK.perGroup(scored, Seq("qid"),
+        Seq(col("d2").asc, col("cid")), 5, rankName = "rank")
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(queries, index, centers, cb,
+        nProbe = 8, k = 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(f"IVF-ADC recall@5 (nProbe=8/16, m=16, ksub=64) = $recall%.2f")
+    assert(recall >= 0.35, f"IVF-ADC recall $recall%.2f below floor")
+  }
+
   test("cosineNearDups returns only pairs above threshold, id_a < id_b") {
     val e = Tables.embeddings(spark, Sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
