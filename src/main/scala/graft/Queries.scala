@@ -8194,6 +8194,56 @@ object Queries {
       .orderBy("qid")
   }
 
+  /** Per-source embedding diversity WITHOUT pairs
+    * (Similarity.meanPairwiseCosine — r9): mean pairwise cosine per
+    * label via the moment identity Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σ v̂‖² − Σ‖v̂‖² —
+    * the O(n²·dim) all-pairs question folded to ONE corpus scan
+    * ending in dim longs per group. This is the scale shape for
+    * "how self-similar / collapsed is this source's embedding
+    * space": at 100 TB the naive pair join is impossible and the
+    * moment answer is a map-side-combined agg. Rows normalize and
+    * micros-quantize on a pinned IEEE chain; every sum, square, and
+    * the final pmod-floor division is exact integer (decimal past
+    * the long bound) — the oracle replays the identity end to end.
+    */
+  val qEMeanPairCosine = q(
+    "q_e_mean_pairwise_cosine",
+    s"""WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |nr AS (SELECT label, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+       |qv AS (SELECT label,
+       |         list_transform(e, x -> CASE WHEN nrm > 0
+       |           THEN CAST(FLOOR(x / nrm * 1000000.0) AS BIGINT)
+       |           ELSE 0 END) AS qarr
+       |       FROM nr),
+       |rws AS (SELECT label, qarr,
+       |          list_reduce(list_prepend(0::BIGINT,
+       |            list_transform(qarr, q -> q * q)), (a, v) -> a + v)
+       |            AS diag
+       |        FROM qv),
+       |dims AS (SELECT unnest(range(64)) AS pos),
+       |ps AS (SELECT label, pos,
+       |         SUM(qarr[CAST(pos AS INT) + 1]) AS s
+       |       FROM rws CROSS JOIN dims GROUP BY label, pos),
+       |g AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS s2
+       |      FROM ps GROUP BY label),
+       |dg AS (SELECT label, CAST(SUM(diag) AS HUGEINT) AS dd,
+       |              COUNT(*) AS n
+       |       FROM rws GROUP BY label),
+       |f AS (SELECT g.label, n, s2, dd,
+       |        CAST(n AS HUGEINT) * (n - 1) * 1000000 AS den
+       |      FROM g JOIN dg USING (label))
+       |SELECT label, n,
+       |       CASE WHEN n > 1 THEN CAST(
+       |         (s2 - dd - (((s2 - dd) % den + den) % den)) // den
+       |         AS BIGINT) END AS mean_cos_ppm
+       |FROM f ORDER BY label""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    Similarity.meanPairwiseCosine(
+        Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label")
+  }
+
   /** Calibrated keep/drop capstone: the isotonic calibration table
     * (q_t_isotonic_calibration's solve, verbatim) broadcast-joined
     * back onto the corpus by score bin, every doc kept iff its bin's
@@ -8475,6 +8525,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

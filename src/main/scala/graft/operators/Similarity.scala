@@ -875,6 +875,63 @@ object Similarity {
       .select(col(keyCol), col("pos"), col("cm"), col("n"))
   }
 
+  /** Mean pairwise cosine per group WITHOUT pairs — the moment
+    * identity: for unit vectors, Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σ v̂‖² − Σ‖v̂‖².
+    * The per-pair work that makes naive diversity O(n²·dim) folds to
+    * ONE corpus scan producing dim longs per group (the centroid
+    * moment) — at 100 TB the whole "how self-similar is this source"
+    * question costs one map-side-combined agg. Rows normalize and
+    * floor-quantize to micros (the pinned IEEE chain ÷norm, ×10⁶,
+    * floor — zero-norm rows quantize to 0), and EVERYTHING after is
+    * exact integer: per-(group, pos) long sums, decimal squares, the
+    * pmod-floor division — order-free, partitioning-invariant,
+    * SQL-replayable. Output is mean pairwise cosine in ppm of the
+    * quantized unit vectors (within one micro-quantization ulp of
+    * the float answer; the ESTIMATOR, not a float mean, is the
+    * contract). Groups of one row report NULL (no pairs).
+    */
+  def meanPairwiseCosine(
+      df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val base = df
+      .select(col(keyCol), col(vecCol).cast("array<double>").as("ev"))
+      // nrm as its OWN projection — inlining the fold into the
+      // per-element transform would re-evaluate it dim× per row
+      .withColumn("nrm",
+        sqrt(graft.expressions.VecExpressions.vec_dot(col("ev"), col("ev"))))
+      .withColumn("qarr", transform(col("ev"), x =>
+        when(col("nrm") > 0, floor(x / col("nrm") * lit(1e6)).cast("long"))
+          .otherwise(lit(0L))))
+      // Σᵢ qᵢ² per row: ≤ dim·10¹² — safely long
+      .withColumn("diag",
+        aggregate(col("qarr"), lit(0L), (a, v) => a + v * v))
+    base
+      .select(col(keyCol), col("diag"),
+        posexplode(col("qarr")).as(Seq("pos", "qi")))
+      // carry the row-diagonal through pos 0 only, so the key-level
+      // re-agg never double-counts it and the corpus is scanned ONCE
+      .withColumn("diag0", when(col("pos") === 0, col("diag")).otherwise(lit(0L)))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(sum("qi").as("s"), sum("diag0").as("d0"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n0"))
+      .groupBy(keyCol)
+      .agg(
+        sum(col("s").cast("decimal(38,0)") * col("s")).as("s2"),
+        sum("d0").cast("decimal(38,0)").as("dd"),
+        max("n0").as("n"))
+      // the pair-count denominator in decimal BEFORE multiplying:
+      // n(n−1)·10⁶ passes the long bound at n ≈ 3·10⁶ — real at scale
+      .withColumn("den",
+        col("n").cast("decimal(38,0)")
+          * (col("n").cast("decimal(38,0)") - 1) * lit(1000000))
+      .select(col(keyCol), col("n"),
+        // floor((s2 − dd) / (n(n−1)·10⁶)) via the exact pmod trick
+        // (truncate ≡ floor once the numerator divides exactly);
+        // n = 1 ⇒ no pairs ⇒ NULL
+        when(col("n") > 1, expr(
+          "(s2 - dd - (((s2 - dd) % den + den) % den)) div den"))
+          .cast("long").as("mean_cos_ppm"))
+  }
+
   // ---------------------------------------------------------------
   // SQ8 scalar quantization — the storage tier UNDER product
   // quantization: one uint8 code per dimension (4× smaller than

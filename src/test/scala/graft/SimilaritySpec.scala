@@ -426,6 +426,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, f"IVF-ADC recall $recall%.2f below floor")
   }
 
+  test("meanPairwiseCosine: moment identity matches the brute-force " +
+      "pairwise mean within quantization ulp; singleton group NULL; " +
+      "partitioning-invariant") {
+    val e = Tables.embeddings(spark, Sf001)
+    val got = Similarity.meanPairwiseCosine(e, "label", "embedding")
+      .orderBy("label").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // brute-force reference: mean over ordered pairs i≠j of exact
+    // cosine, per label
+    val rows = e.select(col("label"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    rows.groupBy(_._1).foreach { case (label, members) =>
+      val vs = members.map(_._2)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val cos = for {
+        i <- vs.indices; j <- vs.indices if i != j
+      } yield dot(vs(i), vs(j)) / math.sqrt(dot(vs(i), vs(i)) * dot(vs(j), vs(j)))
+      val ref = cos.sum / cos.size * 1e6
+      val (n, ppm) = got(label)
+      assert(n == vs.length)
+      // micros quantization of each component perturbs a pair's dot
+      // by ≤ ~2·dim/10⁶·10⁶ ppm... in practice ≪ 200 ppm
+      assert(math.abs(ppm - ref) <= 200,
+        s"label $label: got $ppm vs brute ${ref.round}")
+    }
+
+    // singleton group → NULL (no pairs); identity unchanged by
+    // partitioning
+    import spark.implicits._
+    val single = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.6f, 0.8f)),
+      (1, Array(0.6f, 0.8f))).toDF("label", "embedding")
+    val sRows = Similarity.meanPairwiseCosine(single, "label", "embedding")
+      .orderBy("label").collect()
+    assert(sRows(0).isNullAt(2), "singleton must have NULL mean")
+    assert(sRows(1).getLong(2) >= 999998, "identical pair ≈ 10⁶ ppm")
+
+    val p1 = Similarity.meanPairwiseCosine(e.repartition(1), "label", "embedding")
+      .orderBy("label").collect().toSeq
+    val p7 = Similarity.meanPairwiseCosine(e.repartition(7), "label", "embedding")
+      .orderBy("label").collect().toSeq
+    assert(p1 == p7, "partitioning changed the exact integer result")
+  }
+
   test("cosineNearDups returns only pairs above threshold, id_a < id_b") {
     val e = Tables.embeddings(spark, Sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
