@@ -8194,6 +8194,77 @@ object Queries {
       .orderBy("qid")
   }
 
+  /** IR metrics gate (Retrieval.irMetrics — r9): MRR / MAP /
+    * precision@5 of the SQ8 code ranking judged against the exact
+    * cosine top-10 as qrels — the decision metric for "is the int8
+    * storage rung's retrieval loss acceptable", one level finer than
+    * q_e_sq8_recall's set overlap (rank POSITIONS of the hits now
+    * matter). All metrics are exact floor-div micros of rational hit
+    * fractions — nDCG's libm log2 discount is deliberately not
+    * offered — computed on the k·|Q| rank rows only. Oracle replays
+    * both rankings (the q_e_sq8_recall chains) and every metric
+    * floor.
+    */
+  val qLIrMetrics = q(
+    "q_l_ir_metrics",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |dims AS (SELECT unnest(range(64)) AS i),
+       |st AS (SELECT i, MIN(e[CAST(i AS INT) + 1]) AS mn,
+       |              MAX(e[CAST(i AS INT) + 1]) AS mx
+       |       FROM v CROSS JOIN dims GROUP BY i),
+       |cd AS (SELECT vec_id, i,
+       |         CASE WHEN mx > mn
+       |           THEN CAST(FLOOR((e[CAST(i AS INT) + 1] - mn) * 255.0
+       |                           / (mx - mn)) AS BIGINT)
+       |           ELSE 0 END AS code
+       |       FROM v CROSS JOIN st),
+       |sc AS (SELECT qc.vec_id AS qid, cc.vec_id AS cid,
+       |         CAST(SUM(qc.code * cc.code) AS BIGINT) AS score
+       |       FROM cd qc JOIN cd cc USING (i)
+       |       WHERE qc.vec_id < 10 AND qc.vec_id <> cc.vec_id
+       |       GROUP BY 1, 2),
+       |t8 AS (SELECT qid, cid, rn FROM (
+       |         SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY score DESC, cid) AS rn FROM sc)
+       |       WHERE rn <= 10),
+       |tex AS (SELECT qid, cid FROM (
+       |         SELECT q.qid, v2.vec_id AS cid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY ${duckCos("q.qv", "v2.e")} DESC,
+       |                      v2.vec_id) AS rn
+       |         FROM (SELECT vec_id AS qid, e AS qv FROM v
+       |               WHERE vec_id < 10) q
+       |         JOIN v v2 ON q.qid <> v2.vec_id) WHERE rn <= 10),
+       |hits AS (SELECT t8.qid, t8.rn AS r,
+       |           CASE WHEN tex.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |         FROM t8 LEFT JOIN tex USING (qid, cid)),
+       |cum AS (SELECT qid, r, hit,
+       |          SUM(hit) OVER (PARTITION BY qid ORDER BY r) AS h
+       |        FROM hits),
+       |m AS (SELECT qid,
+       |        MIN(CASE WHEN hit = 1 THEN r END) AS first_rel,
+       |        SUM(CASE WHEN hit = 1
+       |              THEN (h * 1000000) // (r * 10) ELSE 0 END) AS ap,
+       |        MAX(CASE WHEN r <= 5 THEN h END) AS h5
+       |      FROM cum GROUP BY qid)
+       |SELECT qid, COALESCE(1000000 // first_rel, 0) AS rr_micros,
+       |       CAST(ap AS BIGINT) AS ap_micros,
+       |       CAST((COALESCE(h5, 0) * 1000000) // 5 AS BIGINT) AS p_micros
+       |FROM m ORDER BY qid""".stripMargin) { (s, d) =>
+    import graft.operators.{Retrieval, Similarity}
+    val e = Tables.embeddings(s, d)
+    val (mins, maxs) = Similarity.sq8MinMax(e, "embedding")
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val run = Similarity.sq8TopK(qs, cands, mins, maxs, k = 10)
+      .select("qid", "cid", "rank")
+    val qrels = Similarity.bruteForceTopK(qs, cands, k = 10)
+      .select("qid", "cid")
+    Retrieval.irMetrics(run, qrels, pAt = 5).orderBy("qid")
+  }
+
   /** Per-source embedding diversity WITHOUT pairs
     * (Similarity.meanPairwiseCosine — r9): mean pairwise cosine per
     * label via the moment identity Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σ v̂‖² − Σ‖v̂‖² —
@@ -8525,6 +8596,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

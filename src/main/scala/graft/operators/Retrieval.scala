@@ -78,4 +78,41 @@ object Retrieval {
       .select(col("qid"), col("cid"), round(col("rrf"), 6).as("rrf"),
         col("rank"))
   }
+
+  /** IR evaluation metrics — the retrieval-quality gate for index
+    * rungs: given a RUN (a top-k ranking per query: qid, cid, rank)
+    * and QRELS (the relevant set per query: qid, cid), per-query
+    * reciprocal rank, average precision, and precision@pAt. All three
+    * are exact floor-div micros of rational hit fractions — no logs,
+    * no floats — so cross-engine replay is bit-exact (nDCG's log2
+    * discount is deliberately NOT offered: a libm term would make the
+    * gate engine-dependent). The AP contract is per-term floors
+    * summed: Σ over hit ranks r of (hits@r·10⁶) floorDiv (r·|rel|).
+    * Everything runs on the k·|Q| rank rows — metadata after the
+    * retrieval heap, regardless of corpus size (the run is already
+    * top-k; the one window per qid sorts ≤ k rows).
+    */
+  def irMetrics(run: DataFrame, qrels: DataFrame, pAt: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrel = qrels.groupBy("qid").agg(count(lit(1)).as("nrel"))
+    val marked = run
+      .join(qrels.select(col("qid"), col("cid"), lit(1L).as("hit")),
+        Seq("qid", "cid"), "left")
+      .na.fill(0L, Seq("hit"))
+    val w = Window.partitionBy("qid").orderBy("rank")
+    val cum = marked.withColumn("h", sum("hit").over(w))
+      .join(broadcast(nrel), Seq("qid"), "left")
+      .na.fill(0L, Seq("nrel"))
+    cum.groupBy("qid")
+      .agg(
+        min(when(col("hit") === 1, col("rank"))).as("first_rel"),
+        sum(when(col("hit") === 1,
+          expr("(h * 1000000) div (rank * nrel)")).otherwise(lit(0L)))
+          .as("ap_micros"),
+        max(when(col("rank") <= pAt, col("h"))).as("h_at"))
+      .select(col("qid"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micros"),
+        coalesce(col("ap_micros"), lit(0L)).as("ap_micros"),
+        expr(s"(coalesce(h_at, 0) * 1000000) div $pAt").as("p_micros"))
+  }
 }

@@ -44,4 +44,25 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(a.sortBy(t => (t._1, t._4)).toSeq == b.sortBy(t => (t._1, t._4)).toSeq)
   }
+
+  test("irMetrics: hand-computed MRR/MAP/P@k fixture — perfect run, " +
+      "partial run, zero-hit run") {
+    // qrels: q1 → {10, 11}; q2 → {20, 21}; q3 → {30}
+    val qrels = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "cid")
+    // q1: perfect (10@1, 11@2) → RR=1, AP=1, P@2=1
+    // q2: hits at ranks 2 and 4 → RR=1/2; AP = (1/2·1/2) + (2/4·1/2)
+    //   = 1/4 + 1/4 (per-term floors: 250000 + 250000); P@2 = 1/2
+    // q3: no hits → all zero
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3), (1L, 98L, 4),
+      (2L, 90L, 1), (2L, 20L, 2), (2L, 91L, 3), (2L, 21L, 4),
+      (3L, 77L, 1), (3L, 78L, 2)).toDF("qid", "cid", "rank")
+    val got = Retrieval.irMetrics(run, qrels, pAt = 2)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, 1000000L, 1000000L, 1000000L)), got(0))
+    assert(got(1) == ((2L, 500000L, 500000L, 500000L)), got(1))
+    assert(got(2) == ((3L, 0L, 0L, 0L)), got(2))
+  }
 }
