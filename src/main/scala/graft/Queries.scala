@@ -8194,6 +8194,69 @@ object Queries {
       .orderBy("qid")
   }
 
+  /** MMR diverse exemplar selection (Similarity.mmrSelect — r9):
+    * greedy maximal marginal relevance at λ=½ — 5 rounds of
+    * "most relevant to vec_id 0's query, least similar to what's
+    * already picked", each round ONE map-only scan + a global top-1.
+    * The selection the curation loop needs when "top-5 by relevance"
+    * returns 5 paraphrases. All scores are exact cosine micros
+    * (round 1 pure argmax rel; later rounds rel − max-sim-to-selected,
+    * ties to smaller cid). The oracle unrolls all five rounds as
+    * CTEs — argmax, exclusion set, and the growing max-sim join
+    * replayed exactly.
+    */
+  val qEMmrSelect = {
+    val kSel = 5
+    def simM(a: String, b: String) =
+      s"CAST(FLOOR(${duckCos(a, b)} * 1000000) AS BIGINT)"
+    // round 1: pure argmax rel. rounds 2..k: max-sim against the
+    // union of prior picks, prior picks excluded, argmax(rel−maxsim)
+    val rounds = (2 to kSel).map { r =>
+      val prior = (1 until r).map(i => s"SELECT cid, cv FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS ($prior),
+         |m$r AS (SELECT rel.cid, rel.rel_micros,
+         |          MAX(${simM("rel.cv", "s.cv")}) AS maxsim_micros
+         |        FROM rel CROSS JOIN sel$r s
+         |        WHERE rel.cid NOT IN (SELECT cid FROM sel$r)
+         |        GROUP BY rel.cid, rel.rel_micros),
+         |s$r AS (SELECT m$r.cid, rel.cv, m$r.rel_micros,
+         |          m$r.maxsim_micros,
+         |          m$r.rel_micros - m$r.maxsim_micros AS score_micros,
+         |          $r AS round
+         |        FROM m$r JOIN rel ON rel.cid = m$r.cid
+         |        ORDER BY score_micros DESC, m$r.cid LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to kSel)
+      .map(i => s"SELECT round, cid, rel_micros, maxsim_micros, score_micros FROM s$i")
+      .mkString(" UNION ALL ")
+    q(
+      "q_e_mmr_select",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |rel AS (SELECT vec_id AS cid, e AS cv,
+         |          ${simM("e", "qe")} AS rel_micros
+         |        FROM v CROSS JOIN qv WHERE vec_id <> 0),
+         |s1 AS (SELECT cid, cv, rel_micros,
+         |         CAST(NULL AS BIGINT) AS maxsim_micros,
+         |         rel_micros AS score_micros, 1 AS round
+         |       FROM rel ORDER BY rel_micros DESC, cid LIMIT 1),
+         |$rounds
+         |$unionAll ORDER BY round""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val e = Tables.embeddings(s, d)
+      val query = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()
+        .head.getSeq[Double](0).toArray
+      Similarity.mmrSelect(
+          e.filter(col("vec_id") =!= 0)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          query, k = kSel)
+        .orderBy("round")
+    }
+  }
+
   /** IR metrics gate (Retrieval.irMetrics — r9): MRR / MAP /
     * precision@5 of the SQ8 code ranking judged against the exact
     * cosine top-10 as qrels — the decision metric for "is the int8
@@ -8596,6 +8659,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

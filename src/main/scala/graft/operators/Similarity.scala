@@ -932,6 +932,68 @@ object Similarity {
           .cast("long").as("mean_cos_ppm"))
   }
 
+  /** Greedy MMR (maximal marginal relevance, Carbonell & Goldstein
+    * SIGIR'98) diverse subset selection at λ = ½: round r picks the
+    * candidate maximizing rel − max_{s∈selected} sim(·, s) (the λ=½
+    * argmax with the constant ½ dropped — exact integer micros, ties
+    * to the smaller cid; round 1 is pure argmax rel). Greedy MMR is
+    * inherently sequential in k, so the operator runs k driver
+    * rounds — but each round is ONE map-only scan plus a global
+    * top-1 (TakeOrdered, a 1-row reduction): the selected set is
+    * k·dim doubles of driver metadata, never a shuffle. At 100 TB
+    * picking k diverse exemplars costs k scans of the (cid, vec)
+    * projection and nothing else. Output: (round, cid, rel_micros,
+    * maxsim_micros, score_micros) — k rows.
+    */
+  def mmrSelect(
+      candidates: DataFrame, // (cid, cvec)
+      query: Array[Double],
+      k: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val qLit = array(query.map(lit).toIndexedSeq: _*)
+    val base = candidates
+      .select(col("cid"), col("cvec").cast("array<double>").as("cv"))
+      .withColumn("rel_micros",
+        floor(graft.expressions.VecExpressions.vec_cosine(col("cv"), qLit)
+          * 1e6).cast("long"))
+      .localCheckpoint() // scanned k times; rel computed once
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Option[Long], Long)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (round <- 1 to k) {
+      val remaining =
+        if (picked.isEmpty) base
+        else base.filter(!col("cid").isin(picked.map(_._2).toSeq: _*))
+      val scored =
+        if (selVecs.isEmpty)
+          remaining.withColumn("maxsim_micros", lit(null).cast("long"))
+            .withColumn("score_micros", col("rel_micros"))
+        else {
+          val sims = selVecs.map { s =>
+            val sLit = array(s.map(lit).toIndexedSeq: _*)
+            floor(graft.expressions.VecExpressions.vec_cosine(col("cv"), sLit)
+              * 1e6).cast("long")
+          }
+          val maxsim =
+            if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
+          remaining.withColumn("maxsim_micros", maxsim)
+            .withColumn("score_micros", col("rel_micros") - col("maxsim_micros"))
+        }
+      val top = scored
+        .orderBy(col("score_micros").desc, col("cid"))
+        .limit(1)
+        .select("cid", "cv", "rel_micros", "maxsim_micros", "score_micros")
+        .collect().head
+      picked += ((round, top.getLong(0), top.getLong(2),
+        if (top.isNullAt(3)) None else Some(top.getLong(3)), top.getLong(4)))
+      selVecs += top.getSeq[Double](1).toArray
+    }
+    import spark.implicits._
+    picked.toSeq
+      .map { case (r, c, rel, ms, sc) => (r, c, rel, ms, sc) }
+      .toDF("round", "cid", "rel_micros", "maxsim_micros", "score_micros")
+  }
+
   // ---------------------------------------------------------------
   // SQ8 scalar quantization — the storage tier UNDER product
   // quantization: one uint8 code per dimension (4× smaller than

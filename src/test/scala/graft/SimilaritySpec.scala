@@ -472,6 +472,31 @@ class SimilaritySpec extends SparkSpec {
     assert(p1 == p7, "partitioning changed the exact integer result")
   }
 
+  test("mmrSelect: diversifies past the paraphrase wall — round 2 " +
+      "skips the near-dup of round 1's pick; rounds are exclusive; " +
+      "round-1 maxsim NULL") {
+    import spark.implicits._
+    // query along x; 1/2 are twins above the axis, 3 is 1's MIRROR
+    // below it — equally relevant but diverse. Pure top-2 = {1, 2}
+    // (the twin edges out the mirror's float rounding); at λ=½ the
+    // twin's ~1.0 sim penalty sinks it, so MMR picks 1 then 3.
+    val cands = Seq(
+      (1L, Array(0.99f, 0.141f)),
+      (2L, Array(0.99f, 0.142f)),
+      (3L, Array(0.99f, -0.141f))).toDF("cid", "cvec")
+    val got = Similarity.mmrSelect(cands, Array(1.0, 0.0), k = 3)
+      .orderBy("round").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L),
+      got.map(_.getLong(1)).toSeq)
+    assert(got(0).isNullAt(3), "round-1 maxsim must be NULL")
+    assert(got(0).getLong(4) == got(0).getLong(2),
+      "round-1 score is pure relevance")
+    // rounds 2+: score = rel − maxsim exactly
+    (1 until 3).foreach { i =>
+      assert(got(i).getLong(4) == got(i).getLong(2) - got(i).getLong(3))
+    }
+  }
+
   test("cosineNearDups returns only pairs above threshold, id_a < id_b") {
     val e = Tables.embeddings(spark, Sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
