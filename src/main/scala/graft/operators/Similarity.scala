@@ -891,6 +891,18 @@ object Similarity {
     * contract). Groups of one row report NULL (no pairs).
     */
   def meanPairwiseCosine(
+      df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    meanPairwiseCosineFromSums(diversityPosSums(df, keyCol, vecCol), keyCol)
+
+  /** The order-free sufficient statistics of [[meanPairwiseCosine]]:
+    * per (key, pos), the exact long sum of micros-quantized unit-
+    * vector components, plus the row count and Σ‖·‖² diagonal carried
+    * through pos 0. Pure sums ⇒ valid as an incremental STREAMING
+    * aggregation (state: dim rows per key), maintained exactly
+    * regardless of micro-batch boundaries — the streaming face
+    * (streaming/StreamDiversity) shares this verbatim.
+    */
+  def diversityPosSums(
       df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
     val base = df
       .select(col(keyCol), col(vecCol).cast("array<double>").as("ev"))
@@ -913,6 +925,15 @@ object Similarity {
       .groupBy(col(keyCol), col("pos"))
       .agg(sum("qi").as("s"), sum("diag0").as("d0"),
         sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n0"))
+  }
+
+  /** Finish [[diversityPosSums]] state to (key, n, mean_cos_ppm) —
+    * shared by the batch operator and the drained streaming state,
+    * so batch ≡ streaming is an identity of the same arithmetic.
+    */
+  def meanPairwiseCosineFromSums(
+      sums: DataFrame, keyCol: String): DataFrame =
+    sums
       .groupBy(keyCol)
       .agg(
         sum(col("s").cast("decimal(38,0)") * col("s")).as("s2"),
@@ -930,7 +951,6 @@ object Similarity {
         when(col("n") > 1, expr(
           "(s2 - dd - (((s2 - dd) % den + den) % den)) div den"))
           .cast("long").as("mean_cos_ppm"))
-  }
 
   /** Greedy MMR (maximal marginal relevance, Carbonell & Goldstein
     * SIGIR'98) diverse subset selection at λ = ½: round r picks the
