@@ -1819,6 +1819,63 @@ object Queries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Linear-interpolation resample (Resample.gridInterpolate — r9):
+    * the `resample().interpolate()` sibling of q_w_resample_ffill —
+    * unobserved grid buckets take the exact integer floor of the
+    * lerp between their surrounding observations (pmod-floor, decimal
+    * numerator), edges stay NULL. Same scale shape: one fact-sized
+    * bucket agg, metadata spine, per-series windows; the oracle
+    * replays the prev/next picks and the floor arithmetic exactly.
+    */
+  val qWResampleInterp = q(
+    "q_w_resample_interp",
+    """WITH e AS (SELECT event_type,
+      |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 AS bucket,
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |           FROM events),
+      |a AS (SELECT event_type, bucket, COUNT(*) AS n,
+      |        CAST(SUM(cents) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+      |sp AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM a),
+      |g AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+      |s AS (SELECT event_type, bucket
+      |      FROM (SELECT DISTINCT event_type FROM a) CROSS JOIN g),
+      |j AS (SELECT s.event_type, s.bucket, COALESCE(a.n, 0) AS n,
+      |        (a.v IS NOT NULL) AS observed, a.v
+      |      FROM s LEFT JOIN a USING (event_type, bucket)),
+      |f AS (SELECT event_type, bucket, n, observed, v,
+      |        last_value(CASE WHEN observed THEN bucket END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |        last_value(CASE WHEN observed THEN v END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |        first_value(CASE WHEN observed THEN bucket END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+      |        first_value(CASE WHEN observed THEN v END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |      FROM j),
+      |i AS (SELECT event_type, bucket, n, observed,
+      |        CASE WHEN observed THEN v
+      |             WHEN pb IS NOT NULL AND nb IS NOT NULL THEN
+      |               pv + CAST((num - (((num % den) + den) % den)) // den
+      |                         AS BIGINT)
+      |        END AS interp_cents
+      |      FROM (SELECT *,
+      |              (CAST(nv AS HUGEINT) - pv) * (bucket - pb) AS num,
+      |              nb - pb AS den
+      |            FROM f))
+      |SELECT event_type, bucket, n, observed, interp_cents
+      |FROM i ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    graft.operators.Resample.gridInterpolate(
+        Tables.events(s, d), "event_type",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"),
+        stepSec = 3600L)
+      .orderBy("event_type", "bucket")
+  }
+
   /** Ranking window: top-3 events per user by value. */
   val qWRank = q(
     "q_w_rank_topn",
@@ -8629,7 +8686,7 @@ object Queries {
     qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
-    qWResampleFfill, qWCohortRetention, qWRollingHour, qTCollocations,
+    qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
     qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,

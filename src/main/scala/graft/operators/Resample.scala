@@ -52,6 +52,60 @@ object Resample {
         col("filled_cents"))
   }
 
+  /** Linear interpolation on the same grid spine as [[gridFfill]] —
+    * the pandas `resample().interpolate()` face: each unobserved
+    * bucket takes pv + (nv−pv)·(bucket−pb)/(nb−pb) between its
+    * surrounding observations, as an EXACT integer floor (decimal
+    * numerator past the long bound, pmod-floor division) — so the
+    * fill is order-free and oracle-replayable, unlike a float lerp.
+    * Buckets before the first / after the last observation stay NULL
+    * (no extrapolation — ffill is the operator for trailing carry).
+    * Same scale shape as gridFfill: one fact-sized bucket agg, a
+    * metadata spine, windows partitioned BY SERIES; the prev/next
+    * observation pair rides two ignoreNulls window picks over the
+    * same sort.
+    */
+  def gridInterpolate(
+      events: DataFrame,
+      keyCol: String,
+      secCol: Column,
+      valueCents: Column,
+      stepSec: Long): DataFrame = {
+    val bucketed = events.withColumn("bucket",
+      floor(secCol / lit(stepSec)).cast("long"))
+    val agg = bucketed.groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("v_cents"))
+    val span = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    val grid = span.select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val spine = agg.select(keyCol).distinct().crossJoin(broadcast(grid))
+    val wPrev = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(agg, Seq(keyCol, "bucket"), "left")
+      .withColumn("observed", col("v_cents").isNotNull)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs", when(col("v_cents").isNotNull,
+        struct(col("bucket").as("b"), col("v_cents").as("v"))))
+      .withColumn("p", last("obs", ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first("obs", ignoreNulls = true).over(wNext))
+      // strictly-between geometry for unobserved rows ⇒ den ≥ 1;
+      // numerator in decimal: (value span)·(bucket offset) can pass
+      // the long bound on wide gaps of large cents
+      .withColumn("den", col("nx.b") - col("p.b"))
+      .withColumn("num",
+        (col("nx.v").cast("decimal(38,0)") - col("p.v"))
+          * (col("bucket") - col("p.b")))
+      .withColumn("interp_cents",
+        when(col("observed"), col("v_cents"))
+          .otherwise(when(col("p").isNotNull && col("nx").isNotNull,
+            col("p.v")
+              + expr("(num - (((num % den) + den) % den)) div den"))
+            .cast("long")))
+      .select(col(keyCol), col("bucket"), col("n"), col("observed"),
+        col("interp_cents"))
+  }
+
   /** [[gridFfill]] for the degenerate shape it documents as its
     * limit: ONE (or few) giant series, where a per-series window
     * would serialize the whole fill into a single task. The classic

@@ -206,6 +206,39 @@ class SamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("gridInterpolate: exact floor lerp between surrounding " +
+      "observations; observed rows untouched; edges null; " +
+      "partitioning-invariant") {
+    import graft.operators.Resample
+    // series a observed at hours 0 (cents 0) and 3 (cents 10): the
+    // gap is a NON-divisible lerp — floor(10/3)=3, floor(20/3)=6.
+    // series b observed at 1 (100) and 4 (negative −500): negative
+    // slope exercises the pmod floor (toward −∞, not zero).
+    val ev = Seq(
+      ("a", 0L * 3600 + 5, 0L), ("a", 3L * 3600 + 9, 10L),
+      ("b", 1L * 3600 + 1, 100L), ("b", 4L * 3600 + 2, -500L))
+      .toDF("k", "sec", "cents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val got = canon(Resample.gridInterpolate(
+      ev, "k", col("sec"), col("cents"), 3600L))
+    assert(got.size == 10) // 2 series × hours 0..4
+    assert(got(("a", 0L)) == ((true, Some(0L))))
+    assert(got(("a", 1L)) == ((false, Some(3L)))) // floor(10/3)
+    assert(got(("a", 2L)) == ((false, Some(6L)))) // floor(20/3)
+    assert(got(("a", 3L)) == ((true, Some(10L))))
+    assert(got(("a", 4L)) == ((false, None))) // after last obs
+    assert(got(("b", 0L)) == ((false, None))) // before first obs
+    // b: 100 → −500 over 3 steps = −200/step: exact
+    assert(got(("b", 2L)) == ((false, Some(-100L))))
+    assert(got(("b", 3L)) == ((false, Some(-300L))))
+    val re = canon(Resample.gridInterpolate(
+      ev.repartition(5), "k", col("sec"), col("cents"), 3600L))
+    assert(re == got)
+  }
+
   test("gridFfillSegmented == gridFfill, including carries across " +
       "entirely-empty ranges — the giant-single-series scale path") {
     import graft.operators.Resample
