@@ -2536,6 +2536,37 @@ object Queries {
     * each (cross-engine deterministic; DuckDB regexp_replace needs the
     * 'g' flag to match Spark's replace-all).
     */
+  /** Flesch–Kincaid readability (TextOps.readabilityMetrics — r9):
+    * grade level + reading ease in exact per-term floor-div micros
+    * over regex-countable words / sentence boundaries / vowel-run
+    * syllables — the text-difficulty curation axis beside the
+    * quality features. Map-only over the scan; the oracle replays
+    * counts and every floor.
+    */
+  val qTReadability = q(
+    "q_t_readability",
+    """WITH c AS (SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> len(t) > 0)) AS n_words,
+      |  GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |    AS n_sentences,
+      |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN
+      |    (390000 * n_words) // n_sentences
+      |    + (11800000 * n_syllables) // n_words - 15590000 END
+      |    AS fk_grade_micros,
+      |  CASE WHEN n_words > 0 THEN
+      |    206835000 - (1015000 * n_words) // n_sentences
+      |    - (84600000 * n_syllables) // n_words END
+      |    AS reading_ease_micros
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextOps.readabilityMetrics(
+        Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val qTQuality = q(
     "q_t_quality_features",
     """SELECT doc_id,
@@ -8689,7 +8720,7 @@ object Queries {
     qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
-    qTQuality, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
+    qTQuality, qTReadability, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,

@@ -76,6 +76,38 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** Flesch–Kincaid readability as EXACT integer micros — the
+    * classic text-difficulty feature beside [[qualityScore]] (a
+    * too-hard/too-degenerate filter axis for pretraining curation).
+    * Heuristic counts, all regex-countable in the Java/RE2 shared
+    * subset: words = whitespace tokens; sentences = max(1, count of
+    * `[.!?]+` runs); syllables = maximal lowercase vowel runs
+    * `[aeiouy]+` over the whole text (zero-vowel words contribute 0
+    * — the per-word ≥1 floor is deliberately NOT applied: it would
+    * need a per-word explode for a heuristic correction smaller than
+    * the heuristic's own error). The published coefficients ride
+    * per-term floor-div micros (the estimator is the contract):
+    *   grade  = 0.39·w/s + 11.8·syl/w − 15.59
+    *   ease   = 206.835 − 1.015·w/s − 84.6·syl/w
+    * Map-only over the scan; empty docs (w = 0) report NULL.
+    */
+  def readabilityMetrics(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("fk_grade_micros", when(col("n_words") > 0,
+        expr("(390000 * n_words) div n_sentences")
+          + expr("(11800000 * n_syllables) div n_words")
+          - lit(15590000L)))
+      .withColumn("reading_ease_micros", when(col("n_words") > 0,
+        lit(206835000L)
+          - expr("(1015000 * n_words) div n_sentences")
+          - expr("(84600000 * n_syllables) div n_words")))
+
   /** Stopword list used by quality scoring + language ID. */
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")

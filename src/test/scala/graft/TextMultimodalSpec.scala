@@ -412,6 +412,34 @@ class TextMultimodalSpec extends SparkSpec {
       f.map(_.frame_idx).toSeq == f.indices.map(_ * 10)))
   }
 
+  test("readability: hand-computed FK grade/ease floors; empty doc " +
+      "NULL; punctuation-free doc counts one sentence") {
+    val df = Seq(
+      // 9 words, 2 sentences ("." and "!" runs), syllables by vowel
+      // runs: the(1) cat(1) sat(1) on(1) the(1) mat(1) it(1) was(1)
+      // good(1) = 9
+      (1L, "the cat sat on the mat. it was good!"),
+      // no sentence punctuation → 1 sentence; zero-vowel word "tsk"
+      // contributes 0 syllables
+      (2L, "tsk tsk"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.readabilityMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: w=9 s=2 syl=9: grade = 390000·9/2 + 11800000·9/9 − 15590000
+    //   = 1755000 + 11800000 − 15590000 = −2035000
+    // ease = 206835000 − 1015000·9/2 − 84600000·9/9
+    //   = 206835000 − 4567500 − 84600000 = 117667500
+    assert(got(0).getLong(1) == 9 && got(0).getLong(2) == 2
+      && got(0).getLong(3) == 9)
+    assert(got(0).getLong(4) == -2035000L, got(0).getLong(4))
+    assert(got(0).getLong(5) == 117667500L, got(0).getLong(5))
+    // doc 2: w=2 s=1 syl=0: grade = 780000 + 0 − 15590000 = −14810000
+    assert(got(1).getLong(2) == 1 && got(1).getLong(3) == 0)
+    assert(got(1).getLong(4) == -14810000L)
+    // doc 3: empty → 0 words → NULL metrics
+    assert(got(2).getLong(1) == 0 && got(2).isNullAt(4) && got(2).isNullAt(5))
+  }
+
   test("repetition: hand-computed n-gram fractions and edge cases") {
     val df = Seq(
       // 2-grams: [a b, b a, a b, b a, a b] -> top "a b" 3/5
