@@ -891,6 +891,27 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Hilbert layout key (ZOrder.hilbertValue2 — r9): the
+    * locality-tighter clustering key beside q_x_zorder — continuous
+    * curve, so range-partitioned files cover better rectangles and
+    * fewer files overlap a box predicate at the same file count.
+    * Native O(bits) reflect-rotate kernel; the oracle replays the
+    * walk as 20 chained CTE rewrites, level for level.
+    */
+  val qXHilbert = q(
+    "q_x_hilbert",
+    s"""WITH ${graft.operators.ZOrder.hilbertValue2SqlCtes(
+           "lineitem", "l_orderkey, l_linenumber",
+           "l_partkey", "l_suppkey", bits = 20)}
+       |SELECT l_orderkey, l_linenumber, hd AS hval
+       |FROM h20 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.hilbertValue2(
+          col("l_partkey"), col("l_suppkey"), bits = 20).as("hval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Snapshot regression-diff (operators/SnapshotDiff): which order
     * keys were added / removed / changed between two deterministic
     * "runs" carved from orders — old drops keys ≡3 (mod 97) and new
@@ -8705,6 +8726,7 @@ object Queries {
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
+    qXHilbert,
     qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
     qGPprSeeded, qGTriangles, qGKcore,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,

@@ -41,6 +41,43 @@ object ZOrder {
         s" + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
 
+  /** Hilbert d-value of two non-negative integer columns on the
+    * 2^bits grid — the locality-tighter layout key beside [[zValue2]]
+    * (continuous curve: consecutive indices are ADJACENT cells, so
+    * range-chunks are better rectangles than Z's diagonal-jump
+    * quadrants; Delta shipped this exact upgrade as liquid
+    * clustering). Native O(bits) kernel
+    * ([[graft.expressions.HilbertIndex]]): the reflect-rotate walk is
+    * sequential across levels, so a column-fold rendering would grow
+    * 4^bits or cost bits× plan depth — same reason the byte kernels
+    * are native. Values must fit `bits` bits (min-max scale first).
+    */
+  def hilbertValue2(x: Column, y: Column, bits: Int = 16): Column =
+    graft.expressions.HilbertIndex(x.cast("long"), y.cast("long"), bits)
+
+  /** SQL rendering of [[hilbertValue2]] as `bits` chained CTE
+    * rewrites of (hx, hy, hd) — the identical reflect-rotate walk,
+    * level for level. Returns the body of a WITH clause; the final
+    * CTE is `h<bits>` carrying `passCols` plus `hd`.
+    */
+  def hilbertValue2SqlCtes(
+      table: String, passCols: String, x: String, y: String,
+      bits: Int): String = {
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (b, k) =>
+      val s = 1L << b
+      s"""h${k + 1} AS (SELECT $passCols,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |  hd + ${s * s} * CASE WHEN rx = 1 THEN CASE WHEN ry = 1 THEN 2 ELSE 3 END ELSE ry END AS hd
+         |FROM (SELECT *, CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |        CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |      FROM h$k))""".stripMargin
+    }
+    s"""h0 AS (SELECT $passCols, CAST($x AS BIGINT) AS hx,
+       |  CAST($y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $table),
+       |${levels.mkString(",\n")}""".stripMargin
+  }
+
   /** Write `df` z-clustered on (x, y): both dimensions min-max scale
     * to the FULL `bits` width first — interleaving raw values whose
     * ranges differ (say an 11-bit key with a 7-bit one) degenerates

@@ -47,6 +47,68 @@ class ZOrderSpec extends SparkSpec {
     per
   }
 
+  test("hilbertValue2: bijective on the full 32x32 grid, CONTINUOUS " +
+      "(consecutive indices are adjacent cells — the property Z " +
+      "lacks), and range-chunks beat Z-order's worst-dim span") {
+    val n = 32
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d = grid.select(col("x"), col("y"),
+        ZOrder.hilbertValue2(col("x"), col("y"), bits = 5).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    // bijection onto [0, n²)
+    assert(d.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq)
+    // continuity: every consecutive pair of d-values is L1-adjacent
+    d.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // Z-order takes long diagonal jumps (e.g. d=1→2 jumps (1,0)→(0,1));
+    // measure: equal-size range-chunks of the curve, worst-dim span per
+    // chunk — Hilbert's rectangles are tighter than Z's. At power-of-4-
+    // aligned chunk counts BOTH curves give perfect squares, so use a
+    // NON-aligned count (10): real file counts aren't curve-aligned.
+    val nChunks = 10
+    def chunkSpan(key: (Long, Long) => Long): Double = {
+      val cells = (for { x <- 0L until n; y <- 0L until n }
+        yield (key(x, y), x, y)).sortBy(_._1)
+      val chunks = cells.grouped(
+        math.ceil(n * n / nChunks.toDouble).toInt).toSeq
+      chunks.map { c =>
+        math.max(c.map(_._2).max - c.map(_._2).min,
+          c.map(_._3).max - c.map(_._3).min).toDouble / (n - 1)
+      }.sum / chunks.size
+    }
+    val hSpan = chunkSpan((x, y) => HilbertRef.xy2d(x, y, 5))
+    val zSpan = chunkSpan((x, y) =>
+      (0 until 5).map(i => (((x >> i) & 1) << (2 * i))
+        | (((y >> i) & 1) << (2 * i + 1))).sum)
+    info(f"$nChunks-chunk worst-dim span: hilbert=$hSpan%.3f z=$zSpan%.3f")
+    assert(hSpan < zSpan, f"hilbert $hSpan%.3f not tighter than z $zSpan%.3f")
+  }
+
+  /** Driver-side reference of the reflect-rotate walk (same algorithm,
+    * independent code path from the Catalyst expression's kernel).
+    */
+  private object HilbertRef {
+    def xy2d(xIn: Long, yIn: Long, bits: Int): Long = {
+      var x = xIn; var y = yIn; var dd = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        dd += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      dd
+    }
+  }
+
   test("z-clustered files stay narrow in BOTH dims; single-column " +
       "sort leaves the other dim unprunable") {
     val li = Tables.lineitem(spark, Sf001)
