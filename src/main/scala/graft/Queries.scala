@@ -2557,6 +2557,49 @@ object Queries {
     * each (cross-engine deterministic; DuckDB regexp_replace needs the
     * 'g' flag to match Spark's replace-all).
     */
+  /** Encoding-health audit (TextOps.encodingHealth — r9): the
+    * decode-damage gate — per doc, counts of replacement chars, C1
+    * controls, and UTF-8-as-Latin-1 mojibake digraphs. The clean
+    * corpus would gate trivially, so docs ≡0 (mod 7) get a planted
+    * corruption suffix built from ONE shared constant (the Spark
+    * literal and the SQL chr() chain render from the same Scala
+    * string — zero drift): the oracle proves all three counters on
+    * damaged and clean rows alike. Patterns are \\x{hhhh}-escaped
+    * Java/RE2 shared subset.
+    */
+  val qTEncodingHealth = {
+    import graft.operators.TextOps
+    // " Ã© â€™ Â<nbsp><replacement><NEL>" — 1 replacement, 1 C1 (NEL),
+    // 3 mojibake hits (Ã©, â€™, Â+nbsp)
+    val suffix = " Ã© â€™ Â �"
+    val sqlSuffix = suffix.map(c => s"chr(${c.toInt})").mkString(" || ")
+    q(
+      "q_t_encoding_health",
+      s"""WITH corr AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || $sqlSuffix
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextOps.ReplacementRe}'))
+         |    AS n_replacement,
+         |  len(regexp_extract_all(text, '${TextOps.C1ControlRe}'))
+         |    AS n_c1,
+         |  len(regexp_extract_all(text, '${TextOps.MojibakeRe}'))
+         |    AS n_mojibake,
+         |  len(regexp_extract_all(text, '${TextOps.ReplacementRe}')) = 0
+         |    AND len(regexp_extract_all(text, '${TextOps.C1ControlRe}')) = 0
+         |    AND len(regexp_extract_all(text, '${TextOps.MojibakeRe}')) = 0
+         |    AS healthy
+         |FROM corr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.encodingHealth(
+          Tables.documents(s, d).select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(suffix)))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Flesch–Kincaid readability (TextOps.readabilityMetrics — r9):
     * grade level + reading ease in exact per-term floor-div micros
     * over regex-countable words / sentence boundaries / vowel-run
@@ -8742,7 +8785,7 @@ object Queries {
     qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
-    qTQuality, qTReadability, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
+    qTQuality, qTReadability, qTEncodingHealth, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,

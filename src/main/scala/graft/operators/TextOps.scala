@@ -108,6 +108,44 @@ object TextOps {
           - expr("(1015000 * n_words) div n_sentences")
           - expr("(84600000 * n_syllables) div n_words")))
 
+  /** Encoding-health patterns — spelled entirely with `\x{hhhh}`
+    * escapes (no raw special chars in the pattern string), in the
+    * Java/RE2 shared subset, so the same literal pattern text runs in
+    * both engines.
+    */
+  /** The Unicode replacement char a lossy decode leaves behind. */
+  val ReplacementRe = "\\x{FFFD}"
+  /** C1 control block — legal Unicode, near-certain decode damage in
+    * text (CP1252 bytes read as Latin-1).
+    */
+  val C1ControlRe = "[\\x{0080}-\\x{009F}]"
+  /** Classic UTF-8-read-as-Latin-1 double-encode digraphs: Ã +
+    * continuation (2-byte chars), â€ + curly-punct tail (3-byte
+    * chars), Â + nbsp/©/«/» (the stranded-prefix form).
+    */
+  val MojibakeRe =
+    "\\x{00C3}[\\x{0080}-\\x{00BF}]" +
+      "|\\x{00E2}\\x{20AC}[\\x{2122}\\x{201C}\\x{201D}\\x{02DC}\\x{00A6}]" +
+      "|\\x{00C2}[\\x{00A0}\\x{00A9}\\x{00AB}\\x{00BB}]"
+
+  /** Encoding-health audit — the decode-damage gate a crawl pipeline
+    * runs before any text op trusts the bytes: per doc, counts of
+    * replacement chars, C1 controls, and mojibake digraphs, plus the
+    * all-clear verdict. Map-only regex counting over the scan.
+    */
+  def encodingHealth(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit(ReplacementRe), lit(0)))
+          .cast("long").as("n_replacement"),
+        size(regexp_extract_all(col(textCol), lit(C1ControlRe), lit(0)))
+          .cast("long").as("n_c1"),
+        size(regexp_extract_all(col(textCol), lit(MojibakeRe), lit(0)))
+          .cast("long").as("n_mojibake"))
+      .withColumn("healthy",
+        col("n_replacement") === 0 && col("n_c1") === 0
+          && col("n_mojibake") === 0)
+
   /** Stopword list used by quality scoring + language ID. */
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")

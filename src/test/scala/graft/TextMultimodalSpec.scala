@@ -412,6 +412,27 @@ class TextMultimodalSpec extends SparkSpec {
       f.map(_.frame_idx).toSeq == f.indices.map(_ * 10)))
   }
 
+  test("encodingHealth: planted damage counted per class; clean text " +
+      "healthy; damage classes don't cross-fire") {
+    val df = Seq(
+      (1L, "perfectly clean ascii text."),
+      // two replacement chars
+      (2L, "lossy � decode � here"),
+      // C1 controls: NEL + 0x9F
+      (3L, "c1 \u0085 damage \u009F"),
+      // mojibake: Ã© (2-byte double-encode), â€™ (3-byte), Â+nbsp
+      (4L, "caf\u00C3\u00A9 it\u00E2\u20AC\u2122s \u00C2\u00A0bad"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.encodingHealth(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got(0) == ((0L, 0L, 0L, true)))
+    assert(got(1) == ((2L, 0L, 0L, false)))
+    assert(got(2) == ((0L, 2L, 0L, false)))
+    assert(got(3) == ((0L, 0L, 3L, false)), got(3))
+    assert(got(4) == ((0L, 0L, 0L, true)))
+  }
+
   test("readability: hand-computed FK grade/ease floors; empty doc " +
       "NULL; punctuation-free doc counts one sentence") {
     val df = Seq(
