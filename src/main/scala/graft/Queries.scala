@@ -2557,6 +2557,140 @@ object Queries {
     * each (cross-engine deterministic; DuckDB regexp_replace needs the
     * 'g' flag to match Spark's replace-all).
     */
+  /** Data-card capstone (r9): the per-source corpus summary a
+    * training run publishes — docs, exact-dup count, BPE-ish token
+    * total (the billing number), majority language, corpus stopword
+    * rate and mean token length (exact ppm of summed counts, never a
+    * mean of per-doc floats), corpus-level FK readability from the
+    * SUMMED counts, and the encoding-damage count. ONE corpus scan:
+    * per-doc scalars fold through a (source, lang) pre-agg (distinct
+    * counts stay additive across langs because identical texts share
+    * a lang_pred) into the source-level card; the majority lang is
+    * an argmax on the metadata table. Every number is exact integer
+    * arithmetic — the whole card replays hash-exact.
+    */
+  val qPipeDataCard = {
+    import graft.operators.TextOps
+    val pat = TextOps.BpeishPattern.replace("'", "''")
+    def sc(ws: String) =
+      s"len(list_filter(lotoks, t -> list_contains([$ws], t)))"
+    val en = sc("'the','and','of','to','is'")
+    val de = sc("'der','die','und','das','ist'")
+    val fr = sc("'le','la','et','les','est'")
+    val es = sc("'el','los','que','y','es'")
+    val nl = sc("'de','het','een','en','van'")
+    q(
+      "q_pipe_data_card",
+      s"""WITH pd AS (SELECT source, text,
+         |    len(regexp_extract_all(text, '$pat')) AS bt,
+         |    len(toks) AS nt,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+         |      (a, v) -> a + v) AS tl,
+         |    len(list_filter(lotoks, t -> list_contains(
+         |      ['the','a','of','to','and','in','is','it','on','for'], t)))
+         |      AS nstop,
+         |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+         |    CASE WHEN $en = greatest($en,$de,$fr,$es,$nl) AND greatest($en,$de,$fr,$es,$nl) > 0 THEN 'en'
+         |         WHEN $de = greatest($en,$de,$fr,$es,$nl) AND greatest($en,$de,$fr,$es,$nl) > 0 THEN 'de'
+         |         WHEN $fr = greatest($en,$de,$fr,$es,$nl) AND greatest($en,$de,$fr,$es,$nl) > 0 THEN 'fr'
+         |         WHEN $es = greatest($en,$de,$fr,$es,$nl) AND greatest($en,$de,$fr,$es,$nl) > 0 THEN 'es'
+         |         WHEN $nl = greatest($en,$de,$fr,$es,$nl) AND greatest($en,$de,$fr,$es,$nl) > 0 THEN 'nl'
+         |         ELSE 'und' END AS lang_pred,
+         |    (len(regexp_extract_all(text, '${TextOps.ReplacementRe}'))
+         |     + len(regexp_extract_all(text, '${TextOps.C1ControlRe}'))
+         |     + len(regexp_extract_all(text, '${TextOps.MojibakeRe}'))) AS dmg
+         |  FROM (SELECT source, text,
+         |          list_filter(regexp_split_to_array(text, '\\s+'),
+         |                      t -> len(t) > 0) AS toks,
+         |          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                      t -> len(t) > 0) AS lotoks
+         |        FROM documents)),
+         |g1 AS (SELECT source, lang_pred, COUNT(*) AS cnt,
+         |         COUNT(DISTINCT text) AS nd, SUM(bt) AS sbt,
+         |         SUM(nt) AS snt, SUM(tl) AS stl, SUM(nstop) AS sstop,
+         |         SUM(ns) AS sns, SUM(syl) AS ssyl,
+         |         SUM(CASE WHEN dmg > 0 THEN 1 ELSE 0 END) AS sun
+         |       FROM pd GROUP BY 1, 2),
+         |top AS (SELECT source, lang_pred AS top_lang FROM (
+         |          SELECT source, lang_pred, ROW_NUMBER() OVER (
+         |            PARTITION BY source ORDER BY cnt DESC, lang_pred) AS rn
+         |          FROM g1) WHERE rn = 1),
+         |agg AS (SELECT source,
+         |          CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         |          CAST(SUM(cnt) - SUM(nd) AS BIGINT) AS n_dup_docs,
+         |          CAST(SUM(sbt) AS BIGINT) AS total_bpeish_tokens,
+         |          CAST(SUM(snt) AS BIGINT) AS snt,
+         |          CAST(SUM(stl) AS BIGINT) AS stl,
+         |          CAST(SUM(sstop) AS BIGINT) AS sstop,
+         |          CAST(SUM(sns) AS BIGINT) AS sns,
+         |          CAST(SUM(ssyl) AS BIGINT) AS ssyl,
+         |          CAST(SUM(sun) AS BIGINT) AS n_unhealthy
+         |        FROM g1 GROUP BY 1)
+         |SELECT agg.source, n_docs, n_dup_docs, total_bpeish_tokens,
+         |       top_lang,
+         |       (sstop * 1000000) // snt AS stopword_ppm,
+         |       (stl * 1000000) // snt AS mean_tok_len_ppm,
+         |       (390000 * snt) // sns + (11800000 * ssyl) // snt
+         |         - 15590000 AS fk_grade_micros,
+         |       n_unhealthy
+         |FROM agg JOIN top ON top.source = agg.source
+         |ORDER BY agg.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val stopLit = array(Seq("the", "a", "of", "to", "and", "in", "is",
+        "it", "on", "for").map(lit): _*)
+      val perDoc = Tables.documents(s, d)
+        .select(col("source"), col("text"))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("lotoks", TextOps.tokens(lower(col("text"))))
+        .select(col("source"), col("text"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("bt"),
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(col("toks"), lit(0L),
+            (a, x) => a + length(x).cast("long")).as("tl"),
+          size(filter(col("lotoks"), x => array_contains(stopLit, x)))
+            .cast("long").as("nstop"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+            lit(0))), lit(1)).cast("long").as("ns"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+            lit(0))).cast("long").as("syl"),
+          graft.expressions.LangId(col("text")).as("lang_pred"),
+          (size(regexp_extract_all(col("text"),
+              lit(TextOps.ReplacementRe), lit(0)))
+            + size(regexp_extract_all(col("text"),
+              lit(TextOps.C1ControlRe), lit(0)))
+            + size(regexp_extract_all(col("text"),
+              lit(TextOps.MojibakeRe), lit(0)))).cast("long").as("dmg"))
+      val g1 = perDoc.groupBy("source", "lang_pred").agg(
+        count(lit(1)).as("cnt"), countDistinct("text").as("nd"),
+        sum("bt").as("sbt"), sum("nt").as("snt"), sum("tl").as("stl"),
+        sum("nstop").as("sstop"), sum("ns").as("sns"),
+        sum("syl").as("ssyl"),
+        sum(when(col("dmg") > 0, 1L).otherwise(0L)).as("sun"))
+      g1.groupBy("source").agg(
+          sum("cnt").as("n_docs"),
+          (sum("cnt") - sum("nd")).as("n_dup_docs"),
+          sum("sbt").as("total_bpeish_tokens"),
+          // argmax lang on the metadata table: min of (−cnt, lang)
+          min(struct((-col("cnt")).as("nc"), col("lang_pred").as("l")))
+            .getField("l").as("top_lang"),
+          sum("snt").as("snt2"), sum("stl").as("stl2"),
+          sum("sstop").as("sstop2"), sum("sns").as("sns2"),
+          sum("ssyl").as("ssyl2"),
+          sum("sun").as("n_unhealthy"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          col("total_bpeish_tokens"), col("top_lang"),
+          expr("(sstop2 * 1000000) div snt2").as("stopword_ppm"),
+          expr("(stl2 * 1000000) div snt2").as("mean_tok_len_ppm"),
+          (expr("(390000 * snt2) div sns2")
+            + expr("(11800000 * ssyl2) div snt2")
+            - lit(15590000L)).as("fk_grade_micros"),
+          col("n_unhealthy"))
+        .orderBy("source")
+    }
+  }
+
   /** Encoding-health audit (TextOps.encodingHealth — r9): the
     * decode-damage gate — per doc, counts of replacement chars, C1
     * controls, and UTF-8-as-Latin-1 mojibake digraphs. The clean
@@ -8785,7 +8919,7 @@ object Queries {
     qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
-    qTQuality, qTReadability, qTEncodingHealth, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
+    qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
     qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,
