@@ -1586,6 +1586,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Grouped k-fold (Sampling.groupKFold — r9): the CV split that
+    * cannot leak a group across folds — every doc of a source shares
+    * its fold (fingerprint the group string, affine-hash mod k).
+    * Map-only, append-stable; the oracle replays fingerprint + hash
+    * + fold per row.
+    */
+  val qO24GroupKfold = {
+    val fpSql = """list_reduce(
+      |         list_prepend(0::BIGINT,
+      |           list_transform(list_filter(string_split(source, ''), c -> len(c) > 0),
+      |                          c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    q(
+      "q_o24_group_kfold",
+      s"""SELECT doc_id, source,
+         |       ${graft.operators.Sampling.hashBucketSql("fp", 5)} AS fold
+         |FROM (SELECT doc_id, source, $fpSql AS fp FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.groupKFold(
+          Tables.documents(s, d).select("doc_id", "source"), "source", k = 5)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Deterministic ~10% Bernoulli sample as a pure filter on the row
     * key's hash — pushes toward the scan, zero shuffle, identical
     * surviving rows on any cluster (unlike df.sample, which depends
@@ -8913,7 +8937,7 @@ object Queries {
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
     qA16Winsorize, qA17EquiDepthBins, qA18HeavyHitters, qW2PctRankApprox,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qO9HashSplit, qO10HashSample, qO13WeightedSample, qO14Profile,
+    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,

@@ -60,6 +60,23 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Grouped k-fold assignment — sklearn GroupKFold's leakage
+    * contract by hash instead of greedy balancing: every row of the
+    * same GROUP lands in the same fold, so no group can straddle a
+    * train/validation boundary (the user-level / document-level
+    * leakage that random row folds invite). Map-only: the group key
+    * string-fingerprints (mod-P byte poly, the shared
+    * TextFingerprint kernel) and affine-hashes into k folds — zero
+    * shuffle, append-stable (new rows of a known group join its
+    * fold), and exactly replayable in SQL. Callers with numeric
+    * groups cast to string first (the fingerprint is over bytes).
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"groupKFold: k must be >= 2, got $k")
+    df.withColumn("fold",
+      hashBucket(graft.expressions.TextFingerprint(col(groupCol)), k))
+  }
+
   /** Keep ~num/den of rows, deterministically: the rows whose hash
     * bucket mod `den` falls below `num`. A pure filter — pushes to the
     * scan, never shuffles, and the SAME rows survive on any cluster.

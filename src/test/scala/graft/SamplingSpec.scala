@@ -206,6 +206,27 @@ class SamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("groupKFold: one fold per group (the leakage contract), all " +
+      "folds populated on real sources, append-stable") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, Sf001).select("doc_id", "source")
+    val folded = Sampling.groupKFold(docs, "source", k = 5)
+    // leakage contract: a group never straddles folds
+    val perGroup = folded.groupBy("source")
+      .agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") =!= 1).count()
+    assert(perGroup == 0L, "a source straddles folds")
+    // 20 sources over 5 folds: every fold gets at least one group
+    val nFolds = folded.select("fold").distinct().count()
+    assert(nFolds == 5L, s"only $nFolds folds populated")
+    // append stability: re-assigning a subset gives identical folds
+    val sub = Sampling.groupKFold(
+        docs.filter(col("doc_id") % 3 === 0), "source", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val full = folded.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sub.forall { case (id, f) => full(id) == f })
+  }
+
   test("gridInterpolate: exact floor lerp between surrounding " +
       "observations; observed rows untouched; edges null; " +
       "partitioning-invariant") {
