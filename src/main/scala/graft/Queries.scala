@@ -8504,6 +8504,39 @@ object Queries {
       .orderBy("qid")
   }
 
+  /** Hard-negative mining (Similarity.hardNegativesTopK — r9): per
+    * anchor, the 5 most-similar OTHER-class vectors — the negatives
+    * contrastive training lives on (random negatives are trivially
+    * separable). Class exclusion runs before the heap, so same-class
+    * pairs never occupy slots; oracle replays the band and rank.
+    */
+  val qEHardNegatives = q(
+    "q_e_hard_negatives",
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlab, e AS qv FROM v
+       |      WHERE vec_id < 10)
+       |SELECT qid, cid, ROUND(cos_raw, 6) AS cos, rank FROM (
+       |  SELECT qid, cid, cos_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY cos_raw DESC, cid) AS rank
+       |  FROM (SELECT qid, v.vec_id AS cid,
+       |          ${duckCos("qv", "v.e")} AS cos_raw
+       |        FROM q JOIN v ON qid <> v.vec_id AND qlab <> v.label))
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val cands = e.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"), col("label").as("clabel"))
+    Similarity.hardNegativesTopK(anchors, cands, k = 5)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** MMR diverse exemplar selection (Similarity.mmrSelect — r9):
     * greedy maximal marginal relevance at λ=½ — 5 rounds of
     * "most relevant to vec_id 0's query, least similar to what's
@@ -8970,6 +9003,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

@@ -875,6 +875,29 @@ object Similarity {
       .select(col(keyCol), col("pos"), col("cm"), col("n"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * k MOST similar candidates of a DIFFERENT class — the negatives
+    * that actually move an embedding model (random negatives are
+    * trivially separable; InfoNCE-family training lives on these).
+    * Same scale shape as [[bruteForceTopK]] (anchors broadcast,
+    * candidates stream map-side, heap top-k) with the class-exclusion
+    * predicate applied BEFORE the heap, so same-class pairs never
+    * occupy heap slots; swap the scored scan for the LSH/IVF variants
+    * at larger anchor counts.
+    */
+  def hardNegativesTopK(
+      anchors: DataFrame, // (qid, qvec, qlabel)
+      candidates: DataFrame, // (cid, cvec, clabel)
+      k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(anchors))
+      .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "cos", "rank")
+  }
+
   /** Mean pairwise cosine per group WITHOUT pairs — the moment
     * identity: for unit vectors, Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σ v̂‖² − Σ‖v̂‖².
     * The per-pair work that makes naive diversity O(n²·dim) folds to

@@ -472,6 +472,24 @@ class SimilaritySpec extends SparkSpec {
     assert(p1 == p7, "partitioning changed the exact integer result")
   }
 
+  test("hardNegativesTopK: only other-class candidates rank; the " +
+      "planted near-twin of another class is the #1 hard negative") {
+    import spark.implicits._
+    // anchor class 0 at x-axis; class-0 twin must NOT appear;
+    // class-1 near-twin is the hardest negative, class-1 orthogonal
+    // vector ranks after it
+    val anchors = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("qid", "qvec", "qlabel")
+    val cands = Seq(
+      (2L, Array(0.999f, 0.01f), 0), // same class — excluded
+      (3L, Array(0.99f, 0.14f), 1), // other class, near — hardest
+      (4L, Array(0.0f, 1.0f), 1), // other class, orthogonal
+      (1L, Array(1.0f, 0.0f), 1)) // same id — excluded even cross-class
+      .toDF("cid", "cvec", "clabel")
+    val got = Similarity.hardNegativesTopK(anchors, cands, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((3L, 1), (4L, 2)), got.toSeq)
+  }
+
   test("mmrSelect: diversifies past the paraphrase wall — round 2 " +
       "skips the near-dup of round 1's pick; rounds are exclusive; " +
       "round-1 maxsim NULL") {
