@@ -8835,6 +8835,47 @@ object Queries {
     }
   }
 
+  /** Rank-biased overlap (RankStability.rbo — r9): the top-weighted
+    * complement to q_l_rank_stability's τ-b for the same scorer pair
+    * — depth d weighted p^{d−1} (p=9/10), matching how a pipeline
+    * consumes a ranking (the head matters most). Every term an exact
+    * integer floor from the SHARED generated constant table
+    * (9^{d−1}/10^d rationals); all work on ≤k rank rows. Row d=10
+    * carries the RBO.
+    */
+  val qLRbo = {
+    val kR = 10
+    q(
+      "q_l_rbo_overlap",
+      s"""WITH src AS (SELECT doc_id AS id,
+         |    CAST(length(text) AS BIGINT) AS a,
+         |    CAST(length(text) + (doc_id % 21) - 10 AS BIGINT) AS b
+         |  FROM documents),
+         |ra AS (SELECT id, ROW_NUMBER() OVER (ORDER BY a DESC, id) AS ra
+         |       FROM src),
+         |rb AS (SELECT id, ROW_NUMBER() OVER (ORDER BY b DESC, id) AS rb
+         |       FROM src),
+         |mr AS (SELECT GREATEST(ra, rb) AS m FROM ra JOIN rb USING (id)
+         |       WHERE ra <= $kR AND rb <= $kR),
+         |sp AS (SELECT * FROM (VALUES ${graft.operators.RankStability
+             .rboSpineSql(kR)}) AS t(d, num, den)),
+         |xs AS (SELECT d, num, den,
+         |         CAST(COALESCE(SUM(CASE WHEN m <= d THEN 1 ELSE 0 END),
+         |                       0) AS BIGINT) AS x
+         |       FROM sp LEFT JOIN mr ON TRUE GROUP BY d, num, den)
+         |SELECT d, x, CAST((x * num) // den AS BIGINT) AS term_micros,
+         |       CAST(SUM((x * num) // den) OVER (ORDER BY d
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS rbo_cum_micros
+         |FROM xs ORDER BY d""".stripMargin) { (s, d) =>
+      graft.operators.RankStability.rbo(
+          Tables.documents(s, d), col("doc_id"),
+          length(col("text")),
+          length(col("text")) + (col("doc_id") % 21) - 10, kR)
+        .orderBy("d")
+    }
+  }
+
   /** Confident-learning label-noise audit (operators/LabelNoise,
     * Northcutt et al. JAIR'21): per-class self-confidence thresholds
     * from ONE conditional-agg scan, threshold-gated argmax as the
@@ -9003,6 +9044,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
   )
 }

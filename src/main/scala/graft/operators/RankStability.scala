@@ -77,6 +77,65 @@ object RankStability {
           .otherwise(lit(0L)).as("topk_jaccard_micros"))
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    * the two scorers' rankings at persistence p = 9/10 — the
+    * top-weighted complement to τ-b (which weights every pair
+    * equally; RBO weights depth d by p^{d−1}, matching how a
+    * pipeline actually consumes a ranking: the head matters most).
+    * Truncated prefix form: RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·X_d/d with
+    * X_d = |top-d(A) ∩ top-d(B)|. Every term is an exact integer
+    * floor: (1−p)p^{d−1} = 9^{d−1}/10^d exactly, so term_d =
+    * floor(X_d·9^{d−1}·10⁶ / (d·10^d)) — the per-term-floors
+    * contract, replayed verbatim in SQL from the same generated
+    * constant table. All work after the two heap top-k's runs on
+    * ≤ k rank rows + a k-row depth spine — metadata. Output: one row
+    * per depth (d, x, term_micros, rbo_cum_micros); row d = k
+    * carries the RBO.
+    */
+  def rbo(df: DataFrame, idCol: Column, scoreA: Column,
+      scoreB: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 12,
+      s"rbo: k must be in [1,12] (9^k·10⁶ long bound), got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(idCol.cast("long").as("id"),
+      scoreA.cast("long").as("a"), scoreB.cast("long").as("b"))
+    // global windows are fine HERE: they sort the k-row heap output,
+    // never the corpus
+    def ranked(s: String, out: String) =
+      base.orderBy(desc(s), asc("id")).limit(k)
+        .withColumn(out,
+          row_number().over(Window.orderBy(desc(s), asc("id"))))
+        .select(col("id"), col(out))
+    val mr = ranked("a", "ra").join(ranked("b", "rb"), Seq("id"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    val spine = (1 to k).map { d =>
+      val num = (1 until d).foldLeft(1000000L)((acc, _) => acc * 9L)
+      val den = d.toLong * (1 to d).foldLeft(1L)((acc, _) => acc * 10L)
+      (d, num, den)
+    }.toDF("d", "num", "den")
+    spine.join(mr, lit(true), "left")
+      .groupBy("d", "num", "den")
+      .agg(sum(when(col("m") <= col("d"), 1L).otherwise(0L)).as("x"))
+      .withColumn("term_micros", expr("(x * num) div den"))
+      .withColumn("rbo_cum_micros",
+        sum("term_micros").over(Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("x"), col("term_micros"),
+        col("rbo_cum_micros"))
+  }
+
+  /** SQL constant table for [[rbo]]'s depth spine — generated from
+    * the same fold so the engines cannot drift.
+    */
+  def rboSpineSql(k: Int): String =
+    (1 to k).map { d =>
+      val num = (1 until d).foldLeft(1000000L)((acc, _) => acc * 9L)
+      val den = d.toLong * (1 to d).foldLeft(1L)((acc, _) => acc * 10L)
+      s"($d, ${num}, ${den})"
+    }.mkString(", ")
+
   /** Oracle rendering — identical heap-ranked top-k, pair statistics,
     * and τ-b finish; `srcSql` yields (id, a, b). Ends at CTE
     * `rs(n, n_pairs, concordant, discordant, ties_a, ties_b, tau_b,

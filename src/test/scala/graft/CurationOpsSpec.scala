@@ -156,6 +156,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(tsN.getAs[Long]("slope_micros") === -3000000L)
   }
 
+  test("RankStability.rbo: identical rankings sum the exact floored " +
+      "geometric series (651320 at k=10); disjoint top-k's give 0; " +
+      "head agreement outweighs tail agreement") {
+    import graft.operators.RankStability
+    // 20 items, identical scorers → X_d = d at every depth →
+    // term_d = floor(9^{d−1}·10⁶/10^d); Σ(d=1..10) = 651320
+    // (the float series 1 − 0.9¹⁰ = 0.6513…, per-term floors −2)
+    val ids = (1L to 20L).map(i => (i, 100L - i, 100L - i))
+    val same = RankStability.rbo(ids.toDF("id", "a", "b"),
+        col("id"), col("a"), col("b"), 10)
+      .orderBy("d").collect()
+    assert(same.last.getLong(3) == 651320L, same.last.getLong(3))
+    assert(same.map(_.getLong(1)).toSeq == (1L to 10L).toSeq) // X_d = d
+    // disjoint top-10s (b reverses): RBO = 0
+    val rev = (1L to 40L).map(i => (i, 100L - i, i))
+    val r = RankStability.rbo(rev.toDF("id", "a", "b"),
+        col("id"), col("a"), col("b"), 10)
+      .orderBy("d").collect()
+    assert(r.last.getLong(3) == 0L)
+    // top-weighting: agreeing on head item #1 only vs agreeing on
+    // tail item #10 only — head agreement must score higher
+    def rboOf(bScore: Long => Long): Long = {
+      val rows = (1L to 20L).map(i => (i, 100L - i, bScore(i)))
+      RankStability.rbo(rows.toDF("id", "a", "b"),
+          col("id"), col("a"), col("b"), 10)
+        .orderBy("d").collect().last.getLong(3)
+    }
+    // b agrees only on id 1 at rank 1 (rest pushed past k)
+    val headOnly = rboOf(i => if (i == 1L) 1000L else 100L + i)
+    // b agrees only on id 10, placing it at rank 1 (A has it at 10)
+    val tailOnly = rboOf(i => if (i == 10L) 1000L else 100L + i)
+    assert(headOnly > tailOnly,
+      s"head-only $headOnly should beat tail-only $tailOnly")
+  }
+
   test("RankStability.compare: perfect agreement tau=1, full reversal " +
       "tau=-1, tie correction and top-k overlap by hand") {
     import graft.operators.RankStability
