@@ -5309,9 +5309,14 @@ object Queries {
     * probe set, per-list query residuals, micros ADC sum, rank —
     * any drifted tie, slice, or fold hash-fails.
     */
-  val qEIvfPq = q(
-    "q_e_ivfpq_topk",
-    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+  /** Shared oracle CTE chain for the IVF-ADC family: everything
+    * through `ad` (qid, cid, ad2_micros) — coarse assignment,
+    * residual subtraction, per-subspace encode, probe set, per-list
+    * query residuals, micros ADC sum. Reused verbatim by
+    * q_e_ivfpq_topk and q_e_ivfpq_rerank so the two cannot drift.
+    */
+  private lazy val ivfPqOracleCtes: String =
+    s"""cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
        |              FROM embeddings WHERE vec_id < 16),
        |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |asg AS (SELECT id, cl FROM (
@@ -5353,13 +5358,12 @@ object Queries {
        |            JOIN enc ON enc.cid = asg.id
        |            JOIN cb ON cb.cj = enc.cj
        |       WHERE qres.qid <> enc.cid
-       |       GROUP BY qres.qid, enc.cid)
-       |SELECT qid, cid, ad2_micros, rank FROM (
-       |  SELECT qid, cid, ad2_micros,
-       |         ROW_NUMBER() OVER (PARTITION BY qid
-       |                            ORDER BY ad2_micros, cid) AS rank
-       |  FROM ad)
-       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+       |       GROUP BY qres.qid, enc.cid)""".stripMargin
+
+  /** Shared builder: pinned coarse centers + residual codebooks +
+    * the encoded index, exactly as the oracle chain derives them.
+    */
+  private def ivfPqSetup(s: SparkSession, d: String) = {
     import graft.operators.Similarity
     val e = Tables.embeddings(s, d)
     val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
@@ -5379,7 +5383,54 @@ object Queries {
       centers, cb)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    (e, centers, cb, index, queries)
+  }
+
+  val qEIvfPq = q(
+    "q_e_ivfpq_topk",
+    s"""WITH $ivfPqOracleCtes
+       |SELECT qid, cid, ad2_micros, rank FROM (
+       |  SELECT qid, cid, ad2_micros,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY ad2_micros, cid) AS rank
+       |  FROM ad)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val (_, centers, cb, index, queries) = ivfPqSetup(s, d)
     Similarity.ivfPqTopK(queries, index, centers, cb, nProbe = 4, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  /** Two-stage IVF-ADC (Similarity.ivfPqRerankTopK — r9, IVFADC-R):
+    * the probed code scan narrows to a 20-candidate shortlist, then
+    * ONLY those rows rejoin exact vectors for a true-L2 top-5 — the
+    * corpus-wide scan stays list-pruned AND code-only, and the
+    * quantizer's recall ceiling lifts to near-exact within the
+    * probed lists. The oracle composes the SHARED IVF-ADC chain
+    * (one Scala constant — the two queries cannot drift) with the
+    * shortlist cut and the exact-d2 re-rank.
+    */
+  val qEIvfPqRerank = q(
+    "q_e_ivfpq_rerank",
+    s"""WITH $ivfPqOracleCtes,
+       |short AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY ad2_micros, cid) AS srank
+       |    FROM ad) WHERE srank <= 20),
+       |ex AS (SELECT qid, short.cid, ${duckD2("qv", "e")} AS d2
+       |       FROM short JOIN v ON v.id = short.cid JOIN q USING (qid))
+       |SELECT qid, cid, ROUND(d2, 6) AS d2, rank FROM (
+       |  SELECT qid, cid, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rank
+       |  FROM ex)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val (e, centers, cb, index, queries) = ivfPqSetup(s, d)
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfPqRerankTopK(queries, cands, index, centers, cb,
+        nProbe = 4, k = 5, shortlist = 20)
+      .select(col("qid"), col("cid"), round(col("d2"), 6).as("d2"),
+        col("rank"))
       .orderBy("qid", "rank")
   }
 
@@ -9032,7 +9083,7 @@ object Queries {
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
     qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEPqCodes, qEPqAdcTopK,
-    qEPqRerank, qEIvfPq,
+    qEPqRerank, qEIvfPq, qEIvfPqRerank,
     qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
     qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,

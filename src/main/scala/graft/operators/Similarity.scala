@@ -514,6 +514,39 @@ object Similarity {
       .select("qid", "cid", "ad2_micros", "rank")
   }
 
+  /** Two-stage IVF-ADC search (IVFADC-R, Jégou et al. §V.D): the
+    * probed-list code scan narrows each query to a shortlist, then
+    * ONLY those |Q|·shortlist rows join their exact vectors for a
+    * true-L2 re-rank — the same narrow-then-exact composition as
+    * pqAdcRerankTopK, now on top of the inverted lists, so the
+    * corpus-wide scan is BOTH list-pruned and code-only. The recall
+    * ceiling of raw residual-ADC (quantizer resolution) lifts to
+    * near-exact within the probed lists at the cost of moving
+    * |Q|·shortlist full vectors.
+    */
+  def ivfPqRerankTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      index: DataFrame, // (cid, cluster, codes) from ivfPqEncode
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int,
+      k: Int,
+      shortlist: Int): DataFrame = {
+    val narrowed =
+      ivfPqTopK(queries, index, centers, codebooks, nProbe, shortlist)
+        .select("qid", "cid")
+    val scored = narrowed
+      .join(candidates, "cid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("cid"),
+        graft.expressions.VecExpressions.vec_d2(col("qvec"), col("cvec"))
+          .as("d2"))
+    TopK.perGroup(scored, Seq("qid"),
+        Seq(col("d2").asc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid", "d2", "rank")
+  }
+
   /** Plain Lloyd's k-means over a driver-held sample (deterministic:
     * seeded init, fixed iteration count; empty clusters keep their
     * previous center).

@@ -424,6 +424,18 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(got).size.toDouble / exact.size
     info(f"IVF-ADC recall@5 (nProbe=8/16, m=16, ksub=64) = $recall%.2f")
     assert(recall >= 0.35, f"IVF-ADC recall $recall%.2f below floor")
+
+    // IVFADC-R: the exact re-rank of a 50-candidate shortlist lifts
+    // recall toward the probed lists' ceiling — must beat raw ADC
+    val rer = Similarity.ivfPqRerankTopK(queries, cands, index,
+        centers, cb, nProbe = 8, k = 5, shortlist = 50)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerRecall = exact.intersect(rer).size.toDouble / exact.size
+    info(f"IVFADC-R recall@5 (shortlist=50) = $rerRecall%.2f")
+    assert(rerRecall > recall,
+      f"re-rank $rerRecall%.2f did not beat raw ADC $recall%.2f")
+    assert(rerRecall >= 0.6, f"re-rank recall $rerRecall%.2f below gate")
   }
 
   test("meanPairwiseCosine: moment identity matches the brute-force " +
