@@ -1586,6 +1586,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering (Sampling.curriculumOrder — r9): easy→hard
+    * staged training order — 4 equi-depth difficulty stages over the
+    * token-count histogram (metadata solve), with the affine
+    * order-hash permutation INSIDE each stage (within a stage the
+    * order must be uncorrelated with difficulty, or each stage is
+    * its own curriculum). Oracle replays histogram, stage cut, hash,
+    * and every position.
+    */
+  val qO25Curriculum = q(
+    "q_o25_curriculum",
+    s"""WITH d0 AS (SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        t -> len(t) > 0)) AS dv
+       |  FROM documents),
+       |hist AS (SELECT dv, COUNT(*) AS cnt FROM d0 GROUP BY dv),
+       |n AS (SELECT SUM(cnt) AS n FROM hist),
+       |st AS (SELECT dv,
+       |         CAST(TRUNC(CAST((SUM(cnt) OVER (ORDER BY dv
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             - cnt) * 4 AS DOUBLE) / n) AS BIGINT) AS stage
+       |       FROM hist CROSS JOIN n)
+       |SELECT doc_id, dv, stage,
+       |       ROW_NUMBER() OVER (PARTITION BY stage
+       |         ORDER BY ${graft.operators.Sampling.orderHashSql("doc_id")},
+       |                  doc_id) AS pos
+       |FROM d0 JOIN st USING (dv)
+       |ORDER BY stage, pos""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, TextOps}
+    Sampling.curriculumOrder(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", size(TextOps.tokens(col("text"))), nStages = 4)
+      .select("doc_id", "dv", "stage", "pos")
+      .orderBy("stage", "pos")
+  }
+
   /** Grouped k-fold (Sampling.groupKFold — r9): the CV split that
     * cannot leak a group across folds — every doc of a source shares
     * its fold (fingerprint the group string, affine-hash mod k).
@@ -9062,7 +9097,7 @@ object Queries {
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
     qA16Winsorize, qA17EquiDepthBins, qA18HeavyHitters, qW2PctRankApprox,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO13WeightedSample, qO14Profile,
+    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,

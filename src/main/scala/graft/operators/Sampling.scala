@@ -327,6 +327,42 @@ object Sampling {
     * shards at the 1–10 GB object-store sweet spot; the sort key is
     * 8 bytes, so the within-partition sort is as cheap as sorts get.
     */
+  /** Curriculum ordering — easy→hard staged training order with a
+    * deterministic shuffle INSIDE each stage (Bengio et al. ICML'09:
+    * present easier examples first, but NEVER difficulty-sorted
+    * outright — within a stage the order must be uncorrelated with
+    * difficulty or each stage becomes its own curriculum). Stages are
+    * equi-depth over the (difficulty, cnt) histogram — metadata-sized
+    * for bounded-cardinality proxies (token counts, micros-bucketed
+    * scores), so the threshold solve never touches the corpus twice —
+    * assignment is one broadcast join, and the within-stage
+    * permutation is [[orderHash]]'s affine family (seed-replayable,
+    * the shardShuffle order contract). Training order =
+    * (stage, pos); whole plan: one histogram fold + one map-side
+    * join + one per-stage window.
+    */
+  def curriculumOrder(df: DataFrame, key: String, difficulty: Column,
+      nStages: Int): DataFrame = {
+    require(nStages > 0, s"nStages must be positive, got $nStages")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(difficulty.cast("long").as("dv"))
+      .groupBy("dv").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy("dv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stages = hist
+      .withColumn("cum", sum("cnt").over(wcum))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n"))))
+      .withColumn("stage",
+        ((col("cum") - col("cnt")) * nStages / col("n")).cast("long"))
+      .select("dv", "stage")
+    val w = Window.partitionBy("stage").orderBy(col("__oh"), col(key))
+    df.withColumn("dv", difficulty.cast("long"))
+      .join(broadcast(stages), "dv")
+      .withColumn("__oh", orderHash(col(key)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__oh")
+  }
+
   def shardShuffle(df: DataFrame, key: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window

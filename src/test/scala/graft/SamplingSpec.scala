@@ -206,6 +206,39 @@ class SamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("curriculumOrder: stages are difficulty-monotone equi-depth " +
+      "cuts; within-stage order is NOT difficulty-sorted; " +
+      "partitioning-invariant") {
+    import graft.operators.Sampling
+    val rows = (0L until 200L).map(i => (i, (i % 50) + 10))
+      .toDF("id", "diff")
+    val got = Sampling.curriculumOrder(rows, "id", col("diff"), nStages = 4)
+      .select("id", "dv", "stage", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 200)
+    // equi-depth up to distinct-value granularity: 4 stages of 50±1
+    // value-group (each distinct difficulty holds 4 docs and can't
+    // split across stages)
+    val byStage = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byStage.keySet == Set(0L, 1L, 2L, 3L), byStage)
+    assert(byStage.values.forall(n => n >= 46 && n <= 54), byStage)
+    // monotone: every difficulty in stage s is <= every one in s+1
+    val maxByStage = got.groupBy(_._3).view.mapValues(_.map(_._2).max)
+    val minByStage = got.groupBy(_._3).view.mapValues(_.map(_._2).min)
+    (0L until 3L).foreach(s =>
+      assert(maxByStage(s) <= minByStage(s + 1), s"stage $s overlaps"))
+    // within-stage order must not be difficulty-sorted (the shuffle
+    // property curriculum staging requires)
+    val s0 = got.filter(_._3 == 0L).sortBy(_._4).map(_._2)
+    assert(s0.zip(s0.tail).exists { case (a, b) => a > b },
+      "stage 0 is difficulty-sorted — no shuffle happened")
+    val re = Sampling.curriculumOrder(rows.repartition(13), "id",
+        col("diff"), nStages = 4)
+      .select("id", "dv", "stage", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("groupKFold: one fold per group (the leakage contract), all " +
       "folds populated on real sources, append-stable") {
     import graft.operators.Sampling
