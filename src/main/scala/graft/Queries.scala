@@ -7342,6 +7342,39 @@ object Queries {
       "doc_id", "payload", w = 7, maskMod = 61)
   }
 
+  /** CDC chunk-overlap pairs (Multimodal.cdcChunkOverlapPairs — r9):
+    * pairwise STORAGE similarity — Jaccard over each payload's
+    * distinct chunk-fp set via the fp inverted index (hot-fp cap,
+    * never all-pairs): the bytes a content-addressed store would
+    * actually share, robust to the insertions that shift every
+    * fixed byte-shingle window (q_mm_binary_neardup's blind spot).
+    * Oracle replays chunking, the distinct/posting-cap chain, and
+    * the floor Jaccard.
+    */
+  val qMmChunkOverlap = q(
+    "q_mm_chunk_overlap",
+    s"""WITH ${duckCdcCtes(7, 61)},
+       |cf AS (SELECT DISTINCT doc_id AS id, fp FROM cdc),
+       |pc AS (SELECT fp, COUNT(*) AS pc FROM cf GROUP BY fp),
+       |nd AS (SELECT id, COUNT(*) AS n FROM cf GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+       |       FROM cf a JOIN cf b USING (fp) JOIN pc USING (fp)
+       |       WHERE a.id < b.id AND pc.pc <= 16
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       |       CAST((shared * 1000000) // (na.n + nb.n - shared)
+       |            AS BIGINT) AS jac_micros
+       |FROM pr JOIN nd na ON na.id = id_a JOIN nd nb ON nb.id = id_b
+       |WHERE (shared * 1000000) // (na.n + nb.n - shared) >= 250000
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.cdcChunkOverlapPairs(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text"),
+        "doc_id", "payload", w = 7, maskMod = 61,
+        maxPostings = 16, minJaccardMicros = 250000L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BPE encode + tokenizer fertility (TextOps.bpeEncode): train 3
     * merges (one bounded-collect row per round), then tokenize the
     * corpus under the learned vocab — chained greedy replaces over
@@ -9130,6 +9163,6 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
   )
 }

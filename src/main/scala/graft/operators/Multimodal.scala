@@ -352,6 +352,40 @@ object Multimodal {
     * (1 row): total_chunks, distinct_fps, total_bytes, saved_bytes,
     * savings_micros.
     */
+  /** Pairwise payload similarity by SHARED CDC chunks — Jaccard over
+    * each payload's distinct chunk-fingerprint set, via the fp
+    * inverted index (a join per shared fp, never all-pairs), with a
+    * hot-fp postings cap so boilerplate chunks (headers, shared
+    * footers) can't quadratically explode a bucket. This measures
+    * STORAGE overlap — the bytes a content-addressed store would
+    * actually share — and, because boundaries are content-defined,
+    * it survives insertions that shift every fixed-shingle window
+    * (the byte-shingle near-dup's blind spot). Works on any opaque
+    * binary payload. Output: (id_a, id_b, shared, jac_micros) for
+    * pairs at or above the micros threshold, id_a < id_b.
+    */
+  def cdcChunkOverlapPairs(df: DataFrame, idCol: String,
+      payloadCol: String, w: Int = 7, maskMod: Int = 61,
+      maxPostings: Int = 16, minJaccardMicros: Long = 250000L)
+      : DataFrame = {
+    val cf = cdcChunkTable(df, idCol, payloadCol, w, maskMod)
+      .select("id", "fp").distinct()
+    val pc = cf.groupBy("fp").agg(count(lit(1)).as("pc"))
+    val nd = cf.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = cf.select(col("id").as("id_a"), col("fp"))
+      .join(cf.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .join(pc.filter(col("pc") <= maxPostings).select("fp"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nd.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(nd.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jac_micros",
+        expr("(shared * 1000000) div (na + nb - shared)"))
+      .filter(col("jac_micros") >= minJaccardMicros)
+      .select("id_a", "id_b", "shared", "jac_micros")
+  }
+
   def cdcDedupStats(df: DataFrame, idCol: String, payloadCol: String,
       w: Int = 7, maskMod: Int = 61): DataFrame =
     cdcChunkTable(df, idCol, payloadCol, w, maskMod)

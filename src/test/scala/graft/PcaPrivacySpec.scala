@@ -126,6 +126,27 @@ class PcaPrivacySpec extends SparkSpec {
     assert(stats.getAs[Long]("savings_micros") > 0L)
   }
 
+  test("cdcChunkOverlapPairs: an inserted-byte near-replica pairs at " +
+      "high Jaccard, unrelated payloads don't pair, id_a < id_b") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(3000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = base.substring(0, 1500) + "XX" + base.substring(1500)
+    val other = Array.fill(3000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("id", "text")
+    val pairs = Multimodal.cdcChunkOverlapPairs(
+        Multimodal.withBinaryPayload(docs, "text"), "id", "payload",
+        minJaccardMicros = 250000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      .toMap
+    assert(pairs.contains((1L, 2L)),
+      s"near-replica pair missing: ${pairs.keySet}")
+    assert(pairs((1L, 2L)) >= 600000L, s"jac ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L },
+      "unrelated payload paired")
+  }
+
   test("privacy profile: k-anonymity min, l-diversity, rows at risk") {
     val t = Seq(
       ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),  // group (a,1): n=3, l=2
