@@ -3542,6 +3542,41 @@ object Queries {
     * order between scores closer than 1e-15 relative — i.e. exact
     * ties, which break on the term instead).
     */
+  /** Feature hashing (TfIdf.hashedFeatures — r9, Weinberger ICML'09):
+    * bag-of-words into a FIXED 64-dim space with NO vocabulary table
+    * — bucket and sign are hashes of the term fingerprint, weights
+    * are signed sums so collisions cancel in expectation. The
+    * stateless-encoder property IS the scale story: no fit pass, no
+    * broadcast dictionary, train/serve can't skew. Per-token hashing
+    * on the DISTINCT vocab only; exact integers; the oracle replays
+    * fingerprint, bucket, sign, and every signed sum.
+    */
+  val qTHashedFeatures = {
+    val fpFold =
+      """list_reduce(list_prepend(0::BIGINT,
+        |  list_transform(list_filter(string_split(term, ''), c -> len(c) > 0),
+        |                 c -> CAST(ascii(c) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    q(
+      "q_t_hashed_features",
+      s"""WITH t AS (SELECT doc_id AS id, unnest($duckToks) AS term
+         |           FROM documents),
+         |vo AS (SELECT term,
+         |         ${graft.operators.Sampling.hashBucketSql("fp", 64)} AS bucket,
+         |         1 - 2 * (${graft.operators.Sampling.orderHashSql("fp")} % 2)
+         |           AS sign
+         |       FROM (SELECT term, $fpFold AS fp
+         |             FROM (SELECT DISTINCT term FROM t)))
+         |SELECT id, bucket, CAST(SUM(sign) AS BIGINT) AS w
+         |FROM t JOIN vo USING (term)
+         |GROUP BY id, bucket HAVING SUM(sign) <> 0
+         |ORDER BY id, bucket""".stripMargin) { (s, d) =>
+      graft.operators.TfIdf.hashedFeatures(
+          Tables.documents(s, d), "doc_id", "text", dims = 64)
+        .orderBy("id", "bucket")
+    }
+  }
+
   val qTTfidf = q(
     "q_t_tfidf",
     s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
@@ -9138,7 +9173,7 @@ object Queries {
     qDExact, qDLineDedup,
     qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
-    qTTfidf, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
+    qTTfidf, qTHashedFeatures, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,
     qPipeConcatCut, qTLengthBuckets,
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,

@@ -21,6 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** Feature hashing (the hashing trick — Weinberger et al.,
+    * ICML'09): project bag-of-words into a FIXED D-dimensional space
+    * with no vocabulary table at all — bucket = affine-hash(term
+    * fingerprint) mod D, sign = a second hash bit, weight per (doc,
+    * bucket) = Σ sign. The signed sum makes collisions cancel in
+    * expectation (the paper's unbiasedness trick), and "no vocab" is
+    * the 100 TB property: the encoder is STATELESS — no fit pass, no
+    * broadcast dictionary, new terms never resize anything, and
+    * train/serve cannot skew. All per-token hashing runs on the
+    * DISTINCT-token vocabulary (Heaps-sublinear) and joins back;
+    * output is the sparse (id, bucket, w) triple table, zero rows
+    * dropped silently (w = 0 cancellations ARE dropped — that's the
+    * representation, not a cap). Exact integer end to end.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val vocab = toks.select("term").distinct()
+      .withColumn("fp", graft.expressions.TextFingerprint(col("term")))
+      .withColumn("bucket", Sampling.hashBucket(col("fp"), dims))
+      .withColumn("sign",
+        lit(1L) - lit(2L) * (Sampling.orderHash(col("fp")) % 2))
+      .select("term", "bucket", "sign")
+    toks.join(broadcast(vocab), Seq("term"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum("sign").as("w"))
+      .filter(col("w") =!= 0)
+  }
+
   /** Okapi BM25 defaults — interpolated into every oracle SQL string
     * that replays bm25Scores (q_t_bm25, q_r_hybrid_rrf), so the Scala
     * and SQL renderings cannot silently drift (the same

@@ -412,6 +412,33 @@ class TextMultimodalSpec extends SparkSpec {
       f.map(_.frame_idx).toSeq == f.indices.map(_ * 10)))
   }
 
+  test("hashedFeatures: stateless encoder — repeated term sums to " +
+      "±count in ONE bucket; features of a doc never change when the " +
+      "corpus grows; partitioning-invariant") {
+    import graft.operators.TfIdf
+    val docs = Seq(
+      (1L, "alpha alpha alpha"), // one term ×3 → single bucket, |w|=3
+      (2L, "alpha beta"),
+      (3L, "gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val f = TfIdf.hashedFeatures(docs, "doc_id", "text", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d1 = f.filter(_._1 == 1L)
+    assert(d1.length == 1 && math.abs(d1.head._3) == 3, d1.toSeq)
+    // the encoder is stateless: doc 1's features are identical when
+    // encoded alone (no fit pass to skew)
+    val alone = TfIdf.hashedFeatures(
+        docs.filter(col("doc_id") === 1), "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(alone.toSeq == d1.toSeq)
+    // partitioning-invariant exact integers
+    val re = TfIdf.hashedFeatures(docs.repartition(7), "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(t => (t._1, t._2)).toSeq ==
+      f.sortBy(t => (t._1, t._2)).toSeq)
+    // all buckets in range
+    assert(f.forall(t => t._2 >= 0 && t._2 < 64))
+  }
+
   test("encodingHealth: planted damage counted per class; clean text " +
       "healthy; damage classes don't cross-fire") {
     val df = Seq(
