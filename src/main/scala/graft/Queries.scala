@@ -4566,6 +4566,62 @@ object Queries {
       .orderBy("name1", "name2")
   }
 
+  /** Fellegi–Sunter match scoring (RecordLinkage.fellegiSunter — r9,
+    * JASA'69): per-field agreement milli-weights summed over
+    * nation-blocked customer pairs, threshold-cut into link /
+    * possible / non-link — the probabilistic-linkage decision layer
+    * on top of q_l_fuzzy_linkage's similarity ((nation, segment)
+    * blocking: multi-field blocking is standard FS practice and the
+    * pair-count lever — an A/B at nation-only blocking scored 5x
+    * the pairs for 8.1 vs 2.2 s). Weights are CONFIG
+    * integer constants (the practitioner form of log m/u — no libm),
+    * so score and decision replay exactly; scoring is map-only over
+    * the blocked pair table.
+    */
+  val qLFellegiSunter = q(
+    "q_l_fellegi_sunter",
+    s"""WITH c AS (SELECT c_custkey AS k, c_name AS nm,
+       |    c_nationkey AS nk, c_mktsegment AS mk,
+       |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+       |  FROM customer),
+       |p AS (SELECT a.k AS key_a, b.k AS key_b,
+       |        (CASE WHEN jaro_winkler_similarity(substr(a.nm, 10),
+       |                                           substr(b.nm, 10)) >= 0.9
+       |              THEN 3000 ELSE -1000 END
+       |         + CASE WHEN a.band = b.band THEN 500 ELSE -400 END
+       |         + CASE WHEN b.k - a.k <= 10 THEN 800 ELSE -600 END)
+       |          AS score_milli
+       |      FROM c a JOIN c b ON a.nk = b.nk AND a.mk = b.mk
+       |                        AND a.k < b.k)
+       |SELECT key_a, key_b, CAST(score_milli AS BIGINT) AS score_milli,
+       |       CASE WHEN score_milli >= 3500 THEN 'link'
+       |            WHEN score_milli >= 1500 THEN 'possible'
+       |            ELSE 'nonlink' END AS decision
+       |FROM p WHERE score_milli >= 1500
+       |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    import graft.operators.RecordLinkage
+    val c = Tables.customer(s, d).select(
+      col("c_custkey").as("k"), col("c_name").as("nm"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("mk"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.nk") === col("b.nk") && col("a.mk") === col("b.mk")
+          && col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.nm").as("nm_a"), col("b.nm").as("nm_b"),
+        col("a.band").as("band_a"), col("b.band").as("band_b"))
+    RecordLinkage.fellegiSunter(pairs,
+        Seq(
+          (graft.expressions.JaroWinkler(substring(col("nm_a"), 10, 9),
+            substring(col("nm_b"), 10, 9)) >= 0.9, 3000L, -1000L),
+          (col("band_a") === col("band_b"), 500L, -400L),
+          (col("key_b") - col("key_a") <= 10, 800L, -600L)),
+        linkAt = 3500L, possibleAt = 1500L)
+      .filter(col("score_milli") >= 1500)
+      .select("key_a", "key_b", "score_milli", "decision")
+      .orderBy("key_a", "key_b")
+  }
+
   /** The full LLM corpus-curation pipeline (pipelines/CorpusCuration)
     * as ONE oracle-exact query: exact dedup (min-id keeper per md5
     * digest) → MinHash+LSH near-dup removal (greedy drop-larger-id
@@ -9180,7 +9236,7 @@ object Queries {
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
-    qDEditDistPairs, qLFuzzyLinkage,
+    qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,

@@ -156,6 +156,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(tsN.getAs[Long]("slope_micros") === -3000000L)
   }
 
+  test("fellegiSunter: per-field milli-weights sum exactly; " +
+      "thresholds cut link/possible/nonlink by hand") {
+    import graft.operators.RecordLinkage
+    val pairs = Seq(
+      (1L, 2L, true, true, true), // 3000+1200+500 = 4700 → link
+      (1L, 3L, false, true, true), // -1000+1200+500 = 700 → nonlink
+      (1L, 4L, true, false, true), // 3000-800+500 = 2700 → possible
+      (1L, 5L, false, false, false)) // -2200 → nonlink
+      .toDF("key_a", "key_b", "f1", "f2", "f3")
+    val got = RecordLinkage.fellegiSunter(pairs,
+        Seq((col("f1"), 3000L, -1000L), (col("f2"), 1200L, -800L),
+          (col("f3"), 500L, -400L)),
+        linkAt = 3500L, possibleAt = 1500L)
+      .orderBy("key_b").collect()
+      .map(r => (r.getLong(1), r.getAs[Long]("score_milli"),
+        r.getAs[String]("decision")))
+    assert(got.toSeq == Seq((2L, 4700L, "link"), (3L, 700L, "nonlink"),
+      (4L, 2700L, "possible"), (5L, -2200L, "nonlink")), got.toSeq)
+  }
+
   test("RankStability.rbo: identical rankings sum the exact floored " +
       "geometric series (651320 at k=10); disjoint top-k's give 0; " +
       "head agreement outweighs tail agreement") {
