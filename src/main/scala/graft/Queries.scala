@@ -4566,6 +4566,81 @@ object Queries {
       .orderBy("name1", "name2")
   }
 
+  /** Waterfilling token-budget allocation (Sampling.budgetWaterfill —
+    * r9): give each source budget ∝ its quality weight, capped by
+    * what it has — a_i = min(cap_i, λ·w_i), Σa = 60% of corpus
+    * tokens. Solved in CLOSED FORM on the sources metadata (one
+    * window pass of prefix sums decides every saturation; λ from the
+    * last saturated row) — no iteration, decimal-exact, floor
+    * allocations. The mixture plan behind quality-weighted sampling,
+    * solved not guessed.
+    */
+  val qO26Waterfill = q(
+    "q_o26_budget_waterfill",
+    s"""WITH pd AS (SELECT source,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        t -> len(t) > 0)) AS nt,
+       |    len(list_filter(list_filter(regexp_split_to_array(lower(text),
+       |          '\\s+'), t -> len(t) > 0),
+       |        t -> list_contains(
+       |          ['the','a','of','to','and','in','is','it','on','for'], t)))
+       |      AS nstop
+       |  FROM documents),
+       |src AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS cap_tokens,
+       |          CAST((SUM(nstop) * 1000000) // SUM(nt) // 1000 + 1
+       |               AS BIGINT) AS weight_milli
+       |        FROM pd GROUP BY source),
+       |tt AS (SELECT CAST(SUM(cap_tokens) AS HUGEINT) AS tc,
+       |         CAST(SUM(weight_milli) AS HUGEINT) AS tw,
+       |         CAST(SUM(cap_tokens) AS HUGEINT) * 3 // 5 AS b
+       |       FROM src),
+       |pre AS (SELECT source, cap_tokens, weight_milli,
+       |          (CAST(cap_tokens AS HUGEINT) * 1000000000)
+       |            // weight_milli AS rk,
+       |          SUM(cap_tokens) OVER (ORDER BY
+       |            (CAST(cap_tokens AS HUGEINT) * 1000000000)
+       |              // weight_milli, source
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS pc,
+       |          SUM(weight_milli) OVER (ORDER BY
+       |            (CAST(cap_tokens AS HUGEINT) * 1000000000)
+       |              // weight_milli, source
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS pw
+       |        FROM src),
+       |st AS (SELECT pre.*, tw, b,
+       |         CAST(cap_tokens AS HUGEINT) * (tw - pw + weight_milli)
+       |           <= (b - pc + cap_tokens) * weight_milli AS sat
+       |       FROM pre CROSS JOIN tt),
+       |sp AS (SELECT COALESCE(MAX(CASE WHEN sat THEN pc END), 0) AS pcs,
+       |              COALESCE(MAX(CASE WHEN sat THEN pw END), 0) AS pws
+       |       FROM st)
+       |SELECT source, cap_tokens, weight_milli, sat AS saturated,
+       |  CASE WHEN sat THEN cap_tokens
+       |       WHEN tw - pws > 0 THEN CAST(((b - pcs) * weight_milli
+       |         - ((((b - pcs) * weight_milli) % (tw - pws)
+       |             + (tw - pws)) % (tw - pws))) // (tw - pws) AS BIGINT)
+       |       ELSE 0 END AS alloc_tokens
+       |FROM st CROSS JOIN sp ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, TextOps}
+    val stopLit = array(Seq("the", "a", "of", "to", "and", "in", "is",
+      "it", "on", "for").map(lit): _*)
+    val perDoc = Tables.documents(s, d)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("lotoks", TextOps.tokens(lower(col("text"))))
+      .select(col("source"),
+        size(col("toks")).cast("long").as("nt"),
+        size(filter(col("lotoks"), x => array_contains(stopLit, x)))
+          .cast("long").as("nstop"))
+    val src = perDoc.groupBy("source").agg(
+      sum("nt").as("cap_tokens"),
+      expr("((sum(nstop) * 1000000) div sum(nt)) div 1000 + 1")
+        .as("weight_milli"))
+    val total = src.agg(sum("cap_tokens")).collect().head.getLong(0)
+    Sampling.budgetWaterfill(src, budget = total * 3 / 5)
+      .orderBy("source")
+  }
+
   /** Fellegi–Sunter match scoring (RecordLinkage.fellegiSunter — r9,
     * JASA'69): per-field agreement milli-weights summed over
     * nation-blocked customer pairs, threshold-cut into link /
@@ -9221,7 +9296,7 @@ object Queries {
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
     qA16Winsorize, qA17EquiDepthBins, qA18HeavyHitters, qW2PctRankApprox,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO13WeightedSample, qO14Profile,
+    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO26Waterfill, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
     qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,

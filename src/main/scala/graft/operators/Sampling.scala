@@ -327,6 +327,64 @@ object Sampling {
     * shards at the 1–10 GB object-store sweet spot; the sort key is
     * 8 bytes, so the within-partition sort is as cheap as sorts get.
     */
+  /** Exact waterfilling token-budget allocation across sources —
+    * "give each source budget ∝ its weight, capped by what it has":
+    * a_i = min(cap_i, λ·w_i) with Σ a_i = B, the standard mixture
+    * solve behind quality-weighted sampling plans. Solved in CLOSED
+    * FORM on the sources-sized metadata table — no iteration: in
+    * ascending cap/weight order, source i saturates iff
+    * cap_i·(W − pw_{i−1}) ≤ (B − pc_{i−1})·w_i (saturation is
+    * monotone along that order), so one window pass of prefix sums
+    * decides every source, and λ = remaining budget over remaining
+    * weight comes from the last saturated row. All decimal-exact;
+    * unsaturated allocations floor-divide (Σ a ≤ B, each source
+    * under by < 1 token — the floor is the contract). The ratio
+    * ORDER uses the integer key cap·10⁹ div w (ties to source name):
+    * both engines process identically, which is what the replay
+    * needs. Weights must be positive.
+    */
+  def budgetWaterfill(
+      sources: DataFrame, // (source, cap_tokens, weight_milli)
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    // decimal numerator: cap·10⁹ passes the long bound at 9.2e9 tokens
+    val rk = expr(
+      "(CAST(cap_tokens AS DECIMAL(38,0)) * 1000000000) div weight_milli")
+    val w = Window.orderBy(col("rk"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val pre = sources
+      .withColumn("rk", rk)
+      .withColumn("pc", sum(col("cap_tokens")).over(w).cast(dec))
+      .withColumn("pw", sum(col("weight_milli")).over(w).cast(dec))
+      .crossJoin(broadcast(sources.agg(
+        sum("cap_tokens").cast(dec).as("tc"),
+        sum("weight_milli").cast(dec).as("tw"))))
+      .withColumn("sat",
+        col("cap_tokens").cast(dec)
+          * (col("tw") - col("pw") + col("weight_milli"))
+          <= (lit(budget).cast(dec) - col("pc") + col("cap_tokens"))
+            * col("weight_milli"))
+    val star = pre.agg(
+      coalesce(max(when(col("sat"), col("pc"))), lit(0L).cast(dec))
+        .as("pcs"),
+      coalesce(max(when(col("sat"), col("pw"))), lit(0L).cast(dec))
+        .as("pws"))
+    pre.crossJoin(broadcast(star))
+      .withColumn("alloc_tokens",
+        when(col("sat"), col("cap_tokens"))
+          .otherwise(when(col("tw") - col("pws") > 0, expr(
+            """((budgetL - pcs) * weight_milli
+              | - ((((budgetL - pcs) * weight_milli) % (tw - pws)
+              |     + (tw - pws)) % (tw - pws))) div (tw - pws)"""
+              .stripMargin.replace("budgetL", budget.toString)))
+            .otherwise(lit(0L)))
+          .cast("long"))
+      .select(col("source"), col("cap_tokens"), col("weight_milli"),
+        col("sat").as("saturated"), col("alloc_tokens"))
+  }
+
   /** Curriculum ordering — easy→hard staged training order with a
     * deterministic shuffle INSIDE each stage (Bengio et al. ICML'09:
     * present easier examples first, but NEVER difficulty-sorted

@@ -206,6 +206,34 @@ class SamplingSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("budgetWaterfill: hand-solved saturation and lambda split; " +
+      "all-fit budget saturates everything; sum never exceeds budget") {
+    import graft.operators.Sampling
+    // ratios A 0.1 < B 1 < C 5; budget 4100:
+    // A saturates (100), B saturates (1000), C gets
+    // floor(3000·2000/2000) = 3000 → total exactly 4100
+    val src = Seq(("A", 100L, 1000L), ("B", 1000L, 1000L),
+      ("C", 10000L, 2000L)).toDF("source", "cap_tokens", "weight_milli")
+    val got = Sampling.budgetWaterfill(src, budget = 4100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("A", true, 100L), ("B", true, 1000L),
+      ("C", false, 3000L)), got.toSeq)
+    // all-fit: every source saturates at its cap
+    val fit = Sampling.budgetWaterfill(src, budget = 100000L)
+      .collect().map(r => (r.getBoolean(3), r.getLong(4) == r.getLong(1)))
+    assert(fit.forall(t => t._1 && t._2), fit.toSeq)
+    // floor semantics: sum(alloc) <= budget on an uneven split
+    val tot = Sampling.budgetWaterfill(src, budget = 4099L)
+      .agg(sum("alloc_tokens")).collect().head.getLong(0)
+    assert(tot <= 4099L && tot >= 4090L, tot)
+    // partitioning-invariant
+    val re = Sampling.budgetWaterfill(src.repartition(5), 4100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getLong(4)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("curriculumOrder: stages are difficulty-monotone equi-depth " +
       "cuts; within-stage order is NOT difficulty-sorted; " +
       "partitioning-invariant") {
