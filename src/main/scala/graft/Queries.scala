@@ -6918,6 +6918,57 @@ object Queries {
           "o_orderkey", "r6_fk_orders")))
   }
 
+  /** 1-D earth-mover drift (Drift.emdFromCounts — r9): the SAME
+    * bins and 1995-vs-1996 split as q_x_psi_drift, scored by the
+    * metric PSI can't be — EMD sees HOW FAR mass moved (a one-bin
+    * and a ten-bin shift score identically under PSI's per-bin
+    * ratios), needs no smoothing constant, and computes EXACTLY:
+    * Σ|CDF diffs| cross-multiplied over the common denominator
+    * t_ref·t_cur in decimal, one floor at the end. All work after
+    * the two count scans is on the 10-row bin table.
+    */
+  val qXEmdDrift = q(
+    "q_x_emd_drift",
+    """WITH r AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_ref
+      |           FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      |c AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_cur
+      |      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+      |j AS (SELECT bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      |      FROM r FULL OUTER JOIN c USING (bin)),
+      |t AS (SELECT CAST(SUM(n_ref) AS HUGEINT) AS tr,
+      |             CAST(SUM(n_cur) AS HUGEINT) AS tc FROM j),
+      |cm AS (SELECT bin, n_ref, n_cur,
+      |         ABS(CAST(SUM(n_ref) OVER (ORDER BY bin
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS HUGEINT) * tc
+      |           - CAST(SUM(n_cur) OVER (ORDER BY bin
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS HUGEINT) * tr) AS dabs, tr, tc
+      |       FROM j CROSS JOIN t),
+      |g AS (SELECT CAST((SUM(dabs) * 1000000) // (MAX(tr) * MAX(tc))
+      |             AS BIGINT) AS emd_ppm_total FROM cm)
+      |SELECT bin, n_ref, n_cur,
+      |       CAST((dabs * 1000000) // (tr * tc) AS BIGINT) AS cdf_diff_ppm,
+      |       emd_ppm_total
+      |FROM cm CROSS JOIN g ORDER BY bin""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"), year(col("l_shipdate")).as("y"))
+      .withColumn("bin", least(greatest(
+        floor((col("l_quantity") - 1.0) / 5.0).cast("long"), lit(0L)),
+        lit(9L)))
+    val r = li.filter(col("y") === 1995).groupBy("bin")
+      .agg(count(lit(1)).as("n_ref"))
+    val c = li.filter(col("y") === 1996).groupBy("bin")
+      .agg(count(lit(1)).as("n_cur"))
+    val j = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    graft.operators.Drift.emdFromCounts(j).orderBy("bin")
+  }
+
   /** PSI input-drift monitor (operators/Drift.psiNumeric): quantity
     * distribution of 1995 shipments (reference) vs 1996 (current)
     * over 10 fixed-width bins. Bin edges are pure integer-replayable
@@ -9326,7 +9377,7 @@ object Queries {
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
-    qXCdcApply, qXExpectations, qXPsiDrift, qTZipfSlope, qWMarkovTransitions,
+    qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,

@@ -136,4 +136,39 @@ object Drift {
     val total = contrib.agg(round(sum("chi2_cat"), 6).as("chi2_total"))
     contrib.crossJoin(broadcast(total)).orderBy("cat")
   }
+
+  /** 1-D earth mover's distance between two binned distributions —
+    * the drift metric PSI can't be: EMD sees HOW FAR mass moved, not
+    * just that bin shares changed (a one-bin shift and a ten-bin
+    * shift score identically under PSI's per-bin ratios), and it
+    * needs no smoothing constant because empty bins are legal. For
+    * sorted unit-width bins, EMD = Σ |CDF_ref − CDF_cur| — computed
+    * EXACTLY over the common denominator t_ref·t_cur (decimal
+    * products; the cross-multiplied cumulative diff avoids any
+    * division until the final floor), so the whole metric is integer
+    * arithmetic on the bins-sized metadata table. Output: per-bin
+    * |cdf diff| in ppm plus the exact-total EMD (in ppm of one
+    * bin width).
+    */
+  def emdFromCounts(binned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(sum("n_ref").cast(dec).as("tr"),
+      sum("n_cur").cast(dec).as("tc"))
+    val cum = binned
+      .withColumn("cr", sum("n_ref").over(w).cast(dec))
+      .withColumn("cc", sum("n_cur").over(w).cast(dec))
+      .crossJoin(broadcast(tot))
+      .withColumn("dabs",
+        abs(col("cr") * col("tc") - col("cc") * col("tr")))
+    val total = cum.agg(
+      expr("(sum(dabs) * 1000000) div (max(tr) * max(tc))")
+        .as("emd_ppm_total"))
+    cum.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        expr("(dabs * 1000000) div (tr * tc)").as("cdf_diff_ppm"),
+        col("emd_ppm_total"))
+  }
 }

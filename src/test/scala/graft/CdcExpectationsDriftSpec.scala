@@ -148,4 +148,23 @@ class CdcExpectationsDriftSpec extends SparkSpec {
     assert(nullRow.getAs[Long]("n_cur") === 2L)
     assert(rows.forall(_.getAs[Double]("chi2_cat") === 0.0))
   }
+
+  test("emdFromCounts: identical distributions 0; a far shift scores " +
+      "10x a near shift of the same mass (the distance PSI can't see)") {
+    def emd(ref: Seq[Long], cur: Seq[Long]): Long = {
+      val j = ref.indices.map(i => (i.toLong, ref(i), cur(i)))
+        .toDF("bin", "n_ref", "n_cur")
+      Drift.emdFromCounts(j).collect().head.getAs[Long]("emd_ppm_total")
+    }
+    // identical -> 0
+    assert(emd(Seq(10L, 10, 10, 10), Seq(10L, 10, 10, 10)) == 0L)
+    // same mass (10 of 40) moved: bin0->bin1 vs bin0->bin3.
+    // near: CDF diff 0.25 at one boundary -> 250000 ppm
+    // far: 0.25 at three boundaries -> 750000 ppm (3x)
+    val near = emd(Seq(20L, 10, 5, 5), Seq(10L, 20, 5, 5))
+    val far = emd(Seq(20L, 10, 5, 5), Seq(10L, 10, 5, 15))
+    assert(near == 250000L, near)
+    assert(far == 750000L, far)
+    assert(far == 3 * near)
+  }
 }
