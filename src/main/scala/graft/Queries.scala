@@ -1956,6 +1956,39 @@ object Queries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Time-weighted average per event type (Stats.groupTwap — r9):
+    * the aggregation a raw AVG gets wrong when sampling density
+    * correlates with value — each observation weighted by how long
+    * it stayed current (step-function hold to the next observation;
+    * the last carries no weight). Decimal-exact value·Δt products,
+    * one pmod floor; one per-group window + one agg.
+    */
+  val qWTwap = q(
+    "q_w_twap",
+    """WITH e AS (SELECT event_type, event_id,
+      |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |           FROM events),
+      |l AS (SELECT event_type, sec, v,
+      |        LEAD(sec) OVER (PARTITION BY event_type
+      |                        ORDER BY sec, event_id) - sec AS dt
+      |      FROM e),
+      |g AS (SELECT event_type, COUNT(*) AS n,
+      |        MAX(sec) - MIN(sec) AS span_sec,
+      |        SUM(CAST(v AS HUGEINT) * dt) AS wsum
+      |      FROM l GROUP BY 1)
+      |SELECT event_type, n, span_sec,
+      |       CASE WHEN span_sec > 0 THEN
+      |         CAST((wsum - (((wsum % span_sec) + span_sec) % span_sec))
+      |              // span_sec AS BIGINT) END AS twap_cents
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Stats.groupTwap(
+        Tables.events(s, d), "event_type", "event_id",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy("event_type")
+  }
+
   /** Ranking window: top-3 events per user by value. */
   val qWRank = q(
     "q_w_rank_topn",
@@ -9350,7 +9383,7 @@ object Queries {
     qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO26Waterfill, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
-    qWResampleFfill, qWResampleInterp, qWCohortRetention, qWRollingHour, qTCollocations,
+    qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
     qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,

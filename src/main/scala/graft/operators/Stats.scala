@@ -745,6 +745,36 @@ object Stats {
     * long (epoch-day² ≈ 4e8/row ⇒ safe past 10¹⁰ rows/group).
     * Output: (group, n, slope) — slope in y-units per t-unit.
     */
+  /** Time-weighted average per group over IRREGULAR samples — the
+    * aggregation a raw AVG gets wrong whenever sampling density
+    * correlates with the value (bursts of cheap readings drag the
+    * mean; TWAP weights each observation by how long it was the
+    * current one). Each value holds until the group's next
+    * observation (step-function convention; the last one carries no
+    * weight — span-end is the integration bound), so
+    * twap = Σ vᵢ·Δtᵢ / span — decimal-exact products, pmod-floor at
+    * the end (negative values floor toward −∞ identically in both
+    * engines). One per-group window for the lead + one agg; ties on
+    * the id column keep the order total.
+    */
+  def groupTwap(events: DataFrame, keyCol: String, idCol: String,
+      secCol: Column, valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col("sec"), col("__id"))
+    events
+      .select(col(keyCol), col(idCol).as("__id"),
+        secCol.cast("long").as("sec"), valueCents.cast("long").as("v"))
+      .withColumn("dt", lead(col("sec"), 1).over(w) - col("sec"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        (max("sec") - min("sec")).as("span_sec"),
+        sum(col("v").cast("decimal(38,0)") * col("dt")).as("wsum"))
+      .select(col(keyCol), col("n"), col("span_sec"),
+        when(col("span_sec") > 0, expr(
+          "(wsum - (((wsum % span_sec) + span_sec) % span_sec)) div span_sec"))
+          .cast("long").as("twap_cents"))
+  }
+
   def groupedOlsSlope(df: DataFrame, group: String, tInt: Column,
       yInt: Column): DataFrame =
     olsSlopeFromStats(olsSufficientStats(df, group, tInt, yInt))

@@ -156,6 +156,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(tsN.getAs[Long]("slope_micros") === -3000000L)
   }
 
+  test("groupTwap: hand-computed hold-weighted mean differs from the " +
+      "raw mean exactly where sampling density correlates with value; " +
+      "single-observation group NULL") {
+    import graft.operators.Stats
+    // value 100 holds 1s..9s (8s), then burst of 0s each holding 1s:
+    // raw mean = (100+0+0)/3 = 33.3; TWAP = (100·8 + 0·1)/9 — the
+    // burst can't drag it. (Last obs at 10 carries no weight.)
+    val ev = Seq(
+      ("a", 1L, 1L, 100L), ("a", 2L, 9L, 0L), ("a", 3L, 10L, 0L),
+      ("b", 4L, 5L, 700L)) // single-interval... b has ONE obs → NULL
+      .toDF("k", "id", "sec", "cents")
+    val got = Stats.groupTwap(ev, "k", "id", col("sec"), col("cents"))
+      .orderBy("k").collect()
+    assert(got(0).getLong(1) == 3 && got(0).getLong(2) == 9)
+    assert(got(0).getLong(3) == (100L * 8) / 9, got(0).getLong(3)) // 88
+    assert(got(1).getLong(2) == 0 && got(1).isNullAt(3),
+      "zero-span group must be NULL")
+    // negative values floor toward −∞: v=−100 held 3 of 4s → −75;
+    // Σ = −100·3 = −300, span 4 → floor(−300/4) = −75
+    val neg = Seq(("c", 1L, 0L, -100L), ("c", 2L, 3L, 8L),
+      ("c", 3L, 4L, 0L)).toDF("k", "id", "sec", "cents")
+    val n = Stats.groupTwap(neg, "k", "id", col("sec"), col("cents"))
+      .collect().head
+    // Σ = −100·3 + 8·1 = −292; floor(−292/4) = −73
+    assert(n.getLong(3) == -73L, n.getLong(3))
+  }
+
   test("fellegiSunter: per-field milli-weights sum exactly; " +
       "thresholds cut link/possible/nonlink by hand") {
     import graft.operators.RecordLinkage
