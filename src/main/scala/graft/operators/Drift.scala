@@ -150,6 +150,18 @@ object Drift {
     * |cdf diff| in ppm plus the exact-total EMD (in ppm of one
     * bin width).
     */
+  /** Join separately-built ref/cur bin-count sides (full outer,
+    * absent bins = 0) and finish with [[emdFromCounts]] — the shared
+    * finish for the batch monitor and streaming/StreamEmd's drained
+    * state.
+    */
+  def emdFromSides(refCounts: DataFrame, curCounts: DataFrame): DataFrame =
+    emdFromCounts(
+      refCounts.join(curCounts, Seq("bin"), "full_outer")
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+
   def emdFromCounts(binned: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
