@@ -6951,6 +6951,47 @@ object Queries {
           "o_orderkey", "r6_fk_orders")))
   }
 
+  /** Mann–Whitney rank-sum drift (Drift.rankSumAuc — r9): the
+    * DIRECTIONAL drift question beside PSI/EMD — is 1996's quantity
+    * stochastically larger than 1995's, with AUC = P(cur>ref)+½P(=)
+    * as the effect size. Exact integers via the doubled-midrank
+    * trick on the distinct-value histogram; everything after the two
+    * count scans is metadata.
+    */
+  val qXRankSumDrift = q(
+    "q_x_ranksum_drift",
+    """WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS nr
+      |           FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      |c AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS nc
+      |      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+      |j AS (SELECT v, COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc,
+      |        COALESCE(nr, 0) + COALESCE(nc, 0) AS cnt
+      |      FROM r FULL OUTER JOIN c USING (v)),
+      |m AS (SELECT v, nr, nc,
+      |        2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |            0) + cnt + 1 AS rank2
+      |      FROM j),
+      |g AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_ref,
+      |        CAST(SUM(nc) AS BIGINT) AS n_cur,
+      |        SUM(CAST(nc AS HUGEINT) * rank2) AS s2
+      |      FROM m)
+      |SELECT n_ref, n_cur,
+      |       CAST(s2 - CAST(n_cur AS HUGEINT) * (n_cur + 1) AS BIGINT)
+      |         AS u2_cur,
+      |       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      |         CAST(((s2 - CAST(n_cur AS HUGEINT) * (n_cur + 1)) * 1000000)
+      |              // (2 * CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT)
+      |       END AS auc_ppm
+      |FROM g""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"), year(col("l_shipdate")).as("y"))
+    graft.operators.Drift.rankSumAuc(
+      li.filter(col("y") === 1995).select("l_quantity"),
+      li.filter(col("y") === 1996).select("l_quantity"),
+      "l_quantity")
+  }
+
   /** 1-D earth-mover drift (Drift.emdFromCounts — r9): the SAME
     * bins and 1995-vs-1996 split as q_x_psi_drift, scored by the
     * metric PSI can't be — EMD sees HOW FAR mass moved (a one-bin
@@ -9410,7 +9451,7 @@ object Queries {
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
-    qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qTZipfSlope, qWMarkovTransitions,
+    qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,

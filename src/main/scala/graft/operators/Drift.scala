@@ -150,6 +150,44 @@ object Drift {
     * |cdf diff| in ppm plus the exact-total EMD (in ppm of one
     * bin width).
     */
+  /** Mann–Whitney rank-sum drift test (1947): U and the AUC effect
+    * size for "is the current slice stochastically LARGER than the
+    * reference" — the nonparametric location test beside PSI/EMD/chi²
+    * (PSI/EMD see distribution change, U answers the directional
+    * question with an effect size: AUC = P(cur > ref) + ½P(=)).
+    * Exact-integer throughout: the pooled sample folds to a value
+    * histogram (integer-valued or pre-binned values — one
+    * map-side-combined agg), midranks come from prefix sums in
+    * DOUBLED units (midrank·2 = 2·cumBefore + cnt + 1, always
+    * integer), U₂ = Σ n_cur(v)·rank2(v) − n_cur(n_cur+1) = 2U, and
+    * auc_ppm = floor(10⁶·U₂ / (2·n_ref·n_cur)). Everything after the
+    * two count scans runs on the distinct-value metadata table.
+    */
+  def rankSumAuc(ref: DataFrame, cur: DataFrame, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def hist(df: DataFrame, out: String) =
+      df.select(col(valueCol).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as(out))
+    val j = hist(ref, "nr").join(hist(cur, "nc"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .withColumn("cnt", col("nr") + col("nc"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    j.withColumn("cumb", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cumb") + col("cnt") + 1)
+      .agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"),
+        sum(col("nc").cast(dec) * col("rank2")).as("s2"))
+      .select(col("n_ref"), col("n_cur"),
+        (col("s2") - col("n_cur").cast(dec) * (col("n_cur") + 1))
+          .cast("long").as("u2_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, expr(
+          """((s2 - CAST(n_cur AS DECIMAL(38,0)) * (n_cur + 1)) * 1000000)
+            | div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur)"""
+            .stripMargin)).cast("long").as("auc_ppm"))
+  }
+
   /** Join separately-built ref/cur bin-count sides (full outer,
     * absent bins = 0) and finish with [[emdFromCounts]] — the shared
     * finish for the batch monitor and streaming/StreamEmd's drained

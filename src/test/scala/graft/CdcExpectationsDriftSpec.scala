@@ -167,4 +167,23 @@ class CdcExpectationsDriftSpec extends SparkSpec {
     assert(far == 750000L, far)
     assert(far == 3 * near)
   }
+
+  test("rankSumAuc: perfect separation AUC 1; hand-computed midrank " +
+      "tie case 875000 ppm; symmetric swap complements to 1") {
+    def auc(a: Seq[Long], b: Seq[Long]): (Long, Long) = {
+      val r = a.map(v => Tuple1(v)).toDF("x")
+      val c = b.map(v => Tuple1(v)).toDF("x")
+      val row = Drift.rankSumAuc(r, c, "x").collect().head
+      (row.getAs[Long]("u2_cur"), row.getAs[Long]("auc_ppm"))
+    }
+    // B entirely above A: U = nA·nB = 9, AUC = 1
+    assert(auc(Seq(1L, 2, 3), Seq(4L, 5, 6)) == ((18L, 1000000L)))
+    // ties: A={1,2}, B={2,3}: midranks 1, 2.5, 2.5, 4 →
+    // U_B = (2.5+4) − 3 = 3.5 → u2 = 7, AUC = 3.5/4 = 0.875
+    assert(auc(Seq(1L, 2), Seq(2L, 3)) == ((7L, 875000L)))
+    // antisymmetry: AUC(A,B) + AUC(B,A) = 1 (ties split evenly)
+    val ab = auc(Seq(1L, 2), Seq(2L, 3))._2
+    val ba = auc(Seq(2L, 3), Seq(1L, 2))._2
+    assert(ab + ba == 1000000L, s"$ab + $ba")
+  }
 }
