@@ -7022,10 +7022,12 @@ object Queries {
       |             AS HUGEINT) * tr) AS dabs, tr, tc
       |       FROM j CROSS JOIN t),
       |g AS (SELECT CAST((SUM(dabs) * 1000000) // (MAX(tr) * MAX(tc))
-      |             AS BIGINT) AS emd_ppm_total FROM cm)
+      |             AS BIGINT) AS emd_ppm_total,
+      |             CAST((MAX(dabs) * 1000000) // (MAX(tr) * MAX(tc))
+      |             AS BIGINT) AS ks_ppm_total FROM cm)
       |SELECT bin, n_ref, n_cur,
       |       CAST((dabs * 1000000) // (tr * tc) AS BIGINT) AS cdf_diff_ppm,
-      |       emd_ppm_total
+      |       emd_ppm_total, ks_ppm_total
       |FROM cm CROSS JOIN g ORDER BY bin""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
       .select(col("l_quantity"), year(col("l_shipdate")).as("y"))

@@ -147,8 +147,9 @@ object Drift {
     * products; the cross-multiplied cumulative diff avoids any
     * division until the final floor), so the whole metric is integer
     * arithmetic on the bins-sized metadata table. Output: per-bin
-    * |cdf diff| in ppm plus the exact-total EMD (in ppm of one
-    * bin width).
+    * |cdf diff| in ppm plus the exact-total EMD (1-norm of the CDF
+    * gap, in ppm of one bin width) AND the Kolmogorov–Smirnov D
+    * (its sup-norm) — one cum table prices both.
     */
   /** Mann–Whitney rank-sum drift test (1947): U and the AUC effect
     * size for "is the current slice stochastically LARGER than the
@@ -215,10 +216,14 @@ object Drift {
         abs(col("cr") * col("tc") - col("cc") * col("tr")))
     val total = cum.agg(
       expr("(sum(dabs) * 1000000) div (max(tr) * max(tc))")
-        .as("emd_ppm_total"))
+        .as("emd_ppm_total"),
+      // Kolmogorov–Smirnov rides the same cum table: D = max |CDF
+      // diff| — the sup-norm where EMD is the 1-norm; both exact
+      expr("(max(dabs) * 1000000) div (max(tr) * max(tc))")
+        .as("ks_ppm_total"))
     cum.crossJoin(broadcast(total))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         expr("(dabs * 1000000) div (tr * tc)").as("cdf_diff_ppm"),
-        col("emd_ppm_total"))
+        col("emd_ppm_total"), col("ks_ppm_total"))
   }
 }

@@ -166,6 +166,15 @@ class CdcExpectationsDriftSpec extends SparkSpec {
     assert(near == 250000L, near)
     assert(far == 750000L, far)
     assert(far == 3 * near)
+    // KS (sup-norm) can't tell them apart — both max out at 250000;
+    // that contrast is why the cum table prices BOTH norms
+    def ks(ref: Seq[Long], cur: Seq[Long]): Long = {
+      val j = ref.indices.map(i => (i.toLong, ref(i), cur(i)))
+        .toDF("bin", "n_ref", "n_cur")
+      Drift.emdFromCounts(j).collect().head.getAs[Long]("ks_ppm_total")
+    }
+    assert(ks(Seq(20L, 10, 5, 5), Seq(10L, 20, 5, 5)) == 250000L)
+    assert(ks(Seq(20L, 10, 5, 5), Seq(10L, 10, 5, 15)) == 250000L)
   }
 
   test("rankSumAuc: perfect separation AUC 1; hand-computed midrank " +
