@@ -9432,6 +9432,66 @@ object Queries {
       .orderBy("weather_id")
   }
 
+  /** 2-D skyline / Pareto frontier (operators/Skyline — r10,
+    * Börzsönyi ICDE'01): per return-flag, the line items no other
+    * item dominates on (quantity max, price min) — the multi-
+    * criteria selection set every budget-weighted policy draws
+    * from. The fact folds once to the distinct point table; the
+    * frontier is an argmin + ONE running-min window over distinct-x
+    * metadata (never all-pairs, never a fact sort). Exact cents.
+    */
+  val qXSkyline = q(
+    "q_x_skyline",
+    graft.operators.Skyline.pareto2dOracleSql(
+      """SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |            AS BIGINT) AS y
+        |FROM lineitem""".stripMargin) + "\nORDER BY g, x") { (s, d) =>
+    graft.operators.Skyline.pareto2d(
+        Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy("g", "x")
+  }
+
+  /** Leave-one-source-out valuation (operators/Valuation — r10):
+    * each source's exact marginal contribution to the corpus —
+    * mean-tokens shift under deletion (closed form on per-source
+    * sufficient stats) and the exact distinct-text loss (texts
+    * carried ONLY by that source). Two map-side-combined scans; all
+    * LOO algebra on the sources-sized metadata table.
+    */
+  val qXSourceValuation = q(
+    "q_x_source_valuation",
+    graft.operators.Valuation.leaveOneSourceOutOracleSql(
+      "SELECT source, text AS t FROM documents") + "\nORDER BY 1") {
+    (s, d) =>
+    graft.operators.Valuation.leaveOneSourceOut(
+        Tables.documents(s, d), "source", col("text"))
+      .orderBy("source")
+  }
+
+  /** Out-of-fold target encoding (Sampling.targetEncodeOof — r10,
+    * Micci-Barreca 2001): event-type encoded by the value mean over
+    * every fold except the row's own — the leakage-safe categorical
+    * feature, folds from the shared affine hash on user_id. Closed
+    * form (category totals minus own-fold slice) on the
+    * (category × k) stats table after ONE fact scan; exact pmod-
+    * floor micros.
+    */
+  val qO27TargetEncoding = q(
+    "q_o27_target_encoding",
+    graft.operators.Sampling.targetEncodeOofOracleSql(
+      """SELECT event_type AS cat, user_id AS kx,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |FROM events""".stripMargin, k = 5) + "\nORDER BY cat, fold") {
+    (s, d) =>
+    graft.operators.Sampling.targetEncodeOof(
+        Tables.events(s, d), "event_type", col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"), k = 5)
+      .orderBy("cat", "fold")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9482,5 +9542,6 @@ object Queries {
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
+    qXSkyline, qXSourceValuation, qO27TargetEncoding,
   )
 }

@@ -451,4 +451,65 @@ object Sampling {
           lit(P).cast("decimal(38,0)")).cast("long").as("order_fp"),
         min_by(col(key), col("pos")).as("head_doc"),
         max_by(col(key), col("pos")).as("tail_doc"))
+
+  /** Out-of-fold target encoding — the leakage-safe categorical
+    * feature (Micci-Barreca, SIGKDD Expl. 2001): encode a category
+    * by the TARGET mean computed over every fold EXCEPT the row's
+    * own, so a row never sees its own label through the feature (the
+    * target-leakage failure mode of naive mean encoding). Folds come
+    * from the shared affine [[hashBucket]] family on `key` —
+    * deterministic, append-stable, and consistent with
+    * [[groupKFold]]'s leakage contract.
+    *
+    * Closed form, not k re-aggregations: enc(c, f) =
+    * (S_c − S_{c,f}) / (N_c − N_{c,f}) — per-category totals minus
+    * the own-fold slice, all on the (category × k)-sized sufficient-
+    * stats table after ONE map-side-combined fact scan. NULL when a
+    * category lives entirely in one fold (no out-of-fold evidence —
+    * callers fall back to the global prior).
+    *
+    * Exact integers: targets quantize to cents; the micros render
+    * uses the pmod floor (toward −∞ on negative sums, identical
+    * cross-engine). Long capacity: |cents sum| × 10⁶ < 2⁶³ to ~$92 B
+    * per category; past that the numerator moves to decimal(38)
+    * unchanged in shape.
+    */
+  def targetEncodeOof(df: DataFrame, cat: String, key: Column,
+      targetCents: Column, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val cf = df
+      .select(col(cat).as("cat"), hashBucket(key, k).as("fold"),
+        targetCents.cast("long").as("cents"))
+      .groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_cf"), sum("cents").as("s_cf"))
+    val c = cf.groupBy("cat")
+      .agg(sum("n_cf").as("n_c"), sum("s_cf").as("s_c"))
+    val num = (col("s_c") - col("s_cf")) * 1000000L
+    val den = col("n_c") - col("n_cf")
+    cf.join(broadcast(c), "cat")
+      .select(col("cat"), col("fold"), col("n_cf"),
+        den.as("n_oof"),
+        when(den > 0, ((num - pmod(num, den)) / den).cast("long"))
+          .as("enc_oof_micros"))
+  }
+
+  /** DuckDB rendering of [[targetEncodeOof]]; `srcSql` must yield
+    * (cat, kx, cents).
+    */
+  def targetEncodeOofOracleSql(srcSql: String, k: Int): String =
+    s"""WITH cf AS (
+       |  SELECT cat, ${hashBucketSql("kx", k)} AS fold,
+       |         COUNT(*) AS n_cf, CAST(SUM(cents) AS BIGINT) AS s_cf
+       |  FROM ($srcSql) GROUP BY 1, 2),
+       |c AS (SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+       |        CAST(SUM(s_cf) AS BIGINT) AS s_c FROM cf GROUP BY 1),
+       |j AS (SELECT cf.cat AS cat, cf.fold AS fold, cf.n_cf AS n_cf,
+       |        (c.s_c - cf.s_cf) * 1000000 AS num,
+       |        (c.n_c - cf.n_cf) AS den
+       |      FROM cf JOIN c ON cf.cat = c.cat)
+       |SELECT cat, fold, n_cf, den AS n_oof,
+       |       CASE WHEN den > 0 THEN
+       |         CAST((num - (((num % den) + den) % den)) // den AS BIGINT)
+       |       END AS enc_oof_micros
+       |FROM j""".stripMargin
 }
