@@ -9492,6 +9492,51 @@ object Queries {
       .orderBy("cat", "fold")
   }
 
+  /** Per-type autocorrelation function, lags 1..6 hours
+    * (Stats.groupedAcf — r10): how much each activity series
+    * remembers itself at each offset — the pre-read that picks the
+    * seasonal-naive lag and validates q_w_seasonality's cycle
+    * choice. Zero-filled hourly spine (absent bucket = zero
+    * activity), exact integer sufficient stats, pearsonExact finish;
+    * the fact folds once, all lag work on metadata.
+    */
+  val qWAcf = q(
+    "q_w_acf",
+    graft.operators.Stats.groupedAcfOracleSql(
+      """SELECT event_type AS g,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 AS b,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |FROM events""".stripMargin, maxLag = 6)
+      + "\nORDER BY g, lag") { (s, d) =>
+    graft.operators.Stats.groupedAcf(
+        Tables.events(s, d), "event_type",
+        (unix_timestamp(col("ts")) / 3600L).cast("long"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"),
+        maxLag = 6)
+      .orderBy("g", "lag")
+  }
+
+  /** CUPED variance reduction (operators/AbTest — r10, Deng et al.
+    * WSDM'13): the A/B readout layer — per-user post-period metric
+    * adjusted by the pre-period covariate, θ pooled, arms from the
+    * shared affine hash. One fact fold to per-user (x, y), closed
+    * form on the 2-row arm-stats table: adjusted means AND the
+    * var(Y')/var(Y) reduction, no second per-row pass.
+    */
+  val qXCuped = q(
+    "q_x_cuped",
+    graft.operators.AbTest.cupedOracleSql(
+      """SELECT user_id AS u,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |FROM events""".stripMargin) + "\nORDER BY arm") { (s, d) =>
+    graft.operators.AbTest.cuped(
+        Tables.events(s, d), "user_id",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy("arm")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9543,5 +9588,6 @@ object Queries {
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
+    qWAcf, qXCuped,
   )
 }

@@ -1033,4 +1033,108 @@ object Stats {
        |iso AS (SELECT ib, CAST(MAX(mn) AS BIGINT) AS p_cal_micros
        |        FROM mi GROUP BY ib)""".stripMargin
   }
+
+  /** Per-group autocorrelation function at lags 1..maxLag — "does
+    * this metric remember itself an hour later": ACF(ℓ) = Pearson of
+    * the ZERO-FILLED bucket series against its ℓ-shifted self. The
+    * diagnostic behind every seasonality/forecast choice in the
+    * catalog (q_w_seasonality says WHICH cycle; ACF says HOW MUCH
+    * memory at each offset) — and the standard pre-read before
+    * picking a seasonal-naive lag.
+    *
+    * Zero-fill is deliberate: for activity series an absent bucket
+    * IS zero activity, and gap-skipping pairs would silently change
+    * n per lag. The spine is the global [min, max] bucket range
+    * crossed with the group list (metadata × metadata — the fact
+    * folds ONCE to the (group, bucket) series, map-side combined).
+    * The lag pairing explodes lags 1..maxLag on the series table
+    * (≤ maxLag × |spine| rows, still metadata) and joins back on
+    * (group, bucket+ℓ) — never touching the fact again. The Pearson
+    * finish is the [[pearsonExact]] convention: exact integer
+    * sufficient statistics, fixed IEEE op order, NULL on degenerate
+    * (constant) windows.
+    *
+    * Overflow: per-bucket sums are cents-scale longs; squares and
+    * cross products run on decimal(18,0) operands (sums of v² past
+    * 2⁶³ are realistic for busy buckets at 100 TB).
+    */
+  def groupedAcf(df: DataFrame, group: String, bucket: Column,
+      vInt: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val series0 = df
+      .groupBy(col(group).as("g"), bucket.cast("long").as("b"))
+      .agg(sum(vInt.cast("long")).as("v"))
+    val span = series0.agg(min("b").as("lo"), max("b").as("hi"))
+    val spine = span
+      .select(explode(sequence(col("lo"), col("hi"))).as("b"))
+    val groups = series0.select("g").distinct()
+    val series = groups.crossJoin(broadcast(spine))
+      .join(series0, Seq("g", "b"), "left")
+      .na.fill(0L, Seq("v"))
+    val lags = (1 to maxLag).map(lit(_))
+    val shifted = series
+      .select(col("g"), col("b"), col("v"),
+        explode(array(lags: _*)).as("lag"))
+      .select(col("g"), col("lag"), (col("b") - col("lag")).as("b"),
+        col("v").as("y"))
+    val dec = (c: String) => col(c).cast("decimal(18,0)")
+    val stats = series.withColumnRenamed("v", "x")
+      .join(shifted, Seq("g", "b"))
+      .groupBy("g", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(dec("x") * dec("y")).as("sxy"),
+        sum(dec("x") * dec("x")).as("sxx"),
+        sum(dec("y") * dec("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    stats.select(col("g"), col("lag"), col("n"),
+      when((n * d("sxx") - d("sx") * d("sx")) > 0 &&
+          (n * d("syy") - d("sy") * d("sy")) > 0,
+        (n * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(n * d("sxx") - d("sx") * d("sx"))
+            * sqrt(n * d("syy") - d("sy") * d("sy"))))
+        .as("acf"))
+  }
+
+  /** DuckDB rendering of [[groupedAcf]]; `srcSql` must yield
+    * (g, b, v) pre-aggregation rows (raw, not bucket-summed).
+    */
+  def groupedAcfOracleSql(srcSql: String, maxLag: Int): String =
+    s"""WITH s0 AS (
+       |  SELECT g, b, CAST(SUM(v) AS BIGINT) AS v
+       |  FROM ($srcSql) GROUP BY 1, 2),
+       |sp AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM s0),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS b FROM sp),
+       |ser AS (SELECT gs.g, spine.b, COALESCE(s0.v, 0) AS v
+       |        FROM (SELECT DISTINCT g FROM s0) gs
+       |        CROSS JOIN spine
+       |        LEFT JOIN s0 ON s0.g = gs.g AND s0.b = spine.b),
+       |sh AS (SELECT g, lag, b - lag AS b, v AS y
+       |       FROM ser CROSS JOIN
+       |         (SELECT unnest(range(1, ${maxLag + 1})) AS lag)),
+       |st AS (SELECT ser.g, sh.lag, COUNT(*) AS n,
+       |         CAST(SUM(ser.v) AS BIGINT) AS sx,
+       |         CAST(SUM(sh.y) AS BIGINT) AS sy,
+       |         SUM(CAST(ser.v AS DECIMAL(18,0))
+       |             * CAST(sh.y AS DECIMAL(18,0))) AS sxy,
+       |         SUM(CAST(ser.v AS DECIMAL(18,0))
+       |             * CAST(ser.v AS DECIMAL(18,0))) AS sxx,
+       |         SUM(CAST(sh.y AS DECIMAL(18,0))
+       |             * CAST(sh.y AS DECIMAL(18,0))) AS syy
+       |       FROM ser JOIN sh ON ser.g = sh.g AND ser.b = sh.b
+       |       GROUP BY 1, 2)
+       |SELECT g, lag, n,
+       |       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+       |             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       |       THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |       END AS acf
+       |FROM st""".stripMargin
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AbTest, Sampling, Stats}
+
+/** Round-10 batch B: grouped ACF and CUPED variance reduction. */
+class AcfCupedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedAcf: a strictly period-3 series has ACF(3) exactly 1.0 " +
+      "(shifted vector is pointwise identical)") {
+    val rows = (0L until 30L).map(b => ("s", b, Seq(5L, 11L, 2L)(
+      (b % 3).toInt)))
+    val df = rows.toDF("g0", "b0", "v0")
+    val acf = Stats.groupedAcf(df, "g0", col("b0"), col("v0"), 6)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(acf(3) == 1.0 && acf(6) == 1.0)
+    assert(acf(1) < 0.0, s"off-period lag should anti-correlate: $acf")
+  }
+
+  test("groupedAcf zero-fills absent buckets: sparse input equals " +
+      "explicitly zero-padded input") {
+    val sparse = Seq(("s", 0L, 7L), ("s", 2L, 9L), ("s", 5L, 4L))
+      .toDF("g0", "b0", "v0")
+    val padded = Seq(("s", 0L, 7L), ("s", 1L, 0L), ("s", 2L, 9L),
+      ("s", 3L, 0L), ("s", 4L, 0L), ("s", 5L, 4L)).toDF("g0", "b0", "v0")
+    val a = Stats.groupedAcf(sparse, "g0", col("b0"), col("v0"), 3)
+    val b = Stats.groupedAcf(padded, "g0", col("b0"), col("v0"), 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("groupedAcf: constant series yields NULL (degenerate variance)") {
+    val df = (0L until 10L).map(b => ("c", b, 3L)).toDF("g0", "b0", "v0")
+    val out = Stats.groupedAcf(df, "g0", col("b0"), col("v0"), 2).collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(3)))
+  }
+
+  test("cuped: exactly linear covariate (y = 2x) gives theta 2.0 and " +
+      "zero adjusted variance; arms ride the shared hash family") {
+    // users 0..7; pre event at sec 10 with value x_u, post at sec 90
+    // with value 2*x_u; span 0..100 so tmid = 50
+    val xs = Seq(100L, 220L, 340L, 460L, 580L, 700L, 820L, 940L)
+    val rows = Seq(("pad", 0L, 0L), ("pad2", 100L, 0L)).map {
+      case (_, s2, v) => (999L, s2, v) } ++
+      xs.zipWithIndex.flatMap { case (x, u) =>
+        Seq((u.toLong, 10L, x), (u.toLong, 90L, 2L * x)) }
+    val df = rows.toDF("u0", "sec0", "cents0")
+    val out = AbTest.cuped(df, "u0", col("sec0"), col("cents0"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    out.values.foreach { case (_, _, _, theta, _, varAdj) =>
+      assert(theta == 2.0, s"theta $theta")
+      assert(math.abs(varAdj) < 1e-6, s"var_y_adj $varAdj")
+    }
+    // arm of user 999 (the pad user with x=y=0) matches the hash family
+    val expArm = Sampling.hashBucketLong(999L, 2)
+    val armsSeen = AbTest.cuped(df, "u0", col("sec0"), col("cents0"))
+      .collect().map(_.getLong(0)).toSet
+    assert(armsSeen.contains(expArm))
+  }
+
+  test("cuped preserves the pooled mean and reduces variance on a " +
+      "correlated fixture") {
+    val rows = (0 until 200).flatMap { u =>
+      val x = (u * 37 % 97).toLong + 10L
+      val y = x * 3L + (u * 53 % 31).toLong
+      Seq((u.toLong, 5L, x), (u.toLong, 95L, y))
+    } :+ (9999L, 0L, 0L) :+ (9998L, 100L, 0L)
+    val df = rows.toDF("u0", "sec0", "cents0")
+    val out = AbTest.cuped(df, "u0", col("sec0"), col("cents0")).collect()
+    val rawPool = out.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val adjPool = out.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(rawPool - adjPool) < 1e-6,
+      s"pooled mean must be invariant: $rawPool vs $adjPool")
+    out.foreach { r =>
+      assert(r.getDouble(6) < r.getDouble(5),
+        s"variance must shrink: ${r.getDouble(6)} vs ${r.getDouble(5)}")
+    }
+  }
+
+  test("groupedAcf is partitioning-invariant on real events") {
+    val ev = Tables.events(spark, Sf0001)
+    val b = (unix_timestamp(col("ts")) / 3600L).cast("long")
+    val v = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val a1 = Stats.groupedAcf(ev, "event_type", b, v, 4)
+    val a2 = Stats.groupedAcf(ev.repartition(7), "event_type", b, v, 4)
+    assert(a1.exceptAll(a2).isEmpty && a2.exceptAll(a1).isEmpty)
+  }
+}
