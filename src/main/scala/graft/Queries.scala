@@ -9537,6 +9537,64 @@ object Queries {
       .orderBy("arm")
   }
 
+  /** Per-type truncated EWMA of hourly activity (Stats.groupedEwma —
+    * r10): the smoothed "current level" every trend baseline and
+    * rate limiter reads, geometric weights 3/4 cut at 6 terms so the
+    * whole thing is a closed form over the last 6 buckets — exactly
+    * replayable. Zero-filled hourly spine (absent bucket = zero
+    * activity), integer weight/micros arithmetic, full windows only;
+    * the fact folds once, the lag window runs per-group on the
+    * metadata series. Streaming sibling: StreamEwma (bit-exact,
+    * shared finish).
+    */
+  val qWEwma = q(
+    "q_w_ewma",
+    graft.operators.Stats.groupedEwmaOracleSql(
+      """SELECT event_type AS g,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 AS b,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |FROM events""".stripMargin, window = 6, num = 3, den = 4)
+      + "\nORDER BY g, b") { (s, d) =>
+    graft.operators.Stats.groupedEwma(
+        Tables.events(s, d), "event_type",
+        (unix_timestamp(col("ts")) / 3600L).cast("long"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"),
+        window = 6, num = 3, den = 4)
+      .orderBy("g", "b")
+  }
+
+  /** Common-neighbor / resource-allocation link prediction
+    * (operators/LinkPrediction — r10, Zhou-Lü-Zhang '09) over the
+    * order-hash graph: the top candidate NON-edges the neighborhood
+    * structure implies — the ranker that backfills pairs a banded
+    * near-dup pass missed and proposes entity-resolution merges.
+    * Wedge generation hub-cut at deg ≤ 40 (intermediate bounded by
+    * |V|·maxDeg² regardless of skew); per-term-floored RA micros keep
+    * the score an order-free exact integer. Deterministic top-500 by
+    * (cn, ra, pair) — bounded output at every scale.
+    */
+  val qGLinkPredict = {
+    val edgesSql =
+      """SELECT l_orderkey % 4000 AS src,
+        |       (l_orderkey * 13 + l_suppkey) % 4000 AS dst
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin
+    q(
+      "q_g_link_predict",
+      graft.operators.LinkPrediction.commonNeighborScoresOracleSql(
+        edgesSql, maxDeg = 40, minCn = 1)
+        + "\nORDER BY cn DESC, ra_micros DESC, a, b LIMIT 500") { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 4000).as("src"),
+          ((col("l_orderkey") * 13 + col("l_suppkey")) % 4000).as("dst"))
+      graft.operators.LinkPrediction.commonNeighborScores(
+          edges, "src", "dst", maxDeg = 40, minCn = 1)
+        .orderBy(col("cn").desc, col("ra_micros").desc, col("a"),
+          col("b"))
+        .limit(500)
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9589,5 +9647,6 @@ object Queries {
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
+    qWEwma, qGLinkPredict,
   )
 }

@@ -1058,19 +1058,40 @@ object Stats {
     * cross products run on decimal(18,0) operands (sums of v² past
     * 2⁶³ are realistic for busy buckets at 100 TB).
     */
+  /** One map-side-combined fact fold to the (g, b, v) bucket series —
+    * the shared first stage of [[groupedAcf]] and [[ewmaFromSums]],
+    * and (being an order-free exact-sum agg) the state a streaming
+    * sibling can maintain incrementally (streaming/StreamEwma).
+    */
+  def bucketSums(df: DataFrame, group: String, bucket: Column,
+      vInt: Column): DataFrame =
+    df.groupBy(col(group).as("g"), bucket.cast("long").as("b"))
+      .agg(sum(vInt.cast("long")).as("v"))
+
+  /** Zero-fill a (g, b, v) series onto the global [min, max] bucket
+    * spine crossed with the group list — metadata × metadata; an
+    * absent bucket IS zero activity for the series operators.
+    */
+  private def zeroFilled(series0: DataFrame): DataFrame = {
+    val span = series0.agg(min("b").as("lo"), max("b").as("hi"))
+    val spine = span
+      .select(explode(sequence(col("lo"), col("hi"))).as("bb"))
+    // renamed join keys: the spine×groups side must not share
+    // attributes with series0, or plans whose lineage Spark cannot
+    // auto-dedup (e.g. a drained streaming memory sink) fail analysis
+    val groups = series0.select(col("g").as("gg")).distinct()
+    groups.crossJoin(broadcast(spine))
+      .join(series0,
+        col("gg") === col("g") && col("bb") === col("b"), "left")
+      .select(col("gg").as("g"), col("bb").as("b"),
+        coalesce(col("v"), lit(0L)).as("v"))
+  }
+
   def groupedAcf(df: DataFrame, group: String, bucket: Column,
       vInt: Column, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val series0 = df
-      .groupBy(col(group).as("g"), bucket.cast("long").as("b"))
-      .agg(sum(vInt.cast("long")).as("v"))
-    val span = series0.agg(min("b").as("lo"), max("b").as("hi"))
-    val spine = span
-      .select(explode(sequence(col("lo"), col("hi"))).as("b"))
-    val groups = series0.select("g").distinct()
-    val series = groups.crossJoin(broadcast(spine))
-      .join(series0, Seq("g", "b"), "left")
-      .na.fill(0L, Seq("v"))
+    val series0 = bucketSums(df, group, bucket, vInt)
+    val series = zeroFilled(series0)
     val lags = (1 to maxLag).map(lit(_))
     val shifted = series
       .select(col("g"), col("b"), col("v"),
@@ -1137,4 +1158,100 @@ object Stats {
        |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
        |       END AS acf
        |FROM st""".stripMargin
+
+  /** Per-group truncated exponential moving average over the
+    * zero-filled bucket series — the smoothing layer under every
+    * "current level" readout (trend baselines, drift denominators,
+    * rate limiters). Geometric weights with ratio num/den are cut at
+    * `window` terms so the result is a CLOSED FORM over the last
+    * `window` buckets — exactly replayable, unlike the infinite
+    * recursion, and the standard production trade (the dropped tail
+    * carries (num/den)^window of the mass; window 6 at 3/4 ≈ 18%,
+    * window 12 ≈ 3%).
+    *
+    * Exactness contract: weight c_j = num^j · den^(window−1−j) for
+    * age j (0 = current bucket) — all integers — and
+    * ewma_micros = ⌊Σ_j v(b−j)·c_j · 10⁶ / Σ_j c_j⌋ in integer
+    * arithmetic (decimal(38,0) products, integral divide), so both
+    * engines replay bit-exact. v must be non-negative (integral
+    * divide truncates toward zero in Spark and floors in DuckDB —
+    * they agree only on non-negatives; every cents/count series in
+    * the catalog qualifies).
+    *
+    * Scale shape: the fact folds ONCE ([[bucketSums]], map-side
+    * combined); the lag window runs per-group on the spine-sized
+    * metadata series — parallel across groups, never a fact sort.
+    * Only full windows emit (first window−1 spine buckets are
+    * warm-up), so n per group is deterministic.
+    */
+  def groupedEwma(df: DataFrame, group: String, bucket: Column,
+      vInt: Column, window: Int, num: Int, den: Int): DataFrame =
+    ewmaFromSums(bucketSums(df, group, bucket, vInt), window, num, den)
+
+  /** Finish stage of [[groupedEwma]] from a (g, b, v) bucket-sum
+    * table — shared arithmetic with the streaming sibling
+    * (StreamEwma finishes its drained streaming-agg state here, so
+    * batch ≡ streaming bit-exact by construction).
+    */
+  def ewmaFromSums(sums: DataFrame, window: Int, num: Int,
+      den: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(num >= 1 && den > num,
+      s"need 1 <= num < den for a decaying average, got $num/$den")
+    val weights = ewmaWeights(window, num, den)
+    val denom = weights.sum
+    val series = zeroFilled(sums)
+    val w = Window.partitionBy("g").orderBy("b")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wsum = weights.zipWithIndex.map { case (c, j) =>
+      dec(if (j == 0) col("v") else lag(col("v"), j).over(w)) * lit(c)
+    }.reduce(_ + _)
+    series
+      .withColumn("rn", row_number().over(w))
+      .withColumn("wsum", wsum)
+      .filter(col("rn") >= window)
+      .select(col("g"), col("b"), col("v"),
+        expr(s"wsum * 1000000 div $denom").as("ewma_micros"))
+  }
+
+  /** c_j = num^j · den^(window−1−j), age 0 first; guarded so the
+    * ×10⁶ micros product stays inside decimal(38,0) headroom.
+    */
+  private def ewmaWeights(window: Int, num: Int, den: Int): Seq[Long] = {
+    val ws = (0 until window).map(j =>
+      BigInt(num).pow(j) * BigInt(den).pow(window - 1 - j))
+    require(ws.sum < BigInt(Long.MaxValue) / 1000000L,
+      s"weights overflow micros headroom: window=$window den=$den")
+    ws.map(_.toLong)
+  }
+
+  /** DuckDB rendering of [[groupedEwma]]; `srcSql` must yield
+    * (g, b, v) pre-aggregation rows (raw, not bucket-summed).
+    */
+  def groupedEwmaOracleSql(srcSql: String, window: Int, num: Int,
+      den: Int): String = {
+    val weights = ewmaWeights(window, num, den)
+    val denom = weights.sum
+    val terms = weights.zipWithIndex.map { case (c, j) =>
+      if (j == 0) s"CAST(v AS HUGEINT) * $c"
+      else s"CAST(LAG(v, $j) OVER w AS HUGEINT) * $c"
+    }.mkString("\n       |          + ")
+    s"""WITH s0 AS (
+       |  SELECT g, b, CAST(SUM(v) AS BIGINT) AS v
+       |  FROM ($srcSql) GROUP BY 1, 2),
+       |sp AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM s0),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS b FROM sp),
+       |ser AS (SELECT gs.g, spine.b, COALESCE(s0.v, 0) AS v
+       |        FROM (SELECT DISTINCT g FROM s0) gs
+       |        CROSS JOIN spine
+       |        LEFT JOIN s0 ON s0.g = gs.g AND s0.b = spine.b),
+       |wn AS (SELECT g, b, v,
+       |         ROW_NUMBER() OVER w AS rn,
+       |         $terms
+       |           AS wsum
+       |       FROM ser WINDOW w AS (PARTITION BY g ORDER BY b))
+       |SELECT g, b, v,
+       |       CAST(wsum * 1000000 // $denom AS BIGINT) AS ewma_micros
+       |FROM wn WHERE rn >= $window""".stripMargin
+  }
 }
