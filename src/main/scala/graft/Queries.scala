@@ -7766,10 +7766,32 @@ object Queries {
     * an effective-diameter read, 8× less register state per round);
     * both fully oracle-replayed with Flajolet's forked α constants.
     */
-  private def hyperAnfQuery(name: String, m: Int, rounds: Int): QSpec = {
+  /** The undirected part↔supplier link graph the HyperANF family
+    * runs on — oracle CTE `ed` and the matching Spark frame.
+    */
+  private val hyperAnfGraphCte =
+    """ed AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem
+      |  UNION ALL
+      |  SELECT l_suppkey % 100, l_partkey % 500 FROM lineitem))""".stripMargin
+
+  private def hyperAnfGraph(s: SparkSession, d: String): DataFrame = {
+    val fwd = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 500).as("src"),
+        (col("l_suppkey") % 100).as("dst"))
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Shared oracle text for the HyperANF register chain over CTE
+    * `ed`: node table, affine-square hash, r0 registers, `rounds`
+    * push/merge rounds, per-round per-node finish tables es$t
+    * (zeros, raw). [[hyperAnfEstSql]] floors es$t to the per-node
+    * long estimate — the exact Sketch.hllFinish arithmetic.
+    */
+  private def hyperAnfChainCtes(m: Int, rounds: Int): String = {
     import graft.operators.Sketch.{A1, A2, B1, B2, P1, P2, RankCap, alphaM2Sql}
     val log2m = Integer.numberOfTrailingZeros(m)
-    def finishCtes(t: Int): String =
+    def agEs(t: Int): String =
       s"""ag$t AS (SELECT v, COUNT(*) AS present,
          |        CAST(SUM(1::BIGINT << ($RankCap - mj)) AS BIGINT) AS sum_scaled
          |        FROM r$t GROUP BY v),
@@ -7777,47 +7799,50 @@ object Queries {
          |  ${alphaM2Sql(m)}
          |    / (CAST(sum_scaled + ($m - present) * (1::BIGINT << $RankCap) AS DOUBLE)
          |       / ${1L << RankCap}.0) AS raw
-         |  FROM ag$t),
-         |nf$t AS (SELECT $t AS t, CAST(SUM(
-         |    CAST(floor(CASE WHEN raw <= ${m * 2.5} AND zeros > 0
-         |               THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE))
-         |               ELSE raw END) AS BIGINT)) AS BIGINT) AS nf
-         |  FROM es$t)""".stripMargin
+         |  FROM ag$t)""".stripMargin
     val roundCtes = (1 to rounds).map { t =>
       s"""p$t AS (SELECT ed.dst AS v, bucket, mj
          |        FROM ed JOIN r${t - 1} r ON r.v = ed.src),
          |r$t AS (SELECT v, bucket, MAX(mj) AS mj FROM
          |          (SELECT * FROM r${t - 1} UNION ALL SELECT * FROM p$t)
          |        GROUP BY v, bucket),
-         |${finishCtes(t)}""".stripMargin
+         |${agEs(t)}""".stripMargin
+    }.mkString(",\n")
+    s"""nd AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+       |hx AS (SELECT v, ((v % $P1) * $A1 + $B1) % $P1 AS x1,
+       |               ((v % $P2) * $A2 + $B2) % $P2 AS x2 FROM nd),
+       |hh AS (SELECT v, ((x1 * x1 % $P1 * 31 + x1) % $P1)
+       |        + (((x2 * x2 % $P2 * 131 + x2) % $P2) << 30) AS h FROM hx),
+       |r0 AS (SELECT v, h & ${m - 1} AS bucket,
+       |  CASE WHEN (h >> $log2m) = 0 THEN $RankCap
+       |       ELSE least(bit_count(((h >> $log2m) & -(h >> $log2m)) - 1) + 1, $RankCap)
+       |  END AS mj FROM hh),
+       |${agEs(0)},
+       |$roundCtes""".stripMargin
+  }
+
+  /** Per-node long estimate off es$t — mirrors Sketch.hllFinish. */
+  private def hyperAnfEstSql(m: Int, t: Int): String =
+    s"""SELECT v, CAST(floor(CASE WHEN raw <= ${m * 2.5} AND zeros > 0
+       |    THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE))
+       |    ELSE raw END) AS BIGINT) AS est FROM es$t""".stripMargin
+
+  private def hyperAnfQuery(name: String, m: Int, rounds: Int): QSpec = {
+    val nfCtes = (0 to rounds).map { t =>
+      s"""nf$t AS (SELECT $t AS t, CAST(SUM(est) AS BIGINT) AS nf
+         |  FROM (${hyperAnfEstSql(m, t)}))""".stripMargin
     }.mkString(",\n")
     q(
       name,
-      s"""WITH ed AS (SELECT DISTINCT src, dst FROM (
-         |  SELECT l_partkey % 500 AS src, l_suppkey % 100 AS dst FROM lineitem
-         |  UNION ALL
-         |  SELECT l_suppkey % 100, l_partkey % 500 FROM lineitem)),
-         |nd AS (SELECT DISTINCT v FROM
-         |  (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
-         |hx AS (SELECT v, ((v % $P1) * $A1 + $B1) % $P1 AS x1,
-         |               ((v % $P2) * $A2 + $B2) % $P2 AS x2 FROM nd),
-         |hh AS (SELECT v, ((x1 * x1 % $P1 * 31 + x1) % $P1)
-         |        + (((x2 * x2 % $P2 * 131 + x2) % $P2) << 30) AS h FROM hx),
-         |r0 AS (SELECT v, h & ${m - 1} AS bucket,
-         |  CASE WHEN (h >> $log2m) = 0 THEN $RankCap
-         |       ELSE least(bit_count(((h >> $log2m) & -(h >> $log2m)) - 1) + 1, $RankCap)
-         |  END AS mj FROM hh),
-         |${finishCtes(0)},
-         |$roundCtes
+      s"""WITH $hyperAnfGraphCte,
+         |${hyperAnfChainCtes(m, rounds)},
+         |$nfCtes
          |SELECT * FROM (${(0 to rounds).map(t => s"SELECT t, nf FROM nf$t")
              .mkString(" UNION ALL ")})
          |ORDER BY t""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val fwd = li.select((col("l_partkey") % 500).as("src"),
-        (col("l_suppkey") % 100).as("dst"))
-      val und = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.HyperAnf.neighborhoodFunction(und, rounds, m)
+      graft.operators.HyperAnf
+        .neighborhoodFunction(hyperAnfGraph(s, d), rounds, m)
     }
   }
 
@@ -7828,6 +7853,43 @@ object Queries {
     * lever (|E| × occupied-registers join volume per round).
     */
   val qGHyperAnfM32 = hyperAnfQuery("q_g_hyperanf_m32", m = 32, rounds = 3)
+
+  /** Per-node harmonic centrality (HyperAnf.harmonicCentrality —
+    * r10, Boldi-Vigna HyperBall ICDMW'13): Σ 1/d(u→v) accumulated
+    * from the SAME register rounds as q_g_hyperanf — each round's
+    * ball-size delta weighted 1/t, truncated at radius 3. The
+    * which-nodes-are-central read (crawl seeding, authority pick)
+    * at a scale where per-node BFS is quadratic fantasy. Output is
+    * hc·lcm(1..3) = hc·6 — integer weights, no division, so exact
+    * even when a small-range regime switch turns a delta negative.
+    */
+  val qGHarmonic = {
+    val m = 256
+    val rounds = 3
+    val ws = graft.operators.HyperAnf.harmonicWeights(rounds)
+    val terms = (1 to rounds)
+      .map(t => s"(e$t.est - e${t - 1}.est) * ${ws(t - 1)}")
+      .mkString("\n       |         + ")
+    q(
+      "q_g_harmonic",
+      s"""WITH $hyperAnfGraphCte,
+         |${hyperAnfChainCtes(m, rounds)},
+         |${(0 to rounds)
+            .map(t => s"est$t AS (${hyperAnfEstSql(m, t)})")
+            .mkString(",\n")}
+         |SELECT e0.v AS v,
+         |       $terms
+         |         AS hc_scaled
+         |FROM est0 e0
+         |${(1 to rounds)
+            .map(t => s"JOIN est$t e$t ON e$t.v = e0.v")
+            .mkString("\n")}
+         |ORDER BY e0.v""".stripMargin) { (s, d) =>
+      graft.operators.HyperAnf
+        .harmonicCentrality(hyperAnfGraph(s, d), rounds, m)
+        .orderBy("v")
+    }
+  }
 
   /** Poisson-bootstrap CI for per-flag mean price
     * (Stats.bootstrapMeanCi): 40 replicate weighted means from ONE
@@ -9647,6 +9709,6 @@ object Queries {
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
-    qWEwma, qGLinkPredict,
+    qWEwma, qGLinkPredict, qGHarmonic,
   )
 }

@@ -80,4 +80,62 @@ object HyperAnf {
     }
     out.orderBy("t")
   }
+
+  /** Per-node harmonic centrality by HyperBall (Boldi & Vigna,
+    * "In-Core Computation of Geometric Centralities with HyperBall",
+    * ICDMW'13): hc(v) = Σ_{u≠v} 1/d(u→v), accumulated from the SAME
+    * register rounds as [[neighborhoodFunction]] — each round's
+    * per-node ball-size delta is the (estimated) count of nodes first
+    * reached at distance t, weighted 1/t. Truncated at `rounds` (the
+    * published trick: centrality mass beyond the effective diameter
+    * is negligible, and the truncation radius is explicit).
+    *
+    * Exactness: the per-node HLL estimate is the deterministic
+    * [[Sketch.hllFinish]] long; the output is
+    * hc_scaled = Σ_t (est_t − est_{t−1}) · (L/t) with L =
+    * lcm(1..rounds) — integer weights, NO division anywhere, so the
+    * value is an order-free exact integer even when a small-range
+    * regime switch makes a delta negative (where trunc-vs-floor
+    * division semantics would diverge across engines). True harmonic
+    * centrality ≈ hc_scaled / L.
+    *
+    * Scale shape: identical to [[neighborhoodFunction]] — O(rounds)
+    * shuffles on the register table — plus one |V|-sized join per
+    * round to carry (running sum, previous estimate).
+    */
+  def harmonicCentrality(edges: DataFrame, rounds: Int,
+      m: Int = 256): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val weights = harmonicWeights(rounds)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var reg = Sketch.hllRegisters(
+      nodes.withColumn("k", col("v")), Seq("v"), "k", m).localCheckpoint()
+
+    var hc = Sketch.hllFinish(reg, Seq("v"), m)
+      .select(col("v"), lit(0L).as("s"), col("hll_est").as("p"))
+    for (t <- 1 to rounds) {
+      val pushed = e.join(reg.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), col("bucket"), col("mj"))
+      reg = reg.unionByName(pushed)
+        .groupBy("v", "bucket").agg(max("mj").as("mj"))
+        .localCheckpoint()
+      hc = hc.join(Sketch.hllFinish(reg, Seq("v"), m), "v")
+        .select(col("v"),
+          (col("s") + (col("hll_est") - col("p")) * lit(weights(t - 1)))
+            .as("s"),
+          col("hll_est").as("p"))
+    }
+    hc.select(col("v"), col("s").as("hc_scaled"))
+  }
+
+  /** Integer round weights L/t for t = 1..rounds, L = lcm(1..rounds). */
+  def harmonicWeights(rounds: Int): Seq[Long] = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = (1L to rounds.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    (1 to rounds).map(t => l / t)
+  }
 }

@@ -213,6 +213,27 @@ class PcaPrivacySpec extends SparkSpec {
     assert(nf(5) === nf(4), s"stationary past the diameter: $nf")
   }
 
+  test("HyperBall harmonic centrality: integer round weights; a " +
+      "directed chain's source scores exactly 0 and deeper nodes " +
+      "score higher; partitioning-invariant") {
+    import graft.operators.HyperAnf
+    assert(HyperAnf.harmonicWeights(3) == Seq(6L, 3L, 2L))
+    assert(HyperAnf.harmonicWeights(4) == Seq(12L, 6L, 4L, 3L))
+    // directed chain 0→1→…→5: hc counts INCOMING reach, so the
+    // source (reached by nobody) is exactly 0 — its registers never
+    // change, an exact statement independent of HLL estimation
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val hc = HyperAnf.harmonicCentrality(chain, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hc(0L) === 0L, s"source must be 0: $hc")
+    assert((1L to 5L).forall(hc(_) > 0L), s"non-sources positive: $hc")
+    // node 5 sees 3 nodes inside radius 3 (2,3,4); node 1 sees only 0
+    assert(hc(5L) > hc(1L), s"deeper chain node more central: $hc")
+    val hc2 = HyperAnf.harmonicCentrality(chain.repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hc === hc2, "partitioning-invariant")
+  }
+
   test("frequentPairs: a-priori prune, exact support and lift") {
     import graft.operators.FrequentItemsets
     // 6 baskets: {1,2} together in 4; item 3 in 4 baskets but never
