@@ -9657,6 +9657,27 @@ object Queries {
     }
   }
 
+  /** Embedding-distribution drift (Drift.embeddingDrift — r10): the
+    * vector sibling of q_x_psi_drift — per-dimension micros mean of a
+    * reference slice (labels 0–4) vs a current slice (labels 5–9)
+    * and the signed delta, the monitor that catches "the encoder
+    * changed / the corpus mix moved" before ANN indexes and
+    * semantic-dedup thresholds silently rot. One fold per slice to a
+    * 64-row stats table; drift arithmetic is a dim-sized join; house
+    * floor-division micros means (the centroid arithmetic).
+    * Streaming sibling: StreamEmbeddingDrift (bit-exact, shared
+    * finish).
+    */
+  val qXEmbeddingDrift = q(
+    "q_x_embedding_drift",
+    graft.operators.Drift.embeddingDriftOracleSql(
+      "SELECT label < 5 AS is_ref, embedding AS v FROM embeddings")
+      + "\nORDER BY pos") { (s, d) =>
+    graft.operators.Drift.embeddingDrift(
+        Tables.embeddings(s, d), col("label") < 5, col("embedding"))
+      .orderBy("pos")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9709,6 +9730,6 @@ object Queries {
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
-    qWEwma, qGLinkPredict, qGHarmonic,
+    qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift,
   )
 }

@@ -226,4 +226,82 @@ object Drift {
         expr("(dabs * 1000000) div (tr * tc)").as("cdf_diff_ppm"),
         col("emd_ppm_total"), col("ks_ppm_total"))
   }
+
+  /** Per-dimension drift of an embedding column between a reference
+    * and a current slice — the monitor that catches "the encoder
+    * changed / the corpus mix moved" BEFORE an ANN index or a
+    * semantic-dedup threshold silently rots: per-dim micros means of
+    * both slices and their signed delta. Mean shift is the
+    * first-moment read; dims with the largest |delta| name WHAT
+    * moved (cf. PSI for scalar features — this is its vector
+    * sibling).
+    *
+    * Determinism: each float is widened to double (exact) and
+    * floored to micros; per-dim sums are exact longs; the mean is
+    * the house floor-division (numerator pre-adjusted by the true
+    * mod so any div semantics agree) — identical to the centroid
+    * arithmetic in Similarity.groupCentroidMicros.
+    *
+    * Scale shape: the fact folds ONCE per slice to a dim-sized
+    * stats table ([[embeddingDimStats]] — map-side combined, shuffle
+    * key cardinality = dim); all drift arithmetic is a dim-sized
+    * join. Streaming sibling: StreamEmbeddingDrift maintains the
+    * current slice's stats incrementally (order-free exact sums)
+    * and finishes through the SAME [[embeddingDriftFromStats]].
+    */
+  def embeddingDrift(df: DataFrame, isRef: Column,
+      emb: Column): DataFrame =
+    embeddingDriftFromStats(
+      embeddingDimStats(df.filter(isRef), emb),
+      embeddingDimStats(df.filter(!isRef), emb))
+
+  /** (pos, sm, n): exact per-dimension micros sums + counts — the
+    * mergeable sufficient statistics (and streaming-agg state).
+    */
+  def embeddingDimStats(df: DataFrame, emb: Column): DataFrame =
+    df.select(posexplode(emb).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("xm"))
+      .groupBy("pos")
+      .agg(sum("xm").as("sm"), count(lit(1)).as("n"))
+
+  /** Finish: join the two dim-stats tables and floor-divide to
+    * means; delta = cur − ref in signed micros.
+    */
+  def embeddingDriftFromStats(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val mean = (sm: String, n: String) =>
+      expr(s"($sm - (($sm % $n) + $n) % $n) div $n")
+    ref.select(col("pos").as("rpos"), col("sm").as("rsm"),
+        col("n").as("n_ref"))
+      .join(cur.select(col("pos"), col("sm").as("csm"),
+        col("n").as("n_cur")), col("rpos") === col("pos"))
+      .select(col("pos"), col("n_ref"), col("n_cur"),
+        mean("rsm", "n_ref").as("mean_ref_micros"),
+        mean("csm", "n_cur").as("mean_cur_micros"))
+      .withColumn("delta_micros",
+        col("mean_cur_micros") - col("mean_ref_micros"))
+  }
+
+  /** DuckDB oracle replaying [[embeddingDrift]]; `srcSql` must yield
+    * (is_ref BOOLEAN, v) with v the embedding array.
+    */
+  def embeddingDriftOracleSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |e AS (SELECT is_ref, unnest(range(len(v))) AS pos, v FROM src),
+       |m AS (SELECT is_ref, pos,
+       |        CAST(floor(CAST(v[pos + 1] AS DOUBLE) * 1000000) AS BIGINT)
+       |          AS xm
+       |      FROM e),
+       |g AS (SELECT is_ref, pos, CAST(SUM(xm) AS BIGINT) AS sm,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM m GROUP BY 1, 2),
+       |r AS (SELECT pos, n AS n_ref,
+       |        (sm - ((sm % n) + n) % n) // n AS m_ref
+       |      FROM g WHERE is_ref),
+       |c AS (SELECT pos, n AS n_cur,
+       |        (sm - ((sm % n) + n) % n) // n AS m_cur
+       |      FROM g WHERE NOT is_ref)
+       |SELECT pos, n_ref, n_cur, m_ref AS mean_ref_micros,
+       |       m_cur AS mean_cur_micros, m_cur - m_ref AS delta_micros
+       |FROM r JOIN c USING (pos)""".stripMargin
 }
