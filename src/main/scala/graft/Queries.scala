@@ -9678,6 +9678,64 @@ object Queries {
       .orderBy("pos")
   }
 
+  /** Luhn card audit (TextOps.luhnSum/redactCards — r10, ISO/IEC
+    * 7812): card-shaped digit runs synthesized deterministically from
+    * order keys, grouped per priority — how many runs are card-SHAPED
+    * (regex), how many are checksum-REAL (Luhn mod-10, the ~10%
+    * line), and that the scrubber redacted every shaped run. The
+    * precision audit behind the PII redaction family: scrub by shape
+    * (over-redaction is safe), COUNT by checksum (so the audit column
+    * measures true card exposure, not order-number noise). Pure
+    * map-side codegen'd HOF arithmetic — no UDF, no shuffle beyond
+    * the 5-row priority agg.
+    */
+  val qTLuhnAudit = q(
+    "q_t_luhn_audit",
+    s"""WITH b AS (SELECT o_orderpriority,
+       |       lpad(CAST(o_orderkey * 1000003 + 999 AS VARCHAR), 16, '0')
+       |         AS dg
+       |     FROM orders),
+       |t AS (SELECT o_orderpriority, dg,
+       |       'ref ' || substr(dg, 1, 4) || '-' || substr(dg, 5, 4) ||
+       |       '-' || substr(dg, 9, 4) || '-' || substr(dg, 13, 4) ||
+       |       ' end' AS txt
+       |     FROM b),
+       |c AS (SELECT o_orderpriority,
+       |       len(regexp_extract_all(txt, '${graft.operators.TextOps.CardRe}'))
+       |         AS n_shape,
+       |       CASE WHEN ${graft.operators.TextOps.luhnSumSql("dg")}
+       |              % 10 = 0 THEN 1 ELSE 0 END AS ok,
+       |       CASE WHEN regexp_replace(txt,
+       |              '${graft.operators.TextOps.CardRe}', '<CARD>', 'g')
+       |              LIKE '%<CARD>%' THEN 1 ELSE 0 END AS red
+       |     FROM t)
+       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(n_shape) AS BIGINT) AS n_card_shaped,
+       |       CAST(SUM(ok) AS BIGINT) AS n_luhn_valid,
+       |       CAST(SUM(red) AS BIGINT) AS n_redacted
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.TextOps
+    val dg = lpad((col("o_orderkey") * 1000003 + 999).cast("string"),
+      16, "0")
+    val txt = concat(lit("ref "), dg.substr(1, 4), lit("-"),
+      dg.substr(5, 4), lit("-"), dg.substr(9, 4), lit("-"),
+      dg.substr(13, 4), lit(" end"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), dg.as("dg"), txt.as("txt"))
+      .select(col("o_orderpriority"),
+        size(regexp_extract_all(col("txt"), lit(TextOps.CardRe),
+          lit(0))).as("n_shape"),
+        when(TextOps.luhnValid(col("dg")), 1).otherwise(0).as("ok"),
+        when(TextOps.redactCards(col("txt")).contains("<CARD>"), 1)
+          .otherwise(0).as("red"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("n_shape").as("n_card_shaped"),
+        sum("ok").as("n_luhn_valid"),
+        sum("red").as("n_redacted"))
+      .orderBy("o_orderpriority")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9730,6 +9788,6 @@ object Queries {
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
-    qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift,
+    qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
   )
 }

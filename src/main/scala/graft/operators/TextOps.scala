@@ -257,6 +257,55 @@ object TextOps {
       size(regexp_extract_all(text, lit(PhoneRe), lit(0))) +
       size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
 
+  /** Card-shaped digit run: 13–19 digits, optional single space/dash
+    * between digit groups. Same Java/RE2-safe regex subset as the
+    * patterns above. Deliberately WIDE — [[redactCards]] scrubs every
+    * card-shaped run (over-redaction is the safe direction for
+    * training data); [[luhnValid]] is the precision audit that says
+    * how many were checksum-real cards, NOT a gate on scrubbing.
+    */
+  val CardRe = "\\b(?:[0-9][- ]?){12,18}[0-9]\\b"
+
+  def redactCards(text: Column): Column =
+    regexp_replace(text, CardRe, "<CARD>")
+
+  /** Luhn mod-10 checksum (ISO/IEC 7812) of an all-digit string,
+    * positional arithmetic from the RIGHT (double every second
+    * digit, −9 past 9), as one codegen'd higher-order aggregate —
+    * no UDF, and the identical integer expression replays in the
+    * oracle. Input contract: digits only (normalize with
+    * regexp_replace(s, "[^0-9]", "") first).
+    */
+  def luhnSum(digits: Column): Column =
+    aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val dig =
+          ascii(digits.substr(length(digits) - i + lit(1), lit(1))) -
+            lit(48)
+        val dbl = dig * 2
+        acc + when(i % 2 === 0,
+          when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(dig)
+      })
+
+  /** True when the digit string passes Luhn (≥ 2 digits — a single
+    * check digit alone is vacuous).
+    */
+  def luhnValid(digits: Column): Column =
+    length(digits) >= 2 && luhnSum(digits) % 10 === 0
+
+  /** DuckDB rendering of [[luhnSum]] over digit-string SQL `dg` —
+    * the identical positional integer arithmetic.
+    */
+  def luhnSumSql(dg: String): String =
+    s"""list_sum(list_transform(range(1, length($dg) + 1), i ->
+       |  CASE WHEN i % 2 = 0 THEN
+       |    CASE WHEN 2 * (ascii(substr($dg, length($dg) - i + 1, 1)) - 48) > 9
+       |         THEN 2 * (ascii(substr($dg, length($dg) - i + 1, 1)) - 48) - 9
+       |         ELSE 2 * (ascii(substr($dg, length($dg) - i + 1, 1)) - 48) END
+       |  ELSE ascii(substr($dg, length($dg) - i + 1, 1)) - 48 END))""".stripMargin
+
   /** Polynomial rolling fingerprint of the full text
     * (h = h*31 + code, mod 1e9+7): deterministic, SQL-expressible,
     * order-sensitive (unlike a bag-of-words hash).

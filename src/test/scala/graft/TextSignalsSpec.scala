@@ -67,4 +67,40 @@ class TextSignalsSpec extends SparkSpec {
     val direct = docs.select("text").as[String].collect().map(ratio)
     assert(a.toSeq == direct.toSeq)
   }
+
+  test("luhnValid: canonical ISO 7812 vectors; neighbor check digits " +
+      "all fail; single digit is vacuous") {
+    import graft.operators.TextOps
+    val cases = Seq(
+      "79927398713" -> true,  // THE textbook Luhn example
+      "4111111111111111" -> true, // classic 16-digit test PAN
+      "4539578763621486" -> true,
+      "49927398716" -> true,
+      "49927398717" -> false,
+      "1234567812345678" -> false,
+      "0" -> false) ++ // vacuous: single digit rejected by length
+      (0 to 9).filter(_ != 3).map(d => s"7992739871$d" -> false)
+    val df = cases.toDF("dg", "want")
+    val got = df.select(col("dg"), col("want"),
+        TextOps.luhnValid(col("dg")).as("ok"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"${r.getString(0)}: want ${r.getBoolean(1)}"))
+  }
+
+  test("redactCards scrubs card-shaped runs (grouped or plain) and " +
+      "leaves short digit runs alone") {
+    import graft.operators.TextOps
+    val out = Seq(
+      "pay 4111-1111-1111-1111 now",
+      "pan 4111111111111111 ok",
+      "order 12345678 is short",
+      "ref 1234 5678 9012 3456 thanks")
+      .toDF("t").select(TextOps.redactCards(col("t")).as("r"))
+      .as[String].collect()
+    assert(out(0) == "pay <CARD> now")
+    assert(out(1) == "pan <CARD> ok")
+    assert(out(2) == "order 12345678 is short")
+    assert(out(3) == "ref <CARD> thanks")
+  }
 }
