@@ -9736,6 +9736,29 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Stratified ATT (AbTest.stratifiedAtt — r10, Cochran '68 /
+    * Rosenbaum-Rubin '84 subclassification): the observational
+    * sibling of q_x_cuped — treated vs control compared only WITHIN
+    * pre-period-activity strata, per-stratum contrasts reweighted by
+    * the treated distribution (exact-cell IPW). Common-support
+    * strata only; house floor-division micros (exact on negative
+    * contrasts). One fact fold to per-user rows, one to the ≤4-row
+    * cell table; all estimator algebra on metadata.
+    */
+  val qXAttStrata = q(
+    "q_x_att_strata",
+    graft.operators.AbTest.stratifiedAttOracleSql(
+      """SELECT user_id AS u,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |FROM events""".stripMargin) + "\nORDER BY stratum") { (s, d) =>
+    graft.operators.AbTest.stratifiedAtt(
+        Tables.events(s, d), "user_id",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy("stratum")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9789,5 +9812,6 @@ object Queries {
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
+    qXAttStrata,
   )
 }

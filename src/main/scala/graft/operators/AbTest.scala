@@ -82,6 +82,123 @@ object AbTest {
           * (d("sy") / n - col("theta") * d("sx") / n)).as("var_y_adj"))
   }
 
+  /** Stratified ATT by exact subclassification (Cochran '68;
+    * Rosenbaum & Rubin '84) — the observational sibling of [[cuped]]:
+    * when arms are NOT randomized, compare treated vs control only
+    * WITHIN strata of a pre-treatment covariate and reweight the
+    * per-stratum contrasts by the TREATED stratum distribution (the
+    * ATT weights — equivalently IPW with the exact-cell propensity
+    * n_t(c)/(n_t(c)+n_c(c))). Here the covariate is pre-period
+    * activity count (the engagement confounder) cut into `strata`
+    * RANGE-RELATIVE buckets — stratum = ⌊pre_n·strata/(max_pre+1)⌋ —
+    * so the cut adapts to corpus density instead of hard-coding
+    * thresholds that degenerate to one bucket at 10× the data (pure
+    * integer arithmetic, one broadcast max). Outcome: post-period
+    * cents sum; arms: the shared affine [[Sampling.hashBucket]]
+    * family.
+    *
+    * Common-support contract: strata with an empty arm are DROPPED
+    * (no contrast exists there); consumers read n_treat per stratum
+    * to see what survived. Output: one row per supported stratum
+    * (n_treat, n_ctrl, per-arm micros means, cell ATT) with the
+    * pooled att_micros stamped as a constant column.
+    *
+    * Determinism: per-user fold and cell sums are exact longs; every
+    * mean is the house pre-adjusted floor division (numerator minus
+    * its true mod, so trunc-div and floor-div agree — exact on
+    * NEGATIVE cell contrasts too). Micros headroom: cell cents sums
+    * must stay under ~9.2e12 (the ×10⁶ long bound) — at larger
+    * scale lift the numerators to decimal(38,0).
+    *
+    * Scale shape: ONE fact fold to per-user rows (map-side-combined
+    * shuffle by user), one fold to the ≤(maxStratum+1)-row cell
+    * table; all estimator algebra is metadata arithmetic.
+    */
+  def stratifiedAtt(df: DataFrame, userCol: String, secCol: Column,
+      centsCol: Column, strata: Int = 4): DataFrame = {
+    require(strata >= 2, s"strata must be >= 2, got $strata")
+    val base = df.select(col(userCol).as("u"),
+      secCol.cast("long").as("sec"), centsCol.cast("long").as("cents"))
+    val mid = base.agg(
+      ((min("sec") + max("sec")) - pmod(min("sec") + max("sec"), lit(2L)))
+        .divide(lit(2L)).cast("long").as("tmid"))
+    val perUser0 = base.crossJoin(broadcast(mid))
+      .groupBy("u")
+      .agg(
+        sum(when(col("sec") < col("tmid"), 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("sec") >= col("tmid"), col("cents")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm", Sampling.hashBucket(col("u"), 2))
+    val mx = perUser0.agg(max("pre_n").as("mp"))
+    val perUser = perUser0.crossJoin(broadcast(mx))
+      .withColumn("stratum",
+        expr(s"pre_n * $strata div (mp + 1)"))
+    def fdiv(numer: String, den: String) =
+      expr(s"(($numer) - ((($numer) % ($den)) + ($den)) % ($den)) div ($den)")
+    val cells = perUser.groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("syc"))
+      .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+      .withColumn("mean_t_micros", fdiv("syt * 1000000", "n_treat"))
+      .withColumn("mean_c_micros", fdiv("syc * 1000000", "n_ctrl"))
+      .withColumn("cell_att_micros",
+        col("mean_t_micros") - col("mean_c_micros"))
+    val att = cells.agg(
+      sum(col("n_treat") * col("cell_att_micros")).as("wsum"),
+      sum("n_treat").as("wn"))
+      .select(fdiv("wsum", "wn").as("att_micros"))
+    cells.crossJoin(broadcast(att))
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        col("mean_t_micros"), col("mean_c_micros"),
+        col("cell_att_micros"), col("att_micros"))
+  }
+
+  /** DuckDB rendering of [[stratifiedAtt]]; `srcSql` must yield
+    * (u, sec, cents).
+    */
+  def stratifiedAttOracleSql(srcSql: String, strata: Int = 4): String =
+    s"""WITH base AS (SELECT u, sec, cents FROM ($srcSql)),
+       |mid AS (SELECT CAST((MIN(sec) + MAX(sec)
+       |          - (((MIN(sec) + MAX(sec)) % 2) + 2) % 2) / 2 AS BIGINT)
+       |          AS tmid FROM base),
+       |pu AS (SELECT u,
+       |         CAST(SUM(CASE WHEN sec < tmid THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS pre_n,
+       |         CAST(SUM(CASE WHEN sec >= tmid THEN cents ELSE 0 END)
+       |              AS BIGINT) AS y,
+       |         ${Sampling.hashBucketSql("u", 2)} AS arm
+       |       FROM base CROSS JOIN mid GROUP BY u),
+       |mx AS (SELECT CAST(MAX(pre_n) AS BIGINT) AS mp FROM pu),
+       |pc AS (SELECT pre_n * $strata // (mp + 1) AS stratum,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_treat,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_ctrl,
+       |         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+       |           AS syt,
+       |         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+       |           AS syc
+       |       FROM pu CROSS JOIN mx GROUP BY 1
+       |       HAVING n_treat > 0 AND n_ctrl > 0),
+       |sc AS (SELECT stratum, n_treat, n_ctrl,
+       |         (syt * 1000000 - ((syt * 1000000 % n_treat) + n_treat)
+       |            % n_treat) // n_treat AS mean_t_micros,
+       |         (syc * 1000000 - ((syc * 1000000 % n_ctrl) + n_ctrl)
+       |            % n_ctrl) // n_ctrl AS mean_c_micros
+       |       FROM pc),
+       |sd AS (SELECT sc.*, mean_t_micros - mean_c_micros
+       |         AS cell_att_micros FROM sc),
+       |att AS (SELECT CAST(SUM(n_treat * cell_att_micros) AS BIGINT)
+       |          AS wsum, CAST(SUM(n_treat) AS BIGINT) AS wn FROM sd),
+       |fin AS (SELECT (wsum - ((wsum % wn) + wn) % wn) // wn
+       |          AS att_micros FROM att)
+       |SELECT stratum, n_treat, n_ctrl, mean_t_micros, mean_c_micros,
+       |       cell_att_micros, att_micros
+       |FROM sd CROSS JOIN fin""".stripMargin
+
   /** DuckDB rendering of [[cuped]]; `srcSql` must yield
     * (u, sec, cents).
     */

@@ -80,6 +80,48 @@ class AcfCupedSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedAtt: a planted constant effect is recovered exactly " +
+      "in every stratum and pooled; treated-only strata are dropped") {
+    // arms ride the shared hash family — pick ids per arm up front
+    val ids = (0L until 400L)
+    val treated = ids.filter(Sampling.hashBucketLong(_, 2) == 1)
+    val control = ids.filter(Sampling.hashBucketLong(_, 2) == 0)
+    val delta = 700L // planted ATT in cents
+    def userRows(u: Long, preN: Int, yCents: Long) =
+      (1 to preN).map(_ => (u, 0L, 0L)) :+ ((u, 100L, yCents))
+    // stratum LOW: pre_n=1; HIGH: pre_n=9 (mp=9 -> buckets 0 and 3);
+    // base outcome differs by stratum (confounding), effect is +delta
+    val rows =
+      treated.take(3).flatMap(userRows(_, 1, 1000L + delta)) ++
+      control.take(3).flatMap(userRows(_, 1, 1000L)) ++
+      treated.slice(3, 7).flatMap(userRows(_, 9, 5000L + delta)) ++
+      control.slice(3, 7).flatMap(userRows(_, 9, 5000L)) ++
+      // stratum pre_n=5 (bucket 2): TREATED ONLY -> no contrast, drop
+      treated.slice(7, 9).flatMap(userRows(_, 5, 9999L))
+    val df = rows.toDF("u0", "sec0", "cents0")
+    val out = AbTest.stratifiedAtt(df, "u0", col("sec0"), col("cents0"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == Set(0L, 3L), s"supported strata only: $out")
+    out.values.foreach { case (_, _, cellAtt, att) =>
+      assert(cellAtt == delta * 1000000L, s"cell ATT exact: $out")
+      assert(att == delta * 1000000L, s"pooled ATT exact: $out")
+    }
+  }
+
+  test("stratifiedAtt: uniform pre-period density collapses to one " +
+      "top stratum (range-relative cut), still estimable") {
+    val ids = (0L until 60L)
+    val rows = ids.flatMap { u =>
+      (1 to 4).map(_ => (u, 0L, 0L)) :+ ((u, 100L, 2000L))
+    }
+    val df = rows.toDF("u0", "sec0", "cents0")
+    val out = AbTest.stratifiedAtt(df, "u0", col("sec0"), col("cents0"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L)
+    assert(out.head.getLong(6) == 0L, "no effect planted")
+  }
+
   test("groupedAcf is partitioning-invariant on real events") {
     val ev = Tables.events(spark, Sf0001)
     val b = (unix_timestamp(col("ts")) / 3600L).cast("long")
