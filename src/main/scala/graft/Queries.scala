@@ -9759,6 +9759,163 @@ object Queries {
       .orderBy("stratum")
   }
 
+  /** Sample-ratio mismatch check (r10): THE first-line health gate
+    * every experimentation platform runs before reading any metric —
+    * per segment, are the hash arms actually 50/50 over exposed
+    * units? χ² with 1 df collapses algebraically to (n₀−n₁)²/n, so
+    * the whole test is exact integer arithmetic in ppm against the
+    * p<0.001 literal (10.828): no doubles anywhere. A flagged
+    * segment means assignment/logging bias — CUPED/ATT readouts on
+    * it are invalid. One distinct-unit fold per segment; the χ²
+    * algebra is a 5-row metadata map.
+    */
+  val qXSrmCheck = q(
+    "q_x_srm_check",
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+       |a AS (SELECT event_type,
+       |        CAST(SUM(CASE WHEN ${graft.operators.Sampling
+                 .hashBucketSql("user_id", 2)} = 0
+       |                 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |        CAST(SUM(CASE WHEN ${graft.operators.Sampling
+                 .hashBucketSql("user_id", 2)} = 1
+       |                 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |      FROM u GROUP BY 1)
+       |SELECT event_type, n0 AS n_arm0, n1 AS n_arm1,
+       |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
+       |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 10828000
+       |         AS srm_flag
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm", graft.operators.Sampling
+        .hashBucket(col("user_id"), 2))
+    u.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .withColumn("chi2_ppm",
+        expr("""(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000
+               | div (n_arm0 + n_arm1)""".stripMargin))
+      .withColumn("srm_flag", col("chi2_ppm") > 10828000L)
+      .orderBy("event_type")
+  }
+
+  /** Bigram construction novelty per source vs the src0 reference
+    * snapshot (r10): the share of a source's distinct adjacent-token
+    * pairs the reference corpus has never seen — the freshness /
+    * out-of-distribution read that says whether a new source adds
+    * CONSTRUCTIONS or just re-mixes known ones (set novelty, the
+    * complement of q_t_source_divergence's distribution distance).
+    * Vocab-table work only: per-source distinct bigrams, one anti-
+    * join against the broadcast-able reference set; the fact folds
+    * once in the tokenize pass.
+    */
+  val qTBigramNovelty = q(
+    "q_t_bigram_novelty",
+    """WITH t AS (SELECT source,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |bg AS (SELECT DISTINCT source, b FROM (
+      |    SELECT source,
+      |      unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i + 1])) AS b
+      |    FROM t WHERE len(toks) >= 2)),
+      |ref AS (SELECT DISTINCT b FROM bg WHERE source = 'src0'),
+      |nv AS (SELECT bg.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(CASE WHEN ref.b IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_novel
+      |       FROM bg LEFT JOIN ref ON ref.b = bg.b
+      |       WHERE bg.source <> 'src0'
+      |       GROUP BY 1)
+      |SELECT source, n_bigrams, n_novel,
+      |       n_novel * 1000000 // n_bigrams AS novelty_ppm
+      |FROM nv ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      x => length(x) > 0)
+    val t = Tables.documents(s, d)
+      .select(col("source"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = t.select(col("source"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), i + 1), lit(" "),
+            element_at(col("toks"), i + 2)))).as("b"))
+      .distinct()
+    val ref = bg.filter(col("source") === "src0")
+      .select(col("b").as("rb")).distinct()
+    bg.filter(col("source") =!= "src0")
+      .join(broadcast(ref), col("b") === col("rb"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("rb").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000 div n_bigrams"))
+      .orderBy("source")
+  }
+
+  /** Seasonal anomaly flags (r10): hourly activity vs its own
+    * (type, hour-of-day) seasonal mean on the zero-filled spine —
+    * residual in exact cents, flagged past 3× the per-type mean
+    * absolute residual (all-integer compare, no quantile pass).
+    * The monitoring capstone over the series stack: q_w_seasonality
+    * says a cycle exists, q_w_acf how strong, THIS says which
+    * buckets broke it (incident detection for ingest pipelines).
+    * Fact folds once; seasonal/means tables are (type×24)-sized
+    * broadcast metadata.
+    */
+  val qWSeasonalAnomaly = q(
+    "q_w_seasonal_anomaly",
+    """WITH s0 AS (SELECT event_type AS g,
+      |    epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 AS b,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM s0),
+      |spine AS (SELECT unnest(range(lo, hi + 1)) AS b FROM sp),
+      |ser AS (SELECT gs.g, spine.b, COALESCE(s0.v, 0) AS v
+      |        FROM (SELECT DISTINCT g FROM s0) gs
+      |        CROSS JOIN spine
+      |        LEFT JOIN s0 ON s0.g = gs.g AND s0.b = spine.b),
+      |sm AS (SELECT g, b % 24 AS hod, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(v) AS BIGINT) AS sv
+      |       FROM ser GROUP BY 1, 2),
+      |se AS (SELECT g, hod,
+      |         (sv - ((sv % n) + n) % n) // n AS smean FROM sm),
+      |r AS (SELECT ser.g, ser.b, ser.v, ser.v - se.smean AS resid
+      |      FROM ser JOIN se ON se.g = ser.g AND se.hod = ser.b % 24),
+      |ma AS (SELECT g, CAST(SUM(abs(resid)) AS BIGINT) AS sabs,
+      |         CAST(COUNT(*) AS BIGINT) AS nb
+      |       FROM r GROUP BY 1),
+      |th AS (SELECT g, (sabs - ((sabs % nb) + nb) % nb) // nb
+      |         AS meanabs FROM ma)
+      |SELECT r.g, r.b, r.v, r.resid AS resid_cents,
+      |       abs(r.resid) > 3 * th.meanabs AS is_anomaly
+      |FROM r JOIN th ON th.g = r.g
+      |ORDER BY r.g, r.b""".stripMargin) { (s, d) =>
+    import graft.operators.Stats
+    val series = Stats.zeroFilled(Stats.bucketSums(
+      Tables.events(s, d), "event_type",
+      (unix_timestamp(col("ts")) / 3600L).cast("long"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long")))
+    val sm = series
+      .groupBy(col("g").as("sg"), (col("b") % 24).as("hod"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .withColumn("smean", expr("(sv - ((sv % n) + n) % n) div n"))
+    val r = series
+      .join(broadcast(sm),
+        col("sg") === col("g") && col("hod") === col("b") % 24)
+      .select(col("g"), col("b"), col("v"),
+        (col("v") - col("smean")).as("resid"))
+    val th = r.groupBy(col("g").as("tg"))
+      .agg(sum(abs(col("resid"))).as("sabs"), count(lit(1)).as("nb"))
+      .withColumn("meanabs",
+        expr("(sabs - ((sabs % nb) + nb) % nb) div nb"))
+    r.join(broadcast(th), col("tg") === col("g"))
+      .select(col("g"), col("b"), col("v"),
+        col("resid").as("resid_cents"),
+        (abs(col("resid")) > lit(3L) * col("meanabs")).as("is_anomaly"))
+      .orderBy("g", "b")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9812,6 +9969,6 @@ object Queries {
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
-    qXAttStrata,
+    qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
   )
 }

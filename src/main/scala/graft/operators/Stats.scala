@@ -1072,7 +1072,7 @@ object Stats {
     * spine crossed with the group list — metadata × metadata; an
     * absent bucket IS zero activity for the series operators.
     */
-  private def zeroFilled(series0: DataFrame): DataFrame = {
+  private[graft] def zeroFilled(series0: DataFrame): DataFrame = {
     val span = series0.agg(min("b").as("lo"), max("b").as("hi"))
     val spine = span
       .select(explode(sequence(col("lo"), col("hi"))).as("bb"))
