@@ -9916,6 +9916,69 @@ object Queries {
       .orderBy("g", "b")
   }
 
+  /** Newman modularity of the label-propagation communities
+    * (LabelPropagation.modularity — r10): the quality gate that says
+    * whether the LP assignment found REAL structure (Q > ~0.3)
+    * before survivorship trusts the clusters — computed EXACTLY
+    * over the common denominator 4m² (per-community integers,
+    * q_ppm one pre-adjusted floor). The oracle composes the shared
+    * unrolled LP chain with the modularity CTEs, so assignment AND
+    * grade replay together. One canonical-edge fold + two
+    * |V|-sized assignment joins; the grade is communities-sized
+    * metadata.
+    */
+  val qGModularity = {
+    val edgesSql =
+      """SELECT DISTINCT l_partkey % 400 AS src,
+        |  500 + (l_partkey % 400) // 40 * 40 + l_suppkey % 40 AS dst
+        |FROM lineitem""".stripMargin
+    q(
+      "q_g_modularity",
+      s"""WITH ${graft.operators.LabelPropagation.chainCtes(edgesSql,
+            iters = 5)},
+         |asg AS (SELECT node, lab AS community FROM l5),
+         |ec AS (SELECT DISTINCT least(src, dst) AS u,
+         |         greatest(src, dst) AS v FROM e0),
+         |${graft.operators.LabelPropagation.modularityCtes("ec", "asg")}
+         |SELECT community, n_nodes, m_intra, deg_sum, q_ppm
+         |FROM mcells CROSS JOIN mq
+         |ORDER BY community""".stripMargin) { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 400).as("src"),
+          (lit(500) + floor((col("l_partkey") % 400) / 40) * 40
+            + col("l_suppkey") % 40).as("dst"))
+      val comm = graft.operators.LabelPropagation
+        .communities(edges, "src", "dst", iters = 5)
+      graft.operators.LabelPropagation
+        .modularity(edges, "src", "dst", comm)
+        .orderBy("community")
+    }
+  }
+
+  /** Group-sequential A/B looks (AbTest.sequentialLooks — r10,
+    * Pocock '77 / O'Brien-Fleming '79 boundaries from Jennison &
+    * Turnbull): the peeking guard — four interim reads of the arm
+    * contrast with the published critical values, so stopping early
+    * is honest instead of α-inflating. Completes the experimentation
+    * suite: q_x_srm_check (validity) → q_x_cuped (variance) →
+    * q_x_att_strata (observational) → THIS (when to stop). One user
+    * fold with K conditional columns (no fact×K explode), 2K-row
+    * stats table, fixed-IEEE z finish.
+    */
+  val qXSequentialLooks = q(
+    "q_x_sequential_looks",
+    graft.operators.AbTest.sequentialLooksOracleSql(
+      """SELECT user_id AS u,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |FROM events""".stripMargin) + "\nORDER BY look") { (s, d) =>
+    graft.operators.AbTest.sequentialLooks(
+        Tables.events(s, d), "user_id",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy("look")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -9970,5 +10033,6 @@ object Queries {
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
+    qGModularity, qXSequentialLooks,
   )
 }

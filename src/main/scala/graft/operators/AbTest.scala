@@ -156,6 +156,139 @@ object AbTest {
         col("cell_att_micros"), col("att_micros"))
   }
 
+  /** Two-sided group-sequential critical values for K equally-spaced
+    * looks at α = 0.05 (Jennison & Turnbull, Group Sequential
+    * Methods, Tables 2.1/2.3): Pocock's constant boundary and the
+    * O'Brien–Fleming final-look constant (the OBF boundary at look k
+    * is c·√(K/k)). Fixed published literals — no distribution code.
+    */
+  val PocockC = Map(2 -> 2.178, 3 -> 2.289, 4 -> 2.361, 5 -> 2.413)
+  val ObfC = Map(2 -> 1.977, 3 -> 2.004, 4 -> 2.024, 5 -> 2.040)
+
+  /** Group-sequential looks over an A/B metric — the peeking guard:
+    * reading an experiment K times at a fixed z=1.96 inflates false
+    * positives several-fold; the sequential boundaries (Pocock
+    * constant, O'Brien–Fleming conservative-early) are what let a
+    * platform stop early HONESTLY. Look k sees events up to
+    * lo + ⌊(hi−lo)·k/K⌋; units are the fixed user population
+    * (intention-to-treat: a user with no events yet contributes 0),
+    * arms the shared affine [[Sampling.hashBucket]] family.
+    *
+    * Per look and arm the fold keeps exact (n, Σy, Σy²) — the
+    * per-user cumulative sums come from ONE user fold with K
+    * conditional columns (no fact×K explode), unpivoted on the
+    * users-sized table. z is the standard two-sample statistic on
+    * sample variances, a fixed IEEE sequence off the exact integers
+    * (the pearsonExact convention), rounded 6 dp; boundary crossing
+    * compares against the published literals. NULL z when either
+    * arm is degenerate (n < 2 or zero variance).
+    *
+    * Scale shape: one map-side-combined fact fold by user, one
+    * users-sized unpivot, a 2K-row stats table; everything after is
+    * metadata arithmetic.
+    */
+  def sequentialLooks(df: DataFrame, userCol: String, secCol: Column,
+      centsCol: Column, looks: Int = 4): DataFrame = {
+    require(PocockC.contains(looks),
+      s"looks must be in ${PocockC.keys.toSeq.sorted}, got $looks")
+    val base = df.select(col(userCol).as("u"),
+      secCol.cast("long").as("sec"), centsCol.cast("long").as("cents"))
+    val span = base.agg(min("sec").as("lo"), max("sec").as("hi"))
+    val yCols = (1 to looks).map { k =>
+      sum(when(col("sec") <=
+          col("lo") + expr(s"(hi - lo) * $k div $looks"),
+        col("cents")).otherwise(0L)).as(s"y$k")
+    }
+    val perUser = base.crossJoin(broadcast(span))
+      .groupBy("u")
+      .agg(yCols.head, yCols.tail: _*)
+      .withColumn("arm", Sampling.hashBucket(col("u"), 2))
+    val long = perUser.select(col("u"), col("arm"),
+      expr(s"stack($looks, ${(1 to looks)
+        .map(k => s"$k, y$k").mkString(", ")}) AS (look, y)"))
+    val dec = (c: String) => col(c).cast("decimal(38,0)")
+    val st = long.groupBy("look", "arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(dec("y") * dec("y")).as("syy"))
+    val wide = st.filter(col("arm") === 0)
+      .select(col("look"), col("n").as("n0"), col("sy").as("sy0"),
+        col("syy").as("syy0"))
+      .join(st.filter(col("arm") === 1)
+        .select(col("look"), col("n").as("n1"), col("sy").as("sy1"),
+          col("syy").as("syy1")), "look")
+    def d(c: String) = col(c).cast("double")
+    def mean(sy: String, n: String) = d(sy) / d(n)
+    // sample variance: (Σy² − n·mean²) / (n−1)
+    def sv(syy: String, sy: String, n: String) =
+      (d(syy) - d(n) * mean(sy, n) * mean(sy, n)) / (d(n) - 1.0)
+    val z0 = (mean("sy1", "n1") - mean("sy0", "n0")) /
+      sqrt(sv("syy1", "sy1", "n1") / d("n1")
+        + sv("syy0", "sy0", "n0") / d("n0"))
+    val fdiv = (numer: String, den: String) =>
+      expr(s"(($numer) - ((($numer) % ($den)) + ($den)) % ($den)) div ($den)")
+    val pc = PocockC(looks)
+    val obf = ObfC(looks)
+    wide.select(col("look"), col("n0"), col("n1"),
+        (fdiv("sy1 * 1000000", "n1") - fdiv("sy0 * 1000000", "n0"))
+          .as("diff_micros"),
+        when(col("n0") > 1 && col("n1") > 1, round(z0, 6)).as("z"))
+      .withColumn("pocock_cross", abs(col("z")) > pc)
+      .withColumn("obf_cross",
+        abs(col("z")) > round(lit(obf)
+          * sqrt(lit(looks.toDouble) / col("look").cast("double")), 6))
+  }
+
+  /** DuckDB rendering of [[sequentialLooks]]; `srcSql` must yield
+    * (u, sec, cents).
+    */
+  def sequentialLooksOracleSql(srcSql: String, looks: Int = 4): String = {
+    val pc = PocockC(looks)
+    val obf = ObfC(looks)
+    val yCols = (1 to looks).map { k =>
+      s"""CAST(SUM(CASE WHEN sec <= lo + (hi - lo) * $k // $looks
+         |    THEN cents ELSE 0 END) AS BIGINT) AS y$k""".stripMargin
+    }.mkString(",\n")
+    val unp = (1 to looks)
+      .map(k => s"SELECT u, arm, $k AS look, y$k AS y FROM pu")
+      .mkString("\nUNION ALL ")
+    s"""WITH base AS (SELECT u, sec, cents FROM ($srcSql)),
+       |span AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM base),
+       |pu AS (SELECT u, ${Sampling.hashBucketSql("u", 2)} AS arm,
+       |$yCols
+       |       FROM base CROSS JOIN span GROUP BY u),
+       |lg AS ($unp),
+       |st AS (SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(y) AS BIGINT) AS sy,
+       |         SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+       |           AS syy
+       |       FROM lg GROUP BY 1, 2),
+       |w AS (SELECT a.look, a.n AS n0, a.sy AS sy0, a.syy AS syy0,
+       |        b.n AS n1, b.sy AS sy1, b.syy AS syy1
+       |      FROM st a JOIN st b ON b.look = a.look
+       |      WHERE a.arm = 0 AND b.arm = 1),
+       |zt AS (SELECT look, n0, n1,
+       |        (sy1 * 1000000 - ((sy1 * 1000000 % n1) + n1) % n1) // n1
+       |        - (sy0 * 1000000 - ((sy0 * 1000000 % n0) + n0) % n0) // n0
+       |          AS diff_micros,
+       |        CASE WHEN n0 > 1 AND n1 > 1 THEN ROUND(
+       |          (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+       |          / sqrt(
+       |            ((CAST(syy1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+       |              * (CAST(sy1 AS DOUBLE) / n1)
+       |              * (CAST(sy1 AS DOUBLE) / n1)) / (CAST(n1 AS DOUBLE) - 1.0))
+       |              / CAST(n1 AS DOUBLE)
+       |            + ((CAST(syy0 AS DOUBLE) - CAST(n0 AS DOUBLE)
+       |              * (CAST(sy0 AS DOUBLE) / n0)
+       |              * (CAST(sy0 AS DOUBLE) / n0)) / (CAST(n0 AS DOUBLE) - 1.0))
+       |              / CAST(n0 AS DOUBLE)), 6) END AS z
+       |      FROM w)
+       |SELECT look, n0, n1, diff_micros, z,
+       |       abs(z) > $pc AS pocock_cross,
+       |       abs(z) > ROUND($obf * sqrt($looks.0
+       |         / CAST(look AS DOUBLE)), 6) AS obf_cross
+       |FROM zt""".stripMargin
+  }
+
   /** DuckDB rendering of [[stratifiedAtt]]; `srcSql` must yield
     * (u, sec, cents).
     */

@@ -127,6 +127,10 @@ object HyperAnf {
           (col("s") + (col("hll_est") - col("p")) * lit(weights(t - 1)))
             .as("s"),
           col("hll_est").as("p"))
+      // no per-round localCheckpoint on the carry: A/B'd 8.5 → 12.1 s
+      // — the checkpoint ACTION per round costs more than the 3-deep
+      // lazy join tree saves (registers already checkpoint; the carry
+      // is |V|-sized metadata)
     }
     hc.select(col("v"), col("s").as("hc_scaled"))
   }

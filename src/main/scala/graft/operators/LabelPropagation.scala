@@ -62,10 +62,12 @@ object LabelPropagation {
     lab.select(col("node"), col("lab").as("community"))
   }
 
-  /** Unrolled-rounds DuckDB replay (the PageRank.oracleSql
-    * convention): `edgesSql` must select (src, dst).
+  /** The unrolled-rounds CTE chain (the PageRank.oracleSql
+    * convention) WITHOUT the final select, so capstones
+    * ([[modularity]]) can compose off `l$iters` / `und`:
+    * `edgesSql` must select (src, dst).
     */
-  def oracleSql(edgesSql: String, iters: Int): String = {
+  def chainCtes(edgesSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"l${r - 1}"
       s"""v$r AS (SELECT u.src, l.lab, COUNT(*) AS cnt
@@ -78,12 +80,98 @@ object LabelPropagation {
          |    SELECT src, lab, ROW_NUMBER() OVER (PARTITION BY src
          |      ORDER BY cnt DESC, lab) AS rn FROM va$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT src, dst FROM ($edgesSql) WHERE src <> dst),
+    s"""e0 AS (SELECT DISTINCT src, dst FROM ($edgesSql) WHERE src <> dst),
        |und AS (SELECT src, dst FROM e0
        |        UNION SELECT dst AS src, src AS dst FROM e0),
        |n AS (SELECT DISTINCT src AS node FROM und),
        |l0 AS (SELECT node, node AS lab FROM n),
-       |$rounds
-       |SELECT node, lab AS community FROM l$iters""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** Unrolled-rounds DuckDB replay: `edgesSql` must select
+    * (src, dst).
+    */
+  def oracleSql(edgesSql: String, iters: Int): String =
+    s"""WITH ${chainCtes(edgesSql, iters)}
+       |SELECT node, lab AS community FROM l$iters""".stripMargin
+
+  /** Newman modularity of ANY (node, community) assignment over the
+    * undirected simple graph — "did the communities mean anything":
+    * Q = Σ_c (m_c/m − (D_c/2m)²), the intra-community edge share
+    * minus what a degree-preserving random rewiring would give.
+    * Q ≈ 0 means the assignment explains nothing; > ~0.3 is real
+    * structure. The quality gate for label-propagation / CC cluster
+    * outputs before survivorship trusts them.
+    *
+    * EXACT: over the common denominator 4m², Q·4m² =
+    * Σ_c (4·m·m_c − D_c²) — pure integers — and q_ppm is one
+    * pre-adjusted floor division (exact on negative Q too). Per
+    * community the row carries (n_nodes, m_intra, deg_sum).
+    *
+    * Scale shape: one canonical-edge fold, one |V|-sized assignment
+    * join per endpoint (broadcast-able next to the edge fact), the
+    * rest is communities-sized metadata.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame): DataFrame = {
+    val ec = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val a = assign.select(col("node"), col("community"))
+    val deg = ec.select(col("u").as("node"))
+      .unionAll(ec.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = deg.join(a, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("deg_sum"))
+    val mi = ec
+      .join(a.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(a.select(col("node").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("m_intra"))
+    val m = ec.agg(count(lit(1)).as("m"))
+    val cells = dc.join(mi, Seq("community"), "left")
+      .na.fill(0L, Seq("m_intra"))
+      .crossJoin(broadcast(m))
+    val tot = cells.agg(
+        sum(lit(4L) * col("m") * col("m_intra")
+          - col("deg_sum") * col("deg_sum")).as("num"),
+        (lit(4L) * max("m") * max("m")).as("den"))
+      .select(expr(
+        "(num * 1000000 - ((num * 1000000 % den) + den) % den) div den")
+        .as("q_ppm"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("m_intra"),
+        col("deg_sum"), col("q_ppm"))
+  }
+
+  /** DuckDB CTE block replaying [[modularity]] off an existing
+    * canonical-edge CTE `ecT` (u, v — u<v, distinct) and assignment
+    * CTE `asT` (node, community); final select reads `mcells ⨯ mq`.
+    */
+  def modularityCtes(ecT: String, asT: String): String =
+    s"""mdeg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS node FROM $ecT
+       |    UNION ALL SELECT v AS node FROM $ecT) GROUP BY 1),
+       |mdc AS (SELECT a.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |          CAST(SUM(d) AS BIGINT) AS deg_sum
+       |        FROM mdeg JOIN $asT a ON a.node = mdeg.node GROUP BY 1),
+       |mmi AS (SELECT au.community, CAST(COUNT(*) AS BIGINT) AS m_intra
+       |        FROM $ecT e
+       |        JOIN $asT au ON au.node = e.u
+       |        JOIN $asT av ON av.node = e.v
+       |        WHERE au.community = av.community GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM $ecT),
+       |mcells AS (SELECT mdc.community, mdc.n_nodes,
+       |             COALESCE(mmi.m_intra, 0) AS m_intra, mdc.deg_sum
+       |           FROM mdc LEFT JOIN mmi ON mmi.community = mdc.community),
+       |mq AS (SELECT ((num * 1000000)
+       |          - (((num * 1000000) % den) + den) % den) // den AS q_ppm
+       |       FROM (SELECT CAST(SUM(4 * m * m_intra
+       |                - deg_sum * deg_sum) AS BIGINT) AS num,
+       |               CAST(4 * MAX(m) * MAX(m) AS BIGINT) AS den
+       |             FROM mcells CROSS JOIN mm))""".stripMargin
 }

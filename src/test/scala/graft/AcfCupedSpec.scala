@@ -122,6 +122,44 @@ class AcfCupedSpec extends SparkSpec {
     assert(out.head.getLong(6) == 0L, "no effect planted")
   }
 
+  test("sequentialLooks: a large planted effect crosses both " +
+      "boundaries at every look; flags equal |z| vs the published " +
+      "constants; a null effect crosses nothing") {
+    val ids = (0L until 400L)
+    val treated = ids.filter(Sampling.hashBucketLong(_, 2) == 1).take(20)
+    val control = ids.filter(Sampling.hashBucketLong(_, 2) == 0).take(20)
+    def rows(us: Seq[Long], base: Long) = us.zipWithIndex.flatMap {
+      case (u, i) =>
+        // span pins: one event at sec 0 and one at 100 per cohort
+        Seq((u, if (i == 0) 0L else 10L, base + (u % 5)),
+          (u, if (i == 1) 100L else 90L, 0L))
+    }
+    val eff = (rows(treated, 100000L) ++ rows(control, 0L))
+      .toDF("u0", "sec0", "cents0")
+    val out = AbTest.sequentialLooks(eff, "u0", col("sec0"),
+        col("cents0")).orderBy("look").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val look = r.getInt(0)
+      val z = r.getDouble(4)
+      val pc = AbTest.PocockC(4)
+      val obf = BigDecimal(AbTest.ObfC(4) * math.sqrt(4.0 / look))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getBoolean(5) == (math.abs(z) > pc), s"pocock@$look")
+      assert(r.getBoolean(6) == (math.abs(z) > obf), s"obf@$look")
+      assert(r.getBoolean(5) && r.getBoolean(6),
+        s"planted 1000-cent effect must cross at look $look: z=$z")
+    }
+    val nul = (rows(treated, 0L) ++ rows(control, 0L))
+      .toDF("u0", "sec0", "cents0")
+    val nout = AbTest.sequentialLooks(nul, "u0", col("sec0"),
+      col("cents0")).collect()
+    nout.foreach { r =>
+      assert(!r.getBoolean(5) && !r.getBoolean(6),
+        s"null effect must not cross: $r")
+    }
+  }
+
   test("groupedAcf is partitioning-invariant on real events") {
     val ev = Tables.events(spark, Sf0001)
     val b = (unix_timestamp(col("ts")) / 3600L).cast("long")

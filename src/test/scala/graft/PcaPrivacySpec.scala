@@ -234,6 +234,31 @@ class PcaPrivacySpec extends SparkSpec {
     assert(hc === hc2, "partitioning-invariant")
   }
 
+  test("modularity: two disjoint triangles score exactly 0.5 under " +
+      "the true split, 0 under one-big-community, negative under a " +
+      "crossing split") {
+    import graft.operators.LabelPropagation
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    def asg(f: Long => Long) =
+      Seq(1L, 2L, 3L, 10L, 11L, 12L).map(n => (n, f(n)))
+        .toDF("node", "community")
+    // true split: m=6, each community m_c=3, D_c=6:
+    // Q = 2*(3/6 - (6/12)^2) = 0.5
+    val good = LabelPropagation.modularity(edges, "src", "dst",
+      asg(n => if (n < 10) 0L else 1L)).collect()
+    assert(good.forall(_.getLong(4) == 500000L), good.mkString(","))
+    // one community: Q = 6/6 - 1 = 0
+    val one = LabelPropagation.modularity(edges, "src", "dst",
+      asg(_ => 7L)).collect()
+    assert(one.forall(_.getLong(4) == 0L))
+    // crossing split (odd/even) cuts edges inside both triangles:
+    // worse than random -> strictly negative q_ppm
+    val bad = LabelPropagation.modularity(edges, "src", "dst",
+      asg(_ % 2)).collect()
+    assert(bad.forall(_.getLong(4) < 0L), bad.mkString(","))
+  }
+
   test("frequentPairs: a-priori prune, exact support and lift") {
     import graft.operators.FrequentItemsets
     // 6 baskets: {1,2} together in 4; item 3 in 4 baskets but never
