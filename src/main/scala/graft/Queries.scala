@@ -9979,6 +9979,93 @@ object Queries {
       .orderBy("look")
   }
 
+  /** RAKE keyword extraction (operators/Rake — r10, Rose et al.
+    * 2010): top-3 stopword-delimited phrases per document by
+    * degree/frequency word scores — the training-free doc-labeling
+    * pass for corpus browsers and dedup-cluster naming. Per-term-
+    * floored micros word scores, exact integer phrase sums, ties by
+    * phrase text. Everything partitions by doc id — no corpus-wide
+    * state.
+    */
+  val qTRakeKeywords = q(
+    "q_t_rake_keywords",
+    graft.operators.Rake.keywordsOracleSql(
+      "SELECT doc_id AS doc, text FROM documents",
+      graft.operators.TextOps.EnglishStopwords, k = 3)
+      + "\nORDER BY doc, rank") { (s, d) =>
+    graft.operators.Rake.keywords(
+        Tables.documents(s, d), "doc_id", col("text"),
+        graft.operators.TextOps.EnglishStopwords, k = 3)
+      .orderBy("doc", "rank")
+  }
+
+  /** Difference-in-differences (AbTest.diffInDiff — r10): the
+    * parallel-trends causal readout beside CUPED (randomized) and
+    * stratified ATT (observational) — (post−pre) treated minus
+    * (post−pre) control kills the level gap AND the common time
+    * trend. Same single per-user fold as CUPED; four house-floored
+    * cell means, exact integer contrast, one row out.
+    */
+  val qXDiffInDiff = q(
+    "q_x_diff_in_diff",
+    graft.operators.AbTest.diffInDiffOracleSql(
+      """SELECT user_id AS u,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |FROM events""".stripMargin)) { (s, d) =>
+    graft.operators.AbTest.diffInDiff(
+        Tables.events(s, d), "user_id",
+        unix_timestamp(col("ts")),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+  }
+
+  /** Quantile treatment effects (r10): per-arm EXACT quantiles of
+    * per-user total cents (Stats.groupedQuantilesDisc — order
+    * statistics, no float summation anywhere) and their differences
+    * — the distributional readout a mean contrast hides (an effect
+    * concentrated in the p90 tail reads ~0 in the mean). Composes
+    * the shared hash arms with the exact-quantile operator; the
+    * quantile pass sorts the USERS table per arm, never the fact.
+    */
+  val qXQte = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val pcols = ps.map(graft.operators.Stats.pName)
+    q(
+      "q_x_qte",
+      s"""WITH pu AS (SELECT user_id AS u,
+         |    ${graft.operators.Sampling.hashBucketSql("user_id", 2)} AS arm,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+         |         AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |qq AS (${graft.operators.Stats.quantilesOracleSql(
+             "pu", "arm", "y", ps)})
+         |SELECT a0.${pcols.map(c => s"$c AS ${c}_ctrl").mkString(", a0.")},
+         |       a1.${pcols.map(c => s"$c AS ${c}_treat").mkString(", a1.")},
+         |       ${pcols.map(c => s"a1.$c - a0.$c AS qte_$c")
+               .mkString(",\n       ")}
+         |FROM qq a0 CROSS JOIN qq a1
+         |WHERE a0.arm = 0 AND a1.arm = 1""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .groupBy(col("user_id").as("u"))
+        .agg(sum((col("value").cast("decimal(12,2)") * 100)
+          .cast("long")).as("y"))
+        .withColumn("arm",
+          graft.operators.Sampling.hashBucket(col("u"), 2))
+      val qq = graft.operators.Stats
+        .groupedQuantilesDisc(pu, "arm", "y", ps)
+      val a0 = qq.filter(col("arm") === 0)
+        .select(pcols.map(c => col(c).as(s"${c}_ctrl")): _*)
+      val a1 = qq.filter(col("arm") === 1)
+        .select(pcols.map(c => col(c).as(s"${c}_treat")): _*)
+      a0.crossJoin(a1)
+        .select(
+          pcols.map(c => col(s"${c}_ctrl")) ++
+          pcols.map(c => col(s"${c}_treat")) ++
+          pcols.map(c =>
+            (col(s"${c}_treat") - col(s"${c}_ctrl")).as(s"qte_$c")): _*)
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -10033,6 +10120,7 @@ object Queries {
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
-    qGModularity, qXSequentialLooks,
+    qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
+    qXQte,
   )
 }

@@ -156,6 +156,81 @@ object AbTest {
         col("cell_att_micros"), col("att_micros"))
   }
 
+  /** Difference-in-differences (the canonical parallel-trends
+    * readout): (post − pre) for the treated arm minus (post − pre)
+    * for control — removes both the fixed between-arm level gap and
+    * the common time trend, the workhorse when randomization is
+    * doubtful but both arms were observed across the same boundary.
+    * Same fold as [[cuped]] (per-user pre/post cents around the
+    * global midpoint, arms from the shared hash family); all four
+    * cell means are house-floored micros and the DiD contrast is
+    * exact integer arithmetic on them. One row out.
+    */
+  def diffInDiff(df: DataFrame, userCol: String, secCol: Column,
+      centsCol: Column): DataFrame = {
+    val base = df.select(col(userCol).as("u"),
+      secCol.cast("long").as("sec"), centsCol.cast("long").as("cents"))
+    val mid = base.agg(
+      ((min("sec") + max("sec")) - pmod(min("sec") + max("sec"), lit(2L)))
+        .divide(lit(2L)).cast("long").as("tmid"))
+    val perUser = base.crossJoin(broadcast(mid))
+      .groupBy("u")
+      .agg(
+        sum(when(col("sec") < col("tmid"), col("cents")).otherwise(0L))
+          .as("x"),
+        sum(when(col("sec") >= col("tmid"), col("cents")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm", Sampling.hashBucket(col("u"), 2))
+    def fdiv(numer: String, den: String) =
+      expr(s"(($numer) - ((($numer) % ($den)) + ($den)) % ($den)) div ($den)")
+    val cells = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+      .withColumn("pre_micros", fdiv("sx * 1000000", "n"))
+      .withColumn("post_micros", fdiv("sy * 1000000", "n"))
+    cells.filter(col("arm") === 0)
+      .select(col("n").as("n_ctrl"), col("pre_micros").as("pre_c"),
+        col("post_micros").as("post_c"))
+      .crossJoin(cells.filter(col("arm") === 1)
+        .select(col("n").as("n_treat"), col("pre_micros").as("pre_t"),
+          col("post_micros").as("post_t")))
+      .select(col("n_ctrl"), col("n_treat"), col("pre_c"),
+        col("post_c"), col("pre_t"), col("post_t"),
+        ((col("post_t") - col("pre_t")) - (col("post_c") - col("pre_c")))
+          .as("did_micros"))
+  }
+
+  /** DuckDB rendering of [[diffInDiff]]; `srcSql` must yield
+    * (u, sec, cents).
+    */
+  def diffInDiffOracleSql(srcSql: String): String =
+    s"""WITH base AS (SELECT u, sec, cents FROM ($srcSql)),
+       |mid AS (SELECT CAST((MIN(sec) + MAX(sec)
+       |          - (((MIN(sec) + MAX(sec)) % 2) + 2) % 2) / 2 AS BIGINT)
+       |          AS tmid FROM base),
+       |pu AS (SELECT u,
+       |         CAST(SUM(CASE WHEN sec < tmid THEN cents ELSE 0 END)
+       |              AS BIGINT) AS x,
+       |         CAST(SUM(CASE WHEN sec >= tmid THEN cents ELSE 0 END)
+       |              AS BIGINT) AS y,
+       |         ${Sampling.hashBucketSql("u", 2)} AS arm
+       |       FROM base CROSS JOIN mid GROUP BY u),
+       |c AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+       |      FROM pu GROUP BY arm),
+       |m AS (SELECT arm, n,
+       |        (sx * 1000000 - ((sx * 1000000 % n) + n) % n) // n
+       |          AS pre_micros,
+       |        (sy * 1000000 - ((sy * 1000000 % n) + n) % n) // n
+       |          AS post_micros
+       |      FROM c)
+       |SELECT c0.n AS n_ctrl, c1.n AS n_treat,
+       |       c0.pre_micros AS pre_c, c0.post_micros AS post_c,
+       |       c1.pre_micros AS pre_t, c1.post_micros AS post_t,
+       |       (c1.post_micros - c1.pre_micros)
+       |         - (c0.post_micros - c0.pre_micros) AS did_micros
+       |FROM m c0 CROSS JOIN m c1
+       |WHERE c0.arm = 0 AND c1.arm = 1""".stripMargin
+
   /** Two-sided group-sequential critical values for K equally-spaced
     * looks at α = 0.05 (Jennison & Turnbull, Group Sequential
     * Methods, Tables 2.1/2.3): Pocock's constant boundary and the

@@ -160,6 +160,23 @@ class AcfCupedSpec extends SparkSpec {
     }
   }
 
+  test("diffInDiff: a planted treatment lift survives both a level " +
+      "gap and a common time trend exactly") {
+    val ids = (0L until 400L)
+    val treated = ids.filter(Sampling.hashBucketLong(_, 2) == 1).take(5)
+    val control = ids.filter(Sampling.hashBucketLong(_, 2) == 0).take(5)
+    // control: pre 100 -> post 150 (trend +50); treated: level +100
+    // higher AND the same trend, plus the 70-cent effect
+    val rows =
+      control.flatMap(u => Seq((u, 10L, 100L), (u, 90L, 150L))) ++
+      treated.flatMap(u => Seq((u, 10L, 200L), (u, 90L, 320L))) ++
+      Seq((control.head, 0L, 0L), (treated.head, 100L, 0L)) // span pins
+    val out = AbTest.diffInDiff(rows.toDF("u0", "sec0", "cents0"),
+      "u0", col("sec0"), col("cents0")).collect().head
+    assert(out.getLong(6) == 70L * 1000000L,
+      s"did_micros ${out.getLong(6)}")
+  }
+
   test("groupedAcf is partitioning-invariant on real events") {
     val ev = Tables.events(spark, Sf0001)
     val b = (unix_timestamp(col("ts")) / 3600L).cast("long")

@@ -68,6 +68,24 @@ class TextSignalsSpec extends SparkSpec {
     assert(a.toSeq == direct.toSeq)
   }
 
+  test("RAKE: hand-computed phrase scores (degree/frequency) and " +
+      "rank order on the paper-style fixture") {
+    import graft.operators.Rake
+    val df = Seq((1L,
+      "deep learning systems of the modern era and deep learning"))
+      .toDF("id", "txt")
+    val out = Rake.keywords(df, "id", col("txt"),
+        Seq("of", "the", "and"), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // freq: deep 2, learning 2, systems 1, modern 1, era 1
+    // deg:  deep 5, learning 5, systems 3, modern 2, era 2
+    // wscore micros: deep/learning 2.5e6, systems 3e6, modern/era 2e6
+    assert(out(0) == (("deep learning systems", 8000000L, 1)))
+    assert(out(1) == (("deep learning", 5000000L, 2)))
+    assert(out(2) == (("modern era", 4000000L, 3)))
+  }
+
   test("luhnValid: canonical ISO 7812 vectors; neighbor check digits " +
       "all fail; single digit is vacuous") {
     import graft.operators.TextOps
