@@ -10066,6 +10066,43 @@ object Queries {
     }
   }
 
+  /** IPF / survey raking of the corpus mixture
+    * (Sampling.ipfWeights — r10, Deming-Stephan 1940): per-(lang,
+    * source) sampling weights that EQUALIZE language shares while
+    * PRESERVING source shares — the 2-D mixture move 1-D temperature
+    * sampling can't express. Three alternating scaling rounds
+    * (oracle-unrolled, geometric convergence), micros weights with
+    * one flooring division per rescale; the corpus folds once to the
+    * ≤(langs×sources) grid and everything after is metadata.
+    */
+  val qO28IpfRaking = q(
+    "q_o28_ipf_raking",
+    graft.operators.Sampling.ipfWeightsOracleSql(
+      """SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+      """SELECT lang AS r,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |    // (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT)
+        |        FROM documents) AS tr
+        |FROM documents GROUP BY 1""".stripMargin,
+      """SELECT source AS c, CAST(COUNT(*) AS BIGINT) AS tc
+        |FROM documents GROUP BY 1""".stripMargin,
+      rounds = 3) + "\nORDER BY r, c") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cells = docs
+      .groupBy(col("lang").as("r"), col("source").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("t"),
+      countDistinct("lang").as("nl"))
+    val rt = docs.groupBy(col("lang").as("r")).agg(count(lit(1)).as("x"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), expr("t div nl").as("tr"))
+    val ct = docs.groupBy(col("source").as("c"))
+      .agg(count(lit(1)).as("tc"))
+    graft.operators.Sampling.ipfWeights(cells, rt, ct, rounds = 3)
+      .orderBy("r", "c")
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -10121,6 +10158,6 @@ object Queries {
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
     qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
-    qXQte,
+    qXQte, qO28IpfRaking,
   )
 }

@@ -512,4 +512,91 @@ object Sampling {
        |         CAST((num - (((num % den) + den) % den)) // den AS BIGINT)
        |       END AS enc_oof_micros
        |FROM j""".stripMargin
+
+  /** Iterative proportional fitting / survey raking (Deming &
+    * Stephan 1940): per-cell sampling weights over a 2-D grid
+    * (r × c) so the weighted margins match target margins on BOTH
+    * axes — the corpus-mixture move "equalize language shares
+    * WITHOUT changing source shares" that 1-D mixture sampling
+    * (q_o11/q_o19) cannot express. Alternating scaling: each round
+    * rescales weights so row sums hit the row targets, then column
+    * sums the column targets; fixed `rounds` (the oracle-unrollable
+    * contract, cf. k-means/k-core — IPF converges geometrically, 3
+    * rounds lands margins within ppm on real grids).
+    *
+    * Exactness: weights are micros longs; every rescale is ONE
+    * flooring division of a decimal product (all quantities
+    * positive, so trunc ≡ floor cross-engine). Inputs: `cells`
+    * (r, c, n) — the corpus folds ONCE to this grid, everything
+    * after is cells-sized metadata; `rowTargets` (r, tr) /
+    * `colTargets` (c, tc) in the same count units as n.
+    * Output: (r, c, n, w_micros, row_sum, col_sum) where the sums
+    * are the achieved weighted margins Σ n·w (micros·count units).
+    */
+  def ipfWeights(cells: DataFrame, rowTargets: DataFrame,
+      colTargets: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var w = cells.join(rowTargets, "r").join(colTargets, "c")
+      .select(col("r"), col("c"), col("n"), col("tr"), col("tc"),
+        lit(1000000L).as("w"))
+    val nw = expr("CAST(n AS DECIMAL(38,0)) * w")
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy(col("r").as("rr")).agg(sum(nw).as("rsum"))
+      w = w.join(broadcast(rs), col("rr") === col("r"))
+        .withColumn("w",
+          expr("CAST(w AS DECIMAL(38,0)) * tr * 1000000 div rsum"))
+        .drop("rr", "rsum")
+      val cs = w.groupBy(col("c").as("cc")).agg(sum(nw).as("csum"))
+      w = w.join(broadcast(cs), col("cc") === col("c"))
+        .withColumn("w",
+          expr("CAST(w AS DECIMAL(38,0)) * tc * 1000000 div csum"))
+        .drop("cc", "csum")
+    }
+    val rsF = w.groupBy(col("r").as("rr")).agg(sum(nw).as("row_sum"))
+    val csF = w.groupBy(col("c").as("cc")).agg(sum(nw).as("col_sum"))
+    w.join(broadcast(rsF), col("rr") === col("r"))
+      .join(broadcast(csF), col("cc") === col("c"))
+      .select(col("r"), col("c"), col("n"), col("w").as("w_micros"),
+        col("row_sum").cast("long").as("row_sum"),
+        col("col_sum").cast("long").as("col_sum"))
+  }
+
+  /** DuckDB rendering of [[ipfWeights]]: `cellsSql` yields (r, c, n),
+    * `rowTargetsSql` (r, tr), `colTargetsSql` (c, tc).
+    */
+  def ipfWeightsOracleSql(cellsSql: String, rowTargetsSql: String,
+      colTargetsSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "w0" else s"wc${i - 1}"
+      s"""rs$i AS (SELECT r, CAST(SUM(CAST(n AS HUGEINT) * w) AS HUGEINT)
+         |           AS rsum FROM $prev GROUP BY r),
+         |wr$i AS (SELECT p.r, p.c, p.n, p.tr, p.tc,
+         |           CAST(CAST(p.w AS HUGEINT) * p.tr * 1000000
+         |                // rs$i.rsum AS BIGINT) AS w
+         |         FROM $prev p JOIN rs$i ON rs$i.r = p.r),
+         |cs$i AS (SELECT c, CAST(SUM(CAST(n AS HUGEINT) * w) AS HUGEINT)
+         |           AS csum FROM wr$i GROUP BY c),
+         |wc$i AS (SELECT p.r, p.c, p.n, p.tr, p.tc,
+         |           CAST(CAST(p.w AS HUGEINT) * p.tc * 1000000
+         |                // cs$i.csum AS BIGINT) AS w
+         |         FROM wr$i p JOIN cs$i ON cs$i.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS ($cellsSql),
+       |rt AS ($rowTargetsSql),
+       |ct AS ($colTargetsSql),
+       |w0 AS (SELECT cells.r, cells.c, cells.n, rt.tr, ct.tc,
+       |         CAST(1000000 AS BIGINT) AS w
+       |       FROM cells JOIN rt ON rt.r = cells.r
+       |                  JOIN ct ON ct.c = cells.c),
+       |$steps,
+       |rsf AS (SELECT r, CAST(SUM(CAST(n AS HUGEINT) * w) AS BIGINT)
+       |          AS row_sum FROM wc$rounds GROUP BY r),
+       |csf AS (SELECT c, CAST(SUM(CAST(n AS HUGEINT) * w) AS BIGINT)
+       |          AS col_sum FROM wc$rounds GROUP BY c)
+       |SELECT r, c, n, w_micros, row_sum, col_sum FROM (
+       |  SELECT p.r AS r, p.c AS c, p.n AS n, p.w AS w_micros,
+       |         rsf.row_sum, csf.col_sum
+       |  FROM wc$rounds p JOIN rsf ON rsf.r = p.r
+       |                   JOIN csf ON csf.c = p.c)""".stripMargin
+  }
 }

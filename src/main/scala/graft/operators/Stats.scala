@@ -1088,9 +1088,17 @@ object Stats {
   }
 
   def groupedAcf(df: DataFrame, group: String, bucket: Column,
-      vInt: Column, maxLag: Int): DataFrame = {
+      vInt: Column, maxLag: Int): DataFrame =
+    acfFromSums(bucketSums(df, group, bucket, vInt), maxLag)
+
+  /** Finish stage of [[groupedAcf]] from a (g, b, v) bucket-sum
+    * table — shared arithmetic with the streaming sibling
+    * (StreamAcf finishes its drained streaming-agg state here, so
+    * batch ≡ streaming bit-exact by construction, exactly as
+    * [[ewmaFromSums]] does for the EWMA).
+    */
+  def acfFromSums(series0: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val series0 = bucketSums(df, group, bucket, vInt)
     val series = zeroFilled(series0)
     val lags = (1 to maxLag).map(lit(_))
     val shifted = series

@@ -81,6 +81,14 @@ class EwmaLinkPredictSpec extends SparkSpec {
     val batch = Stats.groupedEwma(ev, "g0", col("b0"), col("v0"), 6, 3, 4)
       .collect().map(_.toSeq).toSet
     assert(streamed === batch && streamed.nonEmpty)
+
+    // the SAME drained state finishes to the bit-exact batch ACF —
+    // StreamAcf and StreamEwma share one state store by construction
+    val acfStreamed = graft.streaming.StreamAcf.acfFrom(state, 4)
+      .collect().map(_.toSeq).toSet
+    val acfBatch = Stats.groupedAcf(ev, "g0", col("b0"), col("v0"), 4)
+      .collect().map(_.toSeq).toSet
+    assert(acfStreamed === acfBatch && acfStreamed.nonEmpty)
   }
 
   test("commonNeighborScores: path a-z-b scores (cn 1, ra 1e6 div " +

@@ -526,4 +526,21 @@ class SamplingSpec extends SparkSpec {
       .filter($"shard" === 0).collect().head.getAs[Long]("order_fp")
     assert(fp0 != fp0Tweaked)
   }
+
+  test("ipfWeights: the uniform 2x2 grid with targets (3,1)/(2,2) " +
+      "converges at round 1 to exact 1.5/0.5 weights; margins hit") {
+    import spark.implicits._
+    val cells = Seq(("a", "x", 1L), ("a", "y", 1L),
+      ("b", "x", 1L), ("b", "y", 1L)).toDF("r", "c", "n")
+    val rt = Seq(("a", 3L), ("b", 1L)).toDF("r", "tr")
+    val ct = Seq(("x", 2L), ("y", 2L)).toDF("c", "tc")
+    val out = Sampling.ipfWeights(cells, rt, ct, rounds = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // row scale: a -> 3/2 = 1.5, b -> 1/2; col sums then already 2
+    assert(out(("a", "x")) == ((1500000L, 3000000L, 2000000L)))
+    assert(out(("a", "y")) == ((1500000L, 3000000L, 2000000L)))
+    assert(out(("b", "x")) == ((500000L, 1000000L, 2000000L)))
+    assert(out(("b", "y")) == ((500000L, 1000000L, 2000000L)))
+  }
 }
