@@ -536,9 +536,15 @@ object Sampling {
   def ipfWeights(cells: DataFrame, rowTargets: DataFrame,
       colTargets: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // checkpoint the grid once after the corpus fold and once per
+    // round: without it every round's two broadcast sides re-derive
+    // the whole upstream lineage and the plan grows geometrically —
+    // measured 12.6 → 2.0 s at sf0.1 (the actions run on a
+    // ≤cells-sized frame, the iterative-operator cadence)
     var w = cells.join(rowTargets, "r").join(colTargets, "c")
       .select(col("r"), col("c"), col("n"), col("tr"), col("tc"),
         lit(1000000L).as("w"))
+      .localCheckpoint()
     val nw = expr("CAST(n AS DECIMAL(38,0)) * w")
     for (_ <- 1 to rounds) {
       val rs = w.groupBy(col("r").as("rr")).agg(sum(nw).as("rsum"))
@@ -551,6 +557,7 @@ object Sampling {
         .withColumn("w",
           expr("CAST(w AS DECIMAL(38,0)) * tc * 1000000 div csum"))
         .drop("cc", "csum")
+        .localCheckpoint()
     }
     val rsF = w.groupBy(col("r").as("rr")).agg(sum(nw).as("row_sum"))
     val csF = w.groupBy(col("c").as("cc")).agg(sum(nw).as("col_sum"))
