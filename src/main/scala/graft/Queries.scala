@@ -10103,6 +10103,59 @@ object Queries {
       .orderBy("r", "c")
   }
 
+  /** Experiment-readout capstone (r10): the one table an experiment
+    * review actually reads — per arm, exposure count and CUPED-
+    * adjusted means, stamped with the SRM validity gate (χ² ppm on
+    * the arm split) and the final-look sequential decision (z,
+    * Pocock crossing). Composes three already-oracled operators
+    * (cuped, sequentialLooks, the SRM algebra) off ONE shared
+    * per-user fold family; the oracle nests their CTE chains, so
+    * the whole readout replays end-to-end.
+    */
+  val qPipeExperimentReadout = {
+    val srcSql =
+      """SELECT user_id AS u,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |FROM events""".stripMargin
+    q(
+      "q_pipe_experiment_readout",
+      s"""WITH cu AS (${graft.operators.AbTest.cupedOracleSql(srcSql)}),
+         |lk AS (SELECT diff_micros, z, pocock_cross FROM (
+         |  ${graft.operators.AbTest.sequentialLooksOracleSql(srcSql)})
+         |  WHERE look = 4),
+         |srm AS (SELECT (a.n_users - b.n_users) * (a.n_users - b.n_users)
+         |          * 1000000 // (a.n_users + b.n_users) AS srm_chi2_ppm
+         |        FROM cu a CROSS JOIN cu b
+         |        WHERE a.arm = 0 AND b.arm = 1)
+         |SELECT cu.arm, cu.n_users, cu.mean_y, cu.mean_y_adj,
+         |       srm.srm_chi2_ppm, srm.srm_chi2_ppm > 10828000 AS srm_flag,
+         |       lk.diff_micros, lk.z, lk.pocock_cross
+         |FROM cu CROSS JOIN srm CROSS JOIN lk
+         |ORDER BY cu.arm""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sec = unix_timestamp(col("ts"))
+      val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+      val cu = graft.operators.AbTest.cuped(ev, "user_id", sec, cents)
+      val lk = graft.operators.AbTest
+        .sequentialLooks(ev, "user_id", sec, cents)
+        .filter(col("look") === 4)
+        .select(col("diff_micros"), col("z"), col("pocock_cross"))
+      val srm = cu.filter(col("arm") === 0)
+        .select(col("n_users").as("na"))
+        .crossJoin(cu.filter(col("arm") === 1)
+          .select(col("n_users").as("nb")))
+        .select(expr("(na - nb) * (na - nb) * 1000000 div (na + nb)")
+          .as("srm_chi2_ppm"))
+      cu.select(col("arm"), col("n_users"), col("mean_y"),
+          col("mean_y_adj"))
+        .crossJoin(broadcast(srm))
+        .withColumn("srm_flag", col("srm_chi2_ppm") > 10828000L)
+        .crossJoin(broadcast(lk))
+        .orderBy("arm")
+    }
+  }
+
   val specs: Seq[QSpec] = Seq(
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -10158,6 +10211,6 @@ object Queries {
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
     qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
-    qXQte, qO28IpfRaking,
+    qXQte, qO28IpfRaking, qPipeExperimentReadout,
   )
 }
