@@ -65,8 +65,12 @@ object AbTest {
     def d(c: String) = col(c).cast("double")
     val withTheta = armStats.crossJoin(broadcast(pool))
       .withColumn("theta",
-        (d("pn") * d("psxy") - d("psx") * d("psy"))
-          / (d("pn") * d("psxx") - d("psx") * d("psx")))
+        // zero pre-period variance -> no adjustment (theta 0), not a
+        // 0/0 NaN that poisons every downstream column
+        when(d("pn") * d("psxx") - d("psx") * d("psx") > 0.0,
+          (d("pn") * d("psxy") - d("psx") * d("psy"))
+            / (d("pn") * d("psxx") - d("psx") * d("psx")))
+          .otherwise(lit(0.0)))
       .withColumn("mean_x_pool", d("psx") / d("pn"))
     val n = d("n")
     withTheta.select(
@@ -296,17 +300,19 @@ object AbTest {
     // sample variance: (Σy² − n·mean²) / (n−1)
     def sv(syy: String, sy: String, n: String) =
       (d(syy) - d(n) * mean(sy, n) * mean(sy, n)) / (d(n) - 1.0)
-    val z0 = (mean("sy1", "n1") - mean("sy0", "n0")) /
-      sqrt(sv("syy1", "sy1", "n1") / d("n1")
-        + sv("syy0", "sy0", "n0") / d("n0"))
-    val fdiv = (numer: String, den: String) =>
-      expr(s"(($numer) - ((($numer) % ($den)) + ($den)) % ($den)) div ($den)")
+    val varsum = sv("syy1", "sy1", "n1") / d("n1") +
+      sv("syy0", "sy0", "n0") / d("n0")
+    val z0 = (mean("sy1", "n1") - mean("sy0", "n0")) / sqrt(varsum)
     val pc = PocockC(looks)
     val obf = ObfC(looks)
     wide.select(col("look"), col("n0"), col("n1"),
-        (fdiv("sy1 * 1000000", "n1") - fdiv("sy0 * 1000000", "n0"))
+        (Stats.fdivExact(col("sy1") * 1000000L, col("n1"))
+          - Stats.fdivExact(col("sy0") * 1000000L, col("n0")))
           .as("diff_micros"),
-        when(col("n0") > 1 && col("n1") > 1, round(z0, 6)).as("z"))
+        // zero-variance guard: a dead metric must read NULL, not a
+        // NaN that compares above every boundary
+        when(col("n0") > 1 && col("n1") > 1 && varsum > 0.0,
+          round(z0, 6)).as("z"))
       .withColumn("pocock_cross", abs(col("z")) > pc)
       .withColumn("obf_cross",
         abs(col("z")) > round(lit(obf)
@@ -341,22 +347,23 @@ object AbTest {
        |        b.n AS n1, b.sy AS sy1, b.syy AS syy1
        |      FROM st a JOIN st b ON b.look = a.look
        |      WHERE a.arm = 0 AND b.arm = 1),
-       |zt AS (SELECT look, n0, n1,
+       |zt AS (SELECT look, n0, n1, diff_micros,
+       |        CASE WHEN n0 > 1 AND n1 > 1 AND vs > 0
+       |          THEN ROUND(md / sqrt(vs), 6) END AS z
+       |      FROM (SELECT look, n0, n1,
        |        (sy1 * 1000000 - ((sy1 * 1000000 % n1) + n1) % n1) // n1
        |        - (sy0 * 1000000 - ((sy0 * 1000000 % n0) + n0) % n0) // n0
        |          AS diff_micros,
-       |        CASE WHEN n0 > 1 AND n1 > 1 THEN ROUND(
-       |          (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
-       |          / sqrt(
-       |            ((CAST(syy1 AS DOUBLE) - CAST(n1 AS DOUBLE)
-       |              * (CAST(sy1 AS DOUBLE) / n1)
-       |              * (CAST(sy1 AS DOUBLE) / n1)) / (CAST(n1 AS DOUBLE) - 1.0))
-       |              / CAST(n1 AS DOUBLE)
-       |            + ((CAST(syy0 AS DOUBLE) - CAST(n0 AS DOUBLE)
-       |              * (CAST(sy0 AS DOUBLE) / n0)
-       |              * (CAST(sy0 AS DOUBLE) / n0)) / (CAST(n0 AS DOUBLE) - 1.0))
-       |              / CAST(n0 AS DOUBLE)), 6) END AS z
-       |      FROM w)
+       |        CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS md,
+       |        ((CAST(syy1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+       |          * (CAST(sy1 AS DOUBLE) / n1)
+       |          * (CAST(sy1 AS DOUBLE) / n1)) / (CAST(n1 AS DOUBLE) - 1.0))
+       |          / CAST(n1 AS DOUBLE)
+       |        + ((CAST(syy0 AS DOUBLE) - CAST(n0 AS DOUBLE)
+       |          * (CAST(sy0 AS DOUBLE) / n0)
+       |          * (CAST(sy0 AS DOUBLE) / n0)) / (CAST(n0 AS DOUBLE) - 1.0))
+       |          / CAST(n0 AS DOUBLE) AS vs
+       |        FROM w))
        |SELECT look, n0, n1, diff_micros, z,
        |       abs(z) > $pc AS pocock_cross,
        |       abs(z) > ROUND($obf * sqrt($looks.0
@@ -436,10 +443,13 @@ object AbTest {
        |           CAST(SUM(sy) AS BIGINT) AS psy,
        |           SUM(sxy) AS psxy, SUM(sxx) AS psxx FROM st),
        |t AS (SELECT st.*,
-       |        (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+       |        CASE WHEN CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+       |               - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) > 0
+       |        THEN (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
        |         - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
        |        / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
-       |           - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)) AS theta,
+       |           - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+       |        ELSE 0.0 END AS theta,
        |        CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS mean_x_pool
        |      FROM st CROSS JOIN pool)
        |SELECT arm, n AS n_users,

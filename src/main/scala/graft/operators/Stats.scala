@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** The house pre-adjusted flooring division as ONE audited helper:
+    * ⌊numer/den⌋ computed as (numer − pmod(numer, den)) div den —
+    * the numerator is made exactly divisible first, so truncating
+    * and flooring division agree (exact on negative numerators too),
+    * and the arithmetic never leaves integers/decimals (a Column `/`
+    * would detour through double and drift past 2⁵³). Oracle
+    * spelling: `(x - (((x % d) + d) % d)) // d`.
+    */
+  def fdivExact(numer: Column, den: Column): Column = {
+    val adj = numer - pmod(numer, den)
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.toCatalystExpr(adj),
+        org.apache.spark.sql.GraftColumnBridge.toCatalystExpr(den)))
+  }
+
   /** Exact per-group discrete quantiles (percentile_disc semantics:
     * the smallest element whose cumulative rank reaches ⌈p·n⌉).
     *
