@@ -2978,6 +2978,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Phrase-blocklist screen (TextOps.blocklistScreen — r9, the
+    * C4/RefinedWeb badword-filter shape) over the native Aho–Corasick
+    * kernel: per doc, ALL occurrences (overlapping included) of each
+    * of m literal phrases in ONE automaton pass — O(bytes + matches)
+    * regardless of m, where the composable rendering is m full regexp
+    * scans of every crawled byte. The oracle states the count
+    * positionally (per start offset, does the substring equal the
+    * phrase?) so there is no automaton state to drift — and the
+    * corpus's "batch batch batch" runs pin the all-occurrence
+    * semantics: overlap counting yields 2 where a replace-based count
+    * would say 1. Block decision: hits ≥ 3 or distinct phrases ≥ 2.
+    */
+  val qTBlocklist = {
+    val pats = graft.operators.TextOps.DefaultBlocklist
+    val cnt = pats.zipWithIndex.map { case (p, i) =>
+      s"""len(list_filter(range(len(text) - ${p.length - 1}),
+         |    i -> text[i+1:i+${p.length}] = '$p')) AS c$i""".stripMargin
+    }.mkString(",\n|  ").stripMargin
+    val hits = pats.indices.map(i => s"c$i").mkString(" + ")
+    val npat = pats.indices
+      .map(i => s"CASE WHEN c$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    q(
+      "q_t_blocklist",
+      s"""WITH c AS (SELECT doc_id,
+         |  $cnt
+         |FROM documents)
+         |SELECT doc_id, CAST($hits AS BIGINT) AS hits,
+         |  CAST($npat AS INT) AS n_patterns_hit,
+         |  ($hits >= 3 OR $npat >= 2) AS blocked
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.TextOps.blocklistScreen(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  }
+
   /** PII redaction (TextOps.redactPii): map-only regexp scrub of
     * e-mails/phones/IPv4s into typed placeholders. The synthetic
     * corpus has no PII, so the query INJECTS a deterministic
@@ -4400,16 +4436,15 @@ object Queries {
     * Shared verbatim by q_d_minhash_pairs and the corpus-curation
     * pipeline so the two oracles can't drift.
     */
-  private lazy val duckMinhashPairChain: String = {
-    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
-    s"""${duckShingleHashes(3)},
-       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
-       |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
-       |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
-       |s AS (SELECT doc_id, list_transform(range(64), i ->
-       |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
-       |      FROM hd CROSS JOIN coef),
-       |b2 AS (SELECT doc_id, band,
+  /** The post-signature tail of every MinHash-family pair oracle —
+    * `s(doc_id, sig)` → 16 poly band keys → capped bucket self-join
+    * (cool all-pairs / hot star) → distinct candidates → exact-Jaccard
+    * ingredients `j(id_a, id_b, inter, la, lb)`. Factored so the
+    * classic-signature and OPH chains share one rendering and cannot
+    * drift.
+    */
+  private lazy val duckBandJaccardTail: String =
+    s"""b2 AS (SELECT doc_id, band,
        |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
        |           (a, v) -> (a * 31 + v) % 1000000007) AS key
        |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
@@ -4431,6 +4466,41 @@ object Queries {
        |        len(ha.hs) AS la, len(hb.hs) AS lb
        |      FROM pairs JOIN hd ha ON ha.doc_id = id_a
        |                 JOIN hd hb ON hb.doc_id = id_b)""".stripMargin
+
+  private lazy val duckMinhashPairChain: String = {
+    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
+    s"""${duckShingleHashes(3)},
+       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+       |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
+       |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
+       |s AS (SELECT doc_id, list_transform(range(64), i ->
+       |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
+       |      FROM hd CROSS JOIN coef),
+       |$duckBandJaccardTail""".stripMargin
+  }
+
+  /** The OPH sibling of [[duckMinhashPairChain]]: ONE permutation,
+    * bin = ⌊v·64/P⌋ minima, rotation densification in its closed form
+    * (slot i = min over j of binmin[(i+j) mod 64] + j·P — NULL bins
+    * skipped by list_min, distance offset P makes nearest-non-empty
+    * the argmin), then the shared band/cap/Jaccard tail.
+    */
+  private lazy val duckOphPairChain: String = {
+    val (pa, pb) = graft.expressions.MinHashSig.coefficients(1)
+    s"""${duckShingleHashes(3)},
+       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+       |vs AS (SELECT doc_id, hs,
+       |         list_transform(hs, x -> (x * ${pa(0)} + ${pb(0)}) % 1000000007) AS vs
+       |       FROM hd),
+       |bm AS (SELECT doc_id, list_transform(range(64), i ->
+       |         list_min(list_filter(vs, v -> (v * 64) // 1000000007 = i))) AS l
+       |       FROM vs),
+       |s AS (SELECT doc_id, list_transform(range(64), i ->
+       |        coalesce(list_min(list_transform(range(64), j ->
+       |          l[((i + j) % 64) + 1] + j * 1000000007)),
+       |          9223372036854775807)) AS sig
+       |      FROM bm),
+       |$duckBandJaccardTail""".stripMargin
   }
 
   /** MinHash+LSH band keys per document — the distributed candidate-
@@ -4487,6 +4557,32 @@ object Queries {
        |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.Dedup.minhashNearDupsPoly(
+      Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** One-permutation MinHash near-dup pairs (Dedup.minhashNearDupsOph
+    * — r9, Li-Owen-Zhang NIPS'12 + Shrivastava-Li ICML'14 rotation
+    * densification): the signature-build scan does ONE multiply-add
+    * per shingle instead of 64 — at corpus scale the build scan IS
+    * the dedup bill, so this is the ~k-fold cost lever on the family's
+    * hottest stage. Same 16-band poly keys, hot-bucket star cap, and
+    * exact-Jaccard verify as q_d_minhash_pairs (precision cannot move,
+    * only band-level recall randomness differs). The oracle replays
+    * the whole chain: one permutation → ⌊v·64/P⌋ bin minima → the
+    * densify closed form (min over borrow distance of binmin + j·P)
+    * → the SHARED band/cap/Jaccard tail — a drifted bin edge, borrow
+    * direction, or distance offset hash-fails.
+    */
+  val qDMinhashOph = q(
+    "q_d_minhash_oph",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |$duckOphPairChain
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.minhashNearDupsOph(
       Tables.documents(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
   }
@@ -5394,6 +5490,70 @@ object Queries {
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** IVF probe-width planner (Similarity.ivfProbeRecallSweep — r9):
+    * the recall-vs-cost curve the nProbe knob is read from — for each
+    * nProbe ∈ {1,2,4,8,16}, the scanned-candidate volume (cost axis,
+    * exact integer) and recall@5 vs the exact ranking (quality axis,
+    * floor-div ppm), all from ONE scored scan: every (query,
+    * candidate) pair is scored once with its probe rank attached, and
+    * each grid point is a filter through one (n_probe, qid) top-k
+    * heap — the per-grid-scan draft would read the corpus 5×
+    * (q_e_dim_truncation's lesson). nProbe=16 = nCentroids is the
+    * built-in recall ≡ 1 anchor. The oracle replays assignment, probe
+    * ranks, per-grid rankings, hits, and the scanned-row counts.
+    */
+  val qENprobeSweep = q(
+    "q_e_nprobe_sweep",
+    s"""WITH cent AS (SELECT vec_id AS cl, CAST(embedding AS DOUBLE[]) AS ce
+       |              FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |ca AS (SELECT cid, cl, ROW_NUMBER() OVER (PARTITION BY cid
+       |                         ORDER BY d2, cl) AS rn
+       |       FROM (SELECT cid, cl, ${duckD2("cv", "ce")} AS d2
+       |             FROM c CROSS JOIN cent)),
+       |idx AS (SELECT cid, cl FROM ca WHERE rn = 1),
+       |qa AS (SELECT qid, cl, ROW_NUMBER() OVER (PARTITION BY qid
+       |                         ORDER BY d2, cl) AS prank
+       |       FROM (SELECT qid, cl, ${duckD2("qv", "ce")} AS d2
+       |             FROM q CROSS JOIN cent)),
+       |sc AS (SELECT qid, cid, ${duckCos("qv", "cv")} AS cos_raw, prank
+       |       FROM qa JOIN idx USING (cl)
+       |               JOIN q USING (qid) JOIN c USING (cid)
+       |       WHERE qid <> cid),
+       |grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS n_probe),
+       |sw AS (SELECT n_probe, qid, cid, cos_raw
+       |       FROM sc JOIN grid ON prank <= n_probe),
+       |picks AS (SELECT n_probe, qid, cid FROM (
+       |    SELECT n_probe, qid, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY n_probe, qid ORDER BY cos_raw DESC, cid) AS rn
+       |    FROM sw) WHERE rn <= 5),
+       |tex AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_raw DESC, cid) AS rn FROM sc) WHERE rn <= 5),
+       |hits AS (SELECT n_probe, COUNT(*) AS h
+       |         FROM picks JOIN tex USING (qid, cid) GROUP BY 1),
+       |scanned AS (SELECT n_probe, COUNT(*) AS scanned_rows
+       |            FROM sw GROUP BY 1)
+       |SELECT CAST(n_probe AS INT) AS n_probe, scanned_rows,
+       |       COALESCE(h, 0) * 1000000 // 50 AS recall_ppm
+       |FROM scanned LEFT JOIN hits USING (n_probe)
+       |ORDER BY n_probe""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    Similarity.ivfProbeRecallSweep(queries, cands, centers, k = 5,
+        grid = Seq(1, 2, 4, 8, 16))
+      .select(col("n_probe"), col("scanned_rows"), col("recall_ppm"))
+      .orderBy("n_probe")
   }
 
   /** Product-quantization encode (Similarity.pqEncode — r9): each
@@ -8624,6 +8784,31 @@ object Queries {
         expr("sum(e7) * 1000000 div sum(e1)").as("mase_micros"))
   }
 
+  /** Holt linear-trend forecaster (Stats.holtLinearSummary — r9,
+    * Holt 1957): level+trend exponential smoothing over the daily
+    * order-revenue series with exact integer state (α=1/5, β=1/10
+    * rational weights, truncating division both engines), scored
+    * 1-step-ahead against the lag-1 naive — the trend-aware rung on
+    * the forecast ladder above seasonal-naive (q_w_forecast_baseline)
+    * and seasonal-mean. The fact folds to the daily series map-side;
+    * the inherently-sequential recursion runs as ONE ordered fold
+    * over that periods-sized list (the zipf/seasonality pattern), and
+    * the oracle replays the identical struct fold step by step — a
+    * drifted init, weight, or division rounding hash-fails.
+    */
+  val qWHoltForecast = q(
+    "q_w_holt_forecast",
+    graft.operators.Stats.holtOracleSql(
+      """SELECT CAST(o_orderdate AS DATE) AS t,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |FROM orders GROUP BY 1""".stripMargin)) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("t"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("x"))
+    graft.operators.Stats.holtLinearSummary(daily, "t", "x")
+  }
+
   /** Benford first-digit conformance of order totals — the data-
     * forensics screen for fabricated or truncated numeric feeds:
     * observed first-digit counts (exact integers; the digit is pure
@@ -10178,7 +10363,7 @@ object Queries {
     qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
-    qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
+    qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTBlocklist, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
     qTTfidf, qTHashedFeatures, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,
@@ -10186,13 +10371,13 @@ object Queries {
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDCrossCorpus,
+    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter,
     qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
-    qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qEPqCodes, qEPqAdcTopK,
+    qECosineTopK, qEAnnLsh, qEAnnRp, qEIvf, qENprobeSweep, qEPqCodes, qEPqAdcTopK,
     qEPqRerank, qEIvfPq, qEIvfPqRerank,
     qEClusterReps, qECentroids, qEKmeansStep, qEKmeansLloyd,
     qEKmeansInertia, qEKmeansSeeds, qERandomProjection, qEClusterQuota,
@@ -10205,7 +10390,7 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qWHoltForecast, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,

@@ -370,6 +370,41 @@ object Dedup {
       sh.select(col("id"), col("hs").as("es")), minJaccard)
   }
 
+  /** [[minhashNearDupsPoly]] with the signature built by ONE-
+    * permutation MinHash + rotation densification
+    * (expressions.OnePermMinHash) instead of the k-permutation loop:
+    * identical banding / hot-bucket cap / exact-Jaccard verify, but
+    * the signature-build scan does one multiply-add per shingle
+    * instead of k — the published ~k-fold build-cost cut (Li-Owen-
+    * Zhang NIPS'12). At corpus scale the signature scan IS the dedup
+    * bill, so this is the default to reach for when k ≥ 32; the
+    * classic kernel stays as the variance-reference. Candidate sets
+    * differ slightly from the k-perm variant (different signature
+    * randomness, same S-curve), but the exact-Jaccard verify gate
+    * makes the OUTPUT quality identical: only recall at the band
+    * threshold can move, precision cannot.
+    */
+  def minhashNearDupsOph(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.expressions.{OnePermMinHash, TextShingleHashes}
+    val rowsPerBand = k / bands
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextShingleHashes(col(textCol), n)).as("hs"))
+      .withColumn("sig", OnePermMinHash.ofHashes(col("hs"), k))
+    val banded = sh.select(col("id"),
+      explode(lshBandKeysPoly(col("sig"), bands, rowsPerBand)).as("bk"))
+    verifyJaccard(
+      bandCandidatePairs(banded, maxBucket),
+      sh.select(col("id"), col("hs").as("es")), minJaccard)
+  }
+
   /** Cross-corpus near-duplicate pairs — "dedup the arrival batch
     * against the training corpus": candidate pairs are generated ONLY
     * between side A and side B (two docs sharing any LSH band key),

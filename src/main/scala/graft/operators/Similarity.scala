@@ -265,6 +265,68 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** IVF probe-width planner: recall@k AND scanned-candidate volume
+    * for every nProbe in `grid`, from ONE scored scan — the
+    * recall-vs-cost curve the nProbe knob is set from (the IVF
+    * sibling of the dim-truncation and LSH-banding planners: measure
+    * the operating curve on a slice BEFORE committing the corpus-
+    * scale run, never guess it).
+    *
+    * One pass builds (qid, cid, cos, prank) — prank = the probe
+    * position of the candidate's cluster in the query's centroid
+    * ranking — and every grid point is then a FILTER over that table
+    * exploded through one (n_probe, qid) top-k heap; the cosines are
+    * computed once, not once per grid point (the per-grid-scan draft
+    * of the dim-truncation planner read 4× the IO — same lesson).
+    * Include nCentroids itself in the grid for a built-in recall ≡ 1
+    * anchor. Output per n_probe: scanned candidate rows (the cost
+    * axis, exact integer) and recall@k in ppm vs the exact ranking
+    * (the quality axis).
+    */
+  def ivfProbeRecallSweep(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      centers: Array[Array[Double]],
+      k: Int,
+      grid: Seq[Int]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val indexed = candidates.withColumn("cluster",
+      element_at(centroidRanked(col("cvec"), centers), 1)
+        .getField("cluster"))
+    val qprobe = queries
+      .select(col("qid"), col("qvec"),
+        posexplode(centroidRanked(col("qvec"), centers).getField("cluster")))
+      .select(col("qid"), col("qvec"), (col("pos") + 1).as("prank"),
+        col("col").as("cluster"))
+    // each candidate lives in exactly one list and each query ranks
+    // every cluster once ⇒ the cluster join enumerates each (q, c)
+    // pair exactly once, with its probe rank attached
+    val scored = qprobe.join(indexed, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"), col("prank"))
+      .localCheckpoint() // feeds exact ranking, sweep, and cost count
+    val exact = TopK.perGroup(scored, Seq("qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
+      .select("qid", "cid")
+    val gridDf = broadcast(grid.toDF("n_probe"))
+    val swept = scored.join(gridDf, col("prank") <= col("n_probe"))
+    val picks = TopK.perGroup(swept, Seq("n_probe", "qid"),
+        Seq(col("cos").desc, col("cid")), k, rankName = "rank")
+    val nq = queries.count()
+    val hits = picks.join(exact, Seq("qid", "cid"))
+      .groupBy("n_probe").agg(count(lit(1)).as("h"))
+    val scanned = swept.groupBy("n_probe")
+      .agg(count(lit(1)).as("scanned_rows"))
+    scanned.join(hits, Seq("n_probe"), "left")
+      .na.fill(0L, Seq("h"))
+      .select(col("n_probe"),
+        col("scanned_rows"),
+        expr(s"h * 1000000 div ${k * nq}").as("recall_ppm"))
+      .orderBy("n_probe")
+  }
+
   // -----------------------------------------------------------------
   // Product quantization (Jégou et al., PAMI 2011): compress each
   // vector to m one-byte codes (argmin sub-codebook entry per

@@ -1278,4 +1278,115 @@ object Stats {
        |       CAST(wsum * 1000000 // $denom AS BIGINT) AS ewma_micros
        |FROM wn WHERE rn >= $window""".stripMargin
   }
+
+  /** Holt's linear-trend exponential smoothing (Holt 1957 / Hyndman
+    * FPP §8.2) as a 1-step-ahead forecaster with exact integer state,
+    * scored against the lag-1 naive on the same series — the level-
+    * AND-trend upgrade over [[groupedEwma]] (a plain EWMA lags any
+    * trending series by a constant offset; Holt's trend term closes
+    * it).
+    *
+    * Rational smoothing weights α = 1/alphaDen, β = 1/betaDen keep
+    * every state transition in integer arithmetic:
+    *   l′ = (x + (alphaDen−1)·(l+b)) div alphaDen
+    *   b′ = ((l′−l) + (betaDen−1)·b)  div betaDen
+    * with TRUNCATING division — Spark's `div` and DuckDB's `//` agree
+    * on truncation toward zero for negative operands (verified), so
+    * the fold replays bit-for-bit. Init: l₀ = x₀, b set at the second
+    * observation (b₁ = x₁ − x₀, l₁ = x₁); scoring starts at the third.
+    *
+    * Scale shape: the fact folds to the periods-sized series in one
+    * map-side-combined agg; the recursion — inherently sequential —
+    * then runs as ONE ordered fold over that metadata-sized list (the
+    * zipf/seasonality pattern), never touching the fact again. The
+    * `(a − a mod n)/n` double hop in the fold is exact while |state|
+    * < 2⁵³ — document-scale daily sums; beyond that swap the state to
+    * decimal.
+    *
+    * Output (one row): n_scored, sae_holt, sae_naive, mae_holt,
+    * mae_naive, skill_micros (= sae_holt·10⁶ div sae_naive; < 10⁶
+    * means Holt beat naive), level_end, trend_end.
+    */
+  def holtLinearSummary(
+      series: DataFrame, // (t ascending-sortable, x long)
+      tCol: String,
+      xCol: String,
+      alphaDen: Int = 5,
+      betaDen: Int = 10): DataFrame = {
+    // truncating long division for Column expressions inside a HOF
+    // lambda (expr("div") can't see lambda variables): (a - a % n) is
+    // exactly divisible, and the double division is exact under 2^53.
+    def tdiv(a: Column, n: Int): Column =
+      ((a - a % lit(n.toLong)) / lit(n.toLong)).cast("long")
+    val z = struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b"),
+      lit(0L).as("prev"), lit(0L).as("sae_h"), lit(0L).as("sae_n"))
+    def step(a: Column, x: Column): Column = {
+      val i = a.getField("i"); val l = a.getField("l")
+      val b = a.getField("b"); val prev = a.getField("prev")
+      val f = l + b
+      val l2 = tdiv(x + lit((alphaDen - 1).toLong) * f, alphaDen)
+      val b2 = tdiv((l2 - l) + lit((betaDen - 1).toLong) * b, betaDen)
+      when(i === 0L, struct(lit(1L).as("i"), x.as("l"), lit(0L).as("b"),
+          x.as("prev"), lit(0L).as("sae_h"), lit(0L).as("sae_n")))
+        .when(i === 1L, struct(lit(2L).as("i"), x.as("l"),
+          (x - l).as("b"), x.as("prev"), lit(0L).as("sae_h"),
+          lit(0L).as("sae_n")))
+        .otherwise(struct((i + 1L).as("i"), l2.as("l"), b2.as("b"),
+          x.as("prev"),
+          (a.getField("sae_h") + abs(x - f)).as("sae_h"),
+          (a.getField("sae_n") + abs(x - prev)).as("sae_n")))
+    }
+    series
+      .agg(collect_list(struct(col(tCol).as("t"), col(xCol).as("x")))
+        .as("ps"))
+      .select(array_sort(col("ps")).as("ps"))
+      .select(aggregate(transform(col("ps"), _.getField("x")), z, step)
+        .as("a"))
+      .select((col("a.i") - 2L).as("n_scored"),
+        col("a.sae_h").as("sae_holt"), col("a.sae_n").as("sae_naive"),
+        expr("a.sae_h div (a.i - 2)").as("mae_holt"),
+        expr("a.sae_n div (a.i - 2)").as("mae_naive"),
+        expr("a.sae_h * 1000000 div a.sae_n").as("skill_micros"),
+        col("a.l").as("level_end"), col("a.b").as("trend_end"))
+  }
+
+  /** DuckDB rendering of [[holtLinearSummary]] over `srcSql(t, x)` —
+    * the identical recursion as a RECURSIVE CTE (one state row per
+    * step, each referencing the PREVIOUS row's columns), so a drifted
+    * init, smoothing weight, or division rounding hash-fails.
+    *
+    * Deliberately NOT a `list_reduce` struct fold: DuckDB evaluates a
+    * struct-literal lambda's fields against the accumulator IN PLACE
+    * — a later field expression can observe an earlier field's
+    * already-written new value (read-after-write aliasing; probed:
+    * `(a,e) -> {'x': a.x*10, 'y': a.x}` yields y = the NEW x). The
+    * recursive CTE has unambiguous previous-row semantics in any
+    * engine.
+    */
+  def holtOracleSql(srcSql: String, alphaDen: Int = 5,
+      betaDen: Int = 10): String = {
+    val a1 = alphaDen - 1; val b1 = betaDen - 1
+    s"""WITH RECURSIVE ser AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY t) AS rn, x
+       |  FROM ($srcSql)),
+       |st AS (
+       |  SELECT 2::BIGINT AS i, s2.x AS l, s2.x - s1.x AS b,
+       |         s2.x AS prev, 0::BIGINT AS sh, 0::BIGINT AS sn
+       |  FROM (SELECT x FROM ser WHERE rn = 1) s1,
+       |       (SELECT x FROM ser WHERE rn = 2) s2
+       |  UNION ALL
+       |  SELECT st.i + 1,
+       |    (e.x + $a1 * (st.l + st.b)) // $alphaDen,
+       |    (((e.x + $a1 * (st.l + st.b)) // $alphaDen) - st.l
+       |      + $b1 * st.b) // $betaDen,
+       |    e.x,
+       |    st.sh + abs(e.x - (st.l + st.b)),
+       |    st.sn + abs(e.x - st.prev)
+       |  FROM st JOIN ser e ON e.rn = st.i + 1)
+       |SELECT i - 2 AS n_scored, sh AS sae_holt, sn AS sae_naive,
+       |  sh // (i - 2) AS mae_holt, sn // (i - 2) AS mae_naive,
+       |  sh * 1000000 // sn AS skill_micros,
+       |  l AS level_end, b AS trend_end
+       |FROM st WHERE i = (SELECT MAX(rn) FROM ser)""".stripMargin
+  }
 }

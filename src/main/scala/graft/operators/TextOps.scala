@@ -257,6 +257,45 @@ object TextOps {
       size(regexp_extract_all(text, lit(PhoneRe), lit(0))) +
       size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
 
+  /** Default phrase blocklist for [[blocklistScreen]]'s catalog entry:
+    * multi-word literals over the synthetic corpus vocabulary,
+    * including self-overlapping shapes ("batch batch" occurs TWICE in
+    * "batch batch batch" under all-occurrence counting — the
+    * overlap-vs-replace-count discriminator the oracle pins).
+    */
+  val DefaultBlocklist: Seq[String] = Seq(
+    "batch batch", "slow merge", "spark window", "vector join",
+    "the lazy", "hash hash")
+
+  /** Phrase-blocklist screen (the C4/RefinedWeb badword-filter shape):
+    * per doc, total occurrences of any of m literal phrases —
+    * overlapping included — plus how many distinct phrases hit and
+    * the block decision (hits ≥ minHits OR distinct ≥ minPatterns).
+    *
+    * The count runs in the native Aho–Corasick kernel
+    * (expressions.AhoCorasickCounts): ONE automaton pass per doc,
+    * O(bytes + matches) regardless of m — the composable alternative
+    * is m regexp scans, i.e. m full passes over every crawled byte,
+    * which is exactly what a production blocklist (hundreds of
+    * phrases) cannot afford at corpus scale. Map-only; pipelines
+    * inside whole-stage codegen over the parquet scan.
+    */
+  def blocklistScreen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String] = DefaultBlocklist,
+      minHits: Int = 3,
+      minPatterns: Int = 2): DataFrame =
+    df.select(col(idCol),
+        graft.expressions.AhoCorasickCounts.of(col(textCol), patterns)
+          .as("cnts"))
+      .select(col(idCol),
+        aggregate(col("cnts"), lit(0L), (a, c) => a + c).as("hits"),
+        size(filter(col("cnts"), c => c > 0L)).as("n_patterns_hit"))
+      .withColumn("blocked",
+        col("hits") >= minHits || col("n_patterns_hit") >= minPatterns)
+
   /** Card-shaped digit run: 13–19 digits, optional single space/dash
     * between digit groups. Same Java/RE2-safe regex subset as the
     * patterns above. Deliberately WIDE — [[redactCards]] scrubs every

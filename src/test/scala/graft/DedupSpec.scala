@@ -92,6 +92,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("OPH minhash: planted pairs found, unrelated absent, hot-bucket " +
+      "star cap holds, empty-bin densification fills every slot") {
+    // same planted corpus + hot cluster as the classic kernel's test:
+    // exact dups collide in EVERY band (identical signatures), so the
+    // pair (0,1) and the 499-star are structural, not luck.
+    val hotCluster = (100L until 600L).map(
+      (_, "duplicated boilerplate license header text repeated across the entire crawl corpus"))
+    val all = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      ++ hotCluster).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsOph(all, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hot = pairs.filter { case (a, _, _) => a >= 100L }
+    assert(hot.length == 499)
+    assert(hot.forall { case (a, b, j) => a == 100L && b > 100L && j == 1.0 })
+    val cool = pairs.collect { case (a, b, _) if a < 100L => (a, b) }.toSet
+    assert(cool.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b, _) => (a < 100L) == (b < 100L) })
+
+    // densification contract: a short doc (few shingles ⇒ most of the
+    // 64 bins empty) still yields 64 finite slots, each < 64·P — i.e.
+    // every empty bin borrowed from a real bin at distance < k.
+    import graft.expressions.{OnePermMinHash, TextShingleHashes}
+    val sig = corpus.limit(1)
+      .select(OnePermMinHash.ofHashes(
+        array_distinct(TextShingleHashes(col("text"), 3)), 64).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 64)
+    assert(sig.forall(v => v >= 0L && v < 64L * 1000000007L))
+    // and a zero-shingle doc yields the empty convention, not a crash
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+      .select(OnePermMinHash.ofHashes(
+        array_distinct(TextShingleHashes(col("text"), 3)), 64).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty.length == 64)
+  }
+
   test("edit-distance near-dup: LSH candidates verified by bounded " +
       "Levenshtein — exact dists, unrelated pairs absent") {
     val pairs = Dedup.editDistanceNearDups(corpus, "doc_id", "text",

@@ -575,4 +575,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (x, y) => x < 100L && y >= 100L }, got)
     assert(!got.exists { case (_, y) => y == 102L || y == 103L })
   }
+
+  test("ivfProbeRecallSweep: recall and scanned volume are monotone in " +
+      "nProbe, and nProbe = nCentroids is the exact-recall anchor") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "vec")
+    val qs = df.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val cs = df.select(col("id").as("cid"), col("vec").as("cvec"))
+    val centers = rows.take(8).map(_._2.map(_.toDouble)).toArray
+    val out = Similarity.ivfProbeRecallSweep(qs, cs, centers, k = 5,
+        grid = Seq(1, 2, 4, 8))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // both axes monotone nondecreasing in probe width
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    // probing every list IS the exact ranking
+    assert(out.last._3 === 1000000L)
+    // probing one list scans a strict subset
+    assert(out.head._2 < out.last._2)
+  }
 }

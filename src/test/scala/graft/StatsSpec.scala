@@ -239,4 +239,46 @@ class StatsSpec extends SparkSpec {
     assert(hi2 - lo2 < hi1 - lo1, "width shrinks with n")
     assert(ci(data(400).repartition(13)) === ((n1, m1, lo1, hi1)))
   }
+
+  test("holtLinearSummary: zero error on an exact linear trend (the " +
+      "property a plain EWMA cannot have), naive pays |slope| per step") {
+    // x_t = 1000 + 50·t: after init (l=x₁, b=50 exact) every forecast
+    // l+b equals the next point exactly, and the integer state updates
+    // reproduce (l_t, b_t) = (x_t, 50) with no rounding residue.
+    val lin = (0 until 30).map(t => (t, 1000L + 50L * t)).toDF("t", "x")
+    val r = Stats.holtLinearSummary(lin, "t", "x").collect().head
+    assert(r.getAs[Long]("n_scored") === 28L)
+    assert(r.getAs[Long]("sae_holt") === 0L)
+    assert(r.getAs[Long]("sae_naive") === 28L * 50L)
+    assert(r.getAs[Long]("skill_micros") === 0L)
+    assert(r.getAs[Long]("level_end") === 1000L + 50L * 29L)
+    assert(r.getAs[Long]("trend_end") === 50L)
+  }
+
+  test("holtLinearSummary: matches an independent reference fold " +
+      "(truncating division, negative dips included) and beats naive " +
+      "on a noisy trend") {
+    val xs = Array(100L, 203L, 351L, 702L, 401L, 999L, 1L, 555L, 620L,
+      700L, 651L, 790L, 905L, 870L, 1001L)
+    // independent imperative replay of the documented recursion
+    def tdiv(a: Long, n: Long): Long = a / n // JVM long division truncates
+    var (l, b, prev, sh, sn) = (xs(1), xs(1) - xs(0), xs(1), 0L, 0L)
+    xs.drop(2).foreach { x =>
+      val f = l + b
+      sh += math.abs(x - f); sn += math.abs(x - prev)
+      val l2 = tdiv(x + 4 * f, 5)
+      b = tdiv((l2 - l) + 9 * b, 10); l = l2; prev = x
+    }
+    val df = xs.zipWithIndex.toSeq.map { case (x, t) => (t, x) }
+      .toDF("t", "x")
+    val r = Stats.holtLinearSummary(df, "t", "x").collect().head
+    assert(r.getAs[Long]("sae_holt") === sh)
+    assert(r.getAs[Long]("sae_naive") === sn)
+    assert(r.getAs[Long]("level_end") === l)
+    assert(r.getAs[Long]("trend_end") === b)
+    // partitioning invariance: the series collects to one fold
+    val r13 = Stats.holtLinearSummary(df.repartition(13), "t", "x")
+      .collect().head
+    assert(r13 === r)
+  }
 }

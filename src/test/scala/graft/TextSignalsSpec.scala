@@ -121,4 +121,44 @@ class TextSignalsSpec extends SparkSpec {
     assert(out(2) == "order 12345678 is short")
     assert(out(3) == "ref <CARD> thanks")
   }
+
+  test("AhoCorasickCounts: the classic he/she/his/hers automaton — " +
+      "suffix-pattern emission, overlaps, and brute-force agreement") {
+    import graft.expressions.AhoCorasickCounts
+    val pats = Seq("he", "she", "his", "hers")
+    def counts(s: String): Seq[Long] =
+      Seq(s).toDF("t")
+        .select(AhoCorasickCounts.of(col("t"), pats).as("c"))
+        .collect().head.getSeq[Long](0)
+    // "ushers": 'she' ends at 4, its suffix 'he' must ALSO emit (the
+    // dict-suffix link), 'hers' ends at 6 — the CACM'75 fixture
+    assert(counts("ushers") === Seq(1L, 1L, 0L, 1L))
+    // overlapping self-matches: "hehehe" has 'he' at 0,2,4
+    assert(counts("hehehe") === Seq(3L, 0L, 0L, 0L))
+    assert(counts("") === Seq(0L, 0L, 0L, 0L))
+    // brute force agreement on noisy text (every start offset probed)
+    val noisy = "shershehishehersheshers ushe rs his shehe"
+    def brute(s: String, p: String): Long =
+      s.indices.count(i => s.startsWith(p, i)).toLong
+    assert(counts(noisy) === pats.map(brute(noisy, _)))
+  }
+
+  test("blocklistScreen: hit totals, distinct-pattern counts, and the " +
+      "block decision — overlap counting pinned") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "clean text nothing here"),
+      (1L, "batch batch batch stream"), // "batch batch" x2 (overlap)
+      (2L, "slow merge then spark window opens"), // 2 distinct pats
+      (3L, "batch batch only once here slow"))
+      .toDF("doc_id", "text")
+    val m = TextOps.blocklistScreen(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(m(0L) === ((0L, 0, false)))
+    assert(m(1L) === ((2L, 1, false)), "overlap counting: 2 hits, 1 pattern")
+    assert(m(2L) === ((2L, 2, true)), "2 distinct patterns blocks")
+    assert(m(3L) === ((1L, 1, false)))
+  }
 }
