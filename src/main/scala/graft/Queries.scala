@@ -912,6 +912,49 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Small-file compaction plan (operators/Compaction — r9): the
+    * lakehouse OPTIMIZE decision as a metadata-only query. A
+    * deterministic file listing is carved from lineitem (partition =
+    * ship month, file = suppkey mod 40, bytes = rows × 128 — the
+    * many-small-files shape streaming ingest actually produces), and
+    * the planner assigns each file to a target-sized output bin via
+    * the biggest-first prefix-sum rule: bin = ⌊bytes-before / target⌋
+    * over (bytes DESC, id) order within the partition. Prefix-sum,
+    * NOT greedy fill-reset — the greedy walk is sequential state no
+    * SQL replay could follow, while the prefix quotient is replayable
+    * and overshoots each bin by at most one file. At 100 TB all of
+    * this runs on manifest rows (files), never data rows; the window
+    * is per-partition over its file list. Output: per-bin file count,
+    * byte total, small-input count, and the under-filled tail flag.
+    */
+  val qXCompactionPlan = q(
+    "q_x_compaction_plan",
+    """WITH f AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS part,
+      |             CAST(l_suppkey % 40 AS BIGINT) AS file_id,
+      |             CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+      |           FROM lineitem GROUP BY 1, 2),
+      |a AS (SELECT part, file_id, bytes,
+      |        CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part
+      |          ORDER BY bytes DESC, file_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          // 8192 AS BIGINT) AS bin
+      |      FROM f)
+      |SELECT part, bin, COUNT(*) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(CASE WHEN bytes < 4096 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_small_inputs,
+      |  SUM(bytes) < 8192 AS under_target
+      |FROM a GROUP BY 1, 2 ORDER BY part, bin""".stripMargin) { (s, d) =>
+    val files = Tables.lineitem(s, d)
+      .groupBy(date_format(col("l_shipdate").cast("date"), "yyyy-MM")
+          .as("part"),
+        (col("l_suppkey") % 40).cast("long").as("file_id"))
+      .agg((count(lit(1)) * 128).as("bytes"))
+    graft.operators.Compaction.plan(files, "part", "file_id", "bytes",
+        targetBytes = 8192L)
+      .orderBy("part", "bin")
+  }
+
   /** Snapshot regression-diff (operators/SnapshotDiff): which order
     * keys were added / removed / changed between two deterministic
     * "runs" carved from orders — old drops keys ≡3 (mod 97) and new
@@ -10348,7 +10391,7 @@ object Queries {
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXHilbert,
-    qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
+    qXCompactionPlan, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
     qGPprSeeded, qGTriangles, qGKcore,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,

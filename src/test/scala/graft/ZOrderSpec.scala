@@ -135,4 +135,34 @@ class ZOrderSpec extends SparkSpec {
     assert(zSpan < 0.6, s"zorder worst span $zSpan")
     assert(zSpan < sSpan / 2)
   }
+
+  test("Compaction.binPack: biggest-first prefix-sum bins, oversized " +
+      "file advances past bin boundaries, partitions independent") {
+    import graft.operators.Compaction
+    import spark.implicits._
+    val files = Seq(
+      ("p", 1L, 70L), ("p", 2L, 60L), ("p", 3L, 50L),
+      ("p", 4L, 30L), ("p", 5L, 20L), ("p", 6L, 10L),
+      ("q", 1L, 250L), ("q", 2L, 40L))
+      .toDF("part", "file_id", "bytes")
+    val bins = Compaction.binPack(files, "part", "file_id", "bytes", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // p, desc order 70,60,50,30,20,10; prefix 0,70,130,180,210,230
+    assert(bins(("p", 1L)) === 0L && bins(("p", 2L)) === 0L)
+    assert(bins(("p", 3L)) === 1L && bins(("p", 4L)) === 1L)
+    assert(bins(("p", 5L)) === 2L && bins(("p", 6L)) === 2L)
+    // q: the 250-byte file sits alone in bin 0; the next file's prefix
+    // (250) skips bin 1 entirely — oversized inputs never co-pack
+    assert(bins(("q", 1L)) === 0L && bins(("q", 2L)) === 2L)
+
+    val plan = Compaction.plan(files, "part", "file_id", "bytes", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(plan(("p", 0L)) === ((2L, 130L, 0L, false)))
+    assert(plan(("p", 1L)) === ((2L, 80L, 1L, true)))
+    assert(plan(("p", 2L)) === ((2L, 30L, 2L, true)))
+    assert(plan(("q", 0L)) === ((1L, 250L, 0L, false)))
+  }
 }
