@@ -31,14 +31,34 @@ object Scratch {
 
     // ---- current experiment (edit freely) ----
     {
-      import graft.operators.Dedup
+      import graft.expressions.{MinHashSig, OnePermMinHash, TextShingleHashes}
+      // signature BUILD cost in isolation: classic k×n loop vs OPH
+      // one-permutation + densify, same base hashes, k = 64. The
+      // replica corpus multiplies docs so the scan is non-trivial.
       val docs = Tables.documents(spark, d)
-      val t0 = System.nanoTime()
-      val nc = Dedup.minhashNearDupsPoly(docs, "doc_id", "text",
-        minJaccard = 0.0).count()
-      println(f"[scratch] candidates=$nc took=${(System.nanoTime()-t0)/1e9}%.2f")
-      time("editdist full") {
-        Queries.specs.find(_.name == "q_d_editdist_pairs").get.fn(spark, d) }
+      val reps = spark.range(20).select(col("id").as("rep"))
+      val big = docs.crossJoin(reps)
+        .select((col("doc_id") * 100 + col("rep")).as("id"), col("text"))
+      time("sig classic k=64") {
+        big.select(MinHashSig.ofHashes(
+            array_distinct(TextShingleHashes(col("text"), 3)), 64).as("s"))
+          .select(element_at(col("s"), 1).as("x")) }
+      time("sig OPH k=64") {
+        big.select(OnePermMinHash.ofHashes(
+            array_distinct(TextShingleHashes(col("text"), 3)), 64).as("s"))
+          .select(element_at(col("s"), 1).as("x")) }
+      time("sig classic k=256") {
+        big.select(MinHashSig.ofHashes(
+            array_distinct(TextShingleHashes(col("text"), 3)), 256).as("s"))
+          .select(element_at(col("s"), 1).as("x")) }
+      time("sig OPH k=256") {
+        big.select(OnePermMinHash.ofHashes(
+            array_distinct(TextShingleHashes(col("text"), 3)), 256).as("s"))
+          .select(element_at(col("s"), 1).as("x")) }
+      time("pairs classic") {
+        Queries.specs.find(_.name == "q_d_minhash_pairs").get.fn(spark, d) }
+      time("pairs OPH") {
+        Queries.specs.find(_.name == "q_d_minhash_oph").get.fn(spark, d) }
     }
     spark.stop()
   }
