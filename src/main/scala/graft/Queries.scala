@@ -6564,6 +6564,84 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** SAMPLE-level audio statistics (expressions.WavPcmStats — r9):
+    * the first multimodal kernel that reads the WAVEFORM, not just
+    * the container — 16-bit little-endian PCM folded in one O(bytes)
+    * pass to (n_samples, energy, peak, clip count), the loudness/
+    * clipping screen an audio ingest runs per object. Payloads are
+    * canonical RIFF/WAVE (the q_mm_audio_meta assembly) whose data
+    * chunk is the text bytes PLUS a planted 4-sample suffix
+    * (32767, −32768, −16384, −1) that exercises both int16 rails,
+    * sign wrap, and — on odd-length texts — a sample straddling the
+    * text/plant boundary. Exact integer folds end to end, so the
+    * oracle replays every sample from the hex rendering: a wrong
+    * endianness, sign convention, or chunk offset hash-fails.
+    */
+  val qMmAudioEnergy = {
+    val plantHex = "FF7F" + "0080" + "00C0" + "FFFF" // 4 samples, 2 clips
+    def u(i: String) = // unsigned byte i (0-based) of hx
+      s"""(strpos('123456789ABCDEF', substr(hx, 2*($i)+1, 1)) * 16
+         | + strpos('123456789ABCDEF', substr(hx, 2*($i)+2, 1)))""".stripMargin
+    q(
+      "q_mm_audio_energy",
+      s"""WITH b AS (SELECT doc_id,
+         |    hex(encode(text)) || '$plantHex' AS hx,
+         |    octet_length(encode(text)) + 8 AS nb
+         |  FROM documents WHERE doc_id < 200),
+         |s AS (SELECT doc_id, nb,
+         |    list_transform(range(nb // 2), i ->
+         |      CASE WHEN ${u("2*i")} + 256 * ${u("2*i+1")} >= 32768
+         |           THEN ${u("2*i")} + 256 * ${u("2*i+1")} - 65536
+         |           ELSE ${u("2*i")} + 256 * ${u("2*i+1")} END) AS ss
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(nb // 2 AS BIGINT) AS n_samples,
+         |  CAST(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(ss, x -> CAST(x AS BIGINT) * x)),
+         |    (a, v) -> a + v) AS BIGINT) AS sum_sq,
+         |  CAST(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(ss, x -> CAST(x AS BIGINT) * x)),
+         |    (a, v) -> a + v) // (nb // 2) AS BIGINT) AS mean_sq,
+         |  CAST(list_max(list_transform(ss, x -> abs(CAST(x AS BIGINT))))
+         |    AS BIGINT) AS peak_abs,
+         |  CAST(len(list_filter(ss, x -> x = 32767 OR x = -32768))
+         |    AS BIGINT) AS n_clip
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def le16(v: Column): Column = {
+        val be = lpad(hex(v), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le32(v: Column): Column = {
+        val be = lpad(hex(v), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = when(col("doc_id") % 4 === 0, 8000)
+        .when(col("doc_id") % 4 === 1, 16000)
+        .when(col("doc_id") % 4 === 2, 22050).otherwise(44100)
+      val align = ch * 2
+      val dataSz = octet_length(encode(col("text"), "UTF-8")) + 8
+      val hdr = concat(
+        lit("52494646"), le32(dataSz + 36), lit("57415645"),
+        lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(ch),
+        le32(rate), le32(rate * align), le16(align), le16(lit(16)),
+        lit("64617461"), le32(dataSz))
+      val st = graft.expressions.WavPcmStats.of(
+        concat(unhex(hdr), encode(col("text"), "UTF-8"),
+          unhex(lit(plantHex))))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          col("st.n_samples").as("n_samples"),
+          col("st.sum_sq").as("sum_sq"),
+          expr("st.sum_sq div st.n_samples").as("mean_sq"),
+          col("st.peak_abs").as("peak_abs"),
+          col("st.n_clip").as("n_clip"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Frame-sampling stub: one row per sampled frame. The per-frame
     * hash is a 64-bit wrap-around fold over a 256-byte window with
     * wrapping index — replayed in DuckDB as a HUGEINT fold mod 2^64.
@@ -9045,6 +9123,95 @@ object Queries {
     }
   }
 
+  /** Simpson's-paradox trend audit (Stats.simpsonAudit — r9, Simpson
+    * 1951): per-segment OLS slopes beside the POOLED-points slope
+    * with a sign-flip flag — the aggregation trap a segment dashboard
+    * walks into when segment level correlates with time coverage.
+    * The pooled slope comes from SUMMING the per-segment sufficient
+    * statistics (counts and exact sums add), so the audit costs ONE
+    * fact scan plus a fold over the segments-sized metadata — never a
+    * second scan. The planted-flip fixture lives in StatsSpec; here
+    * the gate pins the full arithmetic on the events corpus.
+    */
+  val qXSimpsonAudit = {
+    val srcSql =
+      """SELECT event_type AS g,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS t,
+        |       CAST(FLOOR(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin
+    q(
+      "q_x_simpson_audit",
+      s"""WITH src AS ($srcSql),
+         |st AS (SELECT g, COUNT(*) AS n,
+         |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(t AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sty,
+         |    CAST(SUM(t * t) AS BIGINT) AS stt
+         |  FROM src GROUP BY g),
+         |pooled AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(SUM(st) AS BIGINT) AS st, CAST(SUM(sy) AS BIGINT) AS sy,
+         |    SUM(sty) AS sty, CAST(SUM(stt) AS BIGINT) AS stt
+         |  FROM st),
+         |ps AS (SELECT ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+         |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+         |         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+         |      AS pooled_slope FROM pooled),
+         |gs AS (SELECT g, n, ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+         |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+         |         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS slope
+         |  FROM st)
+         |SELECT g AS event_type, n, slope, pooled_slope,
+         |  slope * pooled_slope < 0 AS sign_flip
+         |FROM gs CROSS JOIN ps ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.Stats.simpsonAudit(
+          Tables.events(s, d).select(col("event_type").as("g"),
+            col("ts"), col("value")),
+          "g",
+          expr("unix_timestamp(ts) div 86400"),
+          floor(col("value") * 100).cast("long"))
+        .select(col("g").as("event_type"), col("n"), col("slope"),
+          col("pooled_slope"), col("sign_flip"))
+        .orderBy("event_type")
+    }
+  }
+
+  /** Bottom-k-by-hash exact-size sample (Sampling.bottomKSample — r9,
+    * the KMV sketch's sample face): the k = 100 docs with the
+    * smallest order-hash, found by the TopK HEAP plan — exact size
+    * (the threshold sampler's size is binomial), deterministic across
+    * re-runs/re-partitions, and MERGEABLE (union → bottom-k again),
+    * which is what makes it shard-parallel and streamable at corpus
+    * scale. The k-th retained hash doubles as the KMV distinct-count
+    * estimate ⌊(k−1)·P/h₍ₖ₎⌋, stamped on every row as an exact floor
+    * division. Oracle replays hash, rank, ties, and the estimate.
+    */
+  val qO29BottomkSample = q(
+    "q_o29_bottomk_sample",
+    s"""WITH h AS (SELECT doc_id,
+       |    CAST(${graft.operators.Sampling.orderHashSql("doc_id")} AS BIGINT)
+       |      AS pri
+       |  FROM documents),
+       |r AS (SELECT doc_id, pri,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS INT)
+       |      AS sample_rank
+       |  FROM h),
+       |s AS (SELECT * FROM r WHERE sample_rank <= 100),
+       |e AS (SELECT ${99L * graft.operators.Sampling.P} // MAX(pri)
+       |        AS distinct_est FROM s)
+       |SELECT doc_id, pri, sample_rank, distinct_est
+       |FROM s CROSS JOIN e ORDER BY sample_rank""".stripMargin) { (s, d) =>
+    import graft.operators.Sampling
+    val sample = Sampling.bottomKSample(
+        Tables.documents(s, d).select("doc_id"), "doc_id", k = 100)
+      .localCheckpoint() // 100 rows; feeds output + the estimate
+    sample
+      .crossJoin(broadcast(Sampling.bottomKDistinctEstimate(sample, 100)))
+      .select(col("doc_id"), col("pri"), col("sample_rank"),
+        col("distinct_est"))
+      .orderBy("sample_rank")
+  }
+
   /** Theil–Sen robust daily-revenue trend (Stats.theilSenSlope): the
     * median of all pairwise slopes over the daily order-total series
     * — the 29.3%-breakdown trend read beside the forecast family's
@@ -10427,7 +10594,7 @@ object Queries {
     qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
-    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmFrameSample,
+    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmAudioEnergy, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
@@ -10440,5 +10607,6 @@ object Queries {
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
     qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
     qXQte, qO28IpfRaking, qPipeExperimentReadout,
+    qXSimpsonAudit, qO29BottomkSample,
   )
 }

@@ -290,6 +290,35 @@ object Sampling {
       .orderBy(col("priority").desc, col(key))
       .limit(k)
 
+  /** Exact-size-k deterministic uniform sample — bottom-k by hash
+    * (the KMV sketch's sample face, Bar-Yossef et al. RANDOM'02): the
+    * k rows whose [[orderHash]] is smallest, found by the TopK HEAP
+    * plan (partial per partition → k·partitions rows exchange →
+    * final), never a global sort. Properties the threshold sampler
+    * (q_o10's p-fraction filter) can't give: the size is EXACTLY k,
+    * and two samples MERGE (union → bottom-k again) — which also
+    * makes it streamable and shard-parallel. Deterministic: re-runs
+    * and re-partitions reproduce the identical sample; appends
+    * displace at most the largest-hash members. Ties on the 2⁻³⁰-
+    * level hash collisions break on the key itself.
+    *
+    * The k-th smallest hash is simultaneously the KMV distinct-count
+    * ingredient: n̂ = (k−1)·P / h₍ₖ₎ — [[bottomKDistinctEstimate]]
+    * prices it as an exact floor division off the same sample.
+    */
+  def bottomKSample(df: DataFrame, key: String, k: Int): DataFrame =
+    TopK.perGroup(
+      df.withColumn("pri", orderHash(col(key))),
+      Seq.empty, Seq(col("pri"), col(key)), k, rankName = "sample_rank")
+
+  /** KMV distinct-count estimate from a [[bottomKSample]] result:
+    * ⌊(k−1)·P / h₍ₖ₎⌋ over the sample's largest retained hash — one
+    * row, exact integer arithmetic ((k−1)·P < 2⁶³ for k ≤ 9·10⁹).
+    */
+  def bottomKDistinctEstimate(sample: DataFrame, k: Int): DataFrame =
+    sample.agg(max("pri").as("hk"))
+      .select(expr(s"${(k - 1).toLong * P} div hk").as("distinct_est"))
+
   // Second affine family — intra-shard ORDER. Distinct constants from
   // the bucket family above so a row's shard and its position within
   // the shard never correlate (same rationale as the CMS split).

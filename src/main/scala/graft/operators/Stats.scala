@@ -843,6 +843,29 @@ object Stats {
        |    CAST(SUM(t * t) AS BIGINT) AS stt
        |  FROM ($srcSql) GROUP BY g)""".stripMargin
 
+  /** Simpson's-paradox trend audit: per-segment OLS slopes beside the
+    * POOLED-points slope, with a sign-flip flag — the aggregation
+    * trap every segment-level dashboard walks into (each segment can
+    * trend down while the pooled scatter trends up whenever segment
+    * level correlates with time coverage; Simpson 1951). The pooled
+    * slope is computed by SUMMING the per-segment sufficient
+    * statistics — count and exact sums add, so the pooled OLS costs
+    * one more fold over the segments-sized metadata table, never a
+    * second fact scan. Flag: slope·pooled < 0 on the rounded values
+    * (zero slopes never flag).
+    */
+  def simpsonAudit(df: DataFrame, group: String, tInt: Column,
+      yInt: Column): DataFrame = {
+    val st = olsSufficientStats(df, group, tInt, yInt)
+      .localCheckpoint() // segments-sized; feeds both finishes
+    val pooled = olsSlopeFromStats(
+        st.agg(sum("n").as("n"), sum("st").as("st"), sum("sy").as("sy"),
+          sum("sty").as("sty"), sum("stt").as("stt")))
+      .select(col("slope").as("pooled_slope"))
+    olsSlopeFromStats(st).crossJoin(broadcast(pooled))
+      .withColumn("sign_flip", col("slope") * col("pooled_slope") < 0)
+  }
+
   /** Theil–Sen robust trend slope (Theil '50, Sen '68) — the median
     * of all pairwise slopes: the trend estimator a monitoring series
     * needs when OLS is one bad day away from nonsense (29.3%

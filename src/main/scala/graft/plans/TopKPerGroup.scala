@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, UnspecifiedDistribution}
+  AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst extension: top-k rows per group with a
@@ -69,6 +69,11 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (rankAttr.isEmpty) Seq(UnspecifiedDistribution)
+    // GLOBAL top-k (no grouping): the final phase must see all partial
+    // survivors in one partition — AllTuples, the single-partition
+    // distribution (ClusteredDistribution(Nil) is rejected by Spark).
+    // Volume at the exchange is ≤ k·partitions rows, same as grouped.
+    else if (grouping.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(grouping))
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =

@@ -296,4 +296,37 @@ class PcaPrivacySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(late === Map(1L -> 0L, 2L -> 0L, 3L -> 240L, 4L -> 0L))
   }
+
+  test("WavPcmStats: hand-computed samples, chunk skip with RIFF pad, " +
+      "declared-size truncation, and the null totality contract") {
+    import graft.expressions.WavPcmStats
+    def hx(s: String) = s.replaceAll("\\s", "")
+    // RIFF/WAVE with a 3-byte 'junk' chunk (pad to 4) BEFORE data;
+    // data = 4 samples: 1, -1 (FFFF), 32767 (FF7F), -32768 (0080)
+    val wav = hx("""52494646 24000000 57415645
+                    6A756E6B 03000000 AABBCC 00
+                    64617461 08000000 0100 FFFF FF7F 0080""")
+    val df = Seq(Tuple1(wav)).toDF("hx")
+      .select(WavPcmStats.of(unhex(col("hx"))).as("st"))
+    val r = df.select("st.n_samples", "st.sum_sq", "st.peak_abs",
+      "st.n_clip").collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 1L + 1L + 32767L * 32767 + 32768L * 32768)
+    assert(r.getLong(2) === 32768L)
+    assert(r.getLong(3) === 2L)
+    // declared data size smaller than trailing bytes: only the
+    // declared window folds (2 bytes -> 1 sample of value 2)
+    val short = hx("""52494646 10000000 57415645
+                      64617461 02000000 0200 7F7F 7F7F""")
+    val r2 = Seq(Tuple1(short)).toDF("hx")
+      .select(WavPcmStats.of(unhex(col("hx"))).as("st"))
+      .select("st.n_samples", "st.sum_sq").collect().head
+    assert(r2.getLong(0) === 1L && r2.getLong(1) === 4L)
+    // totality: non-RIFF payloads and data-less RIFFs are NULL
+    val nulls = Seq("00112233445566778899AABBCC",
+        hx("52494646 04000000 57415645"))
+      .toDF("hx").select(WavPcmStats.of(unhex(col("hx"))).as("st"))
+      .filter(col("st").isNotNull).count()
+    assert(nulls === 0L)
+  }
 }

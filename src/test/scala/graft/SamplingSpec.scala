@@ -543,4 +543,27 @@ class SamplingSpec extends SparkSpec {
     assert(out(("b", "x")) == ((500000L, 1000000L, 2000000L)))
     assert(out(("b", "y")) == ((500000L, 1000000L, 2000000L)))
   }
+
+  test("bottomKSample: exact size, deterministic under repartition, " +
+      "MERGEABLE (bottom-k of shard bottom-ks == global bottom-k), " +
+      "KMV estimate within 3/sqrt(k) of the truth") {
+    val n = 5000L
+    val ids = spark.range(n).select(col("id"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomKSample(df, "id", 100)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val base = keys(ids)
+    assert(base.size === 100)
+    assert(keys(ids.repartition(17)) === base)
+    // mergeability: sample each half independently, union, resample
+    val left = Sampling.bottomKSample(ids.filter(col("id") < 2500), "id", 100)
+    val right = Sampling.bottomKSample(ids.filter(col("id") >= 2500), "id", 100)
+    val merged = keys(left.select("id").union(right.select("id")))
+    assert(merged === base, "shard-merge must equal the global sample")
+    val est = Sampling.bottomKDistinctEstimate(
+        Sampling.bottomKSample(ids, "id", 100), 100)
+      .collect().head.getLong(0)
+    // KMV rsd ~ 1/sqrt(k-1) = 10%; allow 3 sigma
+    assert(math.abs(est - n) < n * 0.3, s"estimate $est vs $n")
+  }
 }

@@ -281,4 +281,28 @@ class StatsSpec extends SparkSpec {
       .collect().head
     assert(r13 === r)
   }
+
+  test("simpsonAudit: planted paradox — every segment trends down, " +
+      "the pooled scatter trends up, both flagged") {
+    // segment A occupies early days at a low level, B late days at a
+    // high level; within each, y falls 1/day. Pooling the points, the
+    // later (B) points sit higher ⇒ pooled slope is positive: the
+    // textbook composition flip.
+    val rows = (0 until 10).map(t => ("A", t.toLong, 100L - t)) ++
+      (10 until 20).map(t => ("B", t.toLong, 220L - t))
+    val df = rows.toDF("g", "t", "y")
+    val m = Stats.simpsonAudit(df, "g", col("t"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(m("A")._1 === -1.0 && m("B")._1 === -1.0)
+    assert(m("A")._2 > 0, s"pooled must flip positive: ${m("A")._2}")
+    assert(m("A")._3 && m("B")._3, "both segments must flag the flip")
+    // no-paradox control: same trend, same level → no flags
+    val ctrl = (0 until 20).flatMap(t =>
+      Seq(("A", t.toLong, 50L + t), ("B", t.toLong, 50L + t)))
+      .toDF("g", "t", "y")
+    val c = Stats.simpsonAudit(ctrl, "g", col("t"), col("y"))
+      .collect().map(_.getBoolean(4))
+    assert(c.forall(_ == false))
+  }
 }

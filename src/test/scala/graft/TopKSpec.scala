@@ -74,4 +74,17 @@ class TopKSpec extends SparkSpec {
       col("event_id")), k = 1)
     assert(df.filter(col("rn") > 1).count() == 0)
   }
+
+  test("GLOBAL top-k (empty grouping): AllTuples final phase agrees " +
+      "with orderBy.limit, heap plan, partitioning-invariant") {
+    val expect = events.orderBy(col("value").desc, col("event_id"))
+      .limit(7).select("event_id").collect().map(_.getLong(0)).toSeq
+    for (parts <- Seq(1, 13)) {
+      val got = TopK.perGroup(events.repartition(parts), Seq.empty,
+          Seq(col("value").desc, col("event_id")), k = 7)
+        .orderBy("rn").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === expect, s"parts=$parts")
+    }
+  }
 }
