@@ -9212,6 +9212,86 @@ object Queries {
       .orderBy("sample_rank")
   }
 
+  /** Weighted exact-k sample without replacement
+    * (Sampling.weightedBottomK — r9, Efraimidis-Spirakis IPL'06):
+    * 100 docs drawn proportional-to-length without replacement — the
+    * principled quality/length-biased training-data draw that keeps
+    * exact size, determinism, and shard-mergeability. ES key
+    * −ln(u)/w over u = (hash+1)/P; the heap keeps the k smallest.
+    * The oracle replays hash → u → key → rank; u is an identical
+    * exact-rational double both sides, so only sub-ulp key ties could
+    * flip ranks (the TF-IDF ranking convention; ties break on
+    * doc_id). Output carries the integer weight, never the float key.
+    */
+  val qO30WeightedBottomk = q(
+    "q_o30_weighted_bottomk",
+    s"""WITH w AS (SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        t -> len(t) > 0)) + 1 AS wt
+       |  FROM documents),
+       |k AS (SELECT doc_id, wt,
+       |    -ln((CAST(${graft.operators.Sampling.orderHashSql("doc_id")}
+       |         AS BIGINT) + 1) / ${graft.operators.Sampling.P}.0)
+       |      / wt AS es_key
+       |  FROM w),
+       |r AS (SELECT doc_id, wt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS INT)
+       |      AS sample_rank
+       |  FROM k)
+       |SELECT doc_id, CAST(wt AS BIGINT) AS weight, sample_rank
+       |FROM r WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin) {
+    (s, d) =>
+      import graft.operators.{Sampling, TextOps}
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (TextOps.tokenCount(col("text")) + 1).cast("long").as("wt"))
+      Sampling.weightedBottomK(w, "doc_id", col("wt"), k = 100)
+        .select(col("doc_id"), col("wt").as("weight"), col("sample_rank"))
+        .orderBy("sample_rank")
+  }
+
+  /** Rendezvous-hash shard map (Sampling.rendezvousShard — r9, Thaler
+    * & Ravishankar ToN'98): every customer assigned to its
+    * highest-random-weight shard at n = 8 AND n = 9, with the moved
+    * flag — the consistent-placement property mod-hashing lacks,
+    * stated as data: growing the fleet by one moves ONLY the keys
+    * whose argmax IS the new shard (≈ 1/9 here, vs 8/9 under mod).
+    * Map-only; the oracle replays both argmaxes (score DESC, shard
+    * ASC ties) and the moved set, plus the per-pair invariant
+    * moved ⇒ shard9 = 8 baked into the projection.
+    */
+  val qO31Rendezvous = {
+    def scoreSql(s: String) =
+      graft.operators.Sampling.rendezvousScoreSql("c_custkey", s)
+    q(
+      "q_o31_rendezvous",
+      s"""WITH ks AS (SELECT c_custkey, unnest(range(9)) AS s
+         |           FROM customer),
+         |sc AS (SELECT c_custkey, CAST(s AS INT) AS s,
+         |         CAST(${scoreSql("s")} AS BIGINT) AS score
+         |       FROM ks),
+         |a8 AS (SELECT c_custkey, s AS shard8 FROM (
+         |         SELECT c_custkey, s, ROW_NUMBER() OVER (
+         |           PARTITION BY c_custkey ORDER BY score DESC, s) AS rn
+         |         FROM sc WHERE s < 8) WHERE rn = 1),
+         |a9 AS (SELECT c_custkey, s AS shard9 FROM (
+         |         SELECT c_custkey, s, ROW_NUMBER() OVER (
+         |           PARTITION BY c_custkey ORDER BY score DESC, s) AS rn
+         |         FROM sc) WHERE rn = 1)
+         |SELECT c_custkey, shard8, shard9,
+         |       shard8 <> shard9 AS moved
+         |FROM a8 JOIN a9 USING (c_custkey)
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.Sampling
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          Sampling.rendezvousShard(col("c_custkey"), 8).as("shard8"),
+          Sampling.rendezvousShard(col("c_custkey"), 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy("c_custkey")
+    }
+  }
+
   /** Theil–Sen robust daily-revenue trend (Stats.theilSenSlope): the
     * median of all pairwise slopes over the daily order-total series
     * — the 29.3%-breakdown trend read beside the forecast family's
@@ -10607,6 +10687,6 @@ object Queries {
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
     qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
     qXQte, qO28IpfRaking, qPipeExperimentReadout,
-    qXSimpsonAudit, qO29BottomkSample,
+    qXSimpsonAudit, qO29BottomkSample, qO30WeightedBottomk, qO31Rendezvous,
   )
 }

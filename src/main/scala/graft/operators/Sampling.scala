@@ -319,6 +319,63 @@ object Sampling {
     sample.agg(max("pri").as("hk"))
       .select(expr(s"${(k - 1).toLong * P} div hk").as("distinct_est"))
 
+  /** Weighted exact-size-k sample WITHOUT replacement — Efraimidis &
+    * Spirakis IPL'06, the weighted face of [[bottomKSample]]: each row
+    * draws u = (orderHash(key)+1)/P ∈ (0,1] and ranks by the ES key
+    * −ln(u)/w (equivalently u^{1/w} descending); the k smallest keys
+    * are the sample, found on the same global TopK heap. P(selected)
+    * is proportional-to-weight without replacement — the principled
+    * way to bias a training-data draw by quality/length/freshness
+    * while keeping exact size, determinism, and shard-mergeability.
+    *
+    * Determinism note: u is an exact rational rendered to double
+    * identically in both engines; the ln is each engine's libm over
+    * that IDENTICAL double, so a cross-libm ulp can only flip ranks
+    * between keys closer than ~1e-15 relative — astronomically
+    * unlikely for distinct hashes (the TF-IDF ranking convention).
+    * Weights must be ≥ 1 (ln(u) ≤ 0, so w scales magnitude only).
+    */
+  def weightedBottomK(df: DataFrame, key: String, weight: Column,
+      k: Int): DataFrame = {
+    val u = (orderHash(col(key)) + 1).cast("double") / lit(P.toDouble)
+    TopK.perGroup(
+      df.withColumn("es_key", -log(u) / weight.cast("double")),
+      Seq.empty, Seq(col("es_key"), col(key)), k,
+      rankName = "sample_rank")
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar ToN'98, the consistent-placement rule behind cache
+    * rings and shard maps: key k goes to the shard s maximizing
+    * h(k, s). THE property mod-hashing lacks: growing nShards →
+    * nShards+1 moves ONLY the keys whose argmax is the new shard
+    * (≈ 1/(n+1) of them) — at 100 TB, resharding relocates 1/(n+1) of
+    * the data instead of (n)/(n+1) under mod. Map-only: the n scores
+    * are a generated literal array per row, argmax by struct-max with
+    * ties to the SMALLER shard id (max of (score, −s) — replayed by
+    * the oracle's ROW_NUMBER ORDER BY score DESC, s).
+    *
+    * h(k, s) = affine(k·1000003 + s) over the order-hash family —
+    * distinct lane per shard, all operands < 2⁶² (k pre-wrapped
+    * mod P).
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    val mixed = pmod(pmod(key.cast("long"), lit(P)) * 1000003L, lit(P))
+    val best = array_max(array((0 until nShards).map { s =>
+      struct(
+        pmod(pmod(mixed + s, lit(P)) * A2 + B2, lit(P)).as("score"),
+        lit(-s).as("negs"))
+    }: _*))
+    (-best.getField("negs")).cast("int")
+  }
+
+  /** SQL rendering of [[rendezvousShard]]'s per-shard score (signed-%
+    * wrapped like pmod); the oracle ranks (score DESC, s ASC).
+    */
+  def rendezvousScoreSql(key: String, shard: String): String =
+    s"((((((($key % $P) + $P) % $P) * 1000003) % $P + $shard) % $P) " +
+      s"* $A2 + $B2) % $P"
+
   // Second affine family — intra-shard ORDER. Distinct constants from
   // the bucket family above so a row's shard and its position within
   // the shard never correlate (same rationale as the CMS split).

@@ -566,4 +566,42 @@ class SamplingSpec extends SparkSpec {
     // KMV rsd ~ 1/sqrt(k-1) = 10%; allow 3 sigma
     assert(math.abs(est - n) < n * 0.3, s"estimate $est vs $n")
   }
+
+  test("weightedBottomK: exact size, deterministic, dominant weight " +
+      "always selected, 10x weights ~10x overrepresented") {
+    // 500 rows at weight 1, 500 at weight 10, one at 10^6
+    val df = spark.range(1001)
+      .select(col("id"),
+        when(col("id") === 1000L, 1000000L)
+          .when(col("id") % 2 === 0, 10L).otherwise(1L).as("wt"))
+    val s1 = Sampling.weightedBottomK(df, "id", col("wt"), 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1.size === 100)
+    assert(s1.contains(1000L), "the 10^6-weight row must be drawn")
+    val heavy = s1.count(i => i != 1000L && i % 2 == 0)
+    val light = s1.count(i => i != 1000L && i % 2 == 1)
+    assert(heavy > light * 3,
+      s"10x weights must dominate the draw: heavy=$heavy light=$light")
+    assert(Sampling.weightedBottomK(df.repartition(13), "id",
+      col("wt"), 100).select("id").collect().map(_.getLong(0)).toSet === s1)
+  }
+
+  test("rendezvousShard: valid range, deterministic, and the minimal- " +
+      "movement contract — growing 8 to 9 shards moves ONLY keys " +
+      "whose new argmax IS shard 8, about 1/9 of them") {
+    val ids = spark.range(9000).select(col("id"))
+    val m = ids.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(m.forall { case (_, a, b) => a >= 0 && a < 8 && b >= 0 && b < 9 })
+    val moved = m.filter { case (_, a, b) => a != b }
+    // THE property: every moved key moved TO the new shard
+    assert(moved.forall(_._3 == 8), "moved keys must land on the new shard")
+    val frac = moved.length.toDouble / m.length
+    assert(frac > 0.05 && frac < 0.18, s"moved fraction $frac ~ 1/9")
+    // balance: each of the 9 shards holds a nontrivial share
+    val byShard = m.groupBy(_._3).map { case (s, v) => s -> v.length }
+    assert(byShard.size === 9 && byShard.values.forall(_ > 9000 / 18))
+  }
 }
