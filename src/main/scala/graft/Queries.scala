@@ -912,6 +912,89 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Zone-map pruning audit (r9): the data-skipping effectiveness
+    * metric that justifies the clustering family — for a grid of
+    * point predicates on l_partkey, how many FILES must a scan touch
+    * under (a) Hilbert-clustered layout vs (b) hash-scattered layout,
+    * where each file's zone map is its (min, max) partkey. At 100 TB
+    * data skipping IS the read-path lever: a file whose min/max
+    * excludes the predicate is never opened, and this query prices
+    * exactly that — clustered files are curve rectangles (a point
+    * lands in few), scattered files all span ~the full key range
+    * (every probe touches every file). File assignment is map-only
+    * (Hilbert width-bucket over one broadcast min/max; affine hash
+    * for the scatter); zone maps are a 128-row agg; the probe×file
+    * coverage join is pure metadata. Every count exact.
+    */
+  val qXZoneMapPrune = q(
+    "q_x_zone_map_prune",
+    s"""WITH ${graft.operators.ZOrder.hilbertValue2SqlCtes(
+           "lineitem", "l_orderkey, l_linenumber, l_partkey",
+           "l_partkey", "l_suppkey", bits = 20)},
+       |hm AS (SELECT MIN(hd) AS hmin, MAX(hd) AS hmax FROM h20),
+       |fc AS (SELECT l_partkey,
+       |    CAST((hd - hmin) * 64 // (hmax - hmin + 1) AS BIGINT) AS file
+       |  FROM h20 CROSS JOIN hm),
+       |fn AS (SELECT l_partkey,
+       |    CAST(${graft.operators.Sampling.hashBucketSql(
+                "(l_orderkey * 7 + l_linenumber)", 64)} AS BIGINT) AS file
+       |  FROM lineitem),
+       |zm AS (SELECT 'hilbert' AS layout, file,
+       |         MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+       |       FROM fc GROUP BY file
+       |       UNION ALL
+       |       SELECT 'scatter' AS layout, file,
+       |         MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+       |       FROM fn GROUP BY file),
+       |probes AS (SELECT DISTINCT l_partkey AS p FROM lineitem
+       |           WHERE l_orderkey % 97 = 0),
+       |np AS (SELECT COUNT(*) AS n_probes FROM probes),
+       |touched AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM zm JOIN probes ON p BETWEEN mn AND mx
+       |  GROUP BY layout)
+       |SELECT layout,
+       |  (SELECT CAST(COUNT(DISTINCT file) AS BIGINT) FROM zm z2
+       |   WHERE z2.layout = touched.layout) AS n_files,
+       |  (SELECT n_probes FROM np) AS n_probes,
+       |  hits AS files_touched_total,
+       |  hits * 1000000 // (SELECT n_probes FROM np)
+       |    AS avg_files_per_probe_micros
+       |FROM touched ORDER BY layout""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, ZOrder}
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val hd = li.withColumn("hd",
+      ZOrder.hilbertValue2(col("l_partkey"), col("l_suppkey"), bits = 20))
+    val hm = hd.agg(min("hd").as("hmin"), max("hd").as("hmax"))
+    val fc = hd.crossJoin(broadcast(hm))
+      .select(col("l_partkey"),
+        expr("(hd - hmin) * 64 div (hmax - hmin + 1)").as("file"))
+    val fn = li.select(col("l_partkey"),
+      Sampling.hashBucket(col("l_orderkey") * 7 + col("l_linenumber"), 64)
+        .cast("long").as("file"))
+    def zones(df: DataFrame, name: String) = df.groupBy("file")
+      .agg(min("l_partkey").as("mn"), max("l_partkey").as("mx"))
+      .withColumn("layout", lit(name))
+    val zm = zones(fc, "hilbert").unionByName(zones(fn, "scatter"))
+      .localCheckpoint() // 128 rows; feeds coverage + file counts
+    val probes = li.filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_partkey").as("p")).distinct()
+      .localCheckpoint() // probe grid, metadata-sized
+    val np = probes.agg(count(lit(1)).as("n_probes"))
+    val nf = zm.groupBy("layout")
+      .agg(countDistinct("file").as("n_files"))
+    zm.join(broadcast(probes),
+        col("p") >= col("mn") && col("p") <= col("mx"))
+      .groupBy("layout").agg(count(lit(1)).as("hits"))
+      .join(nf, Seq("layout"))
+      .crossJoin(broadcast(np))
+      .select(col("layout"), col("n_files"), col("n_probes"),
+        col("hits").as("files_touched_total"),
+        expr("hits * 1000000 div n_probes")
+          .as("avg_files_per_probe_micros"))
+      .orderBy("layout")
+  }
+
   /** Small-file compaction plan (operators/Compaction — r9): the
     * lakehouse OPTIMIZE decision as a metadata-only query. A
     * deterministic file listing is carved from lineitem (partition =
@@ -8647,6 +8730,57 @@ object Queries {
     }
   }
 
+  /** COEC — clicks over expected clicks (r9, the position-normalized
+    * CTR used to de-bias ranking feedback; Zhang & Jones 2007): raw
+    * per-item CTR rewards whatever was SHOWN high, so the position
+    * prior (global click rate at each display position) converts each
+    * impression into its expected clicks, and COEC = clicks/expected
+    * reads position-independently (>1 ⇒ better than its placements
+    * deserved). Impressions are the view/click events, position
+    * synthesized deterministically (event_id mod 10), item = user
+    * cohort. Integer chain: prior_ppm = floor-div per position (a
+    * 10-row broadcast from ONE conditional agg), expected = Σ
+    * prior_ppm over the item's impressions (exact), coec_ppm one
+    * final floor division — the fact shuffles once on item.
+    */
+  val qWCoec = q(
+    "q_w_coec",
+    """WITH imp AS (SELECT user_id % 50 AS item,
+      |    CAST(event_id % 10 AS INT) AS pos,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS clicked
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |prior AS (SELECT pos, CAST(SUM(clicked) AS BIGINT) * 1000000
+      |    // COUNT(*) AS prior_ppm
+      |  FROM imp GROUP BY pos),
+      |agg AS (SELECT item, COUNT(*) AS n_impr,
+      |    CAST(SUM(clicked) AS BIGINT) AS n_clicks,
+      |    CAST(SUM(prior_ppm) AS BIGINT) AS expected_ppm
+      |  FROM imp JOIN prior USING (pos) GROUP BY item)
+      |SELECT item, n_impr, n_clicks, expected_ppm,
+      |  CASE WHEN expected_ppm > 0
+      |       THEN n_clicks * 1000000000000 // expected_ppm
+      |       ELSE NULL END AS coec_ppm
+      |FROM agg ORDER BY item""".stripMargin) { (s, d) =>
+    val imp = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 50).as("item"),
+        (col("event_id") % 10).cast("int").as("pos"),
+        when(col("event_type") === "click", 1L).otherwise(0L)
+          .as("clicked"))
+    val prior = imp.groupBy("pos")
+      .agg(expr("sum(clicked) * 1000000 div count(1)").as("prior_ppm"))
+    imp.join(broadcast(prior), Seq("pos"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_impr"), sum("clicked").as("n_clicks"),
+        sum("prior_ppm").as("expected_ppm"))
+      .select(col("item"), col("n_impr"), col("n_clicks"),
+        col("expected_ppm"),
+        when(col("expected_ppm") > 0,
+          expr("n_clicks * 1000000000000 div expected_ppm"))
+          .as("coec_ppm"))
+      .orderBy("item")
+  }
+
   /** First/last-touch conversion attribution: each purchase credits
     * the user's first and most recent preceding non-purchase event
     * (running IGNORE-NULLS window values — one shuffle by user, no
@@ -10638,7 +10772,7 @@ object Queries {
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXHilbert,
-    qXCompactionPlan, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
+    qXZoneMapPrune, qXCompactionPlan, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
     qGPprSeeded, qGTriangles, qGKcore,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
@@ -10650,7 +10784,7 @@ object Queries {
     qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO26Waterfill, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
-    qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qTCollocations,
+    qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qWCoec, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
     qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTBlocklist, qTRedact, qTNormalize, qTLangId, qTLangIdAri,

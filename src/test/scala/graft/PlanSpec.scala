@@ -468,4 +468,17 @@ class PlanSpec extends SparkSpec {
       .findFirstMatchIn(p).get.group(1).toInt
     assert(sortId > takeId, p) // ids number bottom-up: Sort sits ABOVE
   }
+
+  test("bottomKSample: GLOBAL TopK heap — two heap phases around the " +
+      "single-partition exchange, and no Sort anywhere (the query's " +
+      "checkpoint hides this subplan, so it is audited directly)") {
+    val df = graft.operators.Sampling.bottomKSample(
+      Tables.documents(spark, Sf001).select("doc_id"), "doc_id", 100)
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // partial + final heap phases (the AllTuples exchange between them
+    // carries <= k * partitions survivor rows)
+    assert(raw"TopKPerGroup".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(!p.contains(") Sort"), p.take(2000))
+  }
 }
