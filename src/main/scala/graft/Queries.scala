@@ -9064,6 +9064,36 @@ object Queries {
     graft.operators.Stats.holtLinearSummary(daily, "t", "x")
   }
 
+  /** Per-segment Holt forecast (Stats.groupedHoltSummary — r9): one
+    * Holt fold per event type over its daily value series — "how
+    * will each segment move", the forecast sibling of
+    * q_w_group_trend's OLS slope, including the 1-step-ahead
+    * forecast_next the serving layer would publish. Groups
+    * parallelize; each group's recursion runs on its periods-sized
+    * collected series. The oracle advances every group in lockstep
+    * through ONE recursive CTE keyed by (g, step).
+    */
+  val qWHoltBySegment = q(
+    "q_w_holt_by_segment",
+    s"""SELECT g AS event_type, n_scored, sae_holt, sae_naive,
+       |  skill_micros, level_end, trend_end, forecast_next
+       |FROM (${graft.operators.Stats.groupedHoltOracleSql(
+          """SELECT event_type AS g,
+            |  epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS t,
+            |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS x
+            |FROM events GROUP BY 1, 2""".stripMargin)})
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("g"),
+        expr("unix_timestamp(ts) div 86400").as("t"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+    graft.operators.Stats.groupedHoltSummary(daily, "g", "t", "x")
+      .select(col("g").as("event_type"), col("n_scored"),
+        col("sae_holt"), col("sae_naive"), col("skill_micros"),
+        col("level_end"), col("trend_end"), col("forecast_next"))
+      .orderBy("event_type")
+  }
+
   /** Benford first-digit conformance of order totals — the data-
     * forensics screen for fabricated or truncated numeric feeds:
     * observed first-digit counts (exact integers; the digit is pure
@@ -10814,7 +10844,7 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qWHoltForecast, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qWHoltForecast, qWHoltBySegment, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,

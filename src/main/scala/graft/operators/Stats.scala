@@ -1373,6 +1373,89 @@ object Stats {
         col("a.l").as("level_end"), col("a.b").as("trend_end"))
   }
 
+  /** Per-group [[holtLinearSummary]]: one Holt fold per group key —
+    * the forecast sibling of [[groupedOlsSlope]] ("how will each
+    * segment move" beside "how fast has it moved"). Scale shape: the
+    * fact folds map-side to (group, period) sums; each group's series
+    * then collects into ONE row via collect_list and the recursion
+    * runs inside the per-group aggregate — group series are
+    * periods-sized metadata, and groups parallelize across the
+    * cluster (no driver collect, unlike a naive per-group loop).
+    */
+  def groupedHoltSummary(
+      series: DataFrame, // (group, t, x long)
+      group: String,
+      tCol: String,
+      xCol: String,
+      alphaDen: Int = 5,
+      betaDen: Int = 10): DataFrame = {
+    def tdiv(a: Column, n: Int): Column =
+      ((a - a % lit(n.toLong)) / lit(n.toLong)).cast("long")
+    val z = struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b"),
+      lit(0L).as("prev"), lit(0L).as("sae_h"), lit(0L).as("sae_n"))
+    def step(a: Column, x: Column): Column = {
+      val i = a.getField("i"); val l = a.getField("l")
+      val b = a.getField("b"); val prev = a.getField("prev")
+      val f = l + b
+      val l2 = tdiv(x + lit((alphaDen - 1).toLong) * f, alphaDen)
+      val b2 = tdiv((l2 - l) + lit((betaDen - 1).toLong) * b, betaDen)
+      when(i === 0L, struct(lit(1L).as("i"), x.as("l"), lit(0L).as("b"),
+          x.as("prev"), lit(0L).as("sae_h"), lit(0L).as("sae_n")))
+        .when(i === 1L, struct(lit(2L).as("i"), x.as("l"),
+          (x - l).as("b"), x.as("prev"), lit(0L).as("sae_h"),
+          lit(0L).as("sae_n")))
+        .otherwise(struct((i + 1L).as("i"), l2.as("l"), b2.as("b"),
+          x.as("prev"),
+          (a.getField("sae_h") + abs(x - f)).as("sae_h"),
+          (a.getField("sae_n") + abs(x - prev)).as("sae_n")))
+    }
+    series
+      .groupBy(group)
+      .agg(collect_list(struct(col(tCol).as("t"), col(xCol).as("x")))
+        .as("ps"))
+      .select(col(group), array_sort(col("ps")).as("ps"))
+      .select(col(group),
+        aggregate(transform(col("ps"), _.getField("x")), z, step).as("a"))
+      .select(col(group),
+        (col("a.i") - 2L).as("n_scored"),
+        col("a.sae_h").as("sae_holt"), col("a.sae_n").as("sae_naive"),
+        expr("a.sae_h * 1000000 div a.sae_n").as("skill_micros"),
+        col("a.l").as("level_end"), col("a.b").as("trend_end"),
+        (col("a.l") + col("a.b")).as("forecast_next"))
+  }
+
+  /** DuckDB rendering of [[groupedHoltSummary]] over
+    * `srcSql(g, t, x)`: the per-group recursion as ONE recursive CTE
+    * keyed by (g, i) — every group advances in lockstep, each row
+    * referencing only its own group's previous row.
+    */
+  def groupedHoltOracleSql(srcSql: String, alphaDen: Int = 5,
+      betaDen: Int = 10): String = {
+    val a1 = alphaDen - 1; val b1 = betaDen - 1
+    s"""WITH RECURSIVE ser AS (
+       |  SELECT g, ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS rn, x
+       |  FROM ($srcSql)),
+       |n AS (SELECT g, MAX(rn) AS n FROM ser GROUP BY g),
+       |st AS (
+       |  SELECT s2.g, 2::BIGINT AS i, s2.x AS l, s2.x - s1.x AS b,
+       |         s2.x AS prev, 0::BIGINT AS sh, 0::BIGINT AS sn
+       |  FROM (SELECT g, x FROM ser WHERE rn = 1) s1
+       |  JOIN (SELECT g, x FROM ser WHERE rn = 2) s2 USING (g)
+       |  UNION ALL
+       |  SELECT st.g, st.i + 1,
+       |    (e.x + $a1 * (st.l + st.b)) // $alphaDen,
+       |    (((e.x + $a1 * (st.l + st.b)) // $alphaDen) - st.l
+       |      + $b1 * st.b) // $betaDen,
+       |    e.x,
+       |    st.sh + abs(e.x - (st.l + st.b)),
+       |    st.sn + abs(e.x - st.prev)
+       |  FROM st JOIN ser e ON e.g = st.g AND e.rn = st.i + 1)
+       |SELECT st.g, st.i - 2 AS n_scored, sh AS sae_holt,
+       |  sn AS sae_naive, sh * 1000000 // sn AS skill_micros,
+       |  l AS level_end, b AS trend_end, l + b AS forecast_next
+       |FROM st JOIN n ON n.g = st.g AND st.i = n.n""".stripMargin
+  }
+
   /** DuckDB rendering of [[holtLinearSummary]] over `srcSql(t, x)` —
     * the identical recursion as a RECURSIVE CTE (one state row per
     * step, each referencing the PREVIOUS row's columns), so a drifted

@@ -282,6 +282,28 @@ class StatsSpec extends SparkSpec {
     assert(r13 === r)
   }
 
+  test("groupedHoltSummary: each group's fold equals the global " +
+      "operator run on that group alone; linear groups score zero") {
+    // group A: exact linear (zero Holt error); group B: noisy
+    val rows = (0 until 20).map(t => ("A", t.toLong, 500L + 25L * t)) ++
+      Seq(100L, 203L, 351L, 702L, 401L, 999L, 1L, 555L, 620L, 700L)
+        .zipWithIndex.map { case (x, t) => ("B", t.toLong, x) }
+    val df = rows.toDF("g", "t", "x")
+    val grouped = Stats.groupedHoltSummary(df, "g", "t", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("A", "B")) {
+      val solo = Stats.holtLinearSummary(
+          df.filter(col("g") === g).select("t", "x"), "t", "x")
+        .select("n_scored", "sae_holt", "sae_naive", "skill_micros",
+          "level_end", "trend_end")
+        .collect().head.toSeq
+      assert(grouped(g).take(6) === solo, s"group $g")
+    }
+    assert(grouped("A")(1) === 0L, "linear group: zero Holt error")
+    // forecast_next = level + trend
+    assert(grouped("A")(6) === 500L + 25L * 19 + 25L)
+  }
+
   test("simpsonAudit: planted paradox — every segment trends down, " +
       "the pooled scatter trends up, both flagged") {
     // segment A occupies early days at a low level, B late days at a
