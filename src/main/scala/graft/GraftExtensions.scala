@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BinaryCdcChunks, BinaryShingleHashes, JaroWinkler, LangId, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot}
+import graft.expressions.{AhoCorasickCounts, BinaryCdcChunks, BinaryShingleHashes, JaroWinkler, LangId, MinHashSig, OnePermMinHash, TextFingerprint, TextNormalize, TextQuality, TextRepetition, TextShingleHashes, TextSimHash, VecCosine, VecD2, VecDot, WavPcmStats}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL callers and its planner strategy —
@@ -116,6 +116,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaroWinkler(exprs(0), exprs(1))))
     e.injectFunction((
+      // minhash_sig(hashes, 64): k as a literal int, seed fixed 42
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(exprs(0), GraftExtensions.litInt("minhash_sig", "k",
+          exprs(1)), 42L)))
+    e.injectFunction((
+      // one_perm_minhash(hashes, 64): the OPH sibling, same contract
+      new FunctionIdentifier("one_perm_minhash"),
+      new ExpressionInfo(classOf[OnePermMinHash].getName,
+        "one_perm_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        OnePermMinHash(exprs(0), GraftExtensions.litInt(
+          "one_perm_minhash", "k", exprs(1)), 42L)))
+    e.injectFunction((
+      // aho_corasick_counts(text, 'p1,p2,...'): comma-separated
+      // literal phrase list (commas inside phrases unsupported on the
+      // SQL surface; use the Scala API for those)
+      new FunctionIdentifier("aho_corasick_counts"),
+      new ExpressionInfo(classOf[AhoCorasickCounts].getName,
+        "aho_corasick_counts"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AhoCorasickCounts(exprs(0), GraftExtensions.litPatterns(exprs(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("wav_pcm_stats"),
+      new ExpressionInfo(classOf[WavPcmStats].getName, "wav_pcm_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WavPcmStats(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("hilbert_value2"),
+      new ExpressionInfo(graft.operators.ZOrder.getClass.getName,
+        "hilbert_value2"),
+      GraftExtensions.hilbertValue2Builder))
+    e.injectFunction((
       new FunctionIdentifier("z_value2"),
       new ExpressionInfo(graft.operators.ZOrder.getClass.getName, "z_value2"),
       GraftExtensions.zValue2Builder))
@@ -140,6 +174,32 @@ object GraftExtensions {
       fn: String, exprs: Seq[Expression], n: Int): Unit =
     if (exprs.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${exprs.length}")
+
+  private[graft] def litInt(fn: String, what: String,
+      e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a literal int, got $other")
+  }
+
+  /** Comma-separated literal phrase list for the AC SQL surface. */
+  private[graft] def litPatterns(e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.split(',').toSeq.filter(_.nonEmpty)
+    case other => throw new IllegalArgumentException(
+      s"aho_corasick_counts: patterns must be a literal string, got $other")
+  }
+
+  private[graft] val hilbertValue2Builder: Seq[Expression] => Expression =
+    exprs => {
+      requireArity("hilbert_value2", exprs, 3)
+      GraftColumnBridge.toCatalystExpr(
+        graft.operators.ZOrder.hilbertValue2(
+          GraftColumnBridge.toColumn(exprs(0)),
+          GraftColumnBridge.toColumn(exprs(1)),
+          litInt("hilbert_value2", "bits", exprs(2))))
+    }
 
   private[graft] val zValue2Builder: Seq[Expression] => Expression =
     exprs => {
@@ -216,5 +276,18 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("z_value2", zValue2Builder, "built-in")
     reg.createOrReplaceTempFunction("weighted_priority",
       weightedPriorityBuilder, "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs(0),
+        litInt("minhash_sig", "k", exprs(1)), 42L), "built-in")
+    reg.createOrReplaceTempFunction("one_perm_minhash",
+      exprs => OnePermMinHash(exprs(0),
+        litInt("one_perm_minhash", "k", exprs(1)), 42L), "built-in")
+    reg.createOrReplaceTempFunction("aho_corasick_counts",
+      exprs => AhoCorasickCounts(exprs(0), litPatterns(exprs(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction("wav_pcm_stats",
+      exprs => WavPcmStats(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_value2",
+      hilbertValue2Builder, "built-in")
   }
 }

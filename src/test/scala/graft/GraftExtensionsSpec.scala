@@ -135,4 +135,46 @@ class GraftExtensionsSpec extends SparkSpec {
       api.map(r => (r.getInt(0), r.getDouble(1))).toSeq)
     assert(sql.forall(_.getDouble(1) == 1.0))
   }
+
+  test("r9 kernels callable from SQL: minhash families, Aho-Corasick, " +
+      "WAV PCM stats, Hilbert — values identical to the Column API") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftSession.tune(s2)
+    Tables.documents(s2, Sf0001).limit(15)
+      .createOrReplaceTempView("docs_r9")
+    val sql = s2.sql(
+      """SELECT doc_id,
+        |  minhash_sig(text_shingle_hashes(text, 3), 16) AS sig,
+        |  one_perm_minhash(text_shingle_hashes(text, 3), 16) AS oph,
+        |  aho_corasick_counts(text, 'batch batch,slow merge') AS ac,
+        |  hilbert_value2(doc_id, doc_id + 7, 10) AS hv
+        |FROM docs_r9 ORDER BY doc_id""".stripMargin).collect()
+    // Column-API replay of the same four kernels
+    val apiRows = Tables.documents(s2, Sf0001).limit(15)
+      .select(col("doc_id"),
+        graft.expressions.MinHashSig.ofHashes(
+          graft.expressions.TextShingleHashes(col("text"), 3), 16).as("sig"),
+        graft.expressions.OnePermMinHash.ofHashes(
+          graft.expressions.TextShingleHashes(col("text"), 3), 16).as("oph"),
+        graft.expressions.AhoCorasickCounts.of(col("text"),
+          Seq("batch batch", "slow merge")).as("ac"),
+        graft.operators.ZOrder.hilbertValue2(col("doc_id"),
+          col("doc_id") + 7, 10).as("hv"))
+      .orderBy("doc_id").collect()
+    assert(sql.length == 15)
+    sql.zip(apiRows).foreach { case (a, b) =>
+      assert(a.getSeq[Long](1) === b.getSeq[Long](1))
+      assert(a.getSeq[Long](2) === b.getSeq[Long](2))
+      assert(a.getSeq[Long](3) === b.getSeq[Long](3))
+      assert(a.getLong(4) === b.getLong(4))
+    }
+    // wav_pcm_stats over a literal canonical WAV (1 sample, value 2)
+    val wav = "52494646" + "10000000" + "57415645" +
+      "64617461" + "02000000" + "0200"
+    val st = s2.sql(
+      s"SELECT wav_pcm_stats(unhex('$wav')).sum_sq AS e").collect().head
+    assert(st.getLong(0) === 4L)
+  }
 }
