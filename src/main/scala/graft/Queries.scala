@@ -6977,6 +6977,66 @@ object Queries {
     * (σ ≈ 6.5%), the intersection within 1.3%. The oracle replays
     * each side through the same generated register SQL as q_a5.
     */
+  /** Theta-sketch set operations (Sketch.thetaSetOps — r9, the
+    * DataSketches theta family on the bottom-k machinery): distinct-
+    * count estimates for A, B, A∩B, A∪B plus the Jaccard — the set-op
+    * family HLL registers cannot deliver directly (HLL intersection
+    * rides inclusion-exclusion, whose error compounds; theta
+    * intersects the SAMPLES, keeping error relative to the
+    * intersection). Sides: two overlapping doc-id populations
+    * (doc_id mod 3 ≠ 0 vs doc_id mod 2 = 0) whose sizes exceed k=64,
+    * exercising the estimator path; sketches holding < k hashes take
+    * the exact small-set path (the CASE both engines replay). All
+    * work after the two bottom-k heaps is integer arithmetic on ≤2k
+    * metadata rows, and the deterministic order-hash makes the whole
+    * ESTIMATE replayable — a seeded library sketch could never be
+    * hash-gated.
+    */
+  val qA27ThetaSetops = {
+    val pri = graft.operators.Sampling.orderHashSql("doc_id")
+    val p = graft.operators.Sampling.P
+    q(
+      "q_a27_theta_setops",
+      s"""WITH ha AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0),
+         |hb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+         |sa AS (SELECT pri FROM (
+         |  SELECT CAST($pri AS BIGINT) AS pri,
+         |         ROW_NUMBER() OVER (ORDER BY CAST($pri AS BIGINT)) AS rk
+         |  FROM ha) WHERE rk <= 64),
+         |sb AS (SELECT pri FROM (
+         |  SELECT CAST($pri AS BIGINT) AS pri,
+         |         ROW_NUMBER() OVER (ORDER BY CAST($pri AS BIGINT)) AS rk
+         |  FROM hb) WHERE rk <= 64),
+         |ta AS (SELECT MAX(pri) AS th_a, COUNT(*) AS k_a FROM sa),
+         |tb AS (SELECT MAX(pri) AS th_b, COUNT(*) AS k_b FROM sb),
+         |un AS (SELECT COUNT(*) AS u_cnt, MAX(pri) AS th_u FROM (
+         |  SELECT DISTINCT pri FROM (SELECT pri FROM sa
+         |    UNION ALL SELECT pri FROM sb) ORDER BY pri LIMIT 64)),
+         |ic AS (SELECT COUNT(*) AS n_inter FROM
+         |  (SELECT pri FROM sa INTERSECT SELECT pri FROM sb) x, ta, tb
+         |  WHERE x.pri <= least(th_a, th_b))
+         |SELECT
+         |  CASE WHEN k_a < 64 THEN k_a ELSE (k_a - 1) * $p // th_a END AS est_a,
+         |  CASE WHEN k_b < 64 THEN k_b ELSE (k_b - 1) * $p // th_b END AS est_b,
+         |  CASE WHEN k_a < 64 AND k_b < 64 THEN n_inter
+         |       ELSE n_inter * $p // least(th_a, th_b) END AS est_inter,
+         |  CASE WHEN u_cnt < 64 THEN u_cnt ELSE ${63L * p} // th_u END AS est_union,
+         |  CASE WHEN (CASE WHEN u_cnt < 64 THEN u_cnt
+         |                  ELSE ${63L * p} // th_u END) > 0
+         |       THEN (CASE WHEN k_a < 64 AND k_b < 64 THEN n_inter
+         |                  ELSE n_inter * $p // least(th_a, th_b) END)
+         |            * 1000000 // (CASE WHEN u_cnt < 64 THEN u_cnt
+         |                              ELSE ${63L * p} // th_u END)
+         |       ELSE 0 END AS jaccard_ppm
+         |FROM ta, tb, un, ic""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      graft.operators.Sketch.thetaSetOps(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", k = 64)
+    }
+  }
+
   val qA19SetOverlap = q(
     "q_a19_set_overlap", {
       def sideTbl(pred: String) =
@@ -10840,7 +10900,7 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmAudioEnergy, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
-    qTMaskSpans, qA19SetOverlap, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
+    qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,

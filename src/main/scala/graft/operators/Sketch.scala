@@ -230,6 +230,68 @@ object Sketch {
     * only pairwise independence, so the affine family is the textbook
     * choice here — unlike HLL above, which needs bit-level mixing.)
     */
+  /** Theta-sketch set operations (Dasgupta et al. / DataSketches
+    * "theta" family) on the bottom-k machinery: each side keeps its
+    * k smallest order-hashes of the DISTINCT key set; θ = the k-th
+    * smallest on each side. Then with θ∩ = min(θ_A, θ_B):
+    *
+    *   |A ∩ B| ≈ |{h ∈ sketchA ∩ sketchB : h < θ∩}| · P / θ∩
+    *   |A ∪ B| ≈ (k−1) · P / θ_U   (θ_U = k-th smallest of the union)
+    *
+    * — the set-op family HLL registers CANNOT give exactly (HLL
+    * intersection needs inclusion-exclusion, whose error compounds;
+    * theta intersects the SAMPLES, so the estimate is direct and its
+    * error stays relative to the intersection). Everything is the
+    * bottom-k heap + integer arithmetic on ≤2k metadata rows — and
+    * because the order-hash is a pure function of the key, the whole
+    * estimate is deterministic and SQL-replayable, unlike a seeded
+    * library sketch. Mergeable exactly like [[graft.operators
+    * .Sampling.bottomKSample]] (union → bottom-k).
+    *
+    * Output (1 row): est_a, est_b, est_inter, est_union, and
+    * jaccard_ppm = est_inter·10⁶ / est_union (0 when est_union = 0).
+    */
+  def thetaSetOps(a: DataFrame, b: DataFrame, key: String,
+      k: Int): DataFrame = {
+    import graft.operators.{Sampling, TopK}
+    def sketch(df: DataFrame) = TopK.perGroup(
+      df.select(col(key)).distinct()
+        .withColumn("pri", Sampling.orderHash(col(key))),
+      Seq.empty, Seq(col("pri")), k, rankName = "rk")
+    val sa = sketch(a).select(col("pri"), col("rk")).localCheckpoint()
+    val sb = sketch(b).select(col("pri"), col("rk")).localCheckpoint()
+    val p = Sampling.P
+    val thA = sa.agg(max("pri").as("th_a"))
+    val thB = sb.agg(max("pri").as("th_b"))
+    val thU = sa.select("pri").union(sb.select("pri")).distinct()
+      .orderBy("pri").limit(k)
+      .agg(count(lit(1)).as("u_cnt"), max("pri").as("th_u"))
+    val inter = sa.select("pri").intersect(sb.select("pri"))
+    val interCnt = inter.crossJoin(broadcast(thA)).crossJoin(broadcast(thB))
+      .filter(col("pri") <= least(col("th_a"), col("th_b")))
+      .agg(count(lit(1)).as("n_inter"))
+    val uCnt = thU // (u_cnt, th_u)
+    // a sketch holding fewer than k hashes is EXHAUSTIVE — its
+    // estimate is the exact count (the standard KMV small-set path);
+    // the intersection is exact only when BOTH sides are exhaustive
+    sa.agg(count(lit(1)).as("k_a")).crossJoin(broadcast(thA))
+      .crossJoin(sb.agg(count(lit(1)).as("k_b"))).crossJoin(broadcast(thB))
+      .crossJoin(broadcast(uCnt)).crossJoin(broadcast(interCnt))
+      .select(
+        expr(s"CASE WHEN k_a < $k THEN k_a" +
+          s" ELSE (k_a - 1) * $p div th_a END").as("est_a"),
+        expr(s"CASE WHEN k_b < $k THEN k_b" +
+          s" ELSE (k_b - 1) * $p div th_b END").as("est_b"),
+        expr(s"CASE WHEN k_a < $k AND k_b < $k THEN n_inter" +
+          s" ELSE n_inter * $p div least(th_a, th_b) END")
+          .as("est_inter"),
+        expr(s"CASE WHEN u_cnt < $k THEN u_cnt" +
+          s" ELSE ${(k - 1).toLong * p} div th_u END").as("est_union"))
+      .withColumn("jaccard_ppm",
+        when(col("est_union") > 0,
+          expr("est_inter * 1000000 div est_union")).otherwise(0L))
+  }
+
   def cmsBucket(key: Column, i: Int, w: Int = CmsW): Column =
     pmod(pmod(key.cast("long"), lit(P1)) * CmsA(i) + CmsB(i), lit(P1)) % w
 

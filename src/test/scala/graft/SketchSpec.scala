@@ -206,4 +206,35 @@ class SketchSpec extends SparkSpec {
       canon(Sketch.quantileEstimates(merged, Seq("l_returnflag"), Qs)) ==
         canon(Sketch.quantileEstimates(whole, Seq("l_returnflag"), Qs)))
   }
+
+  test("thetaSetOps: estimates within 4/sqrt(k) of truth on planted " +
+      "overlap; small sets take the exact path; disjoint -> 0") {
+    import spark.implicits._
+    // A = [0, 3000), B = [2000, 5000): |A|=|B|=3000, inter=1000, union=5000
+    val a = spark.range(0, 3000).toDF("id")
+    val b = spark.range(2000, 5000).toDF("id")
+    val r = Sketch.thetaSetOps(a, b, "id", k = 64).collect().head
+    val (ea, eb, ei, eu, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    def close(est: Long, truth: Long, tol: Double) =
+      assert(math.abs(est - truth) <= truth * tol, s"$est vs $truth")
+    val tol = 4.0 / math.sqrt(64) // 4 sigma of the KMV rsd
+    close(ea, 3000, tol); close(eb, 3000, tol)
+    close(eu, 5000, tol)
+    close(ei, 1000, 0.9) // intersection error relative to union scale
+    assert(j > 100000 && j < 350000, s"jaccard $j vs truth 200000")
+    // exact small-set path: both sides under k
+    val r2 = Sketch.thetaSetOps(
+      spark.range(0, 30).toDF("id"), spark.range(20, 50).toDF("id"),
+      "id", k = 64).collect().head
+    assert(r2.getLong(0) === 30L && r2.getLong(1) === 30L)
+    assert(r2.getLong(2) === 10L && r2.getLong(3) === 50L)
+    assert(r2.getLong(4) === 200000L)
+    // disjoint: intersection and jaccard collapse to 0
+    val r3 = Sketch.thetaSetOps(
+      spark.range(0, 2000).toDF("id"),
+      spark.range(100000, 102000).toDF("id"), "id", k = 64)
+      .collect().head
+    assert(r3.getLong(2) === 0L && r3.getLong(4) === 0L)
+  }
 }
