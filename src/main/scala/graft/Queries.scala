@@ -18,7 +18,15 @@ import graft.functions.ScalarOps._
   *  - deterministic ORDER BY on non-null keys (Spark sorts nulls
   *    first, DuckDB last — never sort on a nullable column);
   *  - truncating casts spelled CAST(TRUNC(x) AS INT) in DuckDB
-  *    (DuckDB's double→int cast rounds; Spark non-ANSI truncates).
+  *    (DuckDB's double→int cast rounds; Spark non-ANSI truncates);
+  *  - integer division of DECIMAL operands: DuckDB's `//` on DECIMAL
+  *    is TRUE division (the BIGINT cast then ROUNDS — off-by-one on
+  *    negative quotients vs Spark's truncating `div`); cast DuckDB
+  *    operands to HUGEINT first, whose `//` truncates like BIGINT
+  *    (probed: -7//2 = -3 for INT/HUGEINT, -3.5 for DECIMAL);
+  *  - sequential recursions (Holt etc.) oracle-render as RECURSIVE
+  *    CTEs, never list_reduce struct folds (DuckDB evaluates struct
+  *    lambda fields in place — read-after-write aliasing).
   */
 final case class QSpec(
     name: String,
@@ -8790,6 +8798,139 @@ object Queries {
     }
   }
 
+  /** Sliding-window distinct users via HLL register MERGEABILITY
+    * (r9): the 7-day rolling "active uniques" metric, priced the only
+    * way it can be at 100 TB — distinct counts do NOT sum across
+    * days, but register tables MERGE (element-wise max), so the fact
+    * is scanned ONCE into per-day registers and every sliding window
+    * is a max-merge over the (days × 256)-row metadata table: a
+    * register-table window, never a re-scan per window position (the
+    * naive rendering reads the fact 7×). Finish = the shared Flajolet
+    * estimator per day; full windows only. The oracle replays hash,
+    * bucket, rank, per-day max, the RANGE-frame merge, and the
+    * literal-exact finish arithmetic.
+    */
+  val qWSlidingDistinct = q(
+    "q_w_sliding_distinct",
+    s"""WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+       |             user_id FROM events),
+       |x AS (SELECT day,
+       |  ((user_id % ${graft.operators.Sketch.P1}) * ${graft.operators.Sketch.A1} + ${graft.operators.Sketch.B1}) % ${graft.operators.Sketch.P1} AS x1,
+       |  ((user_id % ${graft.operators.Sketch.P2}) * ${graft.operators.Sketch.A2} + ${graft.operators.Sketch.B2}) % ${graft.operators.Sketch.P2} AS x2 FROM e),
+       |h AS (SELECT day,
+       |  ((x1 * x1 % ${graft.operators.Sketch.P1} * 31 + x1) % ${graft.operators.Sketch.P1})
+       |  + (((x2 * x2 % ${graft.operators.Sketch.P2} * 131 + x2) % ${graft.operators.Sketch.P2}) << 30) AS h FROM x),
+       |b AS (SELECT day, h & 255 AS bucket,
+       |  CASE WHEN (h >> 8) = 0 THEN ${graft.operators.Sketch.RankCap}
+       |       ELSE least(bit_count(((h >> 8) & -(h >> 8)) - 1) + 1,
+       |                  ${graft.operators.Sketch.RankCap})
+       |  END AS rnk FROM h),
+       |reg AS (SELECT day, bucket, MAX(rnk) AS mj FROM b GROUP BY 1, 2),
+       |spine AS (SELECT d.day, s.bucket
+       |          FROM (SELECT DISTINCT day FROM reg) d
+       |          CROSS JOIN (SELECT unnest(range(256)) AS bucket) s),
+       |mg AS (SELECT day, bucket,
+       |    MAX(mj) OVER (PARTITION BY bucket ORDER BY day
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mj
+       |  FROM spine LEFT JOIN reg USING (day, bucket)),
+       |agg AS (SELECT day, COUNT(mj) AS present,
+       |    CAST(SUM(1::BIGINT << (${graft.operators.Sketch.RankCap} - mj)) AS BIGINT) AS sum_scaled
+       |  FROM mg WHERE mj IS NOT NULL GROUP BY day),
+       |est AS (SELECT day, 256 - present AS zeros,
+       |  (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+       |    / (CAST(sum_scaled + (256 - present) * (1::BIGINT << ${graft.operators.Sketch.RankCap}) AS DOUBLE)
+       |       / ${1L << graft.operators.Sketch.RankCap}.0) AS raw
+       |  FROM agg),
+       |d0 AS (SELECT MIN(day) AS d0 FROM reg)
+       |SELECT day,
+       |  CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+       |                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+       |                  ELSE raw END) AS BIGINT) AS uniques_7d
+       |FROM est, d0 WHERE day >= d0 + 6 ORDER BY day""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Sketch
+      val ev = Tables.events(s, d)
+        .select(expr("unix_timestamp(ts) div 86400").as("day"),
+          col("user_id"))
+      val reg = Sketch.hllRegisters(ev, Seq("day"), "user_id")
+        .localCheckpoint() // (days×occupied) metadata; feeds spine+min
+      val days = reg.select("day").distinct()
+      val spine = days.crossJoin(
+        s.range(256).select(col("id").cast("long").as("bucket")))
+      val w = Window.partitionBy("bucket").orderBy("day")
+        .rangeBetween(-6, 0)
+      val merged = spine.join(reg, Seq("day", "bucket"), "left")
+        .withColumn("mjm", max("mj").over(w))
+        .filter(col("mjm").isNotNull)
+        .select(col("day"), col("bucket"), col("mjm").as("mj"))
+      val d0 = days.agg(min("day").as("d0"))
+      Sketch.hllFinish(merged, Seq("day"))
+        .crossJoin(broadcast(d0))
+        .filter(col("day") >= col("d0") + 6)
+        .select(col("day"), col("hll_est").as("uniques_7d"))
+        .orderBy("day")
+  }
+
+  /** 7-day rolling Pearson correlation between two daily metrics
+    * (r9): does purchase revenue still track view revenue this week —
+    * the co-movement monitor beside the drift family. ONE conditional
+    * -agg scan folds the fact to the (day, x, y) series; every rolling
+    * statistic (n, Σx, Σy, Σxy, Σx², Σy²) is then a RANGE-frame
+    * window sum of exact longs over that days-sized metadata table,
+    * finished by the fixed IEEE formula (sqrt is correctly-rounded
+    * IEEE — unlike ln, it cannot drift cross-engine), rounded 6 dp.
+    * Degenerate frames (zero variance) yield NULL. Full frames only.
+    */
+  val qWRollingCorr = q(
+    "q_w_rolling_corr",
+    """WITH daily AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'view'
+      |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT day,
+      |    COUNT(*) OVER f AS n,
+      |    CAST(SUM(x) OVER f AS BIGINT) AS sx,
+      |    CAST(SUM(y) OVER f AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+      |  FROM daily
+      |  WINDOW f AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, CAST(n AS BIGINT) AS n_days,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |       THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |       ELSE NULL END AS corr_7d
+      |FROM w WHERE n = 7 ORDER BY day""".stripMargin) { (s, d) =>
+    def cents(t: String) = sum(when(col("event_type") === t,
+      floor(col("value") * 100).cast("long")).otherwise(0L))
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(cents("purchase").as("x"), cents("view").as("y"))
+    val f = Window.orderBy("day").rangeBetween(-6, 0)
+    val w = daily.select(col("day"),
+      count(lit(1)).over(f).as("n"),
+      sum("x").over(f).as("sx"), sum("y").over(f).as("sy"),
+      sum(col("x") * col("y")).over(f).as("sxy"),
+      sum(col("x") * col("x")).over(f).as("sxx"),
+      sum(col("y") * col("y")).over(f).as("syy"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val vx = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val vy = col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    w.filter(col("n") === 7)
+      .select(col("day"), col("n").as("n_days"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round(num / sqrt(vx * vy), 6)).as("corr_7d"))
+      .orderBy("day")
+  }
+
   /** COEC — clicks over expected clicks (r9, the position-normalized
     * CTR used to de-bias ranking feedback; Zhang & Jones 2007): raw
     * per-item CTR rewards whatever was SHOWN high, so the position
@@ -9191,6 +9332,79 @@ object Queries {
         round((col("n_obs") - nExp) * (col("n_obs") - nExp) / nExp, 4)
           .as("chi2_d"))
       .orderBy("digit")
+  }
+
+  /** Metric decomposition — the "why did revenue move" driver
+    * analysis (r9): Δrevenue between 1995 and 1996 split exactly into
+    * volume (more orders at the old average), rate (old volume at the
+    * new average), and mix (the interaction) — the first question a
+    * metrics review asks of any topline move. Identity: with
+    * avg = total/n, Δ = vol + rate + inter holds EXACTLY in the
+    * denominator-cleared space (each effect × nA·nB is an integer
+    * polynomial in totals and counts — no rational arithmetic); the
+    * output floors each effect to micros-cents independently, and the
+    * few-ulp flooring slack is surfaced as an explicit residual
+    * column rather than hidden (Σ effects + residual ≡ Δ·10⁶, an
+    * integer identity the oracle replays). Numerators run in
+    * DECIMAL(38,0) so counts × totals never overflow at any SF. One
+    * conditional-agg scan — the two periods never scan twice.
+    */
+  val qXMetricDecomposition = q(
+    "q_x_metric_decomposition",
+    """WITH p AS (SELECT
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS t_a,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS t_b
+      |  FROM orders),
+      |e AS (SELECT n_a, n_b, t_a, t_b,
+      |    (t_b - t_a) * 1000000 AS delta_micros,
+      |    CAST(CAST((CAST(n_b - n_a AS HUGEINT) * t_a * 1000000) AS HUGEINT)
+      |      // n_a AS BIGINT) AS volume_micros,
+      |    CAST(CAST((CAST(t_b AS HUGEINT) * n_a
+      |          - CAST(t_a AS HUGEINT) * n_b) * 1000000 AS HUGEINT) // n_b
+      |      AS BIGINT) AS rate_micros,
+      |    CAST(CAST((CAST(n_b - n_a AS HUGEINT)
+      |          * (CAST(t_b AS HUGEINT) * n_a
+      |             - CAST(t_a AS HUGEINT) * n_b) * 1000000) AS HUGEINT)
+      |         // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |      AS inter_micros
+      |  FROM p)
+      |SELECT n_a, n_b, t_a AS total_a_cents, t_b AS total_b_cents,
+      |  delta_micros, volume_micros, rate_micros, inter_micros,
+      |  delta_micros - volume_micros - rate_micros - inter_micros
+      |    AS residual_micros
+      |FROM e""".stripMargin) { (s, d) =>
+    def cnt(y: Int) = sum(when(year(col("o_orderdate")) === y, 1L)
+      .otherwise(0L))
+    def cents(y: Int) = sum(when(year(col("o_orderdate")) === y,
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .otherwise(0L))
+    Tables.orders(s, d)
+      .agg(cnt(1995).as("n_a"), cnt(1996).as("n_b"),
+        cents(1995).as("t_a"), cents(1996).as("t_b"))
+      .select(col("n_a"), col("n_b"), col("t_a"), col("t_b"),
+        ((col("t_b") - col("t_a")) * 1000000L).as("delta_micros"),
+        expr("""CAST((CAST(n_b - n_a AS DECIMAL(38,0)) * t_a * 1000000)
+                div n_a AS BIGINT)""").as("volume_micros"),
+        expr("""CAST((CAST(t_b AS DECIMAL(38,0)) * n_a
+                 - CAST(t_a AS DECIMAL(38,0)) * n_b) * 1000000 div n_b
+                AS BIGINT)""").as("rate_micros"),
+        expr("""CAST((CAST(n_b - n_a AS DECIMAL(38,0))
+                 * (CAST(t_b AS DECIMAL(38,0)) * n_a
+                    - CAST(t_a AS DECIMAL(38,0)) * n_b) * 1000000)
+                div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("inter_micros"))
+      .select(col("n_a"), col("n_b"),
+        col("t_a").as("total_a_cents"), col("t_b").as("total_b_cents"),
+        col("delta_micros"), col("volume_micros"), col("rate_micros"),
+        col("inter_micros"),
+        (col("delta_micros") - col("volume_micros") - col("rate_micros")
+          - col("inter_micros")).as("residual_micros"))
   }
 
   /** Gini coefficient of part-revenue concentration — the inequality
@@ -10873,7 +11087,7 @@ object Queries {
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
     qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO26Waterfill, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
-    qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel,
+    qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel, qWSlidingDistinct, qWRollingCorr,
     qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qWCoec, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
@@ -10904,7 +11118,7 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qWForecastBaseline, qWHoltForecast, qWHoltBySegment, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qXMetricDecomposition, qWForecastBaseline, qWHoltForecast, qWHoltBySegment, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
