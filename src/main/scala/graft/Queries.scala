@@ -2387,6 +2387,84 @@ object Queries {
       .limit(100)
   }
 
+  /** χ² feature selection (r9, the sklearn chi2/SelectKBest shape):
+    * the top-20 tokens most associated with a document label, scored
+    * by the EXACT 2×2 chi-square χ² = T·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    * — all integer arithmetic (the (ad−bc)² numerator runs in
+    * DECIMAL(38) / HUGEINT with truncating division, per the header
+    * parity rule), no ln anywhere, so unlike MI the whole ranking is
+    * hash-exact. Label here is content-derived (doc mentions
+    * "spark"), making the seed token and its co-occurrers rank top —
+    * the screen a classifier-feature pipeline runs before training.
+    * Scale shape: one (doc, token) distinct explode, then everything
+    * is VOCAB-sized (Heaps-sublinear) with broadcast label margins;
+    * support floor df ≥ 5; top-20 on the TopK heap.
+    */
+  val qTChi2Features = q(
+    "q_t_chi2_features",
+    """WITH dt AS (SELECT DISTINCT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                       x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |lab AS (SELECT doc_id,
+      |    CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (SELECT CAST(SUM(y) AS BIGINT) AS n1,
+      |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0 FROM lab),
+      |c AS (SELECT w, CAST(SUM(y) AS BIGINT) AS a,
+      |             CAST(COUNT(*) - SUM(y) AS BIGINT) AS b
+      |      FROM dt JOIN lab USING (doc_id) GROUP BY w
+      |      HAVING COUNT(*) >= 5),
+      |x AS (SELECT w, a, b, n1 - a AS cc, n0 - b AS dd, n1 + n0 AS t
+      |      FROM c CROSS JOIN m),
+      |s AS (SELECT w, a, b,
+      |    CASE WHEN (a + b) > 0 AND (cc + dd) > 0
+      |          AND (a + cc) > 0 AND (b + dd) > 0
+      |         THEN CAST(CAST(t AS HUGEINT)
+      |                * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * cc)
+      |                * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * cc)
+      |                * 1000000
+      |              // (CAST(a + b AS HUGEINT) * (cc + dd)
+      |                 * (a + cc) * (b + dd)) AS BIGINT)
+      |         ELSE NULL END AS chi2_micros
+      |  FROM x)
+      |SELECT w AS token, a AS df_pos, b AS df_neg, chi2_micros
+      |FROM s WHERE chi2_micros IS NOT NULL
+      |ORDER BY chi2_micros DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    import graft.operators.{TextOps, TopK}
+    val docs = Tables.documents(s, d)
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+    val lab = docs.select(col("doc_id"),
+      when(col("text").contains("spark"), 1L).otherwise(0L).as("y"))
+    val m = lab.agg(sum("y").as("n1"),
+      (count(lit(1)) - sum("y")).as("n0"))
+    val c = dt.join(lab, Seq("doc_id")).groupBy("w")
+      .agg(sum("y").as("a"), (count(lit(1)) - sum("y")).as("b"))
+      .filter(col("a") + col("b") >= 5)
+    val x = c.crossJoin(broadcast(m))
+      .select(col("w"), col("a"), col("b"),
+        (col("n1") - col("a")).as("cc"), (col("n0") - col("b")).as("dd"),
+        (col("n1") + col("n0")).as("t"))
+    val chi2 = expr(
+      """CAST(CAST(t AS DECIMAL(38,0))
+         * (CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * cc)
+         * (CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * cc)
+         * 1000000
+         div (CAST(a + b AS DECIMAL(38,0)) * (cc + dd)
+              * (a + cc) * (b + dd)) AS BIGINT)""")
+    val scored = x.select(col("w"), col("a"), col("b"),
+      when(col("a") + col("b") > 0 && col("cc") + col("dd") > 0 &&
+           col("a") + col("cc") > 0 && col("b") + col("dd") > 0, chi2)
+        .as("chi2_micros"))
+      .filter(col("chi2_micros").isNotNull)
+    TopK.perGroup(scored, Seq.empty,
+        Seq(col("chi2_micros").desc, col("w")), 20, rankName = "rk")
+      .select(col("w").as("token"), col("a").as("df_pos"),
+        col("b").as("df_neg"), col("chi2_micros"))
+      .orderBy(desc("chi2_micros"), asc("token"))
+  }
+
   /** Per-source distribution drift (r9): total-variation distance
     * between each source's unigram distribution and the corpus-wide
     * one — the mixture monitor that catches a source going off-recipe
@@ -11096,7 +11174,7 @@ object Queries {
     qTTfidf, qTHashedFeatures, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,
     qPipeConcatCut, qTLengthBuckets,
-    qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence,
+    qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence, qTChi2Features,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
