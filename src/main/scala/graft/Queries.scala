@@ -3617,6 +3617,49 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** Duplicate-cluster loss weights (r9) — SOFT dedup: instead of
+    * dropping near-duplicates, each doc is down-weighted by its
+    * cluster size (weight = 10⁶/|cluster| ppm), so a cluster
+    * contributes ONE document's worth of gradient no matter how many
+    * captures survive — the de-duplication alternative when exact
+    * provenance must be preserved (every doc stays addressable) or
+    * when near-dup boundaries are too uncertain to hard-drop.
+    * Clusters come from the SAME CC-over-Jaccard chain as
+    * q_d_cc_clusters (shared CTE — cannot drift); singletons weigh
+    * 10⁶. The weight table is a broadcast-sized metadata join back
+    * onto the corpus at training-data-write time.
+    */
+  val qDDupWeights = q(
+    "q_d_dup_weights",
+    s"""$duckCcComp,
+       |sz AS (SELECT component, COUNT(*) AS n_members
+       |       FROM comp GROUP BY component),
+       |allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |                COALESCE(sz.n_members, 1) AS n_members
+       |         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+       |         LEFT JOIN comp c USING (doc_id)
+       |         LEFT JOIN sz ON sz.component = c.component)
+       |SELECT doc_id, component, CAST(n_members AS BIGINT) AS n_members,
+       |       1000000 // n_members AS weight_ppm
+       |FROM allc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup}
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.02)
+    val comp = ConnectedComponents.run(edges, "id_a", "id_b")
+      .localCheckpoint()
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    docs.select("doc_id")
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+      .withColumn("weight_ppm", expr("1000000 div n_members"))
+      .orderBy("doc_id")
+  }
+
   /** Survivorship with a POLICY: one keeper per near-dup cluster,
     * chosen as the LONGEST member (ties → min id) — the common-crawl
     * convention (the longest capture usually carries the most
@@ -9412,6 +9455,70 @@ object Queries {
       .orderBy("digit")
   }
 
+  /** Incremental rollup maintenance (r9) — the materialized-view /
+    * dbt-incremental contract as a GATE: yesterday's snapshot (orders
+    * with key mod 10 ≠ 0) and today's delta (mod 10 = 0) are rolled
+    * up SEPARATELY per month and MERGED — counts and sums add,
+    * min/max combine, HLL registers element-wise-max — while the
+    * oracle recomputes the full rollup from scratch. Green means
+    * merged ≡ full recompute exactly (including the distinct-customer
+    * sketch — register merge is an identity, not an approximation of
+    * an approximation), which is the entire point of incremental
+    * maintenance at 100 TB: the historical fact is NEVER rescanned,
+    * only the delta is, and the merge runs on months-sized metadata.
+    * (The cc_incremental gate pattern, applied to the agg layer.)
+    */
+  val qXIncrementalRollup = q(
+    "q_x_incremental_rollup",
+    s"""WITH o AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+       |    o_custkey
+       |  FROM orders),
+       |base AS (SELECT m, COUNT(*) AS n_orders,
+       |    CAST(SUM(c) AS BIGINT) AS total_cents,
+       |    MIN(c) AS min_cents, MAX(c) AS max_cents
+       |  FROM o GROUP BY m),
+       |hll AS (${graft.operators.Sketch.hllOracleSql(
+          """(SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+            |        o_custkey FROM orders) t""".stripMargin.replace("\n", " "),
+          "m", "o_custkey")})
+       |SELECT m AS month, n_orders, total_cents, min_cents, max_cents,
+       |       hll_est AS uniq_cust_est
+       |FROM base JOIN hll USING (m) ORDER BY month""".stripMargin) { (s, d) =>
+    import graft.operators.Sketch
+    val o = Tables.orders(s, d).select(
+      date_format(col("o_orderdate").cast("date"), "yyyy-MM").as("m"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("c"),
+      col("o_custkey"))
+    // era split: "yesterday's snapshot" vs "today's delta" — any
+    // deterministic partition works; merged must equal full for ALL
+    def era(p: Boolean) = {
+      val cond = (col("o_custkey") + col("c")) % 10 === 0
+      o.filter(if (p) cond else !cond)
+    }
+    val eras = Seq(era(false), era(true))
+    // scalar partials merge: counts/sums ADD, min/max COMBINE
+    val scal = eras.map(_.groupBy("m").agg(count(lit(1)).as("n"),
+        sum("c").as("t"), min("c").as("mn"), max("c").as("mx")))
+      .reduce(_ unionByName _)
+      .groupBy("m").agg(sum("n").as("n_orders"),
+        sum("t").as("total_cents"), min("mn").as("min_cents"),
+        max("mx").as("max_cents"))
+    // register partials merge: element-wise max per (m, bucket)
+    val regs = eras.map(e =>
+        Sketch.hllRegisters(e.select("m", "o_custkey"), Seq("m"),
+          "o_custkey"))
+      .reduce(_ unionByName _)
+      .groupBy("m", "bucket").agg(max("mj").as("mj"))
+    val uniq = Sketch.hllFinish(regs, Seq("m"))
+    scal.join(uniq, Seq("m"))
+      .select(col("m").as("month"), col("n_orders"), col("total_cents"),
+        col("min_cents"), col("max_cents"),
+        col("hll_est").as("uniq_cust_est"))
+      .orderBy("month")
+  }
+
   /** Metric decomposition — the "why did revenue move" driver
     * analysis (r9): Δrevenue between 1995 and 1996 split exactly into
     * volume (more orders at the old average), rate (old volume at the
@@ -11154,7 +11261,7 @@ object Queries {
     qJ7ExistsSemi, qJ8Snowflake, qJ9IntervalOverlap,
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXHilbert,
-    qXZoneMapPrune, qXCompactionPlan, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
+    qXZoneMapPrune, qXCompactionPlan, qXIncrementalRollup, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
     qGPprSeeded, qGTriangles, qGKcore,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
@@ -11179,7 +11286,7 @@ object Queries {
     qO23ShardShuffle,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter,
-    qDCcClusters, qDCcIncremental, qDSurvivorship, qDAuthoritySurvivor,
+    qDCcClusters, qDCcIncremental, qDDupWeights, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,
