@@ -2387,6 +2387,52 @@ object Queries {
       .limit(100)
   }
 
+  /** Prefix-cache sharing analysis (r9, the vLLM/SGLang prefix-
+    * caching capacity question): how much of the corpus shares
+    * prefixes at depths 16/64/256 chars — i.e., how many prompt
+    * prefixes would a shared KV-cache serve from memory instead of
+    * recomputing. Per depth: groups sharing a prefix (≥2 docs), docs
+    * covered, and the saved character mass ((n−1)·depth per group —
+    * every member after the first reuses the cached prefix). ONE
+    * map-only substring+fingerprint pass per depth over the same
+    * scan (the depths explode from one projection, dim-truncation
+    * style); groups are fingerprint-sized aggregates. All exact
+    * integers. Short docs participate at the depths they reach
+    * (prefix = whole doc below the depth — exact-dup mass).
+    */
+  val qTPrefixCache = q(
+    "q_t_prefix_cache",
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |e AS (SELECT doc_id, depth, substr(text, 1, depth) AS pfx
+      |      FROM d CROSS JOIN (SELECT unnest([16, 64, 256]) AS depth)),
+      |g AS (SELECT depth, pfx, COUNT(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT CAST(depth AS INT) AS depth,
+      |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS shared_groups,
+      |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+      |    AS docs_covered,
+      |  CAST(SUM(CASE WHEN n > 1 THEN (n - 1) * LEAST(depth, len(pfx))
+      |           ELSE 0 END) AS BIGINT) AS saved_chars
+      |FROM g GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+    val depths = array(lit(16), lit(64), lit(256))
+    val e = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(depths).as("depth"))
+      .select(col("doc_id"), col("depth"),
+        expr("substring(text, 1, depth)").as("pfx"))
+    e.groupBy("depth", "pfx").agg(count(lit(1)).as("n"))
+      .groupBy("depth")
+      .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("shared_groups"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("docs_covered"),
+        sum(when(col("n") > 1,
+          (col("n") - 1) * least(col("depth").cast("long"),
+            length(col("pfx")).cast("long"))).otherwise(0L))
+          .as("saved_chars"))
+      .select(col("depth").cast("int").as("depth"), col("shared_groups"),
+        col("docs_covered"), col("saved_chars"))
+      .orderBy("depth")
+  }
+
   /** χ² feature selection (r9, the sklearn chi2/SelectKBest shape):
     * the top-20 tokens most associated with a document label, scored
     * by the EXACT 2×2 chi-square χ² = T·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
@@ -11281,7 +11327,7 @@ object Queries {
     qTTfidf, qTHashedFeatures, qTBm25, qRHybridRrf, qTUnigramLp, qTPplBuckets, qTOovRate,
     qTCharEntropy, qTChunks, qPipePack,
     qPipeConcatCut, qTLengthBuckets,
-    qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence, qTChi2Features,
+    qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence, qTChi2Features, qTPrefixCache,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
     qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
