@@ -3575,6 +3575,63 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXACT all-pairs cosine join with prefix filtering
+    * (Dedup.allPairsCosine — r9, Bayardo–Ma–Srikant WWW'07): the
+    * exact counterpart of the MinHash cascade for regimes where
+    * approximation is unacceptable (decontamination audits, takedown
+    * sweeps). Candidates only where two docs share a token in their
+    * df-ascending-order PREFIXES (length |d|−⌈t²|d|⌉+1 — the
+    * prefix-filtering lemma, zero recall loss); verify is the exact
+    * intersection count; the threshold decision is pure integers on
+    * cos² (inter²·10⁶ ≥ 490000·sz_a·sz_b, t = 0.7). The oracle
+    * replays the identical chain — and because prefix filtering is
+    * complete under ANY consistent global order, the final pair set
+    * is provably independent of engine tie-breaking. House cascade
+    * order: exactDedup FIRST (replicas share whole prefixes). The
+    * catalog entry runs the near-exact sweep regime, t = 0.95
+    * (cos² ≥ 902500 ppm, exact): the synthetic corpus is template-
+    * similar at the token-set level (t = 0.7 passes 86,813 of the
+    * 124,750 possible pairs — no structure), while 0.95 isolates the
+    * true near-dup mass (4,982 pairs) AND cuts the indexed prefix to
+    * ~10% of each document's tokens.
+    */
+  val qDAllPairsCosine = q(
+    "q_d_allpairs_cosine",
+    """WITH kept AS (SELECT MIN(doc_id) AS id, text
+      |  FROM documents GROUP BY text),
+      |tok AS (SELECT id,
+      |    list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> len(t) > 0)) AS ts
+      |  FROM kept),
+      |tsz AS (SELECT id, ts, len(ts) AS sz FROM tok WHERE len(ts) > 0),
+      |posts AS (SELECT id, sz, unnest(ts) AS tk FROM tsz),
+      |dfreq AS (SELECT tk, COUNT(*) AS df FROM posts GROUP BY tk),
+      |pre AS (SELECT id, tk FROM (
+      |          SELECT p.id, p.tk, p.sz,
+      |                 ROW_NUMBER() OVER (PARTITION BY p.id
+      |                   ORDER BY d.df, p.tk) AS pos
+      |          FROM posts p JOIN dfreq d USING (tk))
+      |        WHERE pos <= sz - ((902500 * sz + 999999) // 1000000) + 1),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |         FROM pre a JOIN pre b USING (tk) WHERE a.id < b.id),
+      |ver AS (SELECT id_a, id_b, pa.sz AS sz_a, pb.sz AS sz_b,
+      |          COUNT(*) AS inter
+      |        FROM cand
+      |        JOIN posts pa ON pa.id = id_a
+      |        JOIN posts pb ON pb.id = id_b AND pb.tk = pa.tk
+      |        GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, sz_a, sz_b, inter,
+      |       inter * inter * 1000000 // (sz_a * sz_b) AS cos2_ppm
+      |FROM ver
+      |WHERE inter * inter * 1000000 >= 902500 * sz_a * sz_b
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    Dedup.allPairsCosine(
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+      "doc_id", "text", minCos2Ppm = 902500L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Near-dup pairs → duplicate CLUSTERS: connected components over
     * the ngram-Jaccard pair graph (threshold 0.02 — low on purpose:
     * at sf0.01 it yields a 189-doc giant component plus ~50 smaller
@@ -11330,7 +11387,7 @@ object Queries {
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence, qTChi2Features, qTPrefixCache,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
-    qDNgramJaccard, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
+    qDNgramJaccard, qDAllPairsCosine, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter,
     qDCcClusters, qDCcIncremental, qDDupWeights, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,

@@ -111,6 +111,78 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT all-pairs cosine similarity join with prefix filtering
+    * (Bayardo–Ma–Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW'07) — the exact counterpart of the MinHash cascade, for the
+    * regimes where approximation is unacceptable (eval-set
+    * decontamination audits, legal takedown sweeps). Binary
+    * token-set cosine cos(A,B) = |A∩B|/√(|A|·|B|) ≥ t, decided in
+    * PURE integers on cos² (inter²·10⁶ ≥ minCos2Ppm·|A|·|B|), so the
+    * whole chain replays bit-for-bit cross-engine — no sqrt, no
+    * float anywhere.
+    *
+    * Candidate generation indexes only each document's PREFIX under
+    * the global (document-frequency asc, token asc) order: any valid
+    * pair needs overlap ≥ ⌈t²·|d|⌉ for BOTH members (the size filter
+    * |B| ≥ t²·|A| folds into the bound: i ≥ t·√(ab) ≥ t²·max(a,b)),
+    * and the prefix-filtering lemma says records sharing no token in
+    * their (|d|−minov+1)-prefixes cannot reach that overlap — tokens
+    * past the prefix are skipped COMPLETELY with zero recall loss.
+    * The df-ascending order is what makes this a 100 TB shape: the
+    * surviving posting lists hold each document's corpus-RAREST
+    * tokens, so the self-join key distribution is thin by
+    * construction (a frequent token appears only deep in suffixes
+    * and never enters the index). Verification joins candidates back
+    * to the full posting table and counts the exact intersection.
+    * Completeness holds for ANY consistent global order, so the
+    * final output is independent of tie-breaking — only candidate
+    * volume depends on it. Exact-duplicate documents share entire
+    * prefixes; run [[exactDedup]] first (house cascade order) so
+    * replicas collapse before the pairwise stage.
+    *
+    * Default threshold cos² ≥ 0.49 ppm-exact (t = 0.7). Output:
+    * (id_a < id_b, sz_a, sz_b, inter, cos2_ppm) with
+    * cos2_ppm = ⌊inter²·10⁶ / (sz_a·sz_b)⌋.
+    */
+  def allPairsCosine(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCos2Ppm: Long = 490000L): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        array_distinct(TextOps.tokens(col(textCol))).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+      .filter(col("sz") > 0)
+    val posts = tok.select(col("id"), col("sz"), explode(col("ts")).as("tk"))
+    val dfreq = posts.groupBy("tk").agg(count(lit(1)).as("df"))
+    // per-doc prefix position under the global (df asc, tk asc) order:
+    // a per-id window (doc-sized partitions), never a global one.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tk"))
+    val minov = // ⌈t²·sz⌉ in pure long arithmetic
+      expr(s"($minCos2Ppm * sz + 999999) div 1000000")
+    val pre = posts.join(dfreq, Seq("tk"))
+      .withColumn("pos", row_number().over(byDoc).cast("long"))
+      .filter(col("pos") <= col("sz") - minov + lit(1L))
+      .select("id", "tk")
+    val cand = pre.select(col("id").as("id_a"), col("tk"))
+      .join(pre.select(col("id").as("id_b"), col("tk")), Seq("tk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pa = posts.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("tk"))
+    val pb = posts.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("tk"))
+    cand.join(pa, Seq("id_a")).join(pb, Seq("id_b", "tk"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * col("inter") * lit(1000000L) >=
+        lit(minCos2Ppm) * col("sz_a") * col("sz_b"))
+      .withColumn("cos2_ppm",
+        expr("inter * inter * 1000000 div (sz_a * sz_b)"))
+      .select("id_a", "id_b", "sz_a", "sz_b", "inter", "cos2_ppm")
+  }
+
   /** MinHash signature column: k independent permutation approximations
     * h_i(x) = (a_i·x + b_i) mod P over base-hashed shingles. Seeds are
     * deterministic (fixed RNG seed) so signatures are reproducible

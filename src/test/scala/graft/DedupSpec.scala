@@ -424,4 +424,57 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((3L, 0L, fp("a b c")))) // untouched
     assert(got(3L) == ((17L, 16L, fp("z0")))) // both islands cut
   }
+
+  test("allPairsCosine ≡ brute force (prefix filtering loses nothing) " +
+      "and the cos² decision is exact") {
+    // 60 docs over a 40-token vocab: planted near-identical pairs
+    // (one-token substitutions), template families sharing half their
+    // tokens, and singletons — exercises prefix boundaries at many
+    // sizes. Real sf0.001 docs join the fixture for corpus shapes.
+    val synth = (0L until 60L).map { i =>
+      val fam = i % 6
+      val base = (0 until (8 + (i % 5).toInt))
+        .map(j => s"t${(fam * 7 + j * (1 + i % 3)) % 40}")
+      (i, (base :+ s"x${i % 11}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val real = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id") + 1000L as "doc_id", col("text"))
+    val docs = synth.unionByName(real)
+
+    val t2 = 902500L
+    val got = Dedup.allPairsCosine(docs, "doc_id", "text",
+        minCos2Ppm = t2)
+      .select("id_a", "id_b", "inter", "cos2_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+    // brute force: every pair, exact integer intersection
+    val tok = docs.select(col("doc_id").as("id"),
+        array_distinct(TextOps.tokens(col("text"))).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+      .filter(col("sz") > 0)
+    val brute = tok.select(col("id").as("id_a"), col("ts").as("ta"),
+        col("sz").as("sz_a"))
+      .crossJoin(tok.select(col("id").as("id_b"), col("ts").as("tb"),
+        col("sz").as("sz_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * col("inter") * lit(1000000L) >=
+        lit(t2) * col("sz_a") * col("sz_b"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        expr("inter * inter * 1000000 div (sz_a * sz_b)").as("cos2_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+    assert(got == brute) // complete AND sound, values bit-identical
+    assert(brute.nonEmpty) // the fixture actually plants qualifying pairs
+    // boundary exactness: a pair at exactly cos² = t² must be kept
+    val pair = Seq((100L, "a b c d"), (101L, "a b c e")).toDF("doc_id", "text")
+    // inter=3, sz=4,4: cos² = 9/16 = 562500 ppm exactly
+    assert(Dedup.allPairsCosine(pair, "doc_id", "text",
+      minCos2Ppm = 562500L).count() == 1L)
+    assert(Dedup.allPairsCosine(pair, "doc_id", "text",
+      minCos2Ppm = 562501L).count() == 0L)
+  }
 }
