@@ -3521,6 +3521,44 @@ object Queries {
     }
   }
 
+  /** Cohen's kappa scorer agreement (ClusterAgreement.cohenKappa —
+    * r9, Cohen '60): chance-corrected agreement between two quality
+    * classifiers over the corpus — here the token-count gate vs the
+    * char-length gate, each bucketed {0,1,2}. The two gates measure
+    * the same latent "document length" signal through different
+    * lenses, so raw agreement is high (78%) but the margins are
+    * imbalanced — exactly the regime where percent-agreement
+    * overstates and kappa is the honest number. Complements
+    * q_t_langid_ari: ARI is permutation-invariant (partition
+    * similarity), kappa is category-identity-strict (rater
+    * calibration). All integers: po/pe/kappa in exact ppm off one
+    * contingency-table reduce.
+    */
+  val qLScorerKappa = {
+    val labelsSql =
+      """SELECT CASE WHEN nt < 30 THEN 0 WHEN nt < 80 THEN 1 ELSE 2 END AS la,
+        |       CASE WHEN lc < 200 THEN 0 WHEN lc < 500 THEN 1 ELSE 2 END AS lb
+        |FROM (SELECT len(list_filter(regexp_split_to_array(text, '\s+'),
+        |               t -> len(t) > 0)) AS nt,
+        |             len(text) AS lc
+        |      FROM documents)""".stripMargin
+    q(
+      "q_l_scorer_kappa",
+      graft.operators.ClusterAgreement.cohenKappaOracleSql(labelsSql)) {
+      (s, d) =>
+        import graft.operators.TextOps
+        val nt = TextOps.tokenCount(col("text"))
+        val lc = length(col("text"))
+        val labels = Tables.documents(s, d).select(
+          when(nt < 30, lit(0L)).when(nt < 80, lit(1L)).otherwise(lit(2L))
+            .as("qa_tokens"),
+          when(lc < 200, lit(0L)).when(lc < 500, lit(1L)).otherwise(lit(2L))
+            .as("qa_chars"))
+        graft.operators.ClusterAgreement
+          .cohenKappa(labels, "qa_tokens", "qa_chars")
+    }
+  }
+
   /** Order-sensitive polynomial document fingerprint (rolling hash mod
     * 1e9+7) — same left fold in both engines.
     */
@@ -11388,7 +11426,7 @@ object Queries {
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
     qDNgramJaccard, qDAllPairsCosine, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
-    qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter,
+    qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter, qLScorerKappa,
     qDCcClusters, qDCcIncremental, qDDupWeights, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,

@@ -51,6 +51,70 @@ object ClusterAgreement {
           .as("ari"))
   }
 
+  /** Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960): chance-
+    * corrected agreement between two raters/classifiers over the same
+    * row set — the scorer-agreement QA that raw percent-agreement
+    * overstates whenever classes are imbalanced (two gates that both
+    * say "keep" 95% of the time agree 90%+ by chance alone). Unlike
+    * [[ari]], kappa is category-IDENTITY-sensitive: the raters must
+    * use the same label vocabulary, and only exact la = lb cells
+    * count as agreement.
+    *
+    * Exact ppm integers off the same contingency-table reduce as
+    * [[ari]]: po = d/n (diagonal mass), pe = Σ_i row_i·col_i / n²
+    * (chance agreement from the margins), and
+    * kappa_ppm = (d·n − Σrc)·10⁶ div (n² − Σrc) — one truncating
+    * division, no float anywhere, so the gate replays bit-for-bit.
+    * Degenerate chance-perfect margins (n² = Σrc) return 0 by
+    * convention. Long bound: n²·10⁶ needs n ≲ 3·10⁶ — beyond that
+    * lift the three products to DECIMAL(38); the shape is unchanged.
+    *
+    * Scale shape: ONE map-side-combined groupBy(a,b) collapses the
+    * fact to the k_a×k_b contingency table; everything after is
+    * metadata-sized aggregation.
+    */
+  def cohenKappa(labels: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = labels.groupBy(col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("nij"))
+    val nd = ct.agg(sum("nij").as("n"),
+      sum(when(col("la") === col("lb"), col("nij")).otherwise(lit(0L)))
+        .as("d"))
+    val src = ct.groupBy("la").agg(sum("nij").as("ai"))
+      .join(ct.groupBy("lb").agg(sum("nij").as("bj")),
+        col("la") === col("lb"))
+      .agg(coalesce(sum(col("ai") * col("bj")), lit(0L)).as("src"))
+    nd.crossJoin(broadcast(src))
+      .select(col("n"), col("d"),
+        expr("d * 1000000 div n").as("po_ppm"),
+        expr("src * 1000000 div (n * n)").as("pe_ppm"),
+        when(col("n") * col("n") === col("src"), lit(0L))
+          .otherwise(expr("(d * n - src) * 1000000 div (n * n - src)"))
+          .as("kappa_ppm"))
+  }
+
+  /** DuckDB oracle replaying `cohenKappa` op-for-op over a labels
+    * subquery producing columns (la, lb).
+    */
+  def cohenKappaOracleSql(labelsSql: String): String =
+    s"""WITH lbl AS ($labelsSql),
+       |ct AS (SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij
+       |       FROM lbl GROUP BY 1, 2),
+       |nd AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+       |         CAST(SUM(CASE WHEN la = lb THEN nij ELSE 0 END)
+       |              AS BIGINT) AS d
+       |       FROM ct),
+       |src AS (SELECT CAST(COALESCE(SUM(ai * bj), 0) AS BIGINT) AS src
+       |        FROM (SELECT la, SUM(nij) AS ai FROM ct GROUP BY 1) r
+       |        JOIN (SELECT lb, SUM(nij) AS bj FROM ct GROUP BY 1) c
+       |          ON r.la = c.lb)
+       |SELECT n, d,
+       |       d * 1000000 // n AS po_ppm,
+       |       src * 1000000 // (n * n) AS pe_ppm,
+       |       CASE WHEN n * n = src THEN 0
+       |            ELSE (d * n - src) * 1000000 // (n * n - src)
+       |       END AS kappa_ppm
+       |FROM nd CROSS JOIN src""".stripMargin
+
   /** DuckDB oracle replaying `ari` op-for-op over a labels subquery
     * producing columns (la, lb).
     */

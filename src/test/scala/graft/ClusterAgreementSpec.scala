@@ -35,4 +35,34 @@ class ClusterAgreementSpec extends SparkSpec {
     val renamed = base.map { case (a, b) => (a, if (b == "1") "Z" else "A") }
     assert(row(base).getAs[Double]("ari") == row(renamed).getAs[Double]("ari"))
   }
+
+  private def kap(pairs: Seq[(String, String)]) =
+    ClusterAgreement.cohenKappa(pairs.toDF("a", "b"), "a", "b").first()
+
+  test("cohenKappa: textbook 2x2 fixture, exact ppm") {
+    // cells: (0,0)=15 (1,1)=20 (0,1)=5 (1,0)=10 -> n=50, d=35
+    // rows: a0=20, a1=30; cols: b0=25, b1=25; Σrc = 20·25+30·25 = 1250
+    // po = 35/50 = 0.7; pe = 1250/2500 = 0.5; kappa = 0.2/0.5 = 0.4
+    val pairs =
+      Seq.fill(15)("0" -> "0") ++ Seq.fill(20)("1" -> "1") ++
+      Seq.fill(5)("0" -> "1") ++ Seq.fill(10)("1" -> "0")
+    val r = kap(pairs)
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Long]("d") == 35)
+    assert(r.getAs[Long]("po_ppm") == 700000L)
+    assert(r.getAs[Long]("pe_ppm") == 500000L)
+    assert(r.getAs[Long]("kappa_ppm") == 400000L)
+  }
+
+  test("cohenKappa: perfect agreement is 1.0; chance-perfect margins " +
+      "return 0; kappa is NOT label-permutation-invariant (ARI is)") {
+    val perfect = kap(Seq("x" -> "x", "y" -> "y", "x" -> "x"))
+    assert(perfect.getAs[Long]("kappa_ppm") == 1000000L)
+    // one rater constant: n² = Σrc, convention 0 (not NaN/crash)
+    val degen = kap(Seq("x" -> "p", "x" -> "q"))
+    assert(degen.getAs[Long]("kappa_ppm") == 0L)
+    // swapped labels on one side: same partition (ARI invariant) but
+    // zero diagonal -> kappa goes negative (systematic disagreement)
+    val swapped = kap(Seq("0" -> "1", "0" -> "1", "1" -> "0", "1" -> "0"))
+    assert(swapped.getAs[Long]("kappa_ppm") < 0L)
+  }
 }
