@@ -5166,6 +5166,30 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Coverage-seeking mixture reweighting
+    * (Sampling.coverageReweight — r9, the Group-DRO / DoReMi family):
+    * two rounds of exponentiated-gradient ascent where each source's
+    * excess loss is its TV distance from the CURRENT mixture's
+    * unigram distribution — the mixture moves between rounds, so
+    * round 2's losses differ from round 1's and the unroll is real
+    * (a static-loss MW update would collapse to one step). Fully
+    * integer fixed-point (ppm floors, truncating divisions); the
+    * oracle replays both rounds CTE-for-CTE. Complements
+    * q_o26_budget_waterfill (capacity-constrained allocation) and
+    * q_o11/q_o19 (static share mixtures): this one ADAPTS the
+    * weights toward coverage.
+    */
+  val qO32DomainReweight = q(
+    "q_o32_domain_reweight",
+    graft.operators.Sampling.coverageReweightOracleSql(
+      s"SELECT source, $duckToks AS toks FROM documents",
+      rounds = 2, etaPpm = 500000L)) { (s, d) =>
+    graft.operators.Sampling.coverageReweight(
+      Tables.documents(s, d), "source", "text",
+      rounds = 2, etaPpm = 500000L)
+      .orderBy("source")
+  }
+
   /** Fellegi–Sunter match scoring (RecordLinkage.fellegiSunter — r9,
     * JASA'69): per-field agreement milli-weights summed over
     * nation-blocked customer pairs, threshold-cut into link /
@@ -11411,7 +11435,7 @@ object Queries {
     qA11QuantileSketch, qA12Outliers, qA14MadOutliers, qA15Argmax,
     qA16Winsorize, qA17EquiDepthBins, qA18HeavyHitters, qW2PctRankApprox,
     qA8Corr, qO5SetOps, qO6TopK, qO7Stratified, qO8Pivot,
-    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO26Waterfill, qO13WeightedSample, qO14Profile,
+    qO9HashSplit, qO10HashSample, qO24GroupKfold, qO25Curriculum, qO26Waterfill, qO32DomainReweight, qO13WeightedSample, qO14Profile,
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel, qWSlidingDistinct, qWRollingCorr,
     qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qWCoec, qTCollocations,

@@ -692,4 +692,112 @@ object Sampling {
        |  FROM wc$rounds p JOIN rsf ON rsf.r = p.r
        |                   JOIN csf ON csf.c = p.c)""".stripMargin
   }
+
+  /** Coverage-seeking mixture reweighting — the Group-DRO / DoReMi
+    * family primitive (Sagawa ICLR'20; Xie et al. '23), made
+    * deterministic: exponentiated-gradient ascent where each source's
+    * "excess loss" is its TOTAL-VARIATION distance from the CURRENT
+    * mixture's unigram distribution. Sources the mixture fails to
+    * cover get upweighted; because the mixture moves each round, the
+    * rounds genuinely interact (unlike a static-loss MW update, which
+    * collapses to one closed-form step). DoReMi's exp(η·loss) update
+    * is replaced by the fixed-point multiplier w·(10⁶ + η·tv)/10⁶ —
+    * first-order identical for small η·tv and exactly replayable:
+    * every probability is a ppm floor, every update a truncating
+    * integer division, so the gate hashes bit-for-bit.
+    *
+    * Scale shape: the fact collapses ONCE to the (source, token)
+    * count table; each round is one vocab-sized join against the
+    * broadcast source-weight table plus one grouped sum — no fact
+    * rescan, no window. TV against the mixture needs the
+    * absent-token mass too: TV_i = Σ_{t∈i}|p_i·10⁶ − m_t| +
+    * (Σ_t m_t − Σ_{t∈i} m_t), all from the same join. Long bounds:
+    * m_t ≤ 10¹², per-source sums ≤ vocab·10¹² — lift to DECIMAL(38)
+    * past ~10⁶ vocab terms per source; the shape is unchanged.
+    *
+    * Returns one row per source: (source, tv_ppm of the final round,
+    * w_ppm final normalized weight).
+    */
+  def coverageReweight(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      rounds: Int = 2,
+      etaPpm: Long = 500000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val pd = df.select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("tk"))
+      .groupBy("source", "tk").agg(count(lit(1)).as("cnt"))
+    val tot = pd.groupBy("source").agg(sum("cnt").as("tot"))
+    // the per-source unigram distribution, ppm floors; reused every
+    // round — checkpoint so rounds don't replay the fact scan
+    val p = pd.join(tot, "source")
+      .select(col("source"), col("tk"),
+        expr("cnt * 1000000 div tot").as("p_ppm"))
+      .localCheckpoint()
+    var w = tot.select(col("source"))
+      .crossJoin(broadcast(tot.agg(count(lit(1)).as("ns"))))
+      .select(col("source"), expr("1000000 div ns").as("w"))
+    var tv: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val m = p.join(broadcast(w), "source")
+        .groupBy("tk").agg(sum(expr("w * p_ppm")).as("m"))
+      val mtot = m.agg(sum("m").as("mtot"))
+      tv = p.join(m, "tk").groupBy("source")
+        .agg(sum(expr("abs(p_ppm * 1000000 - m)")).as("a"),
+          sum("m").as("b"))
+        .crossJoin(broadcast(mtot))
+        .select(col("source"), expr("(a - b + mtot) div 1000000").as("tv_ppm"))
+      val wr = w.join(tv, "source").select(col("source"),
+        expr(s"w * (1000000 + tv_ppm * $etaPpm div 1000000) div 1000000")
+          .as("wr"))
+      val wsum = wr.agg(sum("wr").as("ws"))
+      w = wr.crossJoin(broadcast(wsum))
+        .select(col("source"), expr("wr * 1000000 div ws").as("w"))
+        .localCheckpoint() // source-count-sized; cuts per-round lineage
+    }
+    w.join(tv, "source")
+      .select(col("source"), col("tv_ppm"), col("w").as("w_ppm"))
+  }
+
+  /** DuckDB oracle replaying [[coverageReweight]] round-for-round over
+    * a docs subquery producing (source, toks list).
+    */
+  def coverageReweightOracleSql(
+      docsSql: String,
+      rounds: Int = 2,
+      etaPpm: Long = 500000L): String = {
+    val steps = (1 to rounds).map { r =>
+      val wp = if (r == 1) "w0" else s"w${r - 1}"
+      s"""m$r AS (SELECT tk, CAST(SUM(w * p_ppm) AS BIGINT) AS m
+         |  FROM p JOIN $wp USING (source) GROUP BY tk),
+         |mt$r AS (SELECT CAST(SUM(m) AS BIGINT) AS mtot FROM m$r),
+         |d$r AS (SELECT source, (a - b + mtot) // 1000000 AS tv_ppm
+         |  FROM (SELECT source,
+         |          CAST(SUM(ABS(p_ppm * 1000000 - m)) AS BIGINT) AS a,
+         |          CAST(SUM(m) AS BIGINT) AS b
+         |        FROM p JOIN m$r USING (tk) GROUP BY source)
+         |  CROSS JOIN mt$r),
+         |u$r AS (SELECT $wp.source,
+         |    w * (1000000 + tv_ppm * $etaPpm // 1000000) // 1000000 AS wr
+         |  FROM $wp JOIN d$r USING (source)),
+         |s$r AS (SELECT CAST(SUM(wr) AS BIGINT) AS ws FROM u$r),
+         |w$r AS (SELECT source, wr * 1000000 // ws AS w
+         |  FROM u$r CROSS JOIN s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS ($docsSql),
+       |pd AS (SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM (SELECT source, unnest(toks) AS tk FROM docs)
+       |       GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+       |        FROM pd GROUP BY 1),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tot),
+       |p AS (SELECT pd.source, tk, cnt * 1000000 // tot AS p_ppm
+       |      FROM pd JOIN tot USING (source)),
+       |w0 AS (SELECT source, 1000000 // n AS w FROM tot CROSS JOIN ns),
+       |$steps
+       |SELECT w$rounds.source, d$rounds.tv_ppm, w$rounds.w AS w_ppm
+       |FROM w$rounds JOIN d$rounds USING (source)
+       |ORDER BY source""".stripMargin
+  }
 }

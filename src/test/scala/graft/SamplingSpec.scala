@@ -604,4 +604,27 @@ class SamplingSpec extends SparkSpec {
     val byShard = m.groupBy(_._3).map { case (s, v) => s -> v.length }
     assert(byShard.size === 9 && byShard.values.forall(_ > 9000 / 18))
   }
+
+  test("coverageReweight upweights the uncovered source; rounds interact") {
+    import spark.implicits._
+    // two sources share one distribution, the third is disjoint: the
+    // mixture leans toward the shared mass, so the outlier's TV from
+    // the mixture is larger and it must gain weight over uniform.
+    val docs = (
+      (1 to 30).map(i => ("a", s"alpha beta gamma d${i % 5}")) ++
+      (1 to 30).map(i => ("b", s"alpha beta gamma d${i % 5}")) ++
+      (1 to 30).map(i => ("c", s"omega psi chi x${i % 5}"))
+    ).toDF("source", "text")
+    def w(rounds: Int) = Sampling
+      .coverageReweight(docs, "source", "text", rounds = rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val w2 = w(2)
+    assert(w2("c") > 333333L, s"outlier must exceed uniform: $w2")
+    assert(w2("c") > w2("a") && w2("a") == w2("b"),
+      "symmetric sources stay tied")
+    // weights renormalize to ~1e6 (ppm floors lose at most #sources)
+    assert(math.abs(w2.values.sum - 1000000L) <= 3)
+    // the mixture moves between rounds: round 2 differs from round 1
+    assert(w(1) != w2, "static unroll would make rounds a no-op")
+  }
 }
