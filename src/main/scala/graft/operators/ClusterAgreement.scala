@@ -72,6 +72,12 @@ object ClusterAgreement {
     * Scale shape: ONE map-side-combined groupBy(a,b) collapses the
     * fact to the k_a×k_b contingency table; everything after is
     * metadata-sized aggregation.
+    *
+    * NULL labels: a null category never equals anything (SQL
+    * three-valued equality), so null-labeled rows count toward n as
+    * disagreements and are excluded from the chance margins — both
+    * engines agree. Coalesce to a sentinel first if "both raters
+    * abstained" should count as agreement.
     */
   def cohenKappa(labels: DataFrame, aCol: String, bCol: String): DataFrame = {
     val ct = labels.groupBy(col(aCol).as("la"), col(bCol).as("lb"))

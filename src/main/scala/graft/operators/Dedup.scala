@@ -142,7 +142,10 @@ object Dedup {
     *
     * Default threshold cos² ≥ 0.49 ppm-exact (t = 0.7). Output:
     * (id_a < id_b, sz_a, sz_b, inter, cos2_ppm) with
-    * cos2_ppm = ⌊inter²·10⁶ / (sz_a·sz_b)⌋.
+    * cos2_ppm = ⌊inter²·10⁶ / (sz_a·sz_b)⌋. Long bound: inter²·10⁶
+    * needs inter ≲ 3·10⁶ distinct shared tokens per pair — lift the
+    * decision products to DECIMAL(38) past that; the shape is
+    * unchanged.
     */
   def allPairsCosine(
       df: DataFrame,
