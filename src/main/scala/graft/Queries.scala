@@ -32,17 +32,25 @@ final case class QSpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean = true,
+    // When set, Bench times THIS plan instead of `fn` — the
+    // production-parameter variant of an oracle-width gate (e.g.
+    // HyperANF benches m=32 while the correctness entry stays m=256,
+    // itself separately oracled as q_*_m32). Verify always runs `fn`.
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 object Queries {
 
-  private def q(name: String, oracle: String, bench: Boolean = true)(
+  private def q(name: String, oracle: String, bench: Boolean = true,
+      benchFn: Option[(SparkSession, String) => DataFrame] = None)(
       fn: (SparkSession, String) => DataFrame): QSpec =
     QSpec(
       name,
       (s, d) => { GraftSession.tune(s); fn(s, d) },
       Option(oracle).map(_.trim).filter(_.nonEmpty),
-      bench)
+      bench,
+      benchFn.map(f => (s: SparkSession, d: String) =>
+        { GraftSession.tune(s); f(s, d) }))
 
   /** Cross-engine-stable money sum: exact DECIMAL arithmetic, then one
     * deterministic cast to double. `ROUND(SUM(double))` is NOT stable
@@ -5178,8 +5186,8 @@ object Queries {
   /** Coverage-seeking mixture reweighting
     * (Sampling.coverageReweight — r9, the Group-DRO / DoReMi family):
     * two rounds of exponentiated-gradient ascent where each source's
-    * excess loss is its TV distance from the CURRENT mixture's
-    * unigram distribution — the mixture moves between rounds, so
+    * excess loss is its L1 distance (2×TV; output column l1_ppm)
+    * from the CURRENT mixture's unigram distribution — the mixture moves between rounds, so
     * round 2's losses differ from round 1's and the unroll is real
     * (a static-loss MW update would collapse to one step). Fully
     * integer fixed-point (ppm floors, truncating divisions); the
@@ -7317,17 +7325,22 @@ object Queries {
          |    UNION ALL SELECT pri FROM sb) ORDER BY pri LIMIT 64)),
          |ic AS (SELECT COUNT(*) AS n_inter FROM
          |  (SELECT pri FROM sa INTERSECT SELECT pri FROM sb) x, ta, tb
-         |  WHERE x.pri <= least(th_a, th_b))
+         |  WHERE x.pri <= least(CASE WHEN k_a < 64 THEN $p ELSE th_a END,
+         |                       CASE WHEN k_b < 64 THEN $p ELSE th_b END))
          |SELECT
          |  CASE WHEN k_a < 64 THEN k_a ELSE (k_a - 1) * $p // th_a END AS est_a,
          |  CASE WHEN k_b < 64 THEN k_b ELSE (k_b - 1) * $p // th_b END AS est_b,
          |  CASE WHEN k_a < 64 AND k_b < 64 THEN n_inter
-         |       ELSE n_inter * $p // least(th_a, th_b) END AS est_inter,
+         |       ELSE n_inter * $p // least(
+         |         CASE WHEN k_a < 64 THEN $p ELSE th_a END,
+         |         CASE WHEN k_b < 64 THEN $p ELSE th_b END) END AS est_inter,
          |  CASE WHEN u_cnt < 64 THEN u_cnt ELSE ${63L * p} // th_u END AS est_union,
          |  CASE WHEN (CASE WHEN u_cnt < 64 THEN u_cnt
          |                  ELSE ${63L * p} // th_u END) > 0
          |       THEN (CASE WHEN k_a < 64 AND k_b < 64 THEN n_inter
-         |                  ELSE n_inter * $p // least(th_a, th_b) END)
+         |                  ELSE n_inter * $p // least(
+         |                    CASE WHEN k_a < 64 THEN $p ELSE th_a END,
+         |                    CASE WHEN k_b < 64 THEN $p ELSE th_b END) END)
          |            * 1000000 // (CASE WHEN u_cnt < 64 THEN u_cnt
          |                              ELSE ${63L * p} // th_u END)
          |       ELSE 0 END AS jaccard_ppm
@@ -8555,7 +8568,8 @@ object Queries {
        |    THEN ${m.toDouble} * ln(${m.toDouble} / CAST(zeros AS DOUBLE))
        |    ELSE raw END) AS BIGINT) AS est FROM es$t""".stripMargin
 
-  private def hyperAnfQuery(name: String, m: Int, rounds: Int): QSpec = {
+  private def hyperAnfQuery(name: String, m: Int, rounds: Int,
+      bench: Boolean = true, benchM: Option[Int] = None): QSpec = {
     val nfCtes = (0 to rounds).map { t =>
       s"""nf$t AS (SELECT $t AS t, CAST(SUM(est) AS BIGINT) AS nf
          |  FROM (${hyperAnfEstSql(m, t)}))""".stripMargin
@@ -8567,19 +8581,32 @@ object Queries {
          |$nfCtes
          |SELECT * FROM (${(0 to rounds).map(t => s"SELECT t, nf FROM nf$t")
              .mkString(" UNION ALL ")})
-         |ORDER BY t""".stripMargin) { (s, d) =>
+         |ORDER BY t""".stripMargin,
+      bench = bench,
+      benchFn = benchM.map(bm => (s: SparkSession, d: String) =>
+        graft.operators.HyperAnf
+          .neighborhoodFunction(hyperAnfGraph(s, d), rounds, bm))) { (s, d) =>
       graft.operators.HyperAnf
         .neighborhoodFunction(hyperAnfGraph(s, d), rounds, m)
     }
   }
 
-  val qGHyperAnf = hyperAnfQuery("q_g_hyperanf", m = 256, rounds = 3)
-
-  /** The production-width variant — same chain at m=32; its bench row
-    * against q_g_hyperanf is the measured cost of the register-width
-    * lever (|E| × occupied-registers join volume per round).
+  /** Oracle gate at m=256 (register width where the HLL bias constant
+    * is the published asymptotic α∞); the BENCH row runs the
+    * production width m=32 — the plan a 100 TB deployment gets, whose
+    * correctness is separately gated by q_g_hyperanf_m32 (r10: the
+    * catalog total now reflects production registers, per-round join
+    * volume |E|×m being the measured 4.3× lever).
     */
-  val qGHyperAnfM32 = hyperAnfQuery("q_g_hyperanf_m32", m = 32, rounds = 3)
+  val qGHyperAnf =
+    hyperAnfQuery("q_g_hyperanf", m = 256, rounds = 3, benchM = Some(32))
+
+  /** The production-width gate — same chain at m=32, oracled in its
+    * own right; NOT separately benched (its timing is exactly what
+    * q_g_hyperanf's bench row now measures).
+    */
+  val qGHyperAnfM32 =
+    hyperAnfQuery("q_g_hyperanf_m32", m = 32, rounds = 3, bench = false)
 
   /** Per-node harmonic centrality (HyperAnf.harmonicCentrality —
     * r10, Boldi-Vigna HyperBall ICDMW'13): Σ 1/d(u→v) accumulated
@@ -8590,15 +8617,15 @@ object Queries {
     * hc·lcm(1..3) = hc·6 — integer weights, no division, so exact
     * even when a small-range regime switch turns a delta negative.
     */
-  val qGHarmonic = {
-    val m = 256
+  private def harmonicQuery(name: String, m: Int,
+      bench: Boolean = true, benchM: Option[Int] = None): QSpec = {
     val rounds = 3
     val ws = graft.operators.HyperAnf.harmonicWeights(rounds)
     val terms = (1 to rounds)
       .map(t => s"(e$t.est - e${t - 1}.est) * ${ws(t - 1)}")
       .mkString("\n       |         + ")
     q(
-      "q_g_harmonic",
+      name,
       s"""WITH $hyperAnfGraphCte,
          |${hyperAnfChainCtes(m, rounds)},
          |${(0 to rounds)
@@ -8611,12 +8638,30 @@ object Queries {
          |${(1 to rounds)
             .map(t => s"JOIN est$t e$t ON e$t.v = e0.v")
             .mkString("\n")}
-         |ORDER BY e0.v""".stripMargin) { (s, d) =>
+         |ORDER BY e0.v""".stripMargin,
+      bench = bench,
+      benchFn = benchM.map(bm => (s: SparkSession, d: String) =>
+        graft.operators.HyperAnf
+          .harmonicCentrality(hyperAnfGraph(s, d), rounds, bm)
+          .orderBy("v"))) { (s, d) =>
       graft.operators.HyperAnf
         .harmonicCentrality(hyperAnfGraph(s, d), rounds, m)
         .orderBy("v")
     }
   }
+
+  /** m=256 oracle gate; benched at production width m=32 (see
+    * qGHyperAnf's doc — the identical register-width split, the m=32
+    * path gated by q_g_harmonic_m32).
+    */
+  val qGHarmonic = harmonicQuery("q_g_harmonic", m = 256, benchM = Some(32))
+
+  /** Production-width correctness gate for the harmonic m=32 path
+    * (r10); not separately benched — q_g_harmonic's bench row IS this
+    * plan's timing.
+    */
+  val qGHarmonicM32 =
+    harmonicQuery("q_g_harmonic_m32", m = 32, bench = false)
 
   /** Poisson-bootstrap CI for per-flag mean price
     * (Stats.bootstrapMeanCi): 40 replicate weighted means from ONE
@@ -11480,7 +11525,7 @@ object Queries {
     qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qXMetricDecomposition, qWForecastBaseline, qWHoltForecast, qWHoltBySegment, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
-    qWEwma, qGLinkPredict, qGHarmonic, qXEmbeddingDrift, qTLuhnAudit,
+    qWEwma, qGLinkPredict, qGHarmonic, qGHarmonicM32, qXEmbeddingDrift, qTLuhnAudit,
     qXAttStrata, qXSrmCheck, qTBigramNovelty, qWSeasonalAnomaly,
     qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
     qXQte, qO28IpfRaking, qPipeExperimentReadout,

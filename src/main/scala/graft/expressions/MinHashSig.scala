@@ -133,6 +133,10 @@ object MinHashSig {
 case class OnePermMinHash(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
 
+  // k = bin count = signature width; k ≤ 64 keeps bin = ⌊v·k/P⌋ free
+  // of Long overflow (v < P ≈ 2^30, so v·k < 2^36).
+  require(k > 0 && k <= 64, s"OnePermMinHash k must be in [1, 64], got $k")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -155,7 +159,14 @@ case class OnePermMinHash(child: Expression, k: Int, seed: Long)
     val n = input.numElements()
     var j = 0
     while (j < n) {
-      val v = (input.getLong(j) * a + b) % p
+      // the [0,P) input contract holds for the house base hashes, but
+      // the public SQL surface (one_perm_minhash) can receive raw
+      // xxhash64 — wrap non-negative so an out-of-contract negative
+      // input degrades to a valid (different) permutation instead of
+      // crashing on a negative bin index. In-contract inputs are
+      // unchanged: x,a,b ∈ [0,P) ⇒ x·a+b ≥ 0 ⇒ the +p wrap is a no-op,
+      // so the oracle's closed form replays identically.
+      val v = ((input.getLong(j) * a + b) % p + p) % p
       val bin = ((v * k) / p).toInt // v < P, k ≤ 64 ⇒ no overflow
       if (v < mins(bin)) mins(bin) = v
       j += 1

@@ -35,10 +35,15 @@ object Compaction {
     val w = Window.partitionBy(partCol)
       .orderBy(col(bytesCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // `div` (truncating LONG division), never `/`+cast: the double
+    // round-trip is exact only while the prefix sum stays under 2^53
+    // bytes — past that the IEEE rounding could drift the bin off the
+    // oracle's integer `//`. Long arithmetic is exact at any scale.
     files.select(col(partCol), col(idCol), col(bytesCol))
-      .withColumn("bin",
-        (coalesce(sum(col(bytesCol)).over(w), lit(0L)) / targetBytes)
-          .cast("long"))
+      .withColumn("prefix_b",
+        coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prefix_b div ${targetBytes}L"))
+      .drop("prefix_b")
   }
 
   /** Compaction summary per output bin: how many input files merge,

@@ -696,8 +696,9 @@ object Sampling {
   /** Coverage-seeking mixture reweighting — the Group-DRO / DoReMi
     * family primitive (Sagawa ICLR'20; Xie et al. '23), made
     * deterministic: exponentiated-gradient ascent where each source's
-    * "excess loss" is its TOTAL-VARIATION distance from the CURRENT
-    * mixture's unigram distribution. Sources the mixture fails to
+    * "excess loss" is its L1 distance Σ|p−m| from the CURRENT
+    * mixture's unigram distribution (= 2× total variation; the
+    * output column is named l1_ppm accordingly, range 0..2·10⁶). Sources the mixture fails to
     * cover get upweighted; because the mixture moves each round, the
     * rounds genuinely interact (unlike a static-loss MW update, which
     * collapses to one closed-form step). DoReMi's exp(η·loss) update
@@ -715,7 +716,7 @@ object Sampling {
     * m_t ≤ 10¹², per-source sums ≤ vocab·10¹² — lift to DECIMAL(38)
     * past ~10⁶ vocab terms per source; the shape is unchanged.
     *
-    * Returns one row per source: (source, tv_ppm of the final round,
+    * Returns one row per source: (source, l1_ppm of the final round,
     * w_ppm final normalized weight).
     */
   def coverageReweight(
@@ -756,8 +757,13 @@ object Sampling {
         .select(col("source"), expr("wr * 1000000 div ws").as("w"))
         .localCheckpoint() // source-count-sized; cuts per-round lineage
     }
+    // output name is l1_ppm: the quantity is the L1 distance
+    // Σ|p−m| (range 0..2·10⁶ ppm) = 2× total variation. The update
+    // multiplier uses it raw (a constant-factor rescale of η), but
+    // the METRIC must not be labeled TV at half its actual range.
     w.join(tv, "source")
-      .select(col("source"), col("tv_ppm"), col("w").as("w_ppm"))
+      .select(col("source"), col("tv_ppm").as("l1_ppm"),
+        col("w").as("w_ppm"))
   }
 
   /** DuckDB oracle replaying [[coverageReweight]] round-for-round over
@@ -796,7 +802,7 @@ object Sampling {
        |      FROM pd JOIN tot USING (source)),
        |w0 AS (SELECT source, 1000000 // n AS w FROM tot CROSS JOIN ns),
        |$steps
-       |SELECT w$rounds.source, d$rounds.tv_ppm, w$rounds.w AS w_ppm
+       |SELECT w$rounds.source, d$rounds.tv_ppm AS l1_ppm, w$rounds.w AS w_ppm
        |FROM w$rounds JOIN d$rounds USING (source)
        |ORDER BY source""".stripMargin
   }

@@ -233,7 +233,9 @@ object Sketch {
   /** Theta-sketch set operations (Dasgupta et al. / DataSketches
     * "theta" family) on the bottom-k machinery: each side keeps its
     * k smallest order-hashes of the DISTINCT key set; θ = the k-th
-    * smallest on each side. Then with θ∩ = min(θ_A, θ_B):
+    * smallest on a side at capacity, θ = P on an exhaustive side
+    * (< k hashes ⇒ the side saw its whole set — DataSketches'
+    * θ = 1.0). Then with θ∩ = min(θ_A, θ_B):
     *
     *   |A ∩ B| ≈ |{h ∈ sketchA ∩ sketchB : h < θ∩}| · P / θ∩
     *   |A ∪ B| ≈ (k−1) · P / θ_U   (θ_U = k-th smallest of the union)
@@ -261,21 +263,30 @@ object Sketch {
     val sa = sketch(a).select(col("pri"), col("rk")).localCheckpoint()
     val sb = sketch(b).select(col("pri"), col("rk")).localCheckpoint()
     val p = Sampling.P
-    val thA = sa.agg(max("pri").as("th_a"))
-    val thB = sb.agg(max("pri").as("th_b"))
+    val thA = sa.agg(max("pri").as("th_a"), count(lit(1)).as("k_a"))
+    val thB = sb.agg(max("pri").as("th_b"), count(lit(1)).as("k_b"))
     val thU = sa.select("pri").union(sb.select("pri")).distinct()
       .orderBy("pri").limit(k)
       .agg(count(lit(1)).as("u_cnt"), max("pri").as("th_u"))
+    // effective theta per side: a sketch holding < k hashes saw its
+    // WHOLE set (exhaustive), so its sampling threshold is P — NOT its
+    // max hash. Using the max in the mixed regime (one side exhaustive,
+    // other at capacity) both over-filters the intersection sample and
+    // inflates the scale by ~(1+1/n) on the exhaustive side; standard
+    // theta (DataSketches) sets theta = 1.0 ⇔ P for an exhaustive side.
+    val thEffA = expr(s"CASE WHEN k_a < $k THEN ${p}L ELSE th_a END")
+    val thEffB = expr(s"CASE WHEN k_b < $k THEN ${p}L ELSE th_b END")
     val inter = sa.select("pri").intersect(sb.select("pri"))
     val interCnt = inter.crossJoin(broadcast(thA)).crossJoin(broadcast(thB))
-      .filter(col("pri") <= least(col("th_a"), col("th_b")))
+      .filter(col("pri") <= least(thEffA, thEffB))
       .agg(count(lit(1)).as("n_inter"))
     val uCnt = thU // (u_cnt, th_u)
     // a sketch holding fewer than k hashes is EXHAUSTIVE — its
     // estimate is the exact count (the standard KMV small-set path);
     // the intersection is exact only when BOTH sides are exhaustive
-    sa.agg(count(lit(1)).as("k_a")).crossJoin(broadcast(thA))
-      .crossJoin(sb.agg(count(lit(1)).as("k_b"))).crossJoin(broadcast(thB))
+    val thEff = s"least(CASE WHEN k_a < $k THEN ${p}L ELSE th_a END," +
+      s" CASE WHEN k_b < $k THEN ${p}L ELSE th_b END)"
+    thA.crossJoin(broadcast(thB))
       .crossJoin(broadcast(uCnt)).crossJoin(broadcast(interCnt))
       .select(
         expr(s"CASE WHEN k_a < $k THEN k_a" +
@@ -283,7 +294,7 @@ object Sketch {
         expr(s"CASE WHEN k_b < $k THEN k_b" +
           s" ELSE (k_b - 1) * $p div th_b END").as("est_b"),
         expr(s"CASE WHEN k_a < $k AND k_b < $k THEN n_inter" +
-          s" ELSE n_inter * $p div least(th_a, th_b) END")
+          s" ELSE n_inter * $p div $thEff END")
           .as("est_inter"),
         expr(s"CASE WHEN u_cnt < $k THEN u_cnt" +
           s" ELSE ${(k - 1).toLong * p} div th_u END").as("est_union"))

@@ -21,6 +21,17 @@ import org.apache.spark.sql.streaming.{
   * bit-identical to running it over all rows seen (StreamBottomKSpec
   * proves it). Replay-idempotent: the hash is a pure function of the
   * key, so reprocessed rows merge to the same minima.
+  *
+  * UNIQUE-KEY PRECONDITION: the processor dedups (pri, id) pairs in
+  * state (`cur.distinct`) — that is what makes replayed/reprocessed
+  * rows idempotent, but it also means a key occurring MULTIPLE times
+  * in the stream collapses to one state entry, while the batch
+  * [[graft.operators.Sampling.bottomKSample]] keeps duplicate rows.
+  * The bit-identical-to-batch contract therefore holds only when ids
+  * are unique per shard (the deployed shape: ids are primary keys —
+  * doc_id / orderkey — and orderHash is injective-in-practice on
+  * them). For multiset semantics, disambiguate ids upstream (e.g.
+  * id·2³² + occurrence) before feeding the stream.
   */
 object StreamBottomK {
 

@@ -237,4 +237,33 @@ class SketchSpec extends SparkSpec {
       .collect().head
     assert(r3.getLong(2) === 0L && r3.getLong(4) === 0L)
   }
+
+  test("thetaSetOps mixed regime: exhaustive side uses theta = P, " +
+      "so est_inter is the unbiased theta estimate, not max-hash-inflated") {
+    import spark.implicits._
+    // A = 3 ids, all contained in B = [0, 3000) (B at capacity, k=64).
+    // Standard theta: theta_inter = min(P, th_b) = th_b; the estimate
+    // counts A∩B survivors under B's threshold scaled by P/th_b.
+    // The pre-fix code scaled by P/min(th_a, th_b) where th_a = max
+    // hash of the WHOLE 3-element side — a huge spurious inflation
+    // whenever th_a < th_b, and (1+1/n_a) bias even when not.
+    val a = Seq(7L, 1234L, 2999L).toDF("id")
+    val b = spark.range(0, 3000).toDF("id")
+    val r = Sketch.thetaSetOps(a, b, "id", k = 64).collect().head
+    val (ea, ei) = (r.getLong(0), r.getLong(2))
+    assert(ea === 3L, "exhaustive side estimate must be exact")
+    // hand-replay the fixed estimator: th_b = 64th smallest orderHash
+    // of B, n_inter = |{x in A∩B : hash(x) <= th_b}|, est = n*P div th_b
+    val hb = b.select(graft.operators.Sampling.orderHash(col("id")).as("h"))
+      .orderBy("h").limit(64).agg(max("h")).collect().head.getLong(0)
+    val na = a.select(graft.operators.Sampling.orderHash(col("id")).as("h"))
+      .filter(col("h") <= hb).count()
+    val expected = na * graft.operators.Sampling.P / hb
+    assert(ei === expected, s"est_inter $ei != theta replay $expected")
+    // sanity: the estimate is in the plausible range for truth=3 at
+    // B's ~64/3000 sampling rate (0 when no A-hash survives, else
+    // tens) — and NEVER the old th_a-scaled blowup (which for a
+    // 3-element side reads ~1e9/th_a ≈ millions when th_a << th_b)
+    assert(ei <= 200L, s"est_inter $ei looks max-hash-inflated")
+  }
 }
