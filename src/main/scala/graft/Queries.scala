@@ -3648,9 +3648,12 @@ object Queries {
     * output, not filter waste (at 100 TB it is collapsed by set-
     * signature dedup before any pairwise stage).
     */
-  val qDAllPairsCosine = q(
-    "q_d_allpairs_cosine",
-    """WITH kept AS (SELECT MIN(doc_id) AS id, text
+  /** Shared CTE chain for the all-pairs entries: kept (exact-dedup'd
+    * doc_id < 1000 corpus) → tok/tsz/posts/dfreq → prefix-filtered
+    * postings at t² = 902500 ppm.
+    */
+  private val allPairsPrefixCtes =
+    """kept AS (SELECT MIN(doc_id) AS id, text
       |  FROM documents WHERE doc_id < 1000 GROUP BY text),
       |tok AS (SELECT id,
       |    list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
@@ -3664,20 +3667,27 @@ object Queries {
       |                 ROW_NUMBER() OVER (PARTITION BY p.id
       |                   ORDER BY d.df, p.tk) AS pos
       |          FROM posts p JOIN dfreq d USING (tk))
-      |        WHERE pos <= sz - ((902500 * sz + 999999) // 1000000) + 1),
-      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |         FROM pre a JOIN pre b USING (tk) WHERE a.id < b.id),
-      |ver AS (SELECT id_a, id_b, pa.sz AS sz_a, pb.sz AS sz_b,
-      |          COUNT(*) AS inter
-      |        FROM cand
-      |        JOIN posts pa ON pa.id = id_a
-      |        JOIN posts pb ON pb.id = id_b AND pb.tk = pa.tk
-      |        GROUP BY 1, 2, 3, 4)
-      |SELECT id_a, id_b, sz_a, sz_b, inter,
-      |       inter * inter * 1000000 // (sz_a * sz_b) AS cos2_ppm
-      |FROM ver
-      |WHERE inter * inter * 1000000 >= 902500 * sz_a * sz_b
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      |        WHERE pos <= sz - ((902500 * sz + 999999) // 1000000) + 1)"""
+      .stripMargin
+
+  private val allPairsCosineOracle =
+    s"""WITH $allPairsPrefixCtes,
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM pre a JOIN pre b USING (tk) WHERE a.id < b.id),
+       |ver AS (SELECT id_a, id_b, pa.sz AS sz_a, pb.sz AS sz_b,
+       |          COUNT(*) AS inter
+       |        FROM cand
+       |        JOIN posts pa ON pa.id = id_a
+       |        JOIN posts pb ON pb.id = id_b AND pb.tk = pa.tk
+       |        GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, sz_a, sz_b, inter,
+       |       inter * inter * 1000000 // (sz_a * sz_b) AS cos2_ppm
+       |FROM ver
+       |WHERE inter * inter * 1000000 >= 902500 * sz_a * sz_b
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val qDAllPairsCosine = q(
+    "q_d_allpairs_cosine", allPairsCosineOracle) { (s, d) =>
     import graft.operators.Dedup
     Dedup.allPairsCosine(
       Dedup.exactDedup(
@@ -3685,6 +3695,51 @@ object Queries {
         "doc_id", "text"),
       "doc_id", "text", minCos2Ppm = 902500L)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The SAME exact sim-join forced through the POSTING-JOIN verify
+    * (maxTokensForArrayVerify = 0 — the million-token-document path
+    * of the r10 auto-select): identical oracle, identical output, so
+    * the driver hash-gates path-equivalence at catalog scale, and the
+    * bench row is the standing array-vs-posting A/B (the in-session
+    * r9 A/B measured 73 s vs 160 s at sf0.1 full corpus; this scoped
+    * pair keeps the comparison honest every round).
+    */
+  val qDAllPairsPostingVerify = q(
+    "q_d_allpairs_posting_verify", allPairsCosineOracle) { (s, d) =>
+    import graft.operators.Dedup
+    Dedup.allPairsCosine(
+      Dedup.exactDedup(
+        Tables.documents(s, d).filter(col("doc_id") < 1000),
+        "doc_id", "text"),
+      "doc_id", "text", minCos2Ppm = 902500L,
+      maxTokensForArrayVerify = 0L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-token prefix-candidate histogram
+    * (Dedup.allPairsCosineTokenHistogram — r10): the blowup
+    * early-warning for the exact sim-join. Exactness forbids capping
+    * a hot token's candidates, so the production contract is LOOK
+    * FIRST: one groupBy over the prefix index (no pair
+    * materialization) says exactly which tokens go quadratic —
+    * cand_pairs = C(prefix_postings, 2) per token, worst first.
+    */
+  val qDAllPairsHistogram = q(
+    "q_d_allpairs_histogram",
+    s"""WITH $allPairsPrefixCtes,
+       |pp AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS prefix_postings
+       |       FROM pre GROUP BY tk)
+       |SELECT pp.tk, dfreq.df, prefix_postings,
+       |       prefix_postings * (prefix_postings - 1) // 2 AS cand_pairs
+       |FROM pp JOIN dfreq USING (tk)
+       |ORDER BY cand_pairs DESC, tk""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    Dedup.allPairsCosineTokenHistogram(
+      Dedup.exactDedup(
+        Tables.documents(s, d).filter(col("doc_id") < 1000),
+        "doc_id", "text"),
+      "doc_id", "text", minCos2Ppm = 902500L)
   }
 
   /** Near-dup pairs → duplicate CLUSTERS: connected components over
@@ -11503,7 +11558,7 @@ object Queries {
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence, qTChi2Features, qTPrefixCache,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
-    qDNgramJaccard, qDAllPairsCosine, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
+    qDNgramJaccard, qDAllPairsCosine, qDAllPairsPostingVerify, qDAllPairsHistogram, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter, qLScorerKappa,
     qDCcClusters, qDCcIncremental, qDDupWeights, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,

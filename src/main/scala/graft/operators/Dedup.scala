@@ -151,7 +151,69 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minCos2Ppm: Long = 490000L): DataFrame = {
+      minCos2Ppm: Long = 490000L,
+      maxTokensForArrayVerify: Long = 4096L): DataFrame = {
+    val (tok, posts, pre) = prefixIndex(df, idCol, textCol, minCos2Ppm)
+    // size filter folded into candidate gen (standard companion to the
+    // prefix filter, prunes no valid pair): cos ≥ t forces
+    // t²·max(a,b) ≤ min(a,b).
+    val cand = pre.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("tk"))
+      .join(pre.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("tk")), Seq("tk"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("sz_a"), col("sz_b")) * lit(minCos2Ppm) <=
+          least(col("sz_a"), col("sz_b")) * lit(1000000L))
+      .select("id_a", "id_b", "sz_a", "sz_b").distinct()
+    // VERIFY PATH AUTO-SELECT (r10, was a manual prose flip): the
+    // array form attaches both token arrays and intersects map-side —
+    // no re-explosion of every posting (the posts⋈posts verify
+    // re-emits |candidates|·|doc| rows; measured 160 s → 73 s at
+    // sf0.1 full corpus, the residue being genuine pair mass). But a
+    // candidate touching a MILLION-token document would carry that
+    // array through the join twice and intersect it per candidate —
+    // there the posting re-join is the right shape (rows, not
+    // arrays, and the group-count is map-side combining). Decide PER
+    // PAIR on max(sz_a, sz_b); both paths compute the identical
+    // exact intersection (DedupSpec proves pair-identity on a mixed
+    // fixture), so the split is invisible in the output.
+    val small = cand.filter(
+      greatest(col("sz_a"), col("sz_b")) <= maxTokensForArrayVerify)
+    val large = cand.filter(
+      greatest(col("sz_a"), col("sz_b")) > maxTokensForArrayVerify)
+    val viaArray = small
+      .join(tok.select(col("id").as("id_a"), col("ts").as("ta")),
+        Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("ts").as("tb")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .select("id_a", "id_b", "sz_a", "sz_b", "inter")
+    val viaPostings = large
+      .join(posts.select(col("id").as("id_a"), col("tk")), Seq("id_a"))
+      .join(posts.select(col("id").as("id_b"), col("tk")),
+        Seq("id_b", "tk"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .select("id_a", "id_b", "sz_a", "sz_b", "inter")
+    viaArray.unionAll(viaPostings)
+      .filter(col("inter") * col("inter") * lit(1000000L) >=
+        lit(minCos2Ppm) * col("sz_a") * col("sz_b"))
+      .withColumn("cos2_ppm",
+        expr("inter * inter * 1000000 div (sz_a * sz_b)"))
+      .select("id_a", "id_b", "sz_a", "sz_b", "inter", "cos2_ppm")
+  }
+
+  /** Shared prefix-index build for [[allPairsCosine]] and its
+    * histogram: (tok = per-doc distinct token arrays, posts = exploded
+    * postings, pre = prefix-filtered postings under the global
+    * (df asc, tk asc) order).
+    */
+  private def prefixIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCos2Ppm: Long): (DataFrame, DataFrame, DataFrame) = {
     val tok = df.select(col(idCol).as("id"),
         array_distinct(TextOps.tokens(col(textCol))).as("ts"))
       .withColumn("sz", size(col("ts")).cast("long"))
@@ -168,37 +230,35 @@ object Dedup {
       .withColumn("pos", row_number().over(byDoc).cast("long"))
       .filter(col("pos") <= col("sz") - minov + lit(1L))
       .select("id", "sz", "tk")
-    // size filter folded into candidate gen (standard companion to the
-    // prefix filter, prunes no valid pair): cos ≥ t forces
-    // t²·max(a,b) ≤ min(a,b).
-    val cand = pre.select(col("id").as("id_a"), col("sz").as("sz_a"),
-        col("tk"))
-      .join(pre.select(col("id").as("id_b"), col("sz").as("sz_b"),
-        col("tk")), Seq("tk"))
-      .filter(col("id_a") < col("id_b") &&
-        greatest(col("sz_a"), col("sz_b")) * lit(minCos2Ppm) <=
-          least(col("sz_a"), col("sz_b")) * lit(1000000L))
-      .select("id_a", "id_b").distinct()
-    // verify on the compact array form: two id-joins attach the token
-    // sets, the exact intersection is map-side per candidate — no
-    // re-explosion of every posting (the posts⋈posts verify re-emits
-    // |candidates|·|doc| rows; measured 160 s → 73 s at sf0.1 full
-    // corpus, the residue being the corpus's genuine multi-million-
-    // pair near-dup mass, not filter waste). For million-token
-    // documents flip back to a posting-join verify; the decision and
-    // output are identical either way.
-    cand
-      .join(tok.select(col("id").as("id_a"), col("ts").as("ta"),
-        col("sz").as("sz_a")), Seq("id_a"))
-      .join(tok.select(col("id").as("id_b"), col("ts").as("tb"),
-        col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("inter") * col("inter") * lit(1000000L) >=
-        lit(minCos2Ppm) * col("sz_a") * col("sz_b"))
-      .withColumn("cos2_ppm",
-        expr("inter * inter * 1000000 div (sz_a * sz_b)"))
-      .select("id_a", "id_b", "sz_a", "sz_b", "inter", "cos2_ppm")
+    (tok, posts, pre)
+  }
+
+  /** Per-token candidate histogram for [[allPairsCosine]] — the
+    * blowup early-warning the exact contract otherwise hides: the
+    * prefix filter bounds each DOCUMENT's indexed postings, but a
+    * token landing in MANY documents' prefixes still yields
+    * n·(n−1)/2 candidate pairs for that token, and exactness forbids
+    * capping it (any cap loses pairs). A production caller runs this
+    * (one groupBy over the same prefix index — no pair
+    * materialization) before the join and sees exactly which tokens
+    * would go quadratic. Output per token, worst-first:
+    * (tk, df = full corpus posting count, prefix_postings = entries
+    * surviving the prefix filter, cand_pairs = prefix_postings
+    * choose 2, the token's pre-size-filter candidate contribution).
+    */
+  def allPairsCosineTokenHistogram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCos2Ppm: Long = 490000L): DataFrame = {
+    val (_, posts, pre) = prefixIndex(df, idCol, textCol, minCos2Ppm)
+    val dfreq = posts.groupBy("tk").agg(count(lit(1)).as("df"))
+    pre.groupBy("tk").agg(count(lit(1)).as("prefix_postings"))
+      .join(dfreq, Seq("tk"))
+      .withColumn("cand_pairs",
+        expr("prefix_postings * (prefix_postings - 1) div 2"))
+      .select("tk", "df", "prefix_postings", "cand_pairs")
+      .orderBy(col("cand_pairs").desc, col("tk"))
   }
 
   /** MinHash signature column: k independent permutation approximations
