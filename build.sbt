@@ -11,6 +11,57 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ---- parallel forked test groups (r10: the sequential single-JVM run
+// hit 43m52s and was growing ~10 min/round). Suites are partitioned
+// into groups, each group a forked JVM with its OWN SparkSession,
+// warehouse dir, and derby home (the only CWD-shared mutable state);
+// 4 groups run concurrently (4 × local[8] = the box's 32 threads).
+// Grouping is by suite-name hash within three weight classes so the
+// assignment is stable across rounds:
+//  - QueriesSpec alone (runs the whole 287-entry catalog at sf0.001,
+//    including the CWD-relative star_readback warehouse — isolating it
+//    also removes the one cross-group path collision);
+//  - the 21 Stream* suites (RocksDB state machinery dominates the
+//    suite wall time) spread over three groups;
+//  - MLQualitySpec + PropertySpec (model fits, scalacheck) paired;
+//  - everything else over two groups.
+Test / testGrouping := {
+  val baseOpts = (Test / javaOptions).value.toVector
+  val workDir = (Test / target).value
+  def groupOf(fullName: String): String = {
+    val n = fullName.stripPrefix("graft.")
+    n match {
+      case "QueriesSpec" => "catalog"
+      case "MLQualitySpec" | "PropertySpec" => "mlprop"
+      case s if s.startsWith("Stream") =>
+        s"stream${math.abs(s.hashCode) % 3}"
+      case s => s"batch${math.abs(s.hashCode) % 2}"
+    }
+  }
+  (Test / definedTests).value.groupBy(t => groupOf(t.name)).toSeq
+    .sortBy(_._1)
+    .map { case (g, ts) =>
+      val whDir = workDir / s"test-wh-$g"
+      val derbyDir = workDir / s"test-derby-$g"
+      IO.createDirectories(Seq(whDir, derbyDir))
+      Tests.Group(
+        g,
+        ts.sortBy(_.name),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(baseOpts ++ Vector(
+          s"-Dspark.sql.warehouse.dir=${whDir.getAbsolutePath}",
+          s"-Dderby.system.home=${derbyDir.getAbsolutePath}"))))
+    }
+}
+// 4 forked test JVMs at a time (each SparkSession is local[8]).
+// REPLACE the default `limit(ForkedTestGroup, 1)` — appending a
+// second limit keeps both rules in force and the minimum wins (the
+// r10 first attempt ran groups sequentially: 46:52).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors),
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.exclusive(Tags.Update))
+// per-test durations in the report — the rebalancing signal.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Forked run output must reach stdout UNPREFIXED: the bench driver
 // scans for a bare `{"metric":...}` JSON line, and sbt's default
 // LoggedOutput strategy would wrap it as `[info] {...}`.

@@ -81,6 +81,67 @@ object KCore {
     degrees(e).filter(col("degree") >= k)
   }
 
+  /** Warm-started peel for APPEND-ONLY batches (r10 — the
+    * incremental/warm face CC and PageRank already have): under edge
+    * ADDITIONS the k-core is monotone non-decreasing — every degree
+    * in every subgraph only grew, so the prior core is still a
+    * subgraph of min degree ≥ k and its nodes can be PINNED alive;
+    * the peel only adjudicates the rest of the graph.
+    *
+    * SOUNDNESS (exactly the true new k-core, not an approximation):
+    * iterated deletion of deg<k nodes never deletes a true-core node,
+    * and pinning only REDUCES deletions, so the fixpoint survivor set
+    * S ⊇ new core. Conversely every unpinned node of S has deg_S ≥ k
+    * by the stopping rule, and every pinned node has deg_S ≥
+    * deg_core ≥ k because pinned ⊆ prior core ⊆ new core ⊆ S — so S
+    * has min degree ≥ k and S ⊆ core by maximality. S = core,
+    * KCoreSpec proves warm ≡ cold on planted additions.
+    *
+    * What the warm start buys: the pinned mass (typically the bulk
+    * of a near-dup candidate graph's dense kernel) drops out of the
+    * per-round alive adjudication — alive is pinned ∪ {deg ≥ k},
+    * and rounds converge in the peel depth of the NEW material
+    * rather than flapping the settled kernel. Cost shape per round
+    * is unchanged (one degree agg + two semi-filters).
+    *
+    * DELETION CAVEAT (the contract's hard edge): edge REMOVALS can
+    * demote prior-core nodes, and pinning a demoted node wrongly
+    * keeps it AND its neighbors (KCoreSpec demonstrates the
+    * counterexample: a triangle minus one edge warm-reports the apex
+    * where the cold peel reports nothing). A batch containing any
+    * deletion must run the cold [[peel]]; the house cadence is
+    * append-only ingest between curation-cadence cold recomputes,
+    * mirroring ConnectedComponents.incremental's stance.
+    *
+    * `priorCore`: one column `node` — [[peel]]'s output (or any
+    * SUBSET of the true prior core; pinning fewer nodes is always
+    * sound, pinning non-core nodes never is).
+    */
+  def peelWarm(edges: DataFrame, srcCol: String, dstCol: String,
+      priorCore: DataFrame, k: Int, iters: Int,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val pinned = priorCore.select(col("node").cast("long"))
+      .distinct().localCheckpoint()
+    for (i <- 1 to iters) {
+      val alive = degrees(e).filter(col("degree") >= k).select("node")
+        .unionAll(pinned).distinct().localCheckpoint()
+      e = e
+        .join(alive.select(col("node").as("u")), Seq("u"))
+        .join(alive.select(col("node").as("v")), Seq("v"))
+        .select("u", "v")
+      if (i % checkpointEvery == 0 && i < iters) e = e.localCheckpoint()
+    }
+    degrees(e).filter(col("degree") >= k)
+  }
+
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))

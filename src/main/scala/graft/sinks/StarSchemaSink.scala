@@ -74,15 +74,34 @@ object StarSchemaSink {
       naturalKeys: Seq[String]): Long = {
     val path = tablePath(warehouse, table)
     val existing = readIfExists(s, path)
+    val fresh = antiJoinExisting(batch, existing, naturalKeys)
+    val maxId = existing
+      .flatMap(ex => Option(ex.agg(max("id")).first().get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    appendWithIds(s, fresh, naturalKeys, maxId) { withIds =>
+      val outCols = existing.map(_.columns.toSeq)
+        .getOrElse("id" +: batch.columns.toSeq.filterNot(_ == "id"))
+      withIds.select(outCols.map(col): _*)
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+  }
 
+  /** Within-batch dedup + anti-join against the existing table's
+    * natural keys (the ON CONFLICT DO NOTHING half of K2, shared by
+    * the parquet and JDBC sinks). Null-safe key comparison
+    * throughout: Postgres UNIQUE treats NULLs as non-conflicting (a
+    * null-FK row would re-insert on every run); we deliberately
+    * diverge and treat null as a key value so the sink is fully
+    * idempotent.
+    */
+  private[sinks] def antiJoinExisting(
+      batch: DataFrame,
+      existing: Option[DataFrame],
+      naturalKeys: Seq[String]): DataFrame = {
     // within-batch dedup first (the DB constraint would reject the
     // second row of a duplicate pair; dropDuplicates keeps one).
-    // Null-safe key comparison throughout: Postgres UNIQUE treats
-    // NULLs as non-conflicting (a null-FK row would re-insert on every
-    // run); we deliberately diverge and treat null as a key value so
-    // the sink is fully idempotent.
     val deduped = batch.dropDuplicates(naturalKeys)
-    val fresh = existing match {
+    existing match {
       case Some(ex) =>
         val exKeys = broadcast(
           ex.select(naturalKeys.map(k => col(k).as(s"__ex_$k")): _*))
@@ -92,18 +111,24 @@ object StarSchemaSink {
         deduped.join(exKeys, cond, "left_anti")
       case None => deduped
     }
+  }
 
-    val maxId = existing
-      .flatMap(ex => Option(ex.agg(max("id")).first().get(0)))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-
-    // Dense sequential ids with no single-partition stage: range-
-    // partition by the natural key (partition i's keys all sort before
-    // partition i+1's), rank WITHIN each partition, and add the prefix
-    // sum of partition sizes — O(#partitions) driver rows, like any
-    // job's task stats. The assignment is identical to a global
-    // row_number over the natural-key order, and the same plan loads a
-    // dimension of any size.
+  /** Dense-sequential surrogate-id assignment + write (the SERIAL
+    * half of K2, shared by the parquet and JDBC sinks): range-
+    * partition by the natural key (partition i's keys all sort before
+    * partition i+1's), rank WITHIN each partition, and add the prefix
+    * sum of partition sizes — O(#partitions) driver rows, like any
+    * job's task stats, never a global single-partition window. The
+    * assignment is identical to a global row_number over the
+    * natural-key order, and the same plan loads a dimension of any
+    * size. Returns the appended row count; `write` runs only when
+    * there is something to append.
+    */
+  private[sinks] def appendWithIds(
+      s: SparkSession,
+      fresh: DataFrame,
+      naturalKeys: Seq[String],
+      maxId: Long)(write: DataFrame => Unit): Long = {
     val keyCols = naturalKeys.map(col)
     val ranged = fresh.repartitionByRange(keyCols: _*)
       .withColumn("__pid", spark_partition_id()).cache()
@@ -117,13 +142,9 @@ object StarSchemaSink {
       }.toSeq
       val offDf = broadcast(s.createDataFrame(offsets).toDF("__pid", "__off"))
       val wp = Window.partitionBy("__pid").orderBy(keyCols: _*)
-      val withIds = ranged
+      write(ranged
         .join(offDf, Seq("__pid"))
-        .withColumn("id", row_number().over(wp).cast("long") + col("__off"))
-      val outCols = existing.map(_.columns.toSeq)
-        .getOrElse("id" +: batch.columns.toSeq.filterNot(_ == "id"))
-      withIds.select(outCols.map(col): _*)
-        .write.mode(SaveMode.Append).parquet(path)
+        .withColumn("id", row_number().over(wp).cast("long") + col("__off")))
     }
     ranged.unpersist()
     n

@@ -69,4 +69,44 @@ class KCoreSpec extends SparkSpec {
     // the planted 25-clique is always inside the 4-core
     assert((0L to 24L).forall(r8.contains))
   }
+
+  test("peelWarm ≡ cold peel on planted append-only additions " +
+      "(pin prior core), including additions that GROW the core") {
+    // base: K5 on 0..4 with a pendant chain (3-core = the K5)
+    val k5 = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val base = k5 ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val prior = KCore.peel(base.toDF("src", "dst"), "src", "dst",
+      k = 3, iters = 8).select("node")
+    // append-only batch: (a) a NEW triangle fused to two core nodes so
+    // node 20 JOINS the 3-core, (b) more chain noise that still peels
+    val added = base ++ Seq((0L, 20L), (1L, 20L), (20L, 2L),
+      (12L, 13L), (13L, 14L))
+    val cold = KCore.peel(added.toDF("src", "dst"), "src", "dst",
+      k = 3, iters = 8).as[(Long, Long)].collect().toMap
+    val warm = KCore.peelWarm(added.toDF("src", "dst"), "src", "dst",
+      prior, k = 3, iters = 8).as[(Long, Long)].collect().toMap
+    assert(warm == cold, "warm start must be EXACT under additions")
+    assert(cold.contains(20L), "fixture must actually grow the core")
+    // pinning any SUBSET of the prior core is equally sound
+    val warmSub = KCore.peelWarm(added.toDF("src", "dst"), "src", "dst",
+      prior.limit(2), k = 3, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(warmSub == cold)
+  }
+
+  test("peelWarm deletion caveat: removing an edge breaks the pin " +
+      "(the documented counterexample — warm keeps the demoted apex)") {
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val prior = KCore.peel(tri.toDF("src", "dst"), "src", "dst",
+      k = 2, iters = 4).select("node")
+    val afterDelete = Seq((1L, 2L), (2L, 0L)) // edge (0,1) removed
+    val cold = KCore.peel(afterDelete.toDF("src", "dst"), "src", "dst",
+      k = 2, iters = 4).as[(Long, Long)].collect().toMap
+    val warm = KCore.peelWarm(afterDelete.toDF("src", "dst"), "src",
+      "dst", prior, k = 2, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(cold.isEmpty) // the path has no 2-core
+    assert(warm.nonEmpty && warm != cold,
+      "fixture must demonstrate WHY deletions require the cold peel")
+  }
 }

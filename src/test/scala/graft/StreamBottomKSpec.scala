@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Sampling
 import graft.streaming.StreamBottomK
@@ -39,10 +39,9 @@ class StreamBottomKSpec extends SparkSpec {
           .as[StreamBottomK.RowIn], k)
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", dir + "/ckpt")
       .start()
-    q.awaitTermination(120000)
+    drainTws(q)
 
     val state = spark.table(sink)
     assert(state.count() <= 16L, "one emission per shard per trigger")

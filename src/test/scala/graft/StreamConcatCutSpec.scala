@@ -2,13 +2,12 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamConcatCut
 import graft.streaming.StreamConcatCut.DocIn
 
 /** Streaming concat-and-cut vs its batch face: a single-shard
-  * AvailableNow pass equals Packing.concatCut span-for-span; a second
+  * drained run equals Packing.concatCut span-for-span; a second
   * batch extends each shard's stream as a pure suffix (earlier spans
   * immutable), landing exactly where the batch layout over the union
   * puts it; per-shard offsets are independent.
@@ -45,10 +44,8 @@ class StreamConcatCutSpec extends SparkSpec {
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        drainTws(q)
       }
       def spans(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, Long)] =
         df.select("doc_id", "start_tok", "end_tok", "first_seq", "last_seq")
@@ -94,10 +91,8 @@ class StreamConcatCutSpec extends SparkSpec {
         .option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
-        .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
-      q.stop()
+      drainTws(q)
       val got = spark.read.parquet(outDir)
         .select("shard", "start_tok", "end_tok").collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

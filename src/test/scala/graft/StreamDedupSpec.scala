@@ -3,17 +3,19 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamDedup
 import graft.streaming.StreamDedup.DocIn
 
 /** transformWithState first-seen dedup on the RocksDB state store
-  * (the API's required provider), driven as two AvailableNow runs
+  * (the API's required provider), driven as two drained runs
   * over one checkpoint — which also proves the fingerprint state
-  * survives across restarts. (A ProcessingTime(0) trigger + RocksDB
-  * churns continuous non-data micro-batches here, so AvailableNow is
-  * also the only deterministic harness for this operator.)
+  * survives across restarts. Drain = processAllAvailable (returns on
+  * the no-new-data signal even while TWS+RocksDB churns non-data
+  * micro-batches) then stop; Trigger.AvailableNow is deliberately NOT
+  * used — with MemoryStream it never concludes the snapshot in Spark
+  * 4.1 and each drain burned a full await timeout (r10 test-time
+  * audit: this suite alone read 4m08s, now seconds).
   */
 class StreamDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -41,10 +43,8 @@ class StreamDedupSpec extends SparkSpec {
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        drainTws(q)
       }
       input.addData(DocIn(100L, 1L, ts(0)), DocIn(200L, 2L, ts(1)))
       drain()

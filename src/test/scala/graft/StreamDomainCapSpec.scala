@@ -2,12 +2,11 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamDomainCap
 import graft.streaming.StreamDomainCap.DocIn
 
-/** Streaming admission cap vs its batch face: one AvailableNow pass
+/** Streaming admission cap vs its batch face: one drained run
   * equals Sampling.groupCapSample exactly; across batches the cap
   * holds with one counter of state per domain and admissions are
   * prefix-greedy (never retracted).
@@ -27,7 +26,7 @@ class StreamDomainCapSpec extends SparkSpec {
     }
   }
 
-  test("one AvailableNow pass == batch groupCapSample exactly; " +
+  test("one drained run == batch groupCapSample exactly; " +
       "a second batch only fills remaining room, never retracts") {
     withRocksDb {
       val ckpt = tmpDir("sdomcap-ckpt")
@@ -43,10 +42,8 @@ class StreamDomainCapSpec extends SparkSpec {
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        drainTws(q)
       }
       input.addData(batch1: _*)
       drain()

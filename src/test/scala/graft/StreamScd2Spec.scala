@@ -61,8 +61,7 @@ class StreamScd2Spec extends SparkSpec {
     def drain(): Unit = {
       val q = StreamScd2.sink(input.toDF(), dimDir, ckpt,
         "k", "ts", "eid", "v").start()
-      q.awaitTermination(120000)
-      q.stop()
+      drainTws(q)
     }
 
     input.addData(allRows.take(3): _*)

@@ -1,13 +1,12 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamSemanticAdmit
 import graft.streaming.StreamSemanticAdmit.{AdmitOut, VecIn}
 
 /** Streaming semantic admission over RocksDB state, driven as three
-  * AvailableNow runs on one checkpoint: exemplar state survives
+  * drained runs on one checkpoint: exemplar state survives
   * restarts, near-dup arrivals are rejected against admission-order
   * exemplars, the per-bucket exemplar cap admits-without-storing, and
   * buckets isolate state.
@@ -34,10 +33,8 @@ class StreamSemanticAdmitSpec extends SparkSpec {
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        drainTws(q)
       }
       // fed OUT of vec_id order: processing must sort (1 admits first,
       // then 2 rejects against it, then 3 admits on a 0-cosine)

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Sketch
 import graft.streaming.StreamWinsorize
@@ -39,7 +38,7 @@ class StreamWinsorizeSpec extends SparkSpec {
     assert(mine == batch, s"$mine vs $batch")
   }
 
-  test("two AvailableNow runs: bounds tighten with accumulated state, " +
+  test("two drained runs: bounds tighten with accumulated state, " +
       "equal the batch sketch estimates over each prefix, state bounded") {
     withRocks {
       val ckpt = tmpDir("swins-ckpt")
@@ -52,10 +51,8 @@ class StreamWinsorizeSpec extends SparkSpec {
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        drainTws(q)
       }
       // batch 1: 100 calm values 1000..1099 cents + one spike
       val b1 = (0 until 100).map(i =>
@@ -113,10 +110,8 @@ class StreamWinsorizeSpec extends SparkSpec {
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
           .outputMode("append")
-          .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
-        q.stop()
+        drainTws(q)
       }
       val b1 = (0 until 100).map(i =>
         EventIn("g", i.toLong, 1000L + i)) :+ EventIn("g", 900L, 500000L)
