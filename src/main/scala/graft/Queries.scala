@@ -1277,31 +1277,63 @@ object Queries {
     * how DEEP the dense kernel goes — template/boilerplate families
     * in a near-dup candidate graph sit in high cores.
     */
-  val qGKcore = {
-    val edgesSql =
-      """SELECT l_orderkey % 3000 AS src, (l_orderkey * 7 + l_partkey) % 3000 AS dst
-        |       FROM lineitem WHERE l_linenumber = 1
-        |       UNION ALL
-        |       SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst
-        |       FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey""".stripMargin
-    q(
-      "q_g_kcore",
-      s"""${graft.operators.KCore.oracleSql(edgesSql, k = 4, iters = 8)}
-         |ORDER BY node""".stripMargin) { (s, d) =>
-      val sparse = Tables.lineitem(s, d)
-        .filter(col("l_linenumber") === 1)
-        .select((col("l_orderkey") % 3000).as("src"),
-          ((col("l_orderkey") * 7 + col("l_partkey")) % 3000).as("dst"))
-      val n1 = Tables.nation(s, d).select(col("n_nationkey"))
-      val clique = n1.as("a")
-        .join(n1.as("b"),
-          col("a.n_nationkey") < col("b.n_nationkey"))
-        .select(col("a.n_nationkey").as("src"),
-          col("b.n_nationkey").as("dst"))
-      graft.operators.KCore
-        .peel(sparse.unionByName(clique), "src", "dst", k = 4, iters = 8)
-        .orderBy("node")
-    }
+  private val kcoreEdgesSql =
+    """SELECT l_orderkey % 3000 AS src, (l_orderkey * 7 + l_partkey) % 3000 AS dst
+      |       FROM lineitem WHERE l_linenumber = 1
+      |       UNION ALL
+      |       SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst
+      |       FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey""".stripMargin
+
+  /** (sparse order-hash graph, planted 25-clique) — the q_g_kcore
+    * fixture, shared with the warm-start gate.
+    */
+  private def kcoreGraphParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val sparse = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 3000).as("src"),
+        ((col("l_orderkey") * 7 + col("l_partkey")) % 3000).as("dst"))
+    val n1 = Tables.nation(s, d).select(col("n_nationkey"))
+    val clique = n1.as("a")
+      .join(n1.as("b"),
+        col("a.n_nationkey") < col("b.n_nationkey"))
+      .select(col("a.n_nationkey").as("src"),
+        col("b.n_nationkey").as("dst"))
+    (sparse, clique)
+  }
+
+  val qGKcore = q(
+    "q_g_kcore",
+    s"""${graft.operators.KCore.oracleSql(kcoreEdgesSql, k = 4, iters = 8)}
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    val (sparse, clique) = kcoreGraphParts(s, d)
+    graft.operators.KCore
+      .peel(sparse.unionByName(clique), "src", "dst", k = 4, iters = 8)
+      .orderBy("node")
+  }
+
+  /** k-core WARM START gate (KCore.peelWarm — r10, the
+    * cc_incremental pattern at the peel layer): the engine computes
+    * the prior core on a BASE graph (sparse edges with src % 7 ≠ 0 —
+    * a strict subset, so base → full is an append-only batch), pins
+    * it, and warm-peels the FULL graph; the oracle replays the COLD
+    * peel over the full edge set and knows nothing about warm starts
+    * — a green hash PROVES warm ≡ cold at catalog scale, not just on
+    * the spec fixture. (Deletions are excluded by the operator's
+    * contract; KCoreSpec carries the counterexample.)
+    */
+  val qGKcoreWarm = q(
+    "q_g_kcore_warm",
+    s"""${graft.operators.KCore.oracleSql(kcoreEdgesSql, k = 4, iters = 8)}
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    val (sparse, clique) = kcoreGraphParts(s, d)
+    val base = sparse.filter(col("src") % 7 =!= 0).unionByName(clique)
+    val prior = graft.operators.KCore
+      .peel(base, "src", "dst", k = 4, iters = 8).select("node")
+    graft.operators.KCore
+      .peelWarm(sparse.unionByName(clique), "src", "dst", prior,
+        k = 4, iters = 8)
+      .orderBy("node")
   }
 
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
@@ -11536,7 +11568,7 @@ object Queries {
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXHilbert,
     qXZoneMapPrune, qXCompactionPlan, qXIncrementalRollup, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
-    qGPprSeeded, qGTriangles, qGKcore,
+    qGPprSeeded, qGTriangles, qGKcore, qGKcoreWarm,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
