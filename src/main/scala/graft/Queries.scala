@@ -3729,23 +3729,23 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  /** The SAME exact sim-join forced through the POSTING-JOIN verify
-    * (maxTokensForArrayVerify = 0 — the million-token-document path
-    * of the r10 auto-select): identical oracle, identical output, so
-    * the driver hash-gates path-equivalence at catalog scale, and the
-    * bench row is the standing array-vs-posting A/B (the in-session
-    * r9 A/B measured 73 s vs 160 s at sf0.1 full corpus; this scoped
-    * pair keeps the comparison honest every round).
+  /** The SAME exact sim-join forced through the ARRAY-INTERSECT
+    * verify (maxTokensForArrayVerify = MaxValue; the r10 default is
+    * the measured-faster posting re-join — AbVerifyPaths, BASELINE
+    * §6): identical oracle, identical output, so the driver
+    * hash-gates path-equivalence at catalog scale, and the bench row
+    * is the standing array-vs-posting A/B that keeps the default
+    * choice honest every round.
     */
-  val qDAllPairsPostingVerify = q(
-    "q_d_allpairs_posting_verify", allPairsCosineOracle) { (s, d) =>
+  val qDAllPairsArrayVerify = q(
+    "q_d_allpairs_array_verify", allPairsCosineOracle) { (s, d) =>
     import graft.operators.Dedup
     Dedup.allPairsCosine(
       Dedup.exactDedup(
         Tables.documents(s, d).filter(col("doc_id") < 1000),
         "doc_id", "text"),
       "doc_id", "text", minCos2Ppm = 902500L,
-      maxTokensForArrayVerify = 0L)
+      maxTokensForArrayVerify = Long.MaxValue)
       .orderBy("id_a", "id_b")
   }
 
@@ -11590,7 +11590,7 @@ object Queries {
     qTCorpusDiversity, qTDiversitySketch, qTSourceDivergence, qTChi2Features, qTPrefixCache,
     qO11Mixture, qO16TokenBudget, qO19TemperatureMixture, qO20EpochRepeat,
     qO23ShardShuffle,
-    qDNgramJaccard, qDAllPairsCosine, qDAllPairsPostingVerify, qDAllPairsHistogram, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
+    qDNgramJaccard, qDAllPairsCosine, qDAllPairsArrayVerify, qDAllPairsHistogram, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter, qLScorerKappa,
     qDCcClusters, qDCcIncremental, qDDupWeights, qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,

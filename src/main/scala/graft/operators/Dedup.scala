@@ -152,7 +152,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       minCos2Ppm: Long = 490000L,
-      maxTokensForArrayVerify: Long = 4096L): DataFrame = {
+      maxTokensForArrayVerify: Long = 0L): DataFrame = {
     val (tok, posts, pre) = prefixIndex(df, idCol, textCol, minCos2Ppm)
     // size filter folded into candidate gen (standard companion to the
     // prefix filter, prunes no valid pair): cos ≥ t forces
@@ -165,18 +165,26 @@ object Dedup {
         greatest(col("sz_a"), col("sz_b")) * lit(minCos2Ppm) <=
           least(col("sz_a"), col("sz_b")) * lit(1000000L))
       .select("id_a", "id_b", "sz_a", "sz_b").distinct()
-    // VERIFY PATH AUTO-SELECT (r10, was a manual prose flip): the
-    // array form attaches both token arrays and intersects map-side —
-    // no re-explosion of every posting (the posts⋈posts verify
-    // re-emits |candidates|·|doc| rows; measured 160 s → 73 s at
-    // sf0.1 full corpus, the residue being genuine pair mass). But a
-    // candidate touching a MILLION-token document would carry that
-    // array through the join twice and intersect it per candidate —
-    // there the posting re-join is the right shape (rows, not
-    // arrays, and the group-count is map-side combining). Decide PER
-    // PAIR on max(sz_a, sz_b); both paths compute the identical
+    // VERIFY PATH AUTO-SELECT (r10, was a manual prose flip), decided
+    // PER PAIR on max(sz_a, sz_b); both paths compute the identical
     // exact intersection (DedupSpec proves pair-identity on a mixed
     // fixture), so the split is invisible in the output.
+    //  - posting re-join (pairs above the cutoff): candidates join
+    //    each side's narrow (id, tk) postings, the group count
+    //    combines map-side. DEFAULT (cutoff 0): measured fastest at
+    //    both thresholds on the full sf0.1 corpus — 29.5 vs 41.0 s at
+    //    t=0.95 (544k pairs) and 114.5 vs 132.2 s at t=0.7 (8.43M
+    //    pairs; AbVerifyPaths, BASELINE §6) — and it is the only
+    //    shape that tolerates million-token documents (the array form
+    //    would carry such an array through the join per candidate).
+    //    (r9's opposite reading — array 73 s vs posting 160 s — was
+    //    measured against the OLD posting shape that joined
+    //    posts⋈posts per token before pairing.)
+    //  - array_intersect (pairs at or below the cutoff): both token
+    //    arrays attach by id and intersect map-side; kept as the
+    //    hash-gated alternative (q_d_allpairs_array_verify) for
+    //    candidate-sparse regimes where two joins against the
+    //    exploded postings cost more than carrying short arrays.
     val small = cand.filter(
       greatest(col("sz_a"), col("sz_b")) <= maxTokensForArrayVerify)
     val large = cand.filter(
