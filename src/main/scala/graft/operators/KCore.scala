@@ -128,8 +128,21 @@ object KCore {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val pinned = priorCore.select(col("node").cast("long"))
+    // STATS RESET, not just a lineage cut: Dataset.localCheckpoint
+    // carries the PRE-checkpoint sizeInBytes ESTIMATE into the
+    // LogicalRDD it returns (not the materialized size). A prior core
+    // produced by an 8-round peel carries an estimate whose BigInt
+    // digit count grew ~3× per round (each round's size walk
+    // multiplies child estimates); compounding ~8 warm rounds on top
+    // pushed the estimate to ~10^8 digits and Catalyst's size-product
+    // walk (SizeInBytesOnlyStatsPlanVisitor) burned MINUTES of driver
+    // CPU per checkpoint — observed as a bench hang. Rebuilding a
+    // fresh scan over the already-checkpointed rows restores
+    // unknown-size defaults, at the cost of one row conversion per
+    // use of the node-sized pinned table.
+    val ckpt = priorCore.select(col("node").cast("long"))
       .distinct().localCheckpoint()
+    val pinned = ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
     for (i <- 1 to iters) {
       val alive = degrees(e).filter(col("degree") >= k).select("node")
         .unionAll(pinned).distinct().localCheckpoint()
