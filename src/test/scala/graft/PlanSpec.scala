@@ -481,4 +481,53 @@ class PlanSpec extends SparkSpec {
     assert(raw"TopKPerGroup".r.findAllIn(p).length >= 2, p.take(2000))
     assert(!p.contains(") Sort"), p.take(2000))
   }
+
+  test("allPairsCosine posting verify: the per-pair intersection " +
+      "count is a two-phase hash agg (partial combines map-side) and " +
+      "the plan carries no cartesian product") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Dedup.allPairsCosine(
+      Tables.documents(spark, Sf001).filter(col("doc_id") < 300),
+      "doc_id", "text", minCos2Ppm = 902500L) // default = posting path
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("JdbcStarSink anti-join input: the existing-keys side reads " +
+      "ONLY the natural-key projection (the wire carries keys, not " +
+      "rows) and joins as a broadcast LeftAnti") {
+    import org.apache.spark.sql.functions.col
+    val url = s"jdbc:derby:${tmpDir("derby-plan")}/plandb;create=true"
+    graft.sinks.JdbcStarSink.createTables(spark, url)
+    // the anti-join subplan StarSchemaSink.antiJoinExisting builds:
+    val batch = Tables.events(spark, Sf0001).limit(50)
+      .select(col("ts").as("DateTime"),
+        (col("user_id") % 10).cast("int").as("WindSpeed"),
+        (col("user_id") % 5).cast("int").as("Temperature"),
+        (col("user_id") % 2 === 0).as("Precipitation"))
+    val existing = graft.sources.Jdbc.read(spark, url, "weather")
+    val exKeys = org.apache.spark.sql.functions.broadcast(
+      existing.select(col("DateTime").as("__ex_DateTime")))
+    val fresh = batch.join(exKeys,
+      batch("DateTime") <=> exKeys("__ex_DateTime"), "left_anti")
+    val p = fresh.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the JDBC relation scan must be pruned to the key column: its
+    // node's Output line (the line AFTER "(n) Scan JDBCRelation")
+    // carries exactly the DateTime attribute, never the measures
+    val lines = p.linesIterator.toVector
+    // the node appears twice (tree, then details); the Output line
+    // belongs to the DETAILS block, so anchor on the LAST occurrence
+    val i = lines.lastIndexWhere(_.contains("Scan JDBCRelation"))
+    assert(i >= 0, p.take(3000))
+    val out = lines.drop(i + 1).find(_.contains("Output")).get
+    assert(out.contains("DateTime") && out.contains("Output [1]"), out)
+    assert(!out.contains("WindSpeed"), out)
+  }
 }
