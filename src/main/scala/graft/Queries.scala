@@ -4062,6 +4062,11 @@ object Queries {
       Tables.documents(s, d).filter(col("doc_id") < 500),
       "doc_id", "text", n = 3, minJaccard = 0.02)
       .localCheckpoint() // feeds BOTH graph algorithms — generate once
+    // (r10: a stats reset at this boundary — the KCore.peelWarm
+    // hazard, smaller dose — was A/B'd at 6.03 vs 5.55 s: the row
+    // conversion costs more than the modest stats digits save here,
+    // so the plain checkpoint stays; the hazard note lives in
+    // SURVEY §4.)
     val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val comp = ConnectedComponents.run(pairs, "id_a", "id_b")
