@@ -62,13 +62,20 @@ def top_level_names(text: str):
 
 
 def changed_files(base):
+    """Returns (files, effective_base) — the base the LINE-RANGE diffs
+    must also use (on a clean tree the fallback is the last commit,
+    and diffing ranges against HEAD there would seed nothing)."""
     if base:
         files = git(["diff", "--name-only", base]).split()
+        eff = base
     else:
         files = git(["diff", "--name-only", "HEAD"]).split()
+        eff = "HEAD"
         if not files:  # clean tree: check the last commit instead
             files = git(["diff", "--name-only", "HEAD~1..HEAD"]).split()
-    return [f for f in files if os.path.exists(os.path.join(REPO, f))]
+            eff = "HEAD~1"
+    return ([f for f in files if os.path.exists(os.path.join(REPO, f))],
+            eff)
 
 
 def changed_line_ranges(path, base):
@@ -116,7 +123,7 @@ def resolve_changed_queries(base=None):
     file headers) degrade to whole-object; unmappable files degrade to
     the full gate.
     """
-    files = changed_files(base)
+    files, base = changed_files(base)
     if not files:
         return set(), "no changes detected"
     relevant = [f for f in files
