@@ -32,6 +32,17 @@ import org.apache.spark.sql.streaming.{
   * doc_id / orderkey — and orderHash is injective-in-practice on
   * them). For multiset semantics, disambiguate ids upstream (e.g.
   * id·2³² + occurrence) before feeding the stream.
+  *
+  * DRAIN CONTRACT (applies to every transformWithState op in this
+  * package, r10): TWS with a ProcessingTime TimeMode runs a
+  * micro-batch EVERY trigger — Spark cannot know no timers will fire
+  * — so `noNewData` never signals. `processAllAvailable` can hang,
+  * `Trigger.AvailableNow` never concludes a MemoryStream snapshot,
+  * and `awaitTermination(timeout)` burns its full timeout. Bounded
+  * drains should watch the query's PROGRESS stream (stop once
+  * `numInputRows` reads 0 for a few consecutive progress events, or
+  * the query self-terminates) — the pattern SparkSpec.drainTws
+  * implements for the suites.
   */
 object StreamBottomK {
 
