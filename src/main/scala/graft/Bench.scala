@@ -73,6 +73,11 @@ object Bench {
       .orderBy("l_returnflag")
       .write.format("noop").mode("overwrite").save()
 
+    // Box load at bench start — paired with the end-of-run values in
+    // the env fingerprint so a run that STARTED loaded is
+    // distinguishable from one that got loaded midway.
+    val loadAtStart = readLoadavg()
+
     // Optional comma-separated name filter for targeted iteration
     // (SPARK_GRAFT_ONLY=q_a,q_b); full catalog when unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -178,25 +183,49 @@ object Bench {
     // ---- self-policing vs the prior committed artifact ------------
     // Prior = the full-catalog BENCH_per_query.json at bench start
     // (the committed artifact — the driver runs from a clean
-    // checkout). An entry whose min-of-2 exceeds 2.5× its prior value
-    // AND is more than 0.25 s absolute over it is re-run once: if the
-    // rerun returns to level, the spread was transient load (use the
-    // rerun; contended=false); if it confirms, contended=true and a
-    // human adjudicates regression vs sustained load. The absolute
-    // floor keeps sub-0.1 s entries from re-running on scheduler
-    // jitter alone.
+    // checkout). Triggers (r11 tightening, judge Wrong #2 — the r10
+    // kcore_warm 2.26× both-samples-agree jump sat under the old
+    // single 2.5× bar):
+    //  (a) min-of-2 > 2.5× prior — the transient-load sizing;
+    //  (b) min-of-2 > 2.0× prior AND the two samples agree within
+    //      15% — agreement rules out the transient-load signature
+    //      the 2.5× guard was sized for, so a consistent 2× jump is
+    //      already suspicious;
+    //  (c) the single LARGEST absolute regression of the run is
+    //      re-run unconditionally, even under both ratio bars — the
+    //      heaviest entry can hide the most wall-clock under any
+    //      fixed ratio.
+    // All triggers share the 0.25 s absolute floor (sub-0.1 s entries
+    // must not re-run on scheduler jitter). A rerun that returns to
+    // level marks transient load (use the rerun; contended=false); a
+    // rerun that confirms flags contended=true for adjudication.
     val prior = readPriorArtifact("BENCH_per_query.json", sfDir)
+    def overPrior(name: String, v: Double): Boolean =
+      prior.get(name).exists(pv => v > 2.5 * pv && v - pv > 0.25)
+    val flagged: Map[String, Boolean] = timed.map {
+      case (name, _, r1, r2) =>
+        val mn = math.min(r1.sec, r2.sec)
+        val agree =
+          math.abs(r1.sec - r2.sec) <= 0.15 * math.min(r1.sec, r2.sec)
+        name -> prior.get(name).exists { pv =>
+          mn - pv > 0.25 && (mn > 2.5 * pv || (agree && mn > 2.0 * pv))
+        }
+    }.toMap
+    val largestAbsRegression: Option[String] = timed
+      .flatMap { case (name, _, r1, r2) =>
+        prior.get(name).map(pv => name -> (math.min(r1.sec, r2.sec) - pv))
+      }
+      .filter(_._2 > 0.25)
+      .sortBy(-_._2)
+      .headOption.map(_._1)
     val policed: Seq[(String, Sample, Sample, Option[Sample], Boolean)] =
       timed.map { case (name, thunk, r1, r2) =>
         val mn = math.min(r1.sec, r2.sec)
-        val flag = prior.get(name).exists(pv =>
-          mn > 2.5 * pv && mn - pv > 0.25)
+        val flag = flagged(name) || largestAbsRegression.contains(name)
         if (!flag) (name, r1, r2, None, false)
         else {
           val r3 = timeOne(name)(thunk())
-          val stillOver = prior.get(name).exists(pv =>
-            math.min(mn, r3.sec) > 2.5 * pv && math.min(mn, r3.sec) - pv > 0.25)
-          (name, r1, r2, Some(r3), stillOver)
+          (name, r1, r2, Some(r3), overPrior(name, math.min(mn, r3.sec)))
         }
       }
     val nFlagged = policed.count(_._4.isDefined)
@@ -228,16 +257,47 @@ object Bench {
         f""""shuffle_mb":${b.shuffleMb}%.1f,"peak_task_mem_mb":${b.peakMemMb}%.1f}"""
     }.mkString("{", ",", "}")
     val total = sorted.map(e => best(e).sec).sum
+    // "prior":"none" makes a silently-disabled guard observable in
+    // the artifact (advisor r10): an unparseable/missing/cross-SF
+    // prior means NO entry could have been flagged, and a reader must
+    // be able to tell that from a genuinely clean run.
+    val priorNote = if (prior.isEmpty) ""","prior":"none"""" else ""
+    // Environment fingerprint (r11, judge ask #7): the r10 kcore_warm
+    // driver-vs-builder spread was only diagnosable because two
+    // artifacts happened to exist — record box load (start + end),
+    // free memory and JVM GC totals so every artifact carries its own
+    // context. Best-effort: any /proc read failure degrades to "".
+    val envFingerprint = {
+      val gcs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans
+      var gcCount = 0L; var gcMs = 0L
+      gcs.forEach { b =>
+        gcCount += math.max(0L, b.getCollectionCount)
+        gcMs += math.max(0L, b.getCollectionTime)
+      }
+      val memAvailMb = try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong / 1024 }
+          .getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+      s"""{"loadavg_start":"$loadAtStart","loadavg_end":"${readLoadavg()}",""" +
+        s""""mem_avail_mb":$memAvailMb,"gc_count":$gcCount,""" +
+        f""""gc_sec":${gcMs / 1000.0}%.1f}"""
+    }
     val contention =
-      s"""{"flagged":$nFlagged,"confirmed_over":$nConfirmed,"verdict":"${
-        if (nFlagged == 0) "clean"
+      s"""{"flagged":$nFlagged,"confirmed_over":$nConfirmed$priorNote,"verdict":"${
+        if (prior.isEmpty) "no-prior-policing-disabled"
+        else if (nFlagged == 0) "clean"
         else if (nConfirmed == 0) "transient-load-resolved-by-rerun"
         else "confirmed-spread-adjudicate"}"}"""
     val detail =
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"contention":$contention,"sf":"$sfDir","n_queries":${sorted.size}}"""
+      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"contention":$contention,"env":$envFingerprint,"sf":"$sfDir","n_queries":${sorted.size}}"""
     println(detail)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${sorted.size},"contention":$contention,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${sorted.size},"contention":$contention,"env":$envFingerprint,"sf":"$sfDir"}""")
     // (4) the complete per-query record as its OWN file, immune to any
     // stdout tail window (round-7 artifact lost 38 of 109 values).
     // FULL runs default to BENCH_per_query.json in CWD; TARGETED runs
@@ -256,6 +316,14 @@ object Bench {
     }
     spark.stop()
   }
+
+  /** First three fields of /proc/loadavg (1/5/15-min box load);
+    * "" when unreadable (non-Linux). */
+  def readLoadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split(' ').take(3).mkString(" ")
+    catch { case _: Throwable => "" }
 
   /** Prior per-query minima from the committed artifact's `"queries"`
     * object (flat name→sec floats, no nested braces by construction).
