@@ -23,8 +23,13 @@ import graft.sources.Jdbc
 object JdbcStarSink {
 
   /** K1: CREATE TABLE (id + natural columns) if absent. Derby has no
-    * IF NOT EXISTS — the already-exists SQLState (X0Y32) is the
-    * exists check, everything else propagates.
+    * IF NOT EXISTS — the already-exists SQLState is the exists check
+    * (Derby X0Y32, Postgres 42P07), everything else propagates.
+    * Note the DDL itself is Derby-flavored; Postgres parity covers
+    * the append/anti-join/id logic (plain SQL over JDBC), not this
+    * CREATE text — a Postgres deployment supplies its own DDL
+    * (TIMESTAMPTZ, SERIAL) and the re-run no-op still holds via
+    * 42P07.
     */
   def createTables(s: SparkSession, url: String): Unit = {
     val ddl = Seq(
@@ -43,7 +48,8 @@ object JdbcStarSink {
       try { val st = conn.createStatement(); try st.execute(stmt)
             finally st.close() }
       catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        case e: java.sql.SQLException
+            if Set("X0Y32", "42P07")(e.getSQLState) => ()
       }
     } finally conn.close()
   }
@@ -61,13 +67,15 @@ object JdbcStarSink {
       table: String,
       batch: DataFrame,
       naturalKeys: Seq[String],
-      batchSize: Int = 1000): Long = {
+      batchSize: Int = 1000,
+      rowKeys: Seq[String] = Nil): Long = {
     val existing = Jdbc.read(s, url, table)
     val fresh = StarSchemaSink.antiJoinExisting(
-      batch, Some(existing), naturalKeys)
+      batch, Some(existing), naturalKeys, rowKeys)
     val maxId = Option(existing.agg(max("id")).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    StarSchemaSink.appendWithIds(s, fresh, naturalKeys, maxId) { withIds =>
+    val orderKeys = naturalKeys ++ rowKeys.filterNot(naturalKeys.contains)
+    StarSchemaSink.appendWithIds(s, fresh, orderKeys, maxId) { withIds =>
       Jdbc.append(
         withIds.select(existing.columns.map(col).toIndexedSeq: _*),
         url, table, batchSize)
@@ -77,7 +85,10 @@ object JdbcStarSink {
   /** K3 over JDBC: FK-resolving traffic append — one broadcast left
     * join against the live weather dimension replaces the reference's
     * per-row correlated subquery (dags/utils.py:270), then K2
-    * semantics on the date_id unique key.
+    * semantics on the date_id unique key with `DateTime` as the
+    * within-batch row grain (distinct unmatched predictions each
+    * keep their own null-FK row — see
+    * [[StarSchemaSink.idempotentAppend]]).
     */
   def appendTraffic(
       s: SparkSession,
@@ -86,10 +97,10 @@ object JdbcStarSink {
   ): Long = {
     val weatherDim = Jdbc.read(s, url, "weather")
       .select(col("id").as("date_id"), col("DateTime"))
-    val resolved = predictions
-      .join(broadcast(weatherDim), Seq("DateTime"), "left")
-      .select("date_id", "Intensity")
-    idempotentAppend(s, url, "traffic", resolved, Seq("date_id"))
+    val resolved = StarSchemaSink.resolveTraffic(
+      predictions, weatherDim, "jdbc sink")
+    idempotentAppend(s, url, "traffic", resolved, Seq("date_id"),
+      rowKeys = Seq("DateTime"))
   }
 
   def readTable(s: SparkSession, url: String, name: String): DataFrame =

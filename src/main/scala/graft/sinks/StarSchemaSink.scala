@@ -65,22 +65,38 @@ object StarSchemaSink {
     * parity. `naturalKeys` mirror the DB uniqueness constraints
     * (weather.DateTime; traffic.date_id). Returns rows actually
     * appended.
+    *
+    * `rowKeys` (optional) is a FINER within-batch identity grain:
+    * when the natural key is null for several genuinely distinct
+    * rows (traffic.date_id after an unmatched FK resolve), deduping
+    * on naturalKeys alone collapses them to one arbitrary survivor —
+    * the reference's Postgres UNIQUE would insert each (NULLs never
+    * conflict). With rowKeys set, within-batch dedup runs on
+    * rowKeys, the anti-join stays on naturalKeys (null-safe — the
+    * documented re-run idempotency divergence is unchanged), id
+    * assignment orders by naturalKeys ++ rowKeys for determinism,
+    * and rowKeys columns absent from the table schema drop before
+    * the write.
     */
   def idempotentAppend(
       s: SparkSession,
       warehouse: String,
       table: String,
       batch: DataFrame,
-      naturalKeys: Seq[String]): Long = {
+      naturalKeys: Seq[String],
+      rowKeys: Seq[String] = Nil): Long = {
     val path = tablePath(warehouse, table)
     val existing = readIfExists(s, path)
-    val fresh = antiJoinExisting(batch, existing, naturalKeys)
+    val fresh = antiJoinExisting(batch, existing, naturalKeys, rowKeys)
     val maxId = existing
       .flatMap(ex => Option(ex.agg(max("id")).first().get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    appendWithIds(s, fresh, naturalKeys, maxId) { withIds =>
+    val orderKeys = naturalKeys ++ rowKeys.filterNot(naturalKeys.contains)
+    appendWithIds(s, fresh, orderKeys, maxId) { withIds =>
       val outCols = existing.map(_.columns.toSeq)
-        .getOrElse("id" +: batch.columns.toSeq.filterNot(_ == "id"))
+        .getOrElse("id" +: batch.columns.toSeq
+          .filterNot(c => c == "id" ||
+            (rowKeys.contains(c) && !naturalKeys.contains(c))))
       withIds.select(outCols.map(col): _*)
         .write.mode(SaveMode.Append).parquet(path)
     }
@@ -92,15 +108,19 @@ object StarSchemaSink {
     * throughout: Postgres UNIQUE treats NULLs as non-conflicting (a
     * null-FK row would re-insert on every run); we deliberately
     * diverge and treat null as a key value so the sink is fully
-    * idempotent.
+    * idempotent. Within-batch identity is `rowKeys` when given (so
+    * distinct rows sharing a null natural key all survive — see
+    * [[idempotentAppend]]), else naturalKeys.
     */
   private[sinks] def antiJoinExisting(
       batch: DataFrame,
       existing: Option[DataFrame],
-      naturalKeys: Seq[String]): DataFrame = {
+      naturalKeys: Seq[String],
+      rowKeys: Seq[String] = Nil): DataFrame = {
     // within-batch dedup first (the DB constraint would reject the
     // second row of a duplicate pair; dropDuplicates keeps one).
-    val deduped = batch.dropDuplicates(naturalKeys)
+    val deduped =
+      batch.dropDuplicates(if (rowKeys.nonEmpty) rowKeys else naturalKeys)
     existing match {
       case Some(ex) =>
         val exKeys = broadcast(
@@ -127,9 +147,9 @@ object StarSchemaSink {
   private[sinks] def appendWithIds(
       s: SparkSession,
       fresh: DataFrame,
-      naturalKeys: Seq[String],
+      orderKeys: Seq[String],
       maxId: Long)(write: DataFrame => Unit): Long = {
-    val keyCols = naturalKeys.map(col)
+    val keyCols = orderKeys.map(col)
     val ranged = fresh.repartitionByRange(keyCols: _*)
       .withColumn("__pid", spark_partition_id()).cache()
     val sizes = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
@@ -154,7 +174,11 @@ object StarSchemaSink {
     * reference's per-row `(SELECT id FROM weather WHERE datetime=…)`;
     * a prediction whose DateTime has no weather row keeps a null
     * date_id (the reference would insert NULL too). Then K2 semantics
-    * on the `date_id` unique key.
+    * on the `date_id` unique key, with `DateTime` as the within-batch
+    * row grain so DISTINCT unmatched predictions each insert their
+    * own null-FK row instead of collapsing to one arbitrary survivor
+    * (Postgres UNIQUE parity). Unmatched rows are reported on stderr
+    * — a null FK in the fact table is a data-quality signal.
     */
   def appendTraffic(
       s: SparkSession,
@@ -163,10 +187,32 @@ object StarSchemaSink {
   ): Long = {
     val weatherDim = s.read.parquet(tablePath(warehouse, "weather"))
       .select(col("id").as("date_id"), col("DateTime"))
+    val resolved = resolveTraffic(predictions, weatherDim, "parquet sink")
+    idempotentAppend(s, warehouse, "traffic", resolved, Seq("date_id"),
+      rowKeys = Seq("DateTime"))
+  }
+
+  /** Shared K3 resolve (parquet + JDBC sinks): dedup at the
+    * prediction grain, broadcast-join the dim, warn on unmatched.
+    * Keeps `DateTime` in the output — the sinks pass it as the
+    * `rowKeys` grain and it drops before the physical write.
+    */
+  private[sinks] def resolveTraffic(
+      predictions: DataFrame,
+      weatherDim: DataFrame,
+      who: String): DataFrame = {
     val resolved = predictions
+      .dropDuplicates("DateTime")
       .join(broadcast(weatherDim), Seq("DateTime"), "left")
-      .select("date_id", "Intensity")
-    idempotentAppend(s, warehouse, "traffic", resolved, Seq("date_id"))
+      .select("date_id", "Intensity", "DateTime")
+    // Batch-sized count (predictions are serving batches, the join is
+    // broadcast) — a null FK is a data-quality signal worth a line.
+    val unmatched = resolved.filter(col("date_id").isNull).count()
+    if (unmatched > 0)
+      Console.err.println(
+        s"[sink] appendTraffic ($who): $unmatched prediction(s) have no " +
+          "weather row - inserting with null date_id (reference parity)")
+    resolved
   }
 
   def readTable(s: SparkSession, warehouse: String, name: String): DataFrame =

@@ -26,9 +26,10 @@ object AbVerifyPaths {
       Tables.documents(spark, sfDir).select("doc_id", "text"),
       "doc_id", "text").localCheckpoint()
     // (cutoff, label): MaxValue = every pair through array_intersect;
-    // 0 = every pair through the posting re-join. The auto-select
-    // default (4096) equals the array path on this corpus (docs are
-    // well under 4096 distinct tokens).
+    // 0 = every pair through the posting re-join. The shipped
+    // auto-select default is 0 (posting re-join for every pair — see
+    // Dedup.allPairsCosine's maxTokensForArrayVerify doc), so the
+    // "posting" arm below is the production control.
     Seq(("array", Long.MaxValue), ("posting", 0L)).foreach {
       case (label, cutoff) =>
         val t0 = System.nanoTime()

@@ -94,4 +94,29 @@ class JdbcStarSchemaSpec extends SparkSpec {
     assert(t.filter(col("date_id").isNull).count() == 1L)
     assert(t.filter(col("date_id") === 1L).count() == 1L)
   }
+
+  test("JDBC K3: two DISTINCT unmatched DateTimes both insert null-FK " +
+      "rows (Postgres UNIQUE parity - no within-batch collapse), " +
+      "re-run adds 0") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${tmpDir("derby-nullfk2")}/null2db;create=true"
+    JdbcStarSink.createTables(spark, url)
+    val w = Seq((java.sql.Timestamp.valueOf("2022-01-25 12:00:00"),
+      12, 5, false))
+      .toDF("DateTime", "WindSpeed", "Temperature", "Precipitation")
+    JdbcStarSink.idempotentAppend(spark, url, "weather", w, Seq("DateTime"))
+    val preds = Seq(
+      (java.sql.Timestamp.valueOf("2022-01-25 12:00:00"), 7),
+      (java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 3),
+      (java.sql.Timestamp.valueOf("2100-06-15 08:00:00"), 5))
+      .toDF("DateTime", "Intensity")
+    assert(JdbcStarSink.appendTraffic(spark, url, preds) == 3L)
+    val t = JdbcStarSink.readTable(spark, url, "traffic")
+    assert(t.filter(col("date_id").isNull).count() == 2L,
+      "both distinct unmatched predictions must survive over JDBC")
+    assert(t.filter(col("date_id").isNull)
+      .select("Intensity").as[Int].collect().sorted.toSeq == Seq(3, 5))
+    assert(JdbcStarSink.appendTraffic(spark, url, preds) == 0L)
+    assert(JdbcStarSink.readTable(spark, url, "traffic").count() == 3L)
+  }
 }

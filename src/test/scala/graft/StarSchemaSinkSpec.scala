@@ -81,4 +81,33 @@ class StarSchemaSinkSpec extends SparkSpec {
     // re-run: ON CONFLICT parity on date_id
     assert(StarSchemaSink.appendTraffic(spark, wh, preds) == 0L)
   }
+
+  test("K3: TWO distinct unmatched DateTimes both insert null-FK rows " +
+      "(no within-batch collapse; Postgres UNIQUE inserts each) and " +
+      "the re-run stays idempotent") {
+    val wh = tmpDir("wh-k3-null2")
+    StarSchemaSink.createTables(spark, wh)
+    val weather = Seq((ts("2022-01-25 12:00:00"), 12, 5, false))
+      .toDF("DateTime", "WindSpeed", "Temperature", "Precipitation")
+    StarSchemaSink.idempotentAppend(
+      spark, wh, "weather", weather, Seq("DateTime"))
+
+    val preds = Seq(
+      (ts("2022-01-25 12:00:00"), 7), // resolvable
+      (ts("2099-01-01 00:00:00"), 3), // unmatched #1
+      (ts("2100-06-15 08:00:00"), 5)) // unmatched #2 - must NOT collapse
+      .toDF("DateTime", "Intensity")
+    assert(StarSchemaSink.appendTraffic(spark, wh, preds) == 3L)
+    val traffic = StarSchemaSink.readTable(spark, wh, "traffic")
+    assert(traffic.filter(col("date_id").isNull).count() == 2L,
+      "both distinct unmatched predictions must survive as null-FK rows")
+    assert(traffic.filter(col("date_id").isNull)
+      .select("Intensity").as[Int].collect().sorted.toSeq == Seq(3, 5))
+    // ids dense and unique across matched + unmatched
+    assert(traffic.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // re-run: documented null-as-key divergence keeps full idempotency
+    assert(StarSchemaSink.appendTraffic(spark, wh, preds) == 0L)
+    assert(StarSchemaSink.readTable(spark, wh, "traffic").count() == 3L)
+  }
 }

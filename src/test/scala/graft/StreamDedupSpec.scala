@@ -10,12 +10,15 @@ import graft.streaming.StreamDedup.DocIn
 /** transformWithState first-seen dedup on the RocksDB state store
   * (the API's required provider), driven as two drained runs
   * over one checkpoint — which also proves the fingerprint state
-  * survives across restarts. Drain = processAllAvailable (returns on
-  * the no-new-data signal even while TWS+RocksDB churns non-data
-  * micro-batches) then stop; Trigger.AvailableNow is deliberately NOT
-  * used — with MemoryStream it never concludes the snapshot in Spark
-  * 4.1 and each drain burned a full await timeout (r10 test-time
-  * audit: this suite alone read 4m08s, now seconds).
+  * survives across restarts. Drain = SparkSpec.drainTws (poll
+  * lastProgress until three consecutive zero-input batches) then
+  * stop; processAllAvailable is deliberately NOT used — for TWS
+  * ProcessingTime queries it can hang on the non-data micro-batches
+  * RocksDB churns (see the drainTws doc and StreamBottomK's
+  * drain-contract note). Trigger.AvailableNow is also out — with
+  * MemoryStream it never concludes the snapshot in Spark 4.1 and
+  * each drain burned a full await timeout (r10 test-time audit:
+  * this suite alone read 4m08s, now seconds).
   */
 class StreamDedupSpec extends SparkSpec {
   import spark.implicits._
