@@ -2721,90 +2721,191 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Heavy-domain cap (Sampling.groupCapSample ∘ UrlOps-style host
-    * key): keep at most 10 docs per domain by deterministic hash
-    * priority — the crawl-balancing step that stops mega-domains from
-    * owning the mixture. Heap plan bounds each domain BEFORE the
-    * shuffle; the oracle replays the exact hash-ranked selection.
+  /** Registrable-domain extraction (operators/PublicSuffix — the
+    * pinned public-suffix snapshot as broadcast per-depth dims, one
+    * broadcast left join each, map-side prevailing-rule pick). The
+    * fixture plants one host per PSL rule class — deep subdomain
+    * under a plain TLD, multi-label registry (co.uk), a host that IS
+    * a public suffix (null registrable), wildcard (*.ck /
+    * *.kawasaki.jp), exception (!www.ck / !city.kawasaki.jp),
+    * private-section hoster (github.io), and an unknown TLD (the
+    * implicit `*` rule) — and the oracle replays the SAME snapshot
+    * (VALUES CTE from PublicSuffix.rulesSqlValues) through the
+    * published PSL algorithm, so a wrong precedence (exception vs
+    * labels), a missed wildcard extra label, or a snapshot edit not
+    * mirrored in SQL all hash-mismatch.
+    */
+  val qURegistrableDomain = q(
+    "q_u_registrable_domain",
+    s"""WITH rules(key, klabels, norm, wild, exc) AS (VALUES
+       |    ${graft.operators.PublicSuffix.rulesSqlValues}),
+       |base AS (SELECT doc_id, doc_id % 5 AS k FROM documents
+       |         WHERE doc_id < 400),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 10
+       |      WHEN 0 THEN 'a.b.site' || k || '.com'
+       |      WHEN 1 THEN 'sub' || k || '.example' || k || '.co.uk'
+       |      WHEN 2 THEN 'example' || k || '.co.uk'
+       |      WHEN 3 THEN 'co.uk'
+       |      WHEN 4 THEN 'foo' || k || '.bar' || k || '.ck'
+       |      WHEN 5 THEN 'www.ck'
+       |      WHEN 6 THEN 'user' || k || '.github.io'
+       |      WHEN 7 THEN 'deep.a.user' || k || '.github.io'
+       |      WHEN 8 THEN 'weird' || k || '.unknowntld' || k
+       |      ELSE CASE WHEN k % 2 = 0 THEN 'x.y.kawasaki.jp'
+       |                ELSE 'city.kawasaki.jp' END
+       |    END AS host
+       |  FROM base),
+       |hl AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+       |              len(string_split(host, '.')) AS n FROM h),
+       |cand AS (
+       |  SELECT doc_id, n, ls,
+       |    unnest(range(1, least(n, ${graft.operators.PublicSuffix.maxDepth}) + 1)) AS i
+       |  FROM hl),
+       |cand2 AS (
+       |  SELECT doc_id, n, i,
+       |         array_to_string(list_slice(ls, n - i + 1, n), '.') AS suffix
+       |  FROM cand),
+       |m AS (
+       |  SELECT c.doc_id,
+       |         MAX(CASE WHEN r.exc THEN c.i - 1 END) AS excd,
+       |         MAX(CASE WHEN r.wild AND c.n > c.i THEN c.i + 1
+       |                  WHEN r.norm THEN c.i END) AS ruled
+       |  FROM cand2 c LEFT JOIN rules r
+       |    ON r.key = c.suffix AND r.klabels = c.i
+       |  GROUP BY 1),
+       |f AS (SELECT hl.doc_id, hl.host, hl.ls, hl.n,
+       |             COALESCE(m.excd, m.ruled, 1) AS psd
+       |      FROM hl JOIN m ON hl.doc_id = m.doc_id)
+       |SELECT doc_id, host,
+       |       CASE WHEN n > psd
+       |            THEN array_to_string(list_slice(ls, n - psd, n), '.')
+       |       END AS registrable_domain,
+       |       CAST(psd AS BIGINT) AS ps_depth
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val k = (col("doc_id") % 5).cast("string")
+    val m = col("doc_id") % 10
+    val host = when(m === 0, concat(lit("a.b.site"), k, lit(".com")))
+      .when(m === 1,
+        concat(lit("sub"), k, lit(".example"), k, lit(".co.uk")))
+      .when(m === 2, concat(lit("example"), k, lit(".co.uk")))
+      .when(m === 3, lit("co.uk"))
+      .when(m === 4, concat(lit("foo"), k, lit(".bar"), k, lit(".ck")))
+      .when(m === 5, lit("www.ck"))
+      .when(m === 6, concat(lit("user"), k, lit(".github.io")))
+      .when(m === 7, concat(lit("deep.a.user"), k, lit(".github.io")))
+      .when(m === 8, concat(lit("weird"), k, lit(".unknowntld"), k))
+      .otherwise(when(col("doc_id") % 5 % 2 === 0,
+        lit("x.y.kawasaki.jp")).otherwise(lit("city.kawasaki.jp")))
+    graft.operators.PublicSuffix.withRegistrableDomain(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(col("doc_id"), host.as("host")),
+        "host")
+      .select(col("doc_id"), col("host"), col("registrable_domain"),
+        col("registrable_domain_ps_depth").cast("long").as("ps_depth"))
+      .orderBy("doc_id")
+  }
+
+  /** Heavy-domain cap, keyed on the REGISTRABLE domain (r11 — PSL
+    * promotion): hosts are planted as subdomain shards
+    * (`sub{0..2}.site{k}.com`), the engine derives the cap key
+    * through the real PublicSuffix join, and groupCapSample keeps at
+    * most 10 docs per registrable domain by deterministic hash
+    * priority. A host-keyed cap would see 15 groups and keep ~3×
+    * more rows — the oracle's arithmetic ground truth
+    * (`site{k}.com`) replays the exact hash-ranked selection per
+    * DOMAIN, so keying on the evadable host hash-mismatches. This is
+    * the crawl-balancing step that stops mega-domains from owning
+    * the mixture, now robust to subdomain sharding.
     */
   val qUDomainCap = q(
     "q_u_domain_cap",
     s"""WITH c AS (
-       |  SELECT doc_id, 'site' || ((doc_id // 4) % 5) || '.com' AS host
+       |  SELECT doc_id,
+       |         'site' || ((doc_id // 4) % 5) || '.com' AS domain
        |  FROM documents WHERE doc_id < 400),
-       |r AS (SELECT doc_id, host,
-       |        ROW_NUMBER() OVER (PARTITION BY host
+       |r AS (SELECT doc_id, domain,
+       |        ROW_NUMBER() OVER (PARTITION BY domain
        |          ORDER BY ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)},
        |                   doc_id) AS rn
        |      FROM c)
-       |SELECT doc_id, host FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin) {
+       |SELECT doc_id, domain FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin) {
     (s, d) =>
-      val host = concat(lit("site"),
+      val host = concat(lit("sub"), (col("doc_id") % 3).cast("string"),
+        lit(".site"),
         (floor(col("doc_id") / 4).cast("long") % 5).cast("string"),
         lit(".com"))
-      graft.operators.Sampling.groupCapSample(
+      val keyed = graft.operators.PublicSuffix.withRegistrableDomain(
           Tables.documents(s, d).filter(col("doc_id") < 400)
             .select(col("doc_id"), host.as("host")),
-          "host", "doc_id", cap = 10)
-        .select("doc_id", "host")
+          "host", out = "domain")
+      graft.operators.Sampling.groupCapSample(
+          keyed.select("doc_id", "domain"), "domain", "doc_id", cap = 10)
+        .select("doc_id", "domain")
         .orderBy("doc_id")
   }
 
   /** Crawl-curation pipeline composition, ONE lazy plan: canonicalize
     * messy URLs → URL-level dedup (min doc per canonical — the
     * two-phase min(struct) argmax, no window over the corpus) →
-    * heavy-domain cap (hash-priority heap) → token-floor gate. Every
-    * stage is individually oracled (q_u_url_canonical, q_a15 pattern,
-    * q_u_domain_cap, q_t_token_count); this entry proves they COMPOSE
-    * lazily, the same way q_pipe_end2end proves the text stages.
-    * The oracle replays the composition over the arithmetic canonical
-    * ground truth.
+    * heavy-domain cap keyed on the REGISTRABLE domain (r11 — hosts
+    * carry a subdomain shard `sh{gid%3}.` that a host-keyed cap
+    * would treat as separate domains; the PublicSuffix join collapses
+    * the shards) → token-floor gate. Every stage is individually
+    * oracled (q_u_url_canonical, q_a15 pattern, q_u_domain_cap,
+    * q_u_registrable_domain, q_t_token_count); this entry proves
+    * they COMPOSE lazily, the same way q_pipe_end2end proves the
+    * text stages. The oracle replays the composition over the
+    * arithmetic canonical ground truth.
     */
   val qPipeCrawl = q(
     "q_pipe_crawl_curation",
     s"""WITH base AS (
-       |  SELECT doc_id, text, doc_id // 4 AS gid, (doc_id // 4) % 5 AS k
+       |  SELECT doc_id, text, doc_id // 4 AS gid, (doc_id // 4) % 5 AS k,
+       |         (doc_id // 4) % 3 AS sh
        |  FROM documents WHERE doc_id < 400),
        |c AS (
        |  SELECT doc_id, text,
        |    CASE WHEN doc_id % 4 = 3
-       |         THEN 'http://site' || k || '.com/a/B/' || gid
-       |         ELSE 'https://site' || k || '.com/a/B/' || gid || '?a=2&z=1'
+       |         THEN 'http://sh' || sh || '.site' || k || '.com/a/B/' || gid
+       |         ELSE 'https://sh' || sh || '.site' || k || '.com/a/B/' || gid || '?a=2&z=1'
        |    END AS canonical,
-       |    'site' || k || '.com' AS host
+       |    'site' || k || '.com' AS domain
        |  FROM base),
        |dedup AS (
-       |  SELECT doc_id, text, host FROM (
-       |    SELECT doc_id, text, host,
+       |  SELECT doc_id, text, domain FROM (
+       |    SELECT doc_id, text, domain,
        |           ROW_NUMBER() OVER (PARTITION BY canonical ORDER BY doc_id) AS rn
        |    FROM c) WHERE rn = 1),
        |capped AS (
-       |  SELECT doc_id, text, host FROM (
-       |    SELECT doc_id, text, host,
-       |           ROW_NUMBER() OVER (PARTITION BY host
+       |  SELECT doc_id, text, domain FROM (
+       |    SELECT doc_id, text, domain,
+       |           ROW_NUMBER() OVER (PARTITION BY domain
        |             ORDER BY ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)},
        |                      doc_id) AS rn
        |    FROM dedup) WHERE rn <= 8)
-       |SELECT doc_id, host FROM capped
+       |SELECT doc_id, domain FROM capped
        |WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
        |                      t -> len(t) > 0)) >= 20
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.operators.{Sampling, TextOps, UrlOps}
+    import graft.operators.{PublicSuffix, Sampling, TextOps, UrlOps}
     val gid = floor(col("doc_id") / 4).cast("long")
     val k = (gid % 5).cast("string")
+    val sh = (gid % 3).cast("string")
     val gs = gid.cast("string")
     val messy = when(col("doc_id") % 4 === 0,
-        concat(lit("https://www.site"), k, lit(".com/a/B/"), gs,
-          lit("?z=1&a=2")))
+        concat(lit("https://www.sh"), sh, lit(".site"), k,
+          lit(".com/a/B/"), gs, lit("?z=1&a=2")))
       .when(col("doc_id") % 4 === 1,
-        concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/a/B/"), gs,
-          lit("?utm_source=x&z=1&a=2")))
+        concat(lit("HTTPS://WWW.Sh"), sh, lit(".Site"), k,
+          lit(".COM:443/a/B/"), gs, lit("?utm_source=x&z=1&a=2")))
       .when(col("doc_id") % 4 === 2,
-        concat(lit("https://site"), k, lit(".com/a/B/"), gs,
-          lit("/?a=2&z=1#frag")))
+        concat(lit("https://sh"), sh, lit(".site"), k,
+          lit(".com/a/B/"), gs, lit("/?a=2&z=1#frag")))
       .otherwise(
-        concat(lit("http://site"), k, lit(".com:80/a/B/"), gs,
-          lit("?fbclid=abc")))
+        concat(lit("http://sh"), sh, lit(".site"), k,
+          lit(".com:80/a/B/"), gs, lit("?fbclid=abc")))
     val canon = Tables.documents(s, d).filter(col("doc_id") < 400)
       .select(col("doc_id"), col("text"),
         UrlOps.canonicalizeUrl(messy).as("canonical"),
@@ -2814,11 +2915,13 @@ object Queries {
     val keepers = canon.groupBy("canonical")
       .agg(min(struct(col("doc_id"))).getField("doc_id").as("doc_id"))
       .select("doc_id")
-    val deduped = canon.join(keepers, Seq("doc_id"), "left_semi")
-      .select("doc_id", "text", "host")
-    Sampling.groupCapSample(deduped, "host", "doc_id", cap = 8)
+    val deduped = PublicSuffix.withRegistrableDomain(
+        canon.join(keepers, Seq("doc_id"), "left_semi"),
+        "host", out = "domain")
+      .select("doc_id", "text", "domain")
+    Sampling.groupCapSample(deduped, "domain", "doc_id", cap = 8)
       .filter(TextOps.tokenCount(col("text")) >= 20)
-      .select("doc_id", "host")
+      .select("doc_id", "domain")
       .orderBy("doc_id")
   }
 
@@ -11626,7 +11729,8 @@ object Queries {
     qO14bProfileSketch, qO15Unpivot,
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel, qWSlidingDistinct, qWRollingCorr,
     qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qWCoec, qTCollocations,
-    qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical, qUDomainCap, qPipeCrawl,
+    qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical,
+    qURegistrableDomain, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
     qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTBlocklist, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,
