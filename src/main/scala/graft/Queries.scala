@@ -4006,6 +4006,59 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** Deletion-aware CC maintenance (ConnectedComponents.afterDeletions
+    * — r11, the compliance-takedown path): "yesterday" the <400
+    * subgraph is clustered, today's arrivals (edges touching docs ≥
+    * 400) fold in via `incremental`, then a takedown deletes every
+    * doc with doc_id % 17 = 0 — and the labeling must FORGET them:
+    * clusters split where the deleted doc was a bridge, relabel
+    * where it was the min member, and singletons appear where it was
+    * a node's only neighbor. The oracle is a FULL recompute over the
+    * surviving graph (the same recursive CTE run on edges minus
+    * those incident to a deleted id), so the gate proves the whole
+    * composition delete ∘ incremental ≡ full rebuild — the operator
+    * pair's entire contract. Engine-side, only components containing
+    * a deleted id recompute (batch-bounded membership; unaffected
+    * labels pass through verbatim).
+    */
+  val qDCcDelete = q(
+    "q_d_cc_delete",
+    s"""$duckCcComp,
+       |edges2 AS (SELECT id_a, id_b FROM edges
+       |           WHERE id_a % 17 != 0 AND id_b % 17 != 0),
+       |und2 AS (SELECT id_a AS src, id_b AS dst FROM edges2
+       |         UNION SELECT id_b, id_a FROM edges2),
+       |vtx2 AS (SELECT DISTINCT src AS id FROM und2),
+       |reach2(id, lab) AS (
+       |  SELECT id, id FROM vtx2
+       |  UNION
+       |  SELECT u.src, r.lab FROM und2 u JOIN reach2 r ON r.id = u.dst),
+       |comp2 AS (SELECT id AS doc_id, MIN(lab) AS component
+       |          FROM reach2 GROUP BY id)
+       |SELECT c.doc_id, COALESCE(c2.component, c.doc_id) AS component
+       |FROM comp c LEFT JOIN comp2 c2 USING (doc_id)
+       |WHERE c.doc_id % 17 != 0
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup}
+    val allPairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 500),
+      "doc_id", "text", n = 3, minJaccard = 0.02)
+      .localCheckpoint()
+    val oldEdges = allPairs.filter(col("id_a") < 400 && col("id_b") < 400)
+    val newEdges = allPairs.filter(col("id_a") >= 400 || col("id_b") >= 400)
+    val labels = ConnectedComponents.incremental(
+      newEdges,
+      ConnectedComponents.run(oldEdges, "id_a", "id_b"),
+      "id_a", "id_b")
+    val deleted = Tables.documents(s, d)
+      .filter(col("doc_id") < 500 && col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("id"))
+    ConnectedComponents.afterDeletions(allPairs, labels, deleted,
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster loss weights (r9) — SOFT dedup: instead of
     * dropping near-duplicates, each doc is down-weighted by its
     * cluster size (weight = 10⁶/|cluster| ppm), so a cluster
@@ -11742,7 +11795,8 @@ object Queries {
     qO23ShardShuffle,
     qDNgramJaccard, qDAllPairsCosine, qDAllPairsArrayVerify, qDAllPairsHistogram, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter, qLScorerKappa,
-    qDCcClusters, qDCcIncremental, qDDupWeights, qDSurvivorship, qDAuthoritySurvivor,
+    qDCcClusters, qDCcIncremental, qDCcDelete, qDDupWeights,
+    qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,
     qDSimhash, qDSimhashPairs, qDWinnow,

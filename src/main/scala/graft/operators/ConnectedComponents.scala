@@ -147,6 +147,84 @@ object ConnectedComponents {
     updatedOld.unionByName(newNodes.select("id", "component"))
   }
 
+  /** Deletion-aware maintenance (r11 — the compliance-takedown path):
+    * remove `deletedIds` (and every edge incident to one) from an
+    * existing labeling WITHOUT re-clustering the corpus. The dual of
+    * [[incremental]]: additions only MERGE components (batch-sized
+    * component-graph contraction suffices), but deletions can SPLIT
+    * one, and a split is only decidable from the surviving edges of
+    * the component itself — so the unit of recomputation is the
+    * affected component, not the corpus.
+    *
+    * Exactly equivalent to a full [[run]] over the surviving graph
+    * (edges minus those incident to a deleted id) — proven by
+    * IncrementalCcSpec's delete gates and the q_d_cc_delete oracle —
+    * because components are maximal: no edge crosses a component
+    * boundary, so unaffected components keep their labels verbatim
+    * (their edge sets are untouched), and the affected subgraph
+    * recomputes independently with the same min-member-id
+    * convention (a component that loses its min relabels to the new
+    * min; members isolated by the deletion become singletons).
+    * Composes with [[incremental]]: delete ∘ incremental ≡ full
+    * rebuild over the final graph (the q_d_cc_delete gate runs
+    * exactly that composition).
+    *
+    * Scale shape: `affected` (component ids containing a deleted id)
+    * is deletion-batch-bounded and broadcast; the corpus-sized label
+    * and edge sets are touched only by semi/anti joins against
+    * broadcast-or-batch-sized sides; the iterative contraction runs
+    * on the affected components' surviving edges ONLY. Worst case is
+    * a deleted id inside a giant component — the split check must
+    * scan that component's edges; that cost is inherent to the
+    * question, not the plan.
+    *
+    * `edges` must be the CURRENT graph's edge set (the same one the
+    * labeling summarizes) — labels alone cannot answer a split.
+    */
+  def afterDeletions(
+      edges: DataFrame,
+      oldLabels: DataFrame,
+      deletedIds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint()
+    val lab = oldLabels.select(
+      col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    // component ids that contain a deleted member — batch-bounded
+    val affected = lab.join(del, Seq("id"), "left_semi")
+      .select("component").distinct().localCheckpoint()
+    // labels of untouched components pass through verbatim
+    val unaffected = lab
+      .join(broadcast(affected), Seq("component"), "left_anti")
+      .select("id", "component")
+    // members of affected components (affected-size-bounded; used
+    // by three branches, so materialize once)
+    val members = lab
+      .join(broadcast(affected), Seq("component"), "left_semi")
+      .select("id").localCheckpoint()
+    val survivors = members.join(del, Seq("id"), "left_anti")
+    // surviving edges of affected components: an edge lies entirely
+    // inside one component, so a semi-join on src membership selects
+    // exactly the affected components' edges; then drop edges
+    // incident to a deleted id
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val affEdges = e
+      .join(members.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    val relabeled = run(affEdges, "src", "dst")
+    // survivors the deletion isolated (no surviving edge) — singletons
+    val isolated = survivors
+      .join(relabeled.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    unaffected.unionByName(relabeled).unionByName(isolated)
+  }
+
   /** Large-star: every node u links each strictly-larger neighbor to
     * m(u) = min(N(u) ∪ {u}). Directed edges both ways → per-node min
     * via groupBy (one shuffle) → join back (same key, AQE-coalesced).

@@ -137,4 +137,86 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(l2 == unionFind(old ++ b1 ++ b2), l2)
   }
+
+  // ---- afterDeletions (r11): delete == full rebuild on survivors ----
+
+  /** Ground truth for a deletion: full union-find over the surviving
+    * edges; previously-labeled survivors with no surviving edge are
+    * singletons.
+    */
+  private def deleteTruth(
+      edges: Seq[(Long, Long)],
+      deleted: Set[Long]): Map[Long, Long] = {
+    val surviving = edges.filter { case (a, b) =>
+      !deleted(a) && !deleted(b) && a != b }
+    val uf = unionFind(surviving)
+    val prior = unionFind(edges.filter { case (a, b) => a != b })
+    prior.keySet.diff(deleted)
+      .map(id => id -> uf.getOrElse(id, id)).toMap
+  }
+
+  private def runDelete(
+      edges: Seq[(Long, Long)],
+      oldLabels: Map[Long, Long],
+      deleted: Seq[Long]): Map[Long, Long] =
+    ConnectedComponents.afterDeletions(
+      edges.toDF("src", "dst"),
+      oldLabels.toSeq.toDF("id", "component"),
+      deleted.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("afterDeletions: bridge delete SPLITS a chain; min-member " +
+      "delete RELABELS; only-neighbor delete leaves a singleton; " +
+      "untouched components keep labels verbatim") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4), (4, 5), // chain: 3 is a bridge
+      (10, 11), (11, 12),             // 10 is the min member
+      (20, 21),                       // 20 is 21's only neighbor
+      (30, 31), (31, 32))             // untouched
+    val labels = runCC(edges)
+    val got = runDelete(edges, labels, Seq(3L, 10L, 20L))
+    assert(got == deleteTruth(edges, Set(3L, 10L, 20L)), got)
+    assert(got(1L) == 1L && got(2L) == 1L)   // left half of the split
+    assert(got(4L) == 4L && got(5L) == 4L)   // right half: new min 4
+    assert(got(11L) == 11L && got(12L) == 11L) // relabeled to new min
+    assert(got(21L) == 21L)                  // isolated singleton
+    assert(got(30L) == 30L && got(31L) == 30L && got(32L) == 30L)
+    assert(!got.contains(3L) && !got.contains(10L) && !got.contains(20L))
+  }
+
+  test("afterDeletions: deleting an entire component removes it; " +
+      "deleting unknown ids is a no-op") {
+    val edges = Seq[(Long, Long)]((1, 2), (10, 11))
+    val labels = runCC(edges)
+    val got = runDelete(edges, labels, Seq(1L, 2L, 999L))
+    assert(got == Map(10L -> 10L, 11L -> 10L), got)
+  }
+
+  test("afterDeletions matches full recompute on random graphs and " +
+      "deletion sets across seeds") {
+    for (seed <- Seq(7, 19, 41)) {
+      val rnd = new Random(seed)
+      val edges = Seq.fill(250)(
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+      val deleted = Seq.fill(25)(rnd.nextInt(120).toLong).distinct
+      val got = runDelete(edges, runCC(edges), deleted)
+      assert(got == deleteTruth(edges, deleted.toSet), s"seed=$seed")
+    }
+  }
+
+  test("delete composes with incremental: incremental batch then " +
+      "takedown == full rebuild over the final graph") {
+    val old = Seq[(Long, Long)]((1, 2), (2, 3), (10, 11), (20, 21))
+    val batch = Seq[(Long, Long)]((3, 10), (30, 31), (21, 30))
+    val all = old ++ batch
+    val l1 = runIncremental(batch, runCC(old))
+    val got = runDelete(all, l1, Seq(3L, 30L))
+    assert(got == deleteTruth(all, Set(3L, 30L)), got)
+    // the {1,2,3,10,11} merge splits back apart at deleted bridge 3
+    assert(got(1L) == 1L && got(2L) == 1L && got(10L) == 10L &&
+      got(11L) == 10L)
+    // {20,21,30,31} loses bridge 30: {20,21} survives, 31 isolated
+    assert(got(20L) == 20L && got(21L) == 20L && got(31L) == 31L)
+  }
 }
