@@ -10711,13 +10711,18 @@ object Queries {
     * storage rung's retrieval loss acceptable", one level finer than
     * q_e_sq8_recall's set overlap (rank POSITIONS of the hits now
     * matter). All metrics are exact floor-div micros of rational hit
-    * fractions — nDCG's libm log2 discount is deliberately not
-    * offered — computed on the k·|Q| rank rows only. Oracle replays
-    * both rankings (the q_e_sq8_recall chains) and every metric
-    * floor.
+    * fractions — computed on the k·|Q| rank rows only (nDCG, whose
+    * log2 discount needs the precomputed-table treatment, is its own
+    * gate: q_l_ir_ndcg). Oracle replays both rankings (the
+    * q_e_sq8_recall chains) and every metric floor.
     */
-  val qLIrMetrics = q(
-    "q_l_ir_metrics",
+  /** Shared DuckDB chain for the SQ8-run-vs-exact-cosine-qrels IR
+    * fixture: ends at `hits(qid, r, hit)` (the SQ8 top-10 per query
+    * marked against the exact top-10 as binary relevance) and keeps
+    * `tex` (the qrels) visible. Reused by q_l_ir_metrics and
+    * q_l_ir_ndcg so the run/qrels cannot drift between the gates.
+    */
+  private lazy val duckSq8IrHits =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |           FROM embeddings),
        |dims AS (SELECT unnest(range(64)) AS i),
@@ -10749,7 +10754,11 @@ object Queries {
        |         JOIN v v2 ON q.qid <> v2.vec_id) WHERE rn <= 10),
        |hits AS (SELECT t8.qid, t8.rn AS r,
        |           CASE WHEN tex.cid IS NOT NULL THEN 1 ELSE 0 END AS hit
-       |         FROM t8 LEFT JOIN tex USING (qid, cid)),
+       |         FROM t8 LEFT JOIN tex USING (qid, cid))""".stripMargin
+
+  val qLIrMetrics = q(
+    "q_l_ir_metrics",
+    s"""$duckSq8IrHits,
        |cum AS (SELECT qid, r, hit,
        |          SUM(hit) OVER (PARTITION BY qid ORDER BY r) AS h
        |        FROM hits),
@@ -10774,6 +10783,47 @@ object Queries {
     val qrels = Similarity.bruteForceTopK(qs, cands, k = 10)
       .select("qid", "cid")
     Retrieval.irMetrics(run, qrels, pAt = 5).orderBy("qid")
+  }
+
+  /** nDCG@10 in exact arithmetic (Retrieval.ndcgAt — r11, closing
+    * the IR-metrics gap): rank ≤ k is a bounded domain, so the
+    * 1/log₂(r+1) discounts are a PRECOMPUTED k-row micros table
+    * (broadcast; the RBO-rationals pattern) and DCG/IDCG are exact
+    * integer dot-products against it — the oracle replays the SAME
+    * integers via a VALUES CTE, so no libm term is evaluated by
+    * either engine at query time and the gate is bit-exact. Same
+    * SQ8-run-vs-exact-cosine-qrels fixture as q_l_ir_metrics
+    * (shared CTE chain — the run/qrels cannot drift).
+    */
+  val qLIrNdcg = q(
+    "q_l_ir_ndcg",
+    s"""$duckSq8IrHits,
+       |disc(r, d) AS (SELECT * FROM (VALUES
+       |  ${graft.operators.Retrieval.ndcgDiscountSqlValues(10)}) t(r, d)),
+       |cumd AS (SELECT r AS j, SUM(d) OVER (ORDER BY r) AS idcg
+       |         FROM disc),
+       |nr AS (SELECT qid, COUNT(*) AS nrel FROM tex GROUP BY qid),
+       |dcg AS (SELECT h.qid,
+       |          CAST(SUM(h.hit * dd.d) AS BIGINT) AS dcg_micros
+       |        FROM hits h JOIN disc dd ON dd.r = h.r GROUP BY 1),
+       |f AS (SELECT dcg.qid, dcg.dcg_micros,
+       |        CAST(cumd.idcg AS BIGINT) AS idcg_micros
+       |      FROM dcg JOIN nr USING (qid)
+       |      JOIN cumd ON cumd.j = LEAST(nr.nrel, 10))
+       |SELECT qid, dcg_micros, idcg_micros,
+       |       (dcg_micros * 1000000) // idcg_micros AS ndcg_micros
+       |FROM f ORDER BY qid""".stripMargin) { (s, d) =>
+    import graft.operators.{Retrieval, Similarity}
+    val e = Tables.embeddings(s, d)
+    val (mins, maxs) = Similarity.sq8MinMax(e, "embedding")
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val run = Similarity.sq8TopK(qs, cands, mins, maxs, k = 10)
+      .select("qid", "cid", "rank")
+    val qrels = Similarity.bruteForceTopK(qs, cands, k = 10)
+      .select("qid", "cid")
+    Retrieval.ndcgAt(run, qrels, k = 10).orderBy("qid")
   }
 
   /** Per-source embedding diversity WITHOUT pairs
@@ -11813,7 +11863,7 @@ object Queries {
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,
     qEAbttCorrect, qMmBinaryNearDup, qTBpeEncode, qA20QuantileNormalize,
-    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qXMetricDecomposition, qWForecastBaseline, qWHoltForecast, qWHoltBySegment, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
+    qGHyperAnf, qGHyperAnfM32, qA21BootstrapCi, qXScd2Retention, qDSourceOverlap, qWChangepoint, qPipeIngestHealth, qPipeEntityResolution, qA22FrequentPairs, qWSeasonality, qTLangSegments, qWAttribution, qA23Rfm, qA24Abc, qWEventPaths, qA25TopMovers, qXMetricDecomposition, qWForecastBaseline, qWHoltForecast, qWHoltBySegment, qXBenford, qA26Gini, qWSeasonalMeanForecast, qKStarReadback, qTIsotonicCalibration, qTLabelNoise, qLRankStability, qLRbo, qDLshPlan, qPipeCalibratedKeep, qEDimTruncation, qESq8Recall, qEMeanPairCosine, qLIrMetrics, qLIrNdcg, qEMmrSelect, qEHardNegatives, qWGroupTrend, qWTheilSen, qMmCdcChunks, qMmCdcDedup, qMmChunkOverlap, qWKaplanMeier, qTSentenceChunks,
     qXSkyline, qXSourceValuation, qO27TargetEncoding,
     qWAcf, qXCuped,
     qWEwma, qGLinkPredict, qGHarmonic, qGHarmonicM32, qXEmbeddingDrift, qTLuhnAudit,

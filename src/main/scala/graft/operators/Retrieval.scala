@@ -85,8 +85,9 @@ object Retrieval {
     * reciprocal rank, average precision, and precision@pAt. All three
     * are exact floor-div micros of rational hit fractions — no logs,
     * no floats — so cross-engine replay is bit-exact (nDCG's log2
-    * discount is deliberately NOT offered: a libm term would make the
-    * gate engine-dependent). The AP contract is per-term floors
+    * discount lives in [[ndcgAt]], rendered exact by the precomputed
+    * discount table rather than a query-time libm term). The AP
+    * contract is per-term floors
     * summed: Σ over hit ranks r of (hits@r·10⁶) floorDiv (r·|rel|).
     * Everything runs on the k·|Q| rank rows — metadata after the
     * retrieval heap, regardless of corpus size (the run is already
@@ -114,5 +115,64 @@ object Retrieval {
         coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micros"),
         coalesce(col("ap_micros"), lit(0L)).as("ap_micros"),
         expr(s"(coalesce(h_at, 0) * 1000000) div $pAt").as("p_micros"))
+  }
+
+  /** Position-discount table for [[ndcgAt]]: `discountMicros(r)` =
+    * ⌊10⁶ / log₂(r+1)⌋. rank ≤ k is a BOUNDED domain, so the one
+    * libm evaluation happens here — once, on the driver, shared with
+    * the oracle via [[ndcgDiscountSqlValues]] (the same in-memory
+    * values render as a VALUES CTE) — and every query-time operation
+    * is an exact integer dot-product against the broadcast table
+    * (the RBO-rationals pattern). Cross-engine determinism therefore
+    * does not depend on two libm implementations agreeing: the table
+    * IS the contract.
+    */
+  def ndcgDiscountMicros(r: Int): Long = {
+    require(r >= 1, s"rank must be >= 1, got $r")
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong
+  }
+
+  /** The discount table as a DuckDB VALUES body `(r, d)` for
+    * rank 1..k — the oracle replays the SAME integers.
+    */
+  def ndcgDiscountSqlValues(k: Int): String =
+    (1 to k).map(r => s"($r, ${ndcgDiscountMicros(r)})").mkString(", ")
+
+  /** nDCG@k in exact arithmetic (binary relevance from qrels
+    * membership):
+    *
+    *   DCG_micros  = Σ_{r ≤ k, hit_r} discountMicros(r)
+    *   IDCG_micros = Σ_{r ≤ min(|rel|, k)} discountMicros(r)
+    *   ndcg_micros = (DCG_micros · 10⁶) floorDiv IDCG_micros
+    *
+    * Both sums are integer dot-products against the broadcast k-row
+    * discount table (and its prefix sums for IDCG), so replay is
+    * bit-exact. Queries with no qrels score 0. Runs on the k·|Q|
+    * rank rows — metadata-scale like [[irMetrics]].
+    */
+  def ndcgAt(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val spark = run.sparkSession
+    import spark.implicits._
+    val disc = (1 to k).map(r => (r.toLong, ndcgDiscountMicros(r)))
+    val cums = disc.scanLeft((0L, 0L)) { case ((_, acc), (r, d)) =>
+      (r, acc + d) }.tail
+    val discDf = broadcast(disc.toDF("rank", "d"))
+    val cumDf = broadcast(cums.toDF("j", "idcg_micros"))
+    val nrel = qrels.groupBy("qid").agg(count(lit(1)).as("nrel"))
+    val dcg = run.filter(col("rank") <= k)
+      .join(qrels.select(col("qid"), col("cid"), lit(1L).as("hit")),
+        Seq("qid", "cid"), "left")
+      .na.fill(0L, Seq("hit"))
+      .join(discDf, Seq("rank"))
+      .groupBy("qid")
+      .agg(sum(col("hit") * col("d")).as("dcg_micros"))
+    dcg
+      .join(nrel, Seq("qid"), "left")
+      .join(cumDf, least(coalesce(col("nrel"), lit(0L)), lit(k.toLong))
+        === cumDf("j"), "left")
+      .select(col("qid"), col("dcg_micros"),
+        coalesce(col("idcg_micros"), lit(0L)).as("idcg_micros"),
+        coalesce(expr("(dcg_micros * 1000000) div idcg_micros"), lit(0L))
+          .as("ndcg_micros"))
   }
 }

@@ -65,4 +65,33 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1) == ((2L, 500000L, 500000L, 500000L)), got(1))
     assert(got(2) == ((3L, 0L, 0L, 0L)), got(2))
   }
+
+  test("ndcgAt: pinned discount table; perfect run scores 10⁶, " +
+      "partial run the exact floor-div, zero-hit run 0") {
+    import Retrieval.ndcgDiscountMicros
+    // pin the table itself: ⌊10⁶ / log₂(r+1)⌋
+    assert(ndcgDiscountMicros(1) == 1000000L)
+    assert(ndcgDiscountMicros(2) == 630929L)
+    assert(ndcgDiscountMicros(3) == 500000L)
+    assert(ndcgDiscountMicros(4) == 430676L)
+    val qrels = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "cid")
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3), (1L, 98L, 4),
+      (2L, 90L, 1), (2L, 20L, 2), (2L, 91L, 3), (2L, 21L, 4),
+      (3L, 77L, 1), (3L, 78L, 2)).toDF("qid", "cid", "rank")
+    val got = Retrieval.ndcgAt(run, qrels, k = 4)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val idcg2 = ndcgDiscountMicros(1) + ndcgDiscountMicros(2)
+    // q1: hits at 1,2 of nrel=2 — perfect
+    assert(got(0) == ((1L, idcg2, idcg2, 1000000L)), got(0))
+    // q2: hits at 2,4 of nrel=2
+    val dcg2 = ndcgDiscountMicros(2) + ndcgDiscountMicros(4)
+    assert(got(1) ==
+      ((2L, dcg2, idcg2, Math.floorDiv(dcg2 * 1000000L, idcg2))), got(1))
+    assert(got(1)._4 == 650920L) // the exact floor, pinned
+    // q3: no hits, nrel=1
+    assert(got(2) == ((3L, 0L, 1000000L, 0L)), got(2))
+  }
 }
