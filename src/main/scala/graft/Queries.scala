@@ -7495,25 +7495,33 @@ object Queries {
     * bounds emit as epoch seconds (never raw timestamps — house
     * rule), ordering ties break on event_id.
     */
+  /** Shared DuckDB SCD2 full rebuild over the events change-log —
+    * the ground truth for both the batch merge gate (q_x_scd2_merge)
+    * and the streaming versioned-dim readback
+    * (q_stream_scd2_readback): one truth, two ingestion paths.
+    */
+  private lazy val duckScd2Rebuild =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |             event_type FROM events),
+      |c AS (SELECT user_id, ts, event_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS pv
+      |      FROM e),
+      |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+      |       WHERE pv IS NULL OR pv <> event_type),
+      |v AS (SELECT user_id, event_id, event_type, ts AS vf,
+      |        lead(ts) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS vt
+      |      FROM ch)
+      |SELECT user_id, event_id, event_type,
+      |  epoch_ms(vf) // 1000 AS vf_sec,
+      |  epoch_ms(vt) // 1000 AS vt_sec,
+      |  (vt IS NULL) AS is_current
+      |FROM v ORDER BY user_id, vf""".stripMargin
+
   val qXScd2Merge = q(
     "q_x_scd2_merge",
-    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-       |             event_type FROM events),
-       |c AS (SELECT user_id, ts, event_id, event_type,
-       |        lag(event_type) OVER (PARTITION BY user_id
-       |          ORDER BY ts, event_id) AS pv
-       |      FROM e),
-       |ch AS (SELECT user_id, ts, event_id, event_type FROM c
-       |       WHERE pv IS NULL OR pv <> event_type),
-       |v AS (SELECT user_id, event_id, event_type, ts AS vf,
-       |        lead(ts) OVER (PARTITION BY user_id
-       |          ORDER BY ts, event_id) AS vt
-       |      FROM ch)
-       |SELECT user_id, event_id, event_type,
-       |  epoch_ms(vf) // 1000 AS vf_sec,
-       |  epoch_ms(vt) // 1000 AS vt_sec,
-       |  (vt IS NULL) AS is_current
-       |FROM v ORDER BY user_id, vf""".stripMargin) { (s, d) =>
+    duckScd2Rebuild) { (s, d) =>
     import graft.operators.Scd2
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -7527,6 +7535,67 @@ object Queries {
         unix_timestamp(col("valid_to")).as("vt_sec"),
         col("is_current"))
       .orderBy("user_id", "vf_sec", "event_id")
+  }
+
+  // ---- streaming readback gates (r11): the driver artifact, not
+  // just sbt, witnesses stream ≡ batch for the deterministic-output
+  // streaming families. Each fn runs a REAL AvailableNow drain
+  // (file source, pinned micro-batch order, RocksDB where TWS
+  // requires it — graft.streaming.StreamReadback) and returns the
+  // batch READBACK of the produced table; the oracle states the
+  // batch semantics. The drain is memoized per sf dir, so Bench
+  // times the steady-state readback, not the one-time drain.
+
+  /** Streaming first-seen dedup ≡ its batch truth: fingerprints
+    * doc_id % 100 arrive once per doc-id-range micro-batch (4
+    * batches), so the survivor is the range-0 doc and duplicate
+    * ordinals follow batch order — the oracle states all of it
+    * arithmetically. Cross-micro-batch TWS/RocksDB state is exactly
+    * what this hash-gates.
+    */
+  val qStreamDedupReadback = q(
+    "q_stream_dedup_readback",
+    """SELECT doc_id % 100 AS fingerprint, doc_id,
+      |       doc_id < 100 AS is_first,
+      |       doc_id % 100 AS first_doc_id,
+      |       doc_id // 100 + 1 AS n_seen
+      |FROM documents WHERE doc_id < 400
+      |ORDER BY fingerprint, n_seen""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.dedup(s, d)
+  }
+
+  /** Streaming concat-cut layout ≡ Packing.concatCut: one
+    * AvailableNow pass per shard IS the batch layout (in-batch
+    * doc-id sort, running offset). Oracle replays the per-shard
+    * running token sums and window ids.
+    */
+  val qStreamConcatCutReadback = q(
+    "q_stream_concatcut_readback",
+    """WITH b AS (SELECT doc_id % 4 AS shard, doc_id,
+      |             doc_id % 37 + 6 AS t
+      |           FROM documents WHERE doc_id < 400),
+      |c AS (SELECT shard, doc_id, t,
+      |        CAST(SUM(t) OVER (PARTITION BY shard ORDER BY doc_id) - t
+      |             AS BIGINT) AS start_tok
+      |      FROM b)
+      |SELECT shard, doc_id, start_tok, start_tok + t - 1 AS end_tok,
+      |       start_tok // 128 AS first_seq,
+      |       (start_tok + t - 1) // 128 AS last_seq
+      |FROM c ORDER BY shard, doc_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.concatCut(s, d)
+  }
+
+  /** Streaming SCD2 versioned dimension ≡ full rebuild: the change
+    * log streams in two micro-batches split at the q_x_scd2_merge
+    * cut, each folds via Scd2.merge with an atomic version swap, and
+    * the CURRENT dimension must hash-equal the full fromChangeLog
+    * rebuild (same oracle as q_x_scd2_merge — one truth, two
+    * ingestion paths).
+    */
+  val qStreamScd2Readback = q(
+    "q_stream_scd2_readback",
+    duckScd2Rebuild) { (s, d) =>
+    graft.streaming.StreamReadback.scd2(s, d)
   }
 
   /** Masking pass over the repeated spans (Dedup.maskRepeatedSpans —
@@ -11859,6 +11928,7 @@ object Queries {
     qECrossCorpusNearDup,
     qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmAudioEnergy, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
+    qStreamDedupReadback, qStreamConcatCutReadback, qStreamScd2Readback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

@@ -1,0 +1,236 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog-facing stream ≡ batch readback gates (r11): each runs a
+  * REAL Structured Streaming query — file source, a full drain
+  * (AvailableNow for the foreachBatch sink; progress-poll for the
+  * TWS queries, per the drain contract), RocksDB state store where
+  * transformWithState requires it — writes the result table, and
+  * returns the batch READBACK of that table, which the driver
+  * hash-compares against a DuckDB oracle of the batch semantics.
+  * This moves the stream-equals-batch claim for the
+  * deterministic-output streaming families out of sbt-only specs
+  * and into the per-round correctness artifact.
+  *
+  * Determinism by construction (hash gates need it):
+  *  - micro-batch ORDER is pinned by one landing file per intended
+  *    batch with strictly ascending modification times +
+  *    maxFilesPerTrigger=1 (the file source admits oldest-first);
+  *  - WITHIN-batch order never matters: the dedup fixture plants at
+  *    most one row per fingerprint per batch, concat-cut sorts its
+  *    shard's batch by doc_id inside the processor, and SCD2's merge
+  *    is set-based over the batch.
+  *
+  * Each gate's stream run is memoized per sf dir (the table a run
+  * produced IS the thing being read back; Verify and Bench pay the
+  * drain once per JVM and the bench then times the readback — the
+  * kcoreWarmPriorMemo pattern).
+  */
+object StreamReadback {
+
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  private def rocksDb(s: SparkSession): Unit =
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+
+  private def freshDir(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  /** Write each frame as ONE parquet file `b<i>.parquet` in `dir`
+    * with strictly ascending modTimes — one micro-batch each under
+    * maxFilesPerTrigger=1, admitted oldest-first.
+    */
+  private def landBatches(dir: Path, batches: Seq[DataFrame]): Unit = {
+    val t0 = 1700000000000L // fixed base; only the ORDER matters
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = dir.resolve(s"tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part in $tmp"))
+      val dst = dir.resolve(s"b$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(t0 + i * 60000L)
+      // clean the write dir (committed/_SUCCESS residue)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Drain for a self-terminating trigger (AvailableNow on a
+    * non-TWS query — the foreachBatch SCD2 sink).
+    */
+  private def drain(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination(300000L)
+    if (q.isActive) { q.stop(); sys.error("stream drain timed out") }
+  }
+
+  /** Drain for transformWithState ProcessingTime queries — the
+    * house drain contract (see StreamBottomK's doc): AvailableNow
+    * never concludes a TWS query in Spark 4.1 (not only on
+    * MemoryStream — a 4-file file-source run churned >1000 empty
+    * maintenance micro-batches without terminating), so poll
+    * lastProgress until three consecutive zero-input batches, then
+    * stop.
+    */
+  private def drainTws(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      maxWaitMs: Long = 240000L): Unit = {
+    val t0 = System.currentTimeMillis()
+    var idle = 0
+    var lastBatch = -1L
+    while (q.isActive && idle < 3 &&
+        System.currentTimeMillis() - t0 < maxWaitMs) {
+      Thread.sleep(150)
+      val p = q.lastProgress
+      if (p != null && p.batchId != lastBatch) {
+        lastBatch = p.batchId
+        idle = if (p.numInputRows == 0) idle + 1 else 0
+      }
+    }
+    val timedOut = q.isActive && idle < 3
+    if (q.isActive) q.stop()
+    if (timedOut) sys.error("TWS stream drain timed out")
+  }
+
+  /** TWS state-partition count: the state store spins one RocksDB
+    * instance per state partition per micro-batch — at the session
+    * default (32) the fixture-scale drains pay ~4× the wall of the
+    * work itself. 8 matches the spec JVMs; results are sorted at
+    * readback and the fixtures are partitioning-invariant, so the
+    * count is pure overhead tuning. Restored after the drain.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** First-seen dedup readback: docs < 400 with planted fingerprint
+    * doc_id % 100 arrive in four doc-id-range micro-batches, so each
+    * fingerprint shows up once per batch — the survivor is the range-0
+    * doc and the n-th duplicate is the range-(n−1) doc, fully
+    * deterministic. Exercises cross-micro-batch TWS state (RocksDB)
+    * end-to-end.
+    */
+  def dedup(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = memo.computeIfAbsent(s"dedup|$sfDir", _ => {
+      rocksDb(s)
+      val landing = freshDir("sr-dedup-in")
+      val base = graft.Tables.documents(s, sfDir)
+        .filter(col("doc_id") < 400)
+        .select((col("doc_id") % 100).as("fingerprint"), col("doc_id"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+      landBatches(landing,
+        (0 until 4).map(i => base.filter(col("doc_id") >= i * 100 &&
+          col("doc_id") < (i + 1) * 100)))
+      val out = freshDir("sr-dedup-out")
+      import s.implicits._
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema("fingerprint LONG, doc_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .as[StreamDedup.DocIn]
+        val q = StreamDedup.firstSeen(in, java.time.Duration.ofDays(365))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/table")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .start()
+        drainTws(q)
+      }
+      s"$out/table"
+    })
+    s.read.parquet(outDir)
+      .select(col("fingerprint"), col("doc_id"),
+        col("first").as("is_first"), col("first_doc_id"),
+        col("nSeen").as("n_seen"))
+      .orderBy("fingerprint", "n_seen")
+  }
+
+  /** Concat-cut layout readback: docs < 400 with planted
+    * n_toks = doc_id % 37 + 5 over 4 shards, one AvailableNow pass —
+    * which the operator contract makes EXACTLY the batch
+    * Packing.concatCut layout per shard (in-batch doc-id sort).
+    */
+  def concatCut(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = memo.computeIfAbsent(s"concat|$sfDir", _ => {
+      rocksDb(s)
+      val landing = freshDir("sr-concat-in")
+      landBatches(landing, Seq(
+        graft.Tables.documents(s, sfDir)
+          .filter(col("doc_id") < 400)
+          .select((col("doc_id") % 4).cast("int").as("shard"),
+            col("doc_id"), (col("doc_id") % 37 + 5).as("n_toks"))))
+      val out = freshDir("sr-concat-out")
+      import s.implicits._
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema("shard INT, doc_id LONG, n_toks LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .as[StreamConcatCut.DocIn]
+        val q = StreamConcatCut.layout(in, seqLen = 128L, eosTokens = 1)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/table")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .start()
+        drainTws(q)
+      }
+      s"$out/table"
+    })
+    s.read.parquet(outDir)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        col("start_tok"), col("end_tok"), col("first_seq"),
+        col("last_seq"))
+      .orderBy("shard", "doc_id")
+  }
+
+  /** SCD2 versioned-dimension readback: the events change-log
+    * arrives as two micro-batches split at the q_x_scd2_merge cut
+    * (all-late second batch — the merge contract), the sink folds
+    * each via Scd2.merge and version-swaps the dimension; the
+    * readback is the CURRENT dimension, which must equal a full
+    * fromChangeLog rebuild over all events (merge ∘ merge = rebuild).
+    */
+  def scd2(s: SparkSession, sfDir: String): DataFrame = {
+    val dimDir = memo.computeIfAbsent(s"scd2|$sfDir", _ => {
+      val landing = freshDir("sr-scd2-in")
+      val ev = graft.Tables.events(s, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      landBatches(landing,
+        Seq(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut)))
+      val out = freshDir("sr-scd2-out")
+      val in = s.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, " +
+          "event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+      val q = StreamScd2.sink(in, s"$out/dim", s"$out/ckpt",
+        "user_id", "ts", "event_id", "event_type").start()
+      drain(q)
+      s"$out/dim"
+    })
+    StreamScd2.readDim(s, dimDir)
+      .getOrElse(sys.error(s"no committed dimension in $dimDir"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("valid_from")).as("vf_sec"),
+        unix_timestamp(col("valid_to")).as("vt_sec"),
+        col("is_current"))
+      .orderBy("user_id", "vf_sec", "event_id")
+  }
+}
