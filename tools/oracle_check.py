@@ -344,6 +344,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def plan_diff(affected):
+    """Plan-fingerprint diff for the affected set (r11 stretch):
+    when both the committed PLANS.json and a freshly generated
+    PLANS_new.json exist (see graft.tools.PlanFingerprint's workflow
+    doc), print per-query field changes so a silent plan regression
+    (broadcast -> sort-merge, a new shuffle) surfaces beside the
+    value gate. Informational only — intentional changes are
+    accepted by moving PLANS_new.json over PLANS.json and committing.
+    """
+    prior_p = os.path.join(REPO, "PLANS.json")
+    new_p = os.path.join(REPO, "PLANS_new.json")
+    if not (os.path.exists(prior_p) and os.path.exists(new_p)):
+        return
+    with open(prior_p) as f:
+        prior = json.load(f)
+    with open(new_p) as f:
+        new = json.load(f)
+    names = sorted(affected) if affected is not None \
+        else sorted(set(prior) | set(new))
+    n = 0
+    for name in names:
+        p, c = prior.get(name), new.get(name)
+        if p is not None and c is not None and p != c:
+            fields = {k: (p[k], c[k]) for k in p if p.get(k) != c.get(k)}
+            print(f"PLAN CHANGED {name}: " + ", ".join(
+                f"{k} {a}->{b}" for k, (a, b) in sorted(fields.items())))
+            n += 1
+        elif p is None and c is not None:
+            print(f"PLAN NEW {name}")
+    print(f"plan-diff: {n} changed (PLANS.json vs PLANS_new.json)")
+
+
 def main(sf_dir: str, out_dir: str, changed_only=None) -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -459,4 +491,5 @@ if __name__ == "__main__":
             print(f"changed-mode: {reason}")
             print("affected: " + (",".join(sorted(affected)) or "(none)"))
             changed = affected
+        plan_diff(changed)
     sys.exit(main(argv[0], argv[1], changed))
