@@ -1377,6 +1377,72 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Memoized FULL-graph prior core for q_g_kcore_delete's bench
+    * plan — same bounds and stats-severing rationale as
+    * [[kcoreWarmPriorLocal]].
+    */
+  private val kcoreFullCoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private def kcoreFullCoreLocal(s: SparkSession, d: String): DataFrame = {
+    val nodes = kcoreFullCoreMemo.computeIfAbsent(d, _ => {
+      val (sparse, clique) = kcoreGraphParts(s, d)
+      graft.operators.KCore
+        .peel(sparse.unionByName(clique), "src", "dst", k = 4, iters = 8)
+        .select("node").collect().map(_.getLong(0)).toSeq
+    })
+    import s.implicits._
+    nodes.toDF("node")
+  }
+
+  /** k-core DELETION gate (KCore.peelAfterDeletions — r11, the
+    * decremental dual of q_g_kcore_warm, mirroring q_d_cc_delete):
+    * a takedown removes every node ≡ 0 (mod 13) — including two
+    * members of the planted 25-clique — and the engine recomputes
+    * via the monotone restriction: cold peel, but only on surviving
+    * edges with both endpoints in (prior core ∖ deleted). The oracle
+    * replays the plain cold peel over the surviving graph and knows
+    * nothing about the restriction — a green hash PROVES the
+    * search-space cut is lossless (core(H) = core(G′)), including
+    * demotions the warm pin would get wrong. benchFn times the
+    * deletion peel alone against the memoized prior (a production
+    * takedown starts from the stored core).
+    *
+    * ROUND DEPTH: 14, not the full graph's 8 — deletions CASCADE
+    * (each removed hub demotes neighbors, who demote theirs), so
+    * the post-takedown peel runs deeper than the original build's;
+    * measured fixpoint at sf0.01 is round 14 (1647 nodes; round 8
+    * still read 1668). Both engine and oracle replay 14 rounds —
+    * a fixed-round gate must pin BOTH sides at (or past) the
+    * fixpoint or the restricted peel, which converges faster,
+    * hash-mismatches the slower unrestricted replay.
+    */
+  val qGKcoreDelete = q(
+    "q_g_kcore_delete",
+    s"""${graft.operators.KCore.oracleSql(
+        s"""SELECT src, dst FROM ($kcoreEdgesSql)
+           |WHERE src % 13 != 0 AND dst % 13 != 0""".stripMargin,
+        k = 4, iters = 14)}
+       |ORDER BY node""".stripMargin,
+    benchFn = Some((s, d) => {
+      val (sparse, clique) = kcoreGraphParts(s, d)
+      graft.operators.KCore.peelAfterDeletions(
+          sparse.unionByName(clique), "src", "dst",
+          kcoreFullCoreLocal(s, d),
+          s.range(0, 3000).toDF().filter(col("id") % 13 === 0),
+          k = 4, iters = 14)
+        .orderBy("node")
+    })) { (s, d) =>
+    val (sparse, clique) = kcoreGraphParts(s, d)
+    val full = sparse.unionByName(clique)
+    val prior = graft.operators.KCore
+      .peel(full, "src", "dst", k = 4, iters = 8).select("node")
+    graft.operators.KCore.peelAfterDeletions(
+        full, "src", "dst", prior,
+        s.range(0, 3000).toDF().filter(col("id") % 13 === 0),
+        k = 4, iters = 14)
+      .orderBy("node")
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -11922,7 +11988,7 @@ object Queries {
     qXSaltedAgg, qXSaltedJoin, qXBucketedJoin, qXBloomPrune, qXZorder,
     qXHilbert,
     qXZoneMapPrune, qXCompactionPlan, qXIncrementalRollup, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
-    qGPprSeeded, qGTriangles, qGKcore, qGKcoreWarm,
+    qGPprSeeded, qGTriangles, qGKcore, qGKcoreWarm, qGKcoreDelete,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,

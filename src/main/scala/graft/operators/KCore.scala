@@ -35,17 +35,18 @@ import org.apache.spark.sql.functions._
   *
   * RECOMPUTE-CADENCE CONTRACT (the incremental-maintenance stance,
   * cf. ConnectedComponents.incremental / PageRank.ranksConverged):
-  * k-core is NOT incrementally maintained here — deleting or adding
-  * one edge can cascade peels arbitrarily far (coreness is a global
-  * fixpoint, unlike CC's purely-growing merge structure), so a sound
-  * delta algorithm needs the full traversal machinery of Sarıyüce et
-  * al.'s incremental core maintenance, which buys little when the
-  * consumer (template-family detection) reads the core at curation
-  * cadence, not per arrival batch. Contract: recompute per curation
-  * run over the current candidate graph; cost is O(peel-depth)
-  * rounds over edges that only shrink — the cheapest of the graph
-  * suite's iterations — and the run is deterministic, so replays are
-  * free to schedule.
+  * k-core is not DELTA-maintained here — one edge change can cascade
+  * peels arbitrarily far (coreness is a global fixpoint, unlike CC's
+  * purely-growing merge structure), and a true delta algorithm needs
+  * the traversal machinery of Sarıyüce et al.'s incremental core
+  * maintenance. What IS offered are the two monotone
+  * search-space restrictions, both exact: [[peelWarm]] pins the
+  * prior core under append-only batches (core only grows), and
+  * [[peelAfterDeletions]] peels cold but only inside the prior core
+  * minus the deleted ids (core only shrinks); mixed batches compose
+  * deletions-first. The fallback remains the cold [[peel]] per
+  * curation run — O(peel-depth) rounds over edges that only shrink,
+  * deterministic, so replays are free to schedule.
   */
 object KCore {
 
@@ -60,23 +61,36 @@ object KCore {
       k: Int, iters: Int, checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    var e = edges
+    // ckptReset: localCheckpoint + STATS RESET (the r10 hazard, now
+    // applied to the peel's own rounds): Dataset.localCheckpoint
+    // carries the PRE-checkpoint sizeInBytes estimate, whose BigInt
+    // digit count grows ~3× per peel round through the degree-agg ×
+    // two-semi-join size walk. At the original 8 rounds that is
+    // ~10^4 digits and invisible; the 14-round deletion gate pushed
+    // it far enough that SizeInBytesOnlyStatsPlanVisitor burned
+    // ~40 s of DRIVER CPU per bench run (42.8 s vs ~2 s). Rebuilding
+    // a fresh scan over the checkpointed rows restores unknown-size
+    // defaults; cost is one row conversion per materialized table.
+    def ckptReset(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    var e = ckptReset(edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     for (i <- 1 to iters) {
       // alive is |V|-sized and referenced by BOTH semi-filters; left
       // lazy it would re-run the degree agg twice per round, and an
       // unmaterialized e compounds ~5x re-execution per round (the
       // r8 bench measured 18.4s at checkpointEvery=4 vs 3.9s here)
-      val alive = degrees(e).filter(col("degree") >= k).localCheckpoint()
+      val alive = ckptReset(degrees(e).filter(col("degree") >= k))
       e = e
         .join(alive.select(col("node").as("u")), Seq("u"))
         .join(alive.select(col("node").as("v")), Seq("v"))
         .select("u", "v")
-      if (i % checkpointEvery == 0 && i < iters) e = e.localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) e = ckptReset(e)
     }
     degrees(e).filter(col("degree") >= k)
   }
@@ -153,6 +167,62 @@ object KCore {
       if (i % checkpointEvery == 0 && i < iters) e = e.localCheckpoint()
     }
     degrees(e).filter(col("degree") >= k)
+  }
+
+  /** Deletion-aware recompute (r11 — the decremental face closing
+    * [[peelWarm]]'s append-only contract, the same pairing as
+    * ConnectedComponents.incremental / afterDeletions): under
+    * DELETIONS of nodes (equivalently: all their incident edges) the
+    * k-core is monotone NON-INCREASING — every degree in every
+    * subgraph only shrank — so core(G′) ⊆ core(G) = the prior core
+    * and contains no deleted node. The peel therefore runs COLD (a
+    * demoted node must be allowed to fall — no pinning), but only on
+    * H = the surviving edges with BOTH endpoints in
+    * (prior core ∖ deleted): the rest of the graph cannot re-enter.
+    *
+    * SOUNDNESS (exactly the true post-deletion core): core(G′) ⊆
+    * nodes(H) by the two monotonicity facts above, and every G′-edge
+    * between two nodes of core(G′) is an H-edge by construction of
+    * H — so core(G′) is a min-degree-≥k subgraph OF H, hence
+    * core(G′) ⊆ core(H); conversely H ⊆ G′ makes any min-degree-≥k
+    * subgraph of H one of G′, so core(H) ⊆ core(G′) by maximality.
+    * core(H) = core(G′); the cold peel of H is exact. KCoreSpec
+    * proves delete ≡ cold recompute including the demoted-apex case
+    * that peelWarm's counterexample documents.
+    *
+    * What the restriction buys: the peel never touches edges outside
+    * the prior core — on a curation graph where the core is the
+    * dense kernel, the deletion check runs on kernel-sized edges
+    * instead of the corpus-sized candidate graph, and the two
+    * membership joins that build H are semi-joins against a
+    * core-sized (usually broadcastable) side.
+    *
+    * MIXED batches compose exactly, deletions first:
+    * `peelAfterDeletions` on G∖D gives core(G∖D); then [[peelWarm]]
+    * over (G∖D)∪A with that core as the pin — additions only, so
+    * the warm contract holds. Both steps are exact, so the
+    * composition is.
+    */
+  def peelAfterDeletions(edges: DataFrame, srcCol: String, dstCol: String,
+      priorCore: DataFrame, deletedIds: DataFrame,
+      k: Int, iters: Int, checkpointEvery: Int = 1): DataFrame = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("node"))
+      .distinct()
+    // same stats-reset treatment as peelWarm: a checkpoint-carried
+    // size estimate on the prior core would compound through the
+    // peel's per-round checkpoints
+    val keepCk = priorCore.select(col("node").cast("long"))
+      .distinct()
+      .join(del, Seq("node"), "left_anti")
+      .localCheckpoint()
+    val keep = keepCk.sparkSession.createDataFrame(keepCk.rdd, keepCk.schema)
+    val h = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    peel(h, "src", "dst", k, iters, checkpointEvery)
   }
 
   private def degrees(e: DataFrame): DataFrame =

@@ -109,4 +109,80 @@ class KCoreSpec extends SparkSpec {
     assert(warm.nonEmpty && warm != cold,
       "fixture must demonstrate WHY deletions require the cold peel")
   }
+
+  // ---- peelAfterDeletions (r11): the decremental dual ----
+
+  private def deleteCore(
+      edges: Seq[(Long, Long)],
+      deleted: Seq[Long],
+      k: Int, iters: Int = 8): Map[Long, Long] = {
+    val prior = KCore.peel(edges.toDF("src", "dst"), "src", "dst",
+      k, iters).select("node")
+    KCore.peelAfterDeletions(edges.toDF("src", "dst"), "src", "dst",
+        prior, deleted.toDF("id"), k, iters)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  private def coldSurviving(
+      edges: Seq[(Long, Long)],
+      deleted: Set[Long],
+      k: Int, iters: Int = 8): Map[Long, Long] =
+    core(edges.filter { case (a, b) => !deleted(a) && !deleted(b) },
+      k, iters)
+
+  test("peelAfterDeletions handles the demotion peelWarm cannot: " +
+      "node deletion dissolves the core exactly like the cold peel") {
+    // K4 on 0..3 at k=3: deleting node 0 leaves a triangle — the
+    // 3-core dissolves entirely (every survivor demotes)
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    assert(deleteCore(k4, Seq(0L), k = 3) ==
+      coldSurviving(k4, Set(0L), k = 3))
+    assert(deleteCore(k4, Seq(0L), k = 3).isEmpty)
+    // K5 minus one member at k=3: the remaining K4 stays a 3-core
+    val k5 = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val got = deleteCore(k5, Seq(4L), k = 3)
+    assert(got == coldSurviving(k5, Set(4L), k = 3))
+    assert(got.keySet == Set(0L, 1L, 2L, 3L) && got.values.forall(_ == 3L))
+  }
+
+  test("peelAfterDeletions: deleting a non-core node never changes " +
+      "the core; deleting ALL core nodes empties it; unknown ids no-op") {
+    val k5 = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val g = k5 ++ Seq((4L, 10L), (10L, 11L)) // chain outside the 3-core
+    assert(deleteCore(g, Seq(11L, 999L), k = 3) ==
+      core(k5.toSeq, k = 3))
+    assert(deleteCore(g, (0L to 4L).toSeq, k = 3).isEmpty)
+  }
+
+  test("peelAfterDeletions ≡ cold peel over survivors on random " +
+      "graphs and deletion sets across seeds") {
+    for (seed <- Seq(5, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(300)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val deleted = Seq.fill(10)(rnd.nextInt(60).toLong).distinct
+      assert(deleteCore(edges, deleted, k = 3) ==
+        coldSurviving(edges, deleted.toSet, k = 3), s"seed=$seed")
+    }
+  }
+
+  test("mixed batch composes deletions-first: peelAfterDeletions " +
+      "then peelWarm over the additions ≡ cold peel of the final graph") {
+    val k5 = for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b)
+    val g0 = (k5 ++ Seq((4L, 10L), (10L, 11L))).toSeq
+    val deleted = Seq(4L)
+    val gDel = g0.filter { case (a, b) => a != 4L && b != 4L }
+    val added = Seq((0L, 20L), (1L, 20L), (20L, 2L)) // 20 joins the core
+    val gFinal = gDel ++ added
+    val prior = KCore.peel(g0.toDF("src", "dst"), "src", "dst",
+      k = 3, iters = 8).select("node")
+    val afterDel = KCore.peelAfterDeletions(g0.toDF("src", "dst"),
+      "src", "dst", prior, deleted.toDF("id"), k = 3, iters = 8)
+    val got = KCore.peelWarm(gFinal.toDF("src", "dst"), "src", "dst",
+        afterDel.select("node"), k = 3, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == core(gFinal, k = 3))
+    assert(got.contains(20L) && !got.contains(4L))
+  }
 }
