@@ -7292,6 +7292,75 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** REAL video-container decode (Multimodal.VideoHeaderCodec —
+    * r11, the video face of q_mm_decode_real / q_mm_audio_meta,
+    * completing the image/audio/video modality set): canonical
+    * ISO-BMFF (MP4) box streams — a 20-byte `ftyp` with the isom
+    * brand, a `moov` whose `mvhd` carries the planted BE32
+    * timescale/duration and 1–3 empty `trak` stubs, and the text
+    * bytes as `mdat` — are assembled as BINARY and the
+    * mapPartitions decode must box-walk them back out. The oracle
+    * states the planted ground truth arithmetically, so a wrong
+    * size-includes-header convention, a missed version byte, a
+    * child walk that escapes moov's extent, or BE/LE confusion
+    * hash-mismatches. Timescales cycle through the four
+    * conventional clocks (600/1000/90000/48000) with duration =
+    * timescale × seconds, so duration_ms is exact in integers.
+    * Frame decode stays out by design (codec territory); box-walk
+    * metadata is the per-object 100 TB ingest path.
+    */
+  val qMmVideoMeta = q(
+    "q_mm_video_meta",
+    """SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+      |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 600
+      |       WHEN 1 THEN 1000 WHEN 2 THEN 90000
+      |       ELSE 48000 END AS INT) AS timescale,
+      |  CAST((5 + doc_id % 120) * 1000 AS BIGINT) AS duration_ms,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+      |  CAST(20 + 116 + 8 * (1 + doc_id % 3) + 8 +
+      |       octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Multimodal
+      val ts = when(col("doc_id") % 4 === 0, 600)
+        .when(col("doc_id") % 4 === 1, 1000)
+        .when(col("doc_id") % 4 === 2, 90000)
+        .otherwise(48000)
+      val dur = ts * (lit(5) + col("doc_id") % 120)
+      val tsHex = lpad(hex(ts), 8, "0")
+      val durHex = lpad(hex(dur), 8, "0")
+      val nTrak = (lit(1) + col("doc_id") % 3).cast("int")
+      val ftypHex = lit("00000014" + "66747970" + "69736F6D" +
+        "00000200" + "6D703431")
+      val mvhdHex = concat(
+        lit("0000006C" + "6D766864" + "00000000" + "00000000" +
+          "00000000"),
+        tsHex, durHex,
+        lit("00010000" + "0100" + "0000" + "0000000000000000" +
+          // unity matrix (9 × BE32)
+          "00010000" + "00000000" + "00000000" +
+          "00000000" + "00010000" + "00000000" +
+          "00000000" + "00000000" + "40000000" +
+          // 6 × predefined zeros + next_track_id
+          "000000000000000000000000000000000000000000000000" +
+          "00000002"))
+      val trakHex = expr("repeat('000000087472616B', 1 + doc_id % 3)")
+      val moovSizeHex = lpad(hex(lit(116) + nTrak * 8), 8, "0")
+      val moovHex = concat(moovSizeHex, lit("6D6F6F76"), mvhdHex, trakHex)
+      val mdatSizeHex =
+        lpad(hex(octet_length(encode(col("text"), "UTF-8")) + 8), 8, "0")
+      val media = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .withColumn("payload",
+          concat(unhex(concat(ftypHex, moovHex, mdatSizeHex,
+            lit("6D646174"))), encode(col("text"), "UTF-8")))
+      Multimodal.decodeVideoMeta(media, "doc_id")
+        .toDF()
+        .select(col("id").as("doc_id"), col("format"), col("brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("n_bytes"))
+        .orderBy("doc_id")
+  }
+
   /** REAL audio-container decode (Multimodal.AudioHeaderCodec — r9):
     * canonical 44-byte RIFF/WAVE headers — rate/channels/block-align
     * woven into the correct little-endian `fmt ` fields, the text
@@ -7682,6 +7751,39 @@ object Queries {
       |       (start_tok + t - 1) // 128 AS last_seq
       |FROM c ORDER BY shard, doc_id""".stripMargin) { (s, d) =>
     graft.streaming.StreamReadback.concatCut(s, d)
+  }
+
+  /** Streaming per-domain admission cap ≡ the greedy composition of
+    * groupCapSample over micro-batches: four doc-id-range batches,
+    * 5 domains, cap 30 — batch 0 admits its 20 per domain, batch 1
+    * its hash-priority top 10, batches 2–3 nothing. The greedy
+    * closed form (rn within (domain, batch) ≤ cap − min(cap, rows in
+    * earlier batches)) replays exactly in SQL, so the gate
+    * hash-proves the per-batch priority ranking AND the
+    * cross-micro-batch admitted counter in RocksDB state.
+    */
+  val qStreamDomainCapReadback = q(
+    "q_stream_domaincap_readback",
+    s"""WITH c AS (
+       |  SELECT doc_id, 'site' || (doc_id % 5) || '.com' AS host,
+       |         doc_id // 100 AS b
+       |  FROM documents WHERE doc_id < 400),
+       |r AS (SELECT doc_id, host, b,
+       |        ROW_NUMBER() OVER (PARTITION BY host, b
+       |          ORDER BY ${graft.operators.Sampling.hashBucketSql("doc_id", 1000000)},
+       |                   doc_id) AS rn
+       |      FROM c),
+       |n AS (SELECT host, b, COUNT(*) AS nb FROM c GROUP BY 1, 2),
+       |cum AS (SELECT host, b,
+       |          COALESCE(SUM(nb) OVER (PARTITION BY host ORDER BY b
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |            0) AS seen_before
+       |        FROM n)
+       |SELECT r.host, r.doc_id
+       |FROM r JOIN cum ON r.host = cum.host AND r.b = cum.b
+       |WHERE r.rn <= 30 - LEAST(30, cum.seen_before)
+       |ORDER BY r.host, r.doc_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.domainCap(s, d)
   }
 
   /** Streaming SCD2 versioned dimension ≡ full rebuild: the change
@@ -12025,9 +12127,11 @@ object Queries {
     qEEmbeddingOutliers, qEKmeansElbow, qPipeEmbeddingCuration,
     qDEmbeddingNearDup, qDSemanticDedup,
     qECrossCorpusNearDup,
-    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta, qMmAudioEnergy, qMmFrameSample,
+    qMmBinaryMeta, qMmDecodeStub, qMmDecodeReal, qMmAudioMeta,
+    qMmVideoMeta, qMmAudioEnergy, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qStreamDedupReadback, qStreamConcatCutReadback, qStreamScd2Readback,
+    qStreamDomainCapReadback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

@@ -162,6 +162,98 @@ object Multimodal {
       }
   }
 
+  final case class VideoMeta(
+      id: Long,
+      n_bytes: Long,
+      format: String,
+      brand: String,
+      timescale: Int,
+      duration_ms: Long,
+      n_tracks: Int)
+
+  /** REAL video-container metadata parse (ISO-BMFF / MP4, the public
+    * ISO/IEC 14496-12 box grammar): walk top-level boxes
+    * ([BE32 size][4CC type]; size includes the 8-byte header),
+    * read the `ftyp` major brand, then inside `moov` read `mvhd`
+    * (version 0: timescale at box+20, duration at box+24, both BE32)
+    * and count `trak` children. None for anything that is not a
+    * well-formed box stream (including the 64-bit `size==1`
+    * largesize form and `size==0` run-to-EOF, which this walker
+    * deliberately does not accept — same totality contract as the
+    * image/audio parses). Frame/sample DECODING stays out
+    * (codec-library territory); per-object metadata is the 100 TB
+    * ingest path.
+    */
+  object VideoHeaderCodec {
+    private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xFF
+    private def be32(a: Array[Byte], i: Int): Long =
+      (u8(a, i).toLong << 24) | (u8(a, i + 1) << 16) |
+        (u8(a, i + 2) << 8) | u8(a, i + 3)
+    private def tag(a: Array[Byte], i: Int): String =
+      new String(a, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (brand, timescale, durationMs, nTracks) or None. */
+    def parse(a: Array[Byte]): Option[(String, Int, Long, Int)] = {
+      if (a.length < 8) return None
+      var i = 0
+      var brand: Option[String] = None
+      var timescale = -1L; var duration = -1L; var nTracks = 0
+      var sane = true
+      while (sane && i + 8 <= a.length) {
+        val sz = be32(a, i); val id = tag(a, i + 4)
+        if (sz < 8 || i + sz > a.length) {
+          // largesize/run-to-EOF/corrupt: reject unless this is
+          // trailing junk AFTER a complete moov (mdat may be
+          // truncated in a header-only fetch — a real ingest reads
+          // ranged prefixes)
+          sane = id == "mdat" && timescale > 0
+          i = a.length
+        } else {
+          if (id == "ftyp" && sz >= 12) brand = Some(tag(a, i + 8))
+          else if (id == "moov") {
+            var j = i + 8
+            while (j + 8 <= i + sz) {
+              val csz = be32(a, j); val cid = tag(a, j + 4)
+              if (csz < 8 || j + csz > i + sz) { sane = false; j = i + sz.toInt }
+              else {
+                if (cid == "mvhd" && csz >= 28 && u8(a, j + 8) == 0) {
+                  timescale = be32(a, j + 20); duration = be32(a, j + 24)
+                } else if (cid == "trak") nTracks += 1
+                j += csz.toInt
+              }
+            }
+          }
+          i += sz.toInt
+        }
+      }
+      (brand, timescale, duration) match {
+        case (Some(b), t, dur) if sane && t > 0 && dur >= 0 =>
+          Some((b, t.toInt, dur * 1000L / t, nTracks))
+        case _ => None
+      }
+    }
+  }
+
+  /** Video metadata per item, partition-streamed like decodeMeta;
+    * non-BMFF payloads fall back to a deterministic stub so the
+    * boundary stays total. */
+  def decodeVideoMeta(df: DataFrame, idCol: String): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          VideoHeaderCodec.parse(bytes) match {
+            case Some((brand, ts, durMs, tracks)) =>
+              VideoMeta(id, bytes.length, "mp4", brand, ts, durMs, tracks)
+            case None => // stub: opaque bitstream
+              VideoMeta(id, bytes.length, "raw", "none", 0, 0L, 0)
+          }
+        }
+      }
+  }
+
   /** STUB decode: deterministic pseudo-metadata derived from content
     * bytes (stands in for an image header parse).
     */

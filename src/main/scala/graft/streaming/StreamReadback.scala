@@ -198,6 +198,51 @@ object StreamReadback {
       .orderBy("shard", "doc_id")
   }
 
+  /** Per-domain admission-cap readback: docs < 400 over 5 planted
+    * domains arrive in four doc-id-range micro-batches;
+    * StreamDomainCap admits each batch's best (cap − admittedSoFar)
+    * rows per domain by the deterministic hash priority. The greedy
+    * composition has a closed form the oracle replays exactly: a row
+    * ranked rn within its (domain, batch) is admitted iff
+    * rn ≤ cap − min(cap, rows seen in earlier batches) — so the gate
+    * hash-proves both the per-batch priority ranking and the
+    * cross-micro-batch admitted counter.
+    */
+  def domainCap(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = memo.computeIfAbsent(s"domcap|$sfDir", _ => {
+      rocksDb(s)
+      val landing = freshDir("sr-domcap-in")
+      val base = graft.Tables.documents(s, sfDir)
+        .filter(col("doc_id") < 400)
+        .select(concat(lit("site"), (col("doc_id") % 5).cast("string"),
+          lit(".com")).as("host"), col("doc_id"))
+      landBatches(landing,
+        (0 until 4).map(i => base.filter(col("doc_id") >= i * 100 &&
+          col("doc_id") < (i + 1) * 100)))
+      val out = freshDir("sr-domcap-out")
+      import s.implicits._
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema("host STRING, doc_id LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .as[StreamDomainCap.DocIn]
+        val q = StreamDomainCap.admit(in, cap = 30)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/table")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .start()
+        drainTws(q)
+      }
+      s"$out/table"
+    })
+    s.read.parquet(outDir)
+      .select(col("host"), col("doc_id"))
+      .orderBy("host", "doc_id")
+  }
+
   /** SCD2 versioned-dimension readback: the events change-log
     * arrives as two micro-batches split at the q_x_scd2_merge cut
     * (all-late second batch — the merge contract), the sink folds

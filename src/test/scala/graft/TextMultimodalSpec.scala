@@ -401,6 +401,47 @@ class TextMultimodalSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("multimodal: VideoHeaderCodec box-walks ISO-BMFF (ftyp brand, " +
+      "mvhd clock fields, trak count, truncated mdat) and rejects " +
+      "malformed streams to the stub") {
+    import graft.operators.Multimodal.VideoHeaderCodec
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" +
+      "6D703431"
+    // mvhd v0: timescale 600, duration 3000 -> 5000 ms
+    val mvhd = "0000006C" + "6D766864" + "00000000" + "00000000" +
+      "00000000" + "00000258" + "00000BB8" + "00010000" + "0100" +
+      "0000" + "0000000000000000" +
+      "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000" +
+      "000000000000000000000000000000000000000000000000" + "00000002"
+    val trak = "00000008" + "7472616B"
+    // moov with 2 traks: size = 8 + 108 + 16 = 132 = 0x84
+    val moov = "00000084" + "6D6F6F76" + mvhd + trak + trak
+    assert(VideoHeaderCodec.parse(bytes(ftyp + moov))
+      .contains(("isom", 600, 5000L, 2)))
+    // trailing mdat whose declared size exceeds the buffer: the
+    // header-only ranged-fetch case — accepted once moov parsed
+    val truncated = bytes(ftyp + moov + "00100000" + "6D646174" + "0102")
+    assert(VideoHeaderCodec.parse(truncated)
+      .contains(("isom", 600, 5000L, 2)))
+    // malformed: not a box stream; a child box escaping moov's
+    // extent; a version-1 mvhd (64-bit clocks, not parsed); a
+    // non-mdat box overrunning the buffer
+    assert(VideoHeaderCodec.parse("plain text".getBytes("UTF-8")).isEmpty)
+    val escape = bytes(ftyp + "00000020" + "6D6F6F76" +
+      "000000FF" + "7472616B" + "0000000000000000" +
+      "0000000000000000")
+    assert(VideoHeaderCodec.parse(escape).isEmpty)
+    val v1 = bytes(ftyp +
+      ("00000084" + "6D6F6F76" + mvhd.replaceFirst("00000000", "01000000") +
+        trak + trak))
+    assert(VideoHeaderCodec.parse(v1).isEmpty)
+    assert(VideoHeaderCodec.parse(
+      bytes(ftyp + "00100000" + "66726565" + "0102")).isEmpty)
+  }
+
   test("multimodal: frame sampling explodes per-frame rows on executors") {
     val docs = Tables.documents(spark, Sf0001).limit(10)
     val frames = Multimodal.sampleFrames(
