@@ -2787,6 +2787,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** RFC 3986 percent-encoding normalization
+    * (UrlOps.percentNormalize — r11): planted paths cycle through
+    * every rule class — unreserved alpha/digit/tilde/underscore
+    * escapes that must DECODE (%41→A, %30→0, %7e→~, %5f→_),
+    * reserved escapes that must UPPERCASE but stay escaped
+    * (%2f→%2F, %3d→%3D), and malformed escapes (%zz, trailing %,
+    * one-digit %4, %%) that must pass through byte-identical. The
+    * oracle replays the same indexed split-transform with the
+    * strpos hex decode, so a wrong unreserved table, a decoded
+    * reserved char, or a "fixed" malformed escape hash-mismatches.
+    */
+  val qUPercentNormalize = q(
+    "q_u_percent_normalize", {
+      // DuckDB lambdas take pure expressions only (no subqueries), so
+      // the fragment/code expressions inline via generated strings
+      val f = "parts[CAST(i AS INT) + 1]"
+      val code = s"(strpos('123456789ABCDEF', upper(substr($f, 1, 1))) * 16" +
+        s" + strpos('123456789ABCDEF', upper(substr($f, 2, 1))))"
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 6 AS INT)
+         |      WHEN 0 THEN 'https://site' || (doc_id % 5) || '.com/a%41b%7ec'
+         |      WHEN 1 THEN 'https://site' || (doc_id % 5) || '.com/p%2fq%3dr'
+         |      WHEN 2 THEN 'https://site' || (doc_id % 5) || '.com/x%30%5f%2E'
+         |      WHEN 3 THEN 'https://site' || (doc_id % 5) || '.com/bad%zzz%4'
+         |      WHEN 4 THEN 'https://site' || (doc_id % 5) || '.com/t%'
+         |      ELSE 'https://site' || (doc_id % 5) || '.com/d%%41'
+         |    END AS url
+         |  FROM documents WHERE doc_id < 300),
+         |p AS (SELECT doc_id, url, string_split(url, '%') AS parts FROM b)
+         |SELECT doc_id, url,
+         |  array_to_string(list_transform(range(len(parts)), i ->
+         |    CASE WHEN i = 0 THEN parts[1]
+         |    WHEN regexp_matches(substr($f, 1, 2), '^[0-9A-Fa-f]{2}$$')
+         |    THEN CASE
+         |      WHEN ($code BETWEEN 65 AND 90) OR ($code BETWEEN 97 AND 122)
+         |        OR ($code BETWEEN 48 AND 57) OR $code IN (45, 46, 95, 126)
+         |      THEN chr(CAST($code AS INT)) || substr($f, 3)
+         |      ELSE '%' || upper(substr($f, 1, 2)) || substr($f, 3) END
+         |    ELSE '%' || $f END), '') AS normalized
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) {
+    (s, d) =>
+      val k = (col("doc_id") % 5).cast("string")
+      val m = col("doc_id") % 6
+      val url = when(m === 0,
+          concat(lit("https://site"), k, lit(".com/a%41b%7ec")))
+        .when(m === 1, concat(lit("https://site"), k, lit(".com/p%2fq%3dr")))
+        .when(m === 2, concat(lit("https://site"), k, lit(".com/x%30%5f%2E")))
+        .when(m === 3, concat(lit("https://site"), k, lit(".com/bad%zzz%4")))
+        .when(m === 4, concat(lit("https://site"), k, lit(".com/t%")))
+        .otherwise(concat(lit("https://site"), k, lit(".com/d%%41")))
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("normalized",
+          graft.operators.UrlOps.percentNormalize(col("url")))
+        .orderBy("doc_id")
+  }
+
   /** Registrable-domain extraction (operators/PublicSuffix — the
     * pinned public-suffix snapshot as broadcast per-depth dims, one
     * broadcast left join each, map-side prevailing-rule pick). The
@@ -12103,7 +12162,7 @@ object Queries {
     qWTumbling, qWRank, qWDistrib, qWLag, qWMovingAvg, qWSession, qWFunnel, qWSlidingDistinct, qWRollingCorr,
     qWResampleFfill, qWResampleInterp, qWTwap, qWCohortRetention, qWRollingHour, qWCoec, qTCollocations,
     qTTokens, qTBpeTokens, qTBpeMerge, qUUrlCanonical,
-    qURegistrableDomain, qUDomainCap, qPipeCrawl,
+    qUPercentNormalize, qURegistrableDomain, qUDomainCap, qPipeCrawl,
     qDExact, qDLineDedup,
     qTQuality, qTReadability, qTEncodingHealth, qPipeDataCard, qTRepetition, qTBlocklist, qTRedact, qTNormalize, qTLangId, qTLangIdAri,
     qTFingerprint,

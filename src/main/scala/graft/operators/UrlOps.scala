@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   * in the Java-regex/RE2 shared subset) — map-only at any scale, and
   * every step replays in the DuckDB oracle.
   *
-  * Deliberately NOT done here: public-suffix-list registered-domain
-  * extraction (the PSL is a versioned external artifact; [[host]] is
-  * the stable primitive) and percent-encoding normalization (%-case
-  * differences are rare and encoding tables are locale-free but
-  * large — a documented contract gap, not a silent one).
+  * Registered-domain extraction lives in [[PublicSuffix]] (r11 —
+  * the PSL is a versioned artifact, pinned there as a broadcast
+  * dimension); percent-encoding normalization is
+  * [[percentNormalize]] (r11), kept as its own pass so each
+  * normalization is independently gateable.
   */
 object UrlOps {
 
@@ -75,4 +75,41 @@ object UrlOps {
     regexp_replace(
       lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1)),
       "^www\\.", "")
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization (r11 — promoted
+    * from the documented gap): two captures of one URL routinely
+    * differ only in `%7e` vs `%7E` vs `~`, so without this pass the
+    * URL-dedup key still carries encoding noise. Rules, straight
+    * from the RFC:
+    *  - a percent-escape of an UNRESERVED character (ALPHA / DIGIT /
+    *    `-` `.` `_` `~`) decodes to the character (`%41` → `A`);
+    *  - any other valid escape keeps its `%` but uppercases the hex
+    *    digits (`%2f` → `%2F` — decoding a reserved char would
+    *    change meaning);
+    *  - malformed escapes (`%zz`, `%4`, trailing `%`) pass through
+    *    untouched — normalizing garbage would destroy evidence.
+    * Pure HOF rendering: split on `%`, indexed transform fixes each
+    * fragment's leading escape, concat back — map-only, codegen'd,
+    * and every step replays in DuckDB (strpos-over-hex-digits value
+    * decode, the duckSignedBytes pattern). Composes BEFORE
+    * [[canonicalizeUrl]] when both passes are wanted; kept separate
+    * so each normalization is independently gateable.
+    */
+  def percentNormalize(url: Column): Column = {
+    val parts = split(url, "%")
+    concat_ws("", transform(parts, (p, i) => {
+      val h2 = substring(p, 1, 2)
+      val code = conv(h2, 16, 10).cast("int")
+      val unreserved = (code >= 65 && code <= 90) ||
+        (code >= 97 && code <= 122) ||
+        (code >= 48 && code <= 57) ||
+        code.isin(45, 46, 95, 126)
+      val rest = substring(p, 3, 1000000)
+      when(i === 0, p).otherwise(
+        when(h2 rlike "^[0-9A-Fa-f]{2}$",
+          when(unreserved, concat(chr(code), rest))
+            .otherwise(concat(lit("%"), upper(h2), rest)))
+          .otherwise(concat(lit("%"), p)))
+    }))
+  }
 }

@@ -120,6 +120,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(hosts.toSeq == Seq("site.com", "a.b.co"))
   }
 
+  test("percentNormalize: RFC 3986 6.2.2 — unreserved escapes decode, " +
+      "reserved escapes uppercase, malformed escapes untouched") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // unreserved: ALPHA / DIGIT / - . _ ~ decode
+      ("https://x.com/%41%62%30%2d%2E%5f%7e", "https://x.com/Ab0-._~"),
+      // reserved stays escaped, hex uppercased
+      ("https://x.com/a%2fb%3Dc%3a", "https://x.com/a%2Fb%3Dc%3A"),
+      // malformed: bad hex, short tail, trailing %, %% run
+      ("https://x.com/%zz%4", "https://x.com/%zz%4"),
+      ("https://x.com/t%", "https://x.com/t%"),
+      ("https://x.com/d%%41", "https://x.com/d%A"),
+      // no escapes: byte-identical passthrough
+      ("https://x.com/plain?a=1", "https://x.com/plain?a=1"),
+      // escape at string start after split edge
+      ("%41https://x.com", "Ahttps://x.com"))
+    val got = cases.toDF("url", "expected")
+      .select(UrlOps.percentNormalize($"url").as("n"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("langId picks profile language; 'und' when no markers") {
     val df = Seq(
       "the cat and the dog of the house is big",
