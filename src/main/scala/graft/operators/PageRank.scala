@@ -101,6 +101,18 @@ object PageRank {
     * drop out. Returns (ranks, roundsRun) — roundsRun counts update
     * rounds INCLUDING the final no-change round that proves the fixed
     * point.
+    *
+    * DELETION CAVEAT (r11, spec-pinned in CurationOpsSpec): after
+    * edge/node REMOVALS the true ranks shrink, so a warm start
+    * approaches the fixpoint FROM ABOVE — and the integer floor
+    * iteration can shed a single micro per round (or 2-cycle on the
+    * plateau) without ever triggering the no-change stop: measured,
+    * a deletion warm start burned all 50 rounds where the cold run
+    * converged in 17, while landing plateau-equivalent VALUES
+    * (≤ 32 micros, identical authority order). Values are safe;
+    * round savings invert. House path after a takedown: cold
+    * restart (additions keep the warm-start win — they approach
+    * from below, same direction as the cold start).
     */
   def ranksConverged(edges: DataFrame, srcCol: String, dstCol: String,
       init: Option[DataFrame] = None,
