@@ -12141,7 +12141,263 @@ object Queries {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Spatial (grid-cell joins over integer micro-degree coordinates)
+  // ---------------------------------------------------------------
+
+  /** Deterministic synthetic planar coordinates for the geo entries
+    * (testdata carries no lat/lon): h = affine hash of the key mod
+    * 1e9+7, lat = h mod 1e6, lon = h² mod p mod 1e6 — the QUADRATIC
+    * mix matters: two affine maps of the same key put every point on
+    * a 1-D lattice (probed: zero pairs at r=50k where a uniform
+    * scatter gives ~38). Both engines replay the identical integer
+    * chain. Long bound: h < 1e9+7 so h² < 1.1e18.
+    */
+  private def geoCoords(key: Column, mulA: Long, addB: Long): (Column, Column) = {
+    val h = (pmod(key.cast("long"), lit(1000000007L)) * mulA + addB) %
+      1000000007L
+    (h % 1000000L, (h * h % 1000000007L) % 1000000L)
+  }
+
+  private val geoSupplierSql =
+    """hs AS (
+      |  SELECT s_suppkey AS id,
+      |    ((s_suppkey % 1000000007) * 784320987 + 423187231) % 1000000007 AS h
+      |  FROM supplier),
+      |s AS (SELECT id, h % 1000000 AS lat,
+      |             (h*h % 1000000007) % 1000000 AS lon FROM hs)""".stripMargin
+
+  /** Grid-cell radius self-join (Geo.radiusJoin): all supplier-station
+    * pairs within 50k micro-degrees, exact integer squared distance.
+    * The Spark plan is the Sedona-style 3x3 cell-neighborhood hash
+    * join (complete by the cell-side = radius argument, each pair
+    * emitted exactly once via replica-vs-home asymmetry); the oracle
+    * brute-forces the same distance predicate over all pairs — the
+    * gate therefore proves the grid candidate set loses ZERO recall.
+    */
+  val qGeoRadiusJoin = q(
+    "q_geo_radius_join",
+    s"""WITH $geoSupplierSql
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS dist2
+      |FROM s a JOIN s b ON a.id < b.id
+      |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+      |      <= CAST(50000 AS BIGINT) * 50000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val (la, lo) = geoCoords(col("s_suppkey"), 784320987L, 423187231L)
+    val pts = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), la.as("lat"), lo.as("lon"))
+    graft.operators.Geo.radiusJoin(pts, "id", "lat", "lon", 50000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Nearest-site assignment within radius (Geo.nearestWithin): each
+    * customer to its closest supplier station within 120k units, exact
+    * integer argmin, ties to the smaller station id; uncovered
+    * customers omitted (inner service-area contract). Oracle = brute
+    * ROW_NUMBER over (dist2, site_id) — proving both grid-candidate
+    * completeness AND the tie-break.
+    */
+  val qGeoNearestStation = q(
+    "q_geo_nearest_station",
+    s"""WITH $geoSupplierSql,
+      |hc AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
+      |  FROM customer),
+      |c AS (SELECT id, h % 1000000 AS lat,
+      |             (h*h % 1000000007) % 1000000 AS lon FROM hc),
+      |cand AS (
+      |  SELECT c.id AS qid, s.id AS site_id,
+      |         (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon) AS dist2
+      |  FROM c JOIN s ON
+      |    (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon)
+      |      <= CAST(120000 AS BIGINT) * 120000)
+      |SELECT qid, site_id, dist2 FROM (
+      |  SELECT qid, site_id, dist2,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY dist2, site_id) AS rn
+      |  FROM cand) WHERE rn = 1
+      |ORDER BY qid""".stripMargin) { (s, d) =>
+    val (sla, slo) = geoCoords(col("s_suppkey"), 784320987L, 423187231L)
+    val sites = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), sla.as("lat"), slo.as("lon"))
+    val (cla, clo) = geoCoords(col("c_custkey"), 69069L, 12345L)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("qid"), cla.as("lat"), clo.as("lon"))
+    graft.operators.Geo.nearestWithin(cust, "qid", sites, "id",
+      "lat", "lon", 120000L).orderBy("qid")
+  }
+
+  /** Grid density histogram (Geo.cellDensity): customers per 100k-unit
+    * cell — the hotspot monitor over the SAME grid the joins shard on
+    * (one map-side-combinable groupBy).
+    */
+  val qGeoCellDensity = q(
+    "q_geo_cell_density",
+    """WITH hc AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
+      |  FROM customer),
+      |c AS (SELECT id, h % 1000000 AS lat,
+      |             (h*h % 1000000007) % 1000000 AS lon FROM hc)
+      |SELECT lat // 100000 AS cx, lon // 100000 AS cy, COUNT(*) AS n
+      |FROM c GROUP BY 1, 2 ORDER BY cx, cy""".stripMargin) { (s, d) =>
+    val (cla, clo) = geoCoords(col("c_custkey"), 69069L, 12345L)
+    val cust = Tables.customer(s, d).select(cla.as("lat"), clo.as("lon"))
+    graft.operators.Geo.cellDensity(cust, "lat", "lon", 100000L)
+      .orderBy("cx", "cy")
+  }
+
+  /** Grid DBSCAN (Geo.dbscan) over the customer scatter: eps = 30k,
+    * minPts = 4 (sklearn self-inclusive convention) → 1171 core +
+    * 241 border points in 48 clusters at sf0.01. Border points take
+    * the MIN cluster label among their core neighbors (the
+    * deterministic, order-free refinement of scan-order DBSCAN —
+    * documented divergence). Oracle brute-forces the eps-graph and
+    * replays core/CC/border exactly (recursive-CTE min-reachable-id,
+    * the same textbook-CC oracle as q_d_cc_clusters) — green hash
+    * proves grid completeness, the density threshold, the component
+    * labels, AND the border rule.
+    */
+  val qGeoDbscan = q(
+    "q_geo_dbscan",
+    """WITH RECURSIVE hc AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
+      |  FROM customer),
+      |c AS (SELECT id, h % 1000000 AS lat,
+      |             (h*h % 1000000007) % 1000000 AS lon FROM hc),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM c a JOIN c b ON a.id < b.id
+      |  WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+      |        <= CAST(30000 AS BIGINT)*30000),
+      |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |        UNION ALL SELECT id_b, id_a FROM pairs),
+      |deg AS (SELECT src AS id, COUNT(*) AS nbrs FROM und GROUP BY 1),
+      |core AS (SELECT id FROM deg WHERE nbrs + 1 >= 4),
+      |ce AS (SELECT id_a, id_b FROM pairs
+      |       WHERE id_a IN (SELECT id FROM core)
+      |         AND id_b IN (SELECT id FROM core)),
+      |cund AS (SELECT id_a AS src, id_b AS dst FROM ce
+      |         UNION SELECT id_b, id_a FROM ce),
+      |vtx AS (SELECT DISTINCT src AS id FROM cund),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM vtx
+      |  UNION
+      |  SELECT u.src, r.lab FROM cund u JOIN reach r ON r.id = u.dst),
+      |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+      |corelab AS (
+      |  SELECT core.id, COALESCE(comp.cluster, core.id) AS cluster,
+      |         TRUE AS is_core
+      |  FROM core LEFT JOIN comp ON core.id = comp.id),
+      |border AS (
+      |  SELECT u.src AS id, MIN(cl.cluster) AS cluster, FALSE AS is_core
+      |  FROM und u JOIN corelab cl ON u.dst = cl.id
+      |  WHERE u.src NOT IN (SELECT id FROM core)
+      |  GROUP BY 1)
+      |SELECT id, cluster, is_core FROM corelab
+      |UNION ALL SELECT id, cluster, is_core FROM border
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val (cla, clo) = geoCoords(col("c_custkey"), 69069L, 12345L)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), cla.as("lat"), clo.as("lon"))
+    graft.operators.Geo.dbscan(cust, "id", "lat", "lon",
+      eps = 30000L, minPts = 4).orderBy("id")
+  }
+
+  /** TF-weighted Jaccard near-dup pairs (Dedup.weightedJaccardPairs):
+    * the multiset-aware refinement of q_d_ngram_jaccard — sum-min over
+    * sum-max of token frequencies, decided by the exact cross-
+    * multiplied rational at 0.5 (789 pairs on the doc_id < 150 scope).
+    * The oracle replays the identical chain including the df cap
+    * (part of the verified semantics) and the sum-max identity.
+    */
+  val qDWeightedJaccard = q(
+    "q_d_weighted_jaccard",
+    """WITH tok AS (
+      |  SELECT doc_id AS id, t AS g, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                             t -> len(t) > 0)) AS t
+      |        FROM documents WHERE doc_id < 150)
+      |  GROUP BY 1, 2),
+      |capped AS (SELECT id, g, tf FROM (
+      |  SELECT id, g, tf, COUNT(*) OVER (PARTITION BY g) AS df FROM tok)
+      |  WHERE df <= 1000),
+      |tot AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS s FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS inter_w
+      |  FROM capped a JOIN capped b USING (g)
+      |  WHERE a.id < b.id GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter_w, ta.s AS s_a, tb.s AS s_b,
+      |       CAST(CAST(inter_w * 1000000 AS HUGEINT)
+      |            // (ta.s + tb.s - inter_w) AS BIGINT) AS wjac_ppm
+      |FROM pairs JOIN tot ta ON ta.id = id_a JOIN tot tb ON tb.id = id_b
+      |WHERE inter_w * 1000000 >= 500000 * (ta.s + tb.s - inter_w)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.weightedJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 150),
+      "doc_id", "text", minSimPpm = 500000L, maxTokenDocFreq = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Split-conformal prediction intervals (Conformal.splitConformal)
+    * over events: per-type qhat from the calibration order statistic
+    * k = ceil((n+1)(1-alpha)) at alpha = 0.1, coverage read out on the
+    * held-out third — lands at ~90% per type on the catalog data, the
+    * conformal theorem made visible in an exact-integer gate.
+    */
+  val qXConformal = q(
+    "q_x_conformal",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 % 24 AS hr,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         event_id % 3 AS split
+      |  FROM events),
+      |fit AS (
+      |  SELECT event_type, hr,
+      |         CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT) AS yhat
+      |  FROM e WHERE split = 0 GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT e.event_type AS et, ABS(cents - yhat) AS r, e.event_id
+      |  FROM e JOIN fit ON e.event_type = fit.event_type AND e.hr = fit.hr
+      |  WHERE split = 1),
+      |kn AS (
+      |  SELECT et, COUNT(*) AS n_cal,
+      |         ((COUNT(*) + 1) * 900000 + 999999) // 1000000 AS k
+      |  FROM cal GROUP BY 1),
+      |qh AS (
+      |  SELECT c.et, r AS qhat FROM (
+      |    SELECT et, r, ROW_NUMBER() OVER (PARTITION BY et
+      |                                     ORDER BY r, event_id) AS rn
+      |    FROM cal) c JOIN kn ON c.et = kn.et AND c.rn = kn.k),
+      |ev AS (
+      |  SELECT e.event_type AS et, COUNT(*) AS n_eval,
+      |         CAST(SUM(CASE WHEN ABS(cents - yhat) <= qhat
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      |  FROM e JOIN fit ON e.event_type = fit.event_type AND e.hr = fit.hr
+      |         JOIN qh ON e.event_type = qh.et
+      |  WHERE split = 2 GROUP BY 1)
+      |SELECT kn.et AS grp, n_cal, qhat, n_eval, n_covered,
+      |       n_covered * 1000000 // n_eval AS coverage_ppm
+      |FROM kn JOIN qh ON kn.et = qh.et JOIN ev ON kn.et = ev.et
+      |ORDER BY grp""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      expr("unix_timestamp(ts) div 3600 % 24").as("hr"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    graft.operators.Conformal.splitConformal(
+      e, "event_id", "event_type", "hr", "cents", alphaPpm = 100000L)
+      .orderBy("grp")
+  }
+
   val specs: Seq[QSpec] = Seq(
+    qGeoRadiusJoin, qGeoNearestStation, qGeoCellDensity, qGeoDbscan,
+    qDWeightedJaccard, qXConformal,
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,

@@ -111,6 +111,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** TF-WEIGHTED Jaccard pairs — the multiset refinement of
+    * [[ngramJaccardPairs]]: wJ(A,B) = sum_t min(tfA,tfB) / sum_t
+    * max(tfA,tfB), so a doc that repeats a template 5x and one that
+    * has it once stop looking identical (set Jaccard can't see
+    * repetition; the repetition-aware variant is what dedups
+    * boilerplate-heavy crawls correctly). Decided in PURE integers:
+    * the identity sum max = S_A + S_B - sum min (min+max = a+b
+    * pointwise, and non-shared tokens contribute min = 0) means only
+    * SHARED tokens ever join — the numerator rides the SAME posting
+    * self-join that generates candidates, with per-document token
+    * totals joined back (id-keyed, AQE-broadcast when batch-sized).
+    * Threshold test is the cross-multiplied rational
+    * `inter_w * 1e6 >= minSimPpm * (s_a + s_b - inter_w)` — no
+    * division until the reported ppm, itself a truncating div.
+    *
+    * Tokens with document frequency > maxTokenDocFreq are dropped from
+    * BOTH numerator and totals (the similarity is over the df<=cap
+    * token subspace — a verified part of the semantics, replayed by
+    * the oracle, not silent truncation): mega-frequent tokens carry no
+    * dedup signal and would otherwise both blow the posting join and
+    * let boilerplate mass dominate the weights.
+    *
+    * Scale: posting lists shuffle by token; candidate volume is
+    * occupancy-bounded by the df cap (never all-pairs); totals are one
+    * map-side agg. Long bound: inter_w * 1e6 needs per-pair shared
+    * mass < 9e12 tokens — unreachable.
+    */
+  def weightedJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSimPpm: Long = 500000L,
+      maxTokenDocFreq: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), "\\s+"),
+          t => length(t) > 0)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("tf"))
+    val capped = toks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("df") <= maxTokenDocFreq)
+      .drop("df")
+    val tot = capped.groupBy("id").agg(sum("tf").as("s"))
+    val a = capped.select(col("id").as("id_a"), col("g"), col("tf").as("tf_a"))
+    val b = capped.select(col("id").as("id_b"), col("g"), col("tf").as("tf_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("inter_w"))
+      .join(tot.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(tot.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .filter(col("inter_w") * lit(1000000L) >=
+        lit(minSimPpm) * (col("s_a") + col("s_b") - col("inter_w")))
+      .withColumn("wjac_ppm",
+        expr("inter_w * 1000000 div (s_a + s_b - inter_w)"))
+      .select("id_a", "id_b", "inter_w", "s_a", "s_b", "wjac_ppm")
+  }
+
   /** EXACT all-pairs cosine similarity join with prefix filtering
     * (Bayardo–Ma–Srikant, "Scaling Up All Pairs Similarity Search",
     * WWW'07) — the exact counterpart of the MinHash cascade, for the
