@@ -152,14 +152,37 @@ object Geo {
     val deg = und.groupBy(col("id_a").as("id"))
       .agg(count(lit(1)).as("nbrs"))
     val core = deg.filter(col("nbrs") + 1 >= minPts).select("id")
+    // Fine-cell contraction before CC: cores sharing a cell of side
+    // <= eps/sqrt(2) are mutually within eps (diagonal <= eps), hence
+    // provably one cluster — contract each such clump to its min core
+    // id and run CC on the REPRESENTATIVE graph only. In dense
+    // regions (the urban-core cells that dominate at 100 TB) this
+    // collapses thousands of nodes per cell into one before any
+    // iteration; locally it cuts CC's input from |cores| to
+    // |occupied cells|.
+    val fine = (eps.toDouble / math.sqrt(2.0)).toLong.max(1L)
+    val coreRep = withCell(
+        core.join(points.select(col(idCol).as("id"),
+          col(latCol).cast("long").as("lat"),
+          col(lonCol).cast("long").as("lon")), Seq("id")),
+        "lat", "lon", fine)
+      .withColumn("rep", min("id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cx", "cy")))
+      .select("id", "rep")
     val coreEdges = pairs
-      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
-      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
-    val cc = ConnectedComponents.run(coreEdges, "id_a", "id_b")
-    // isolated cores (no core neighbor) are singleton clusters
-    val coreLabels = cc
-      .join(core, Seq("id"), "right_outer")
-      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .join(coreRep.select(col("id").as("id_a"), col("rep").as("rep_a")),
+        Seq("id_a"))
+      .join(coreRep.select(col("id").as("id_b"), col("rep").as("rep_b")),
+        Seq("id_b"))
+      .select(col("rep_a"), col("rep_b"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .distinct()
+    val cc = ConnectedComponents.run(coreEdges, "rep_a", "rep_b")
+    // isolated representatives (no inter-cell core edge) label as
+    // themselves; every core takes its representative's component
+    val coreLabels = coreRep
+      .join(cc.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("rep")).as("cluster"))
     val border = und
       .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
       .join(coreLabels.select(col("id").as("id_b"),
