@@ -12307,6 +12307,69 @@ object Queries {
       eps = 30000L, minPts = 4).orderBy("id")
   }
 
+  /** CIDR longest-prefix lookup (IpOps.cidrLookupJoin) — the
+    * network-layer blocklist face of the PSL join: synthetic 10/8
+    * addresses round-trip through the dotted-quad STRING parser
+    * (ipv4ToLong gates the parse, not just the arithmetic), then a
+    * nested 5-rule chain (/8 ⊃ /10 ⊃ /11 ⊃ /12 ⊃ /13) is resolved by
+    * per-length broadcast joins + descending-length coalesce — the
+    * oracle replays most-specific-wins via ROW_NUMBER over len DESC.
+    * Every address matches /8, so the chain exercises every nesting
+    * level with real row mass.
+    */
+  val qUCidrLookup = q(
+    "q_u_cidr_lookup",
+    """WITH h AS (
+      |  SELECT event_id,
+      |         ((event_id % 1000000007) * 69069 + 12345) % 1000000007 AS h
+      |  FROM events),
+      |ips AS (
+      |  SELECT event_id, 167772160 + h % 16777216 AS ip0 FROM h),
+      |strs AS (
+      |  SELECT event_id,
+      |         CAST(ip0 // 16777216 % 256 AS VARCHAR) || '.' ||
+      |         CAST(ip0 // 65536 % 256 AS VARCHAR) || '.' ||
+      |         CAST(ip0 // 256 % 256 AS VARCHAR) || '.' ||
+      |         CAST(ip0 % 256 AS VARCHAR) AS ip_str
+      |  FROM ips),
+      |parsed AS (
+      |  SELECT event_id,
+      |         list_transform(string_split(ip_str, '.'),
+      |                        x -> CAST(x AS BIGINT)) AS p
+      |  FROM strs),
+      |e AS (SELECT event_id,
+      |             p[1]*16777216 + p[2]*65536 + p[3]*256 + p[4] AS ip
+      |      FROM parsed),
+      |rules(base, len, verdict) AS (VALUES
+      |  (167772160, 8, 'corp'), (171966464, 10, 'blockA'),
+      |  (174063616, 11, 'blockB'), (175112192, 12, 'blockC'),
+      |  (175636480, 13, 'blockD')),
+      |cand AS (
+      |  SELECT e.event_id, e.ip, r.len, r.verdict,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                            ORDER BY r.len DESC) AS rn
+      |  FROM e JOIN rules r
+      |    ON e.ip // (1::BIGINT << (32 - r.len))
+      |       = r.base // (1::BIGINT << (32 - r.len)))
+      |SELECT event_id, ip, verdict AS cidr_verdict, len AS cidr_prefix_len
+      |FROM cand WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.operators.IpOps
+    val h = (pmod(col("event_id"), lit(1000000007L)) * 69069L + 12345L) %
+      1000000007L
+    val ipStr = IpOps.longToIpv4(lit(167772160L) + h % 16777216L)
+    val e = Tables.events(s, d)
+      .select(col("event_id"), IpOps.ipv4ToLong(ipStr).as("ip"))
+    val rules = Seq(
+      IpOps.parseCidr("10.0.0.0/8", "corp"),
+      IpOps.parseCidr("10.64.0.0/10", "blockA"),
+      IpOps.parseCidr("10.96.0.0/11", "blockB"),
+      IpOps.parseCidr("10.112.0.0/12", "blockC"),
+      IpOps.parseCidr("10.120.0.0/13", "blockD"))
+    IpOps.cidrLookupJoin(e, "ip", rules)
+      .select("event_id", "ip", "cidr_verdict", "cidr_prefix_len")
+      .orderBy("event_id")
+  }
+
   /** TF-weighted Jaccard near-dup pairs (Dedup.weightedJaccardPairs):
     * the multiset-aware refinement of q_d_ngram_jaccard — sum-min over
     * sum-max of token frequencies, decided by the exact cross-
@@ -12397,7 +12460,7 @@ object Queries {
 
   val specs: Seq[QSpec] = Seq(
     qGeoRadiusJoin, qGeoNearestStation, qGeoCellDensity, qGeoDbscan,
-    qDWeightedJaccard, qXConformal,
+    qDWeightedJaccard, qXConformal, qUCidrLookup,
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,

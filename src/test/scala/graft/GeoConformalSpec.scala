@@ -172,6 +172,62 @@ class GeoConformalSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 1000000L)))
   }
 
+  test("ipv4ToLong: valid parses, malformed -> null, round trip with longToIpv4") {
+    import graft.operators.IpOps
+    val cases = Seq(
+      "0.0.0.0", "255.255.255.255", "10.64.128.7", "1.2.3.4",
+      "256.1.1.1",      // octet out of range
+      "1.2.3",          // too few parts
+      "1.2.3.4.5",      // too many parts
+      "a.b.c.d", "1.2.3.x", "", "1.2.3.-4", "1.2.3.+4")
+    val got = cases.toDF("s")
+      .select(col("s"), IpOps.ipv4ToLong(col("s")).as("ip"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got("0.0.0.0").contains(0L))
+    assert(got("255.255.255.255").contains(4294967295L))
+    assert(got("10.64.128.7").contains(
+      10L * 16777216 + 64L * 65536 + 128L * 256 + 7))
+    assert(Seq("256.1.1.1", "1.2.3", "1.2.3.4.5", "a.b.c.d", "1.2.3.x",
+      "", "1.2.3.-4", "1.2.3.+4").forall(got(_).isEmpty))
+    // round trip long -> string -> long is identity on the corners
+    val rt = Seq(0L, 4294967295L, 167772160L, 3232235521L).toDF("ip")
+      .select(col("ip"),
+        IpOps.ipv4ToLong(IpOps.longToIpv4(col("ip"))).as("back"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rt.forall { case (a, b) => a == b })
+  }
+
+  test("cidrLookupJoin: longest prefix wins, /32 exact, /0 default, no-match nulls") {
+    import graft.operators.IpOps
+    val rules = Seq(
+      IpOps.parseCidr("0.0.0.0/0", "default"),
+      IpOps.parseCidr("10.0.0.0/8", "corp"),
+      IpOps.parseCidr("10.1.0.0/16", "dc"),
+      IpOps.parseCidr("10.1.2.3/32", "pin"))
+    val ips = Seq(
+      ("a", "10.1.2.3"),   // /32
+      ("b", "10.1.9.9"),   // /16
+      ("c", "10.9.9.9"),   // /8
+      ("d", "11.0.0.1"),   // /0
+      ("e", "bogus")       // parse null -> no match (joins miss on null)
+    ).toDF("tag", "s")
+    val got = IpOps.cidrLookupJoin(
+        ips.select(col("tag"), IpOps.ipv4ToLong(col("s")).as("ip")), "ip",
+        rules)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got == Map("a" -> "pin", "b" -> "dc", "c" -> "corp",
+      "d" -> "default", "e" -> null))
+    // duplicate rule at a length is rejected eagerly
+    intercept[IllegalArgumentException] {
+      IpOps.cidrLookupJoin(ips.limit(1)
+        .select(IpOps.ipv4ToLong(col("s")).as("ip")), "ip",
+        Seq(IpOps.parseCidr("10.0.0.0/8", "x"),
+          IpOps.parseCidr("10.0.0.1/8", "y"))) // same base after masking
+    }
+  }
+
   test("splitConformal: coverage near 1 - alpha, k is the finite-sample ceiling") {
     val e = Tables.events(spark, Sf001).select(
       col("event_id"), col("event_type"),

@@ -530,4 +530,23 @@ class PlanSpec extends SparkSpec {
     assert(out.contains("DateTime") && out.contains("Output [1]"), out)
     assert(!out.contains("WindSpeed"), out)
   }
+
+  test("q_u_cidr_lookup: per-length rule joins all broadcast; the event " +
+      "stream never hash-shuffles before the final sort") {
+    val p = planOf("q_u_cidr_lookup")
+    // one BroadcastHashJoin per distinct prefix length (5 rules, 5
+    // lengths) — count the detail-section headers, the tree repeats them
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only Exchange may be the ORDER BY's range partitioning —
+    // no hashpartitioning of the corpus anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("geo radius join: cell-key hash join, replicated side exploded not crossed") {
+    val p = planOf("q_geo_radius_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("""\(\d+\) Generate""".r.findFirstIn(p).nonEmpty, p)
+  }
 }
