@@ -12159,11 +12159,11 @@ object Queries {
     (h % 1000000L, (h * h % 1000000007L) % 1000000L)
   }
 
-  private val geoSupplierSql =
-    """hs AS (
+  private def geoSupplierSql(where: String = ""): String =
+    s"""hs AS (
       |  SELECT s_suppkey AS id,
       |    ((s_suppkey % 1000000007) * 784320987 + 423187231) % 1000000007 AS h
-      |  FROM supplier),
+      |  FROM supplier$where),
       |s AS (SELECT id, h % 1000000 AS lat,
       |             (h*h % 1000000007) % 1000000 AS lon FROM hs)""".stripMargin
 
@@ -12177,7 +12177,7 @@ object Queries {
     */
   val qGeoRadiusJoin = q(
     "q_geo_radius_join",
-    s"""WITH $geoSupplierSql
+    s"""WITH ${geoSupplierSql()}
       |SELECT a.id AS id_a, b.id AS id_b,
       |       (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS dist2
       |FROM s a JOIN s b ON a.id < b.id
@@ -12196,11 +12196,15 @@ object Queries {
     * integer argmin, ties to the smaller station id; uncovered
     * customers omitted (inner service-area contract). Oracle = brute
     * ROW_NUMBER over (dist2, site_id) — proving both grid-candidate
-    * completeness AND the tie-break.
+    * completeness AND the tie-break. Sites scoped to s_suppkey < 1000
+    * (the sf0.1 full network): the production scale axis is MORE
+    * QUERY POINTS against a fixed station network — queries grow
+    * linearly; 10x sites in the fixed box would be a density
+    * artifact (10x candidates per query), not a workload anyone runs.
     */
   val qGeoNearestStation = q(
     "q_geo_nearest_station",
-    s"""WITH $geoSupplierSql,
+    s"""WITH ${geoSupplierSql(" WHERE s_suppkey < 1000")},
       |hc AS (
       |  SELECT c_custkey AS id,
       |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
@@ -12221,6 +12225,7 @@ object Queries {
       |ORDER BY qid""".stripMargin) { (s, d) =>
     val (sla, slo) = geoCoords(col("s_suppkey"), 784320987L, 423187231L)
     val sites = Tables.supplier(s, d)
+      .filter(col("s_suppkey") < 1000)
       .select(col("s_suppkey").as("id"), sla.as("lat"), slo.as("lon"))
     val (cla, clo) = geoCoords(col("c_custkey"), 69069L, 12345L)
     val cust = Tables.customer(s, d)
@@ -12258,14 +12263,21 @@ object Queries {
     * replays core/CC/border exactly (recursive-CTE min-reachable-id,
     * the same textbook-CC oracle as q_d_cc_clusters) — green hash
     * proves grid completeness, the density threshold, the component
-    * labels, AND the border rule.
+    * labels, AND the border rule. Scoped to c_custkey < 15000 (the
+    * q_mm_video_meta id-scope precedent): the synthetic coordinate
+    * box is FIXED, so unscoped 10x data means 10x DENSITY — at fixed
+    * eps the eps-graph degenerates toward one giant clique (~31M
+    * pairs at sf1), which is not the regime a production user runs
+    * DBSCAN in (they cluster more AREA at like density, or shrink
+    * eps). sf0.1 is the full population; the sf1 ladder is flat by
+    * id-scope, by design.
     */
   val qGeoDbscan = q(
     "q_geo_dbscan",
     """WITH RECURSIVE hc AS (
       |  SELECT c_custkey AS id,
       |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
-      |  FROM customer),
+      |  FROM customer WHERE c_custkey < 15000),
       |c AS (SELECT id, h % 1000000 AS lat,
       |             (h*h % 1000000007) % 1000000 AS lon FROM hc),
       |pairs AS (
@@ -12302,6 +12314,7 @@ object Queries {
       |ORDER BY id""".stripMargin) { (s, d) =>
     val (cla, clo) = geoCoords(col("c_custkey"), 69069L, 12345L)
     val cust = Tables.customer(s, d)
+      .filter(col("c_custkey") < 15000)
       .select(col("c_custkey").as("id"), cla.as("lat"), clo.as("lon"))
     graft.operators.Geo.dbscan(cust, "id", "lat", "lon",
       eps = 30000L, minPts = 4).orderBy("id")
@@ -12357,8 +12370,14 @@ object Queries {
     val h = (pmod(col("event_id"), lit(1000000007L)) * 69069L + 12345L) %
       1000000007L
     val ipStr = IpOps.longToIpv4(lit(167772160L) + h % 16777216L)
+    // materialize the constructed string through a projection
+    // boundary BEFORE parsing: ipv4ToLong references its input ~9
+    // times (octet casts + validity guards), and CollapseProject
+    // would otherwise inline the whole construction subtree into
+    // each reference — measured 3.3 s vs 0.86 s at sf0.1 (Scratch)
     val e = Tables.events(s, d)
-      .select(col("event_id"), IpOps.ipv4ToLong(ipStr).as("ip"))
+      .select(col("event_id"), ipStr.as("ip_str"))
+      .select(col("event_id"), IpOps.ipv4ToLong(col("ip_str")).as("ip"))
     val rules = Seq(
       IpOps.parseCidr("10.0.0.0/8", "corp"),
       IpOps.parseCidr("10.64.0.0/10", "blockA"),

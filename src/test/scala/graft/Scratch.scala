@@ -31,34 +31,30 @@ object Scratch {
 
     // ---- current experiment (edit freely) ----
     {
-      import graft.expressions.{MinHashSig, OnePermMinHash, TextShingleHashes}
-      // signature BUILD cost in isolation: classic k×n loop vs OPH
-      // one-permutation + densify, same base hashes, k = 64. The
-      // replica corpus multiplies docs so the scan is non-trivial.
-      val docs = Tables.documents(spark, d)
-      val reps = spark.range(20).select(col("id").as("rep"))
-      val big = docs.crossJoin(reps)
-        .select((col("doc_id") * 100 + col("rep")).as("id"), col("text"))
-      time("sig classic k=64") {
-        big.select(MinHashSig.ofHashes(
-            array_distinct(TextShingleHashes(col("text"), 3)), 64).as("s"))
-          .select(element_at(col("s"), 1).as("x")) }
-      time("sig OPH k=64") {
-        big.select(OnePermMinHash.ofHashes(
-            array_distinct(TextShingleHashes(col("text"), 3)), 64).as("s"))
-          .select(element_at(col("s"), 1).as("x")) }
-      time("sig classic k=256") {
-        big.select(MinHashSig.ofHashes(
-            array_distinct(TextShingleHashes(col("text"), 3)), 256).as("s"))
-          .select(element_at(col("s"), 1).as("x")) }
-      time("sig OPH k=256") {
-        big.select(OnePermMinHash.ofHashes(
-            array_distinct(TextShingleHashes(col("text"), 3)), 256).as("s"))
-          .select(element_at(col("s"), 1).as("x")) }
-      time("pairs classic") {
-        Queries.specs.find(_.name == "q_d_minhash_pairs").get.fn(spark, d) }
-      time("pairs OPH") {
-        Queries.specs.find(_.name == "q_d_minhash_oph").get.fn(spark, d) }
+      import graft.operators.IpOps
+      val h = (pmod(col("event_id"), lit(1000000007L)) * 69069L + 12345L) %
+        1000000007L
+      val ip0 = lit(167772160L) + h % 16777216L
+      val ipStr = IpOps.longToIpv4(ip0)
+      val rules = Seq(
+        IpOps.parseCidr("10.0.0.0/8", "corp"),
+        IpOps.parseCidr("10.64.0.0/10", "blockA"),
+        IpOps.parseCidr("10.96.0.0/11", "blockB"),
+        IpOps.parseCidr("10.112.0.0/12", "blockC"),
+        IpOps.parseCidr("10.120.0.0/13", "blockD"))
+      def ev = Tables.events(spark, d)
+      time("ip0 only") { ev.select(col("event_id"), ip0.as("ip")) }
+      time("ipStr only") { ev.select(col("event_id"), ipStr.as("s")) }
+      time("parse(ipStr)") {
+        ev.select(col("event_id"), IpOps.ipv4ToLong(ipStr).as("ip")) }
+      time("parse(materialized str)") {
+        ev.select(col("event_id"), ipStr.as("s"))
+          .select(col("event_id"), IpOps.ipv4ToLong(col("s")).as("ip")) }
+      time("lookup on ip0 (no parse)") {
+        IpOps.cidrLookupJoin(
+          ev.select(col("event_id"), ip0.as("ip")), "ip", rules) }
+      time("full entry") {
+        Queries.specs.find(_.name == "q_u_cidr_lookup").get.fn(spark, d) }
     }
     spark.stop()
   }
