@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * Rows whose (group, hour) never appears in the fit split are dropped
   * by the inner predictor join (no extrapolated intervals — documented
   * contract; callers wanting a fallback union a global-mean predictor
-  * row in first).
+  * row in first). A group whose calibration split is too small for the
+  * order statistic (k > n_cal, i.e. n_cal < (1-alpha)/alpha) drops out
+  * entirely — the conformal answer there is the infinite interval,
+  * which no finite qhat represents honestly.
   *
   * Scale shape: one map-side-combinable agg for the predictor
   * (group x 24 rows — metadata-sized, broadcast by AQE into both

@@ -289,4 +289,50 @@ class PropertySpec extends SparkSpec {
         != java.time.DayOfWeek.SUNDAY)
     }
   }
+
+  test("property: Geo.radiusJoin == brute force on random scatters incl. negatives") {
+    // three (radius, spread) regimes: dense cluster, sparse spread,
+    // and a mixed-sign band hugging the cell boundaries
+    val regimes = Seq((50L, 200L), (1000L, 800L), (128L, 300L))
+    regimes.zipWithIndex.foreach { case ((r, spread), ri) =>
+      val ptGen = Gen.zip(Gen.choose(-spread, spread), Gen.choose(-spread, spread))
+      val pts = samples(ptGen, 300).zipWithIndex
+        .map { case ((la, lo), i) => (i.toLong + ri * 1000, la, lo) }
+        .toDF("id", "lat", "lon")
+      val got = graft.operators.Geo.radiusJoin(pts, "id", "lat", "lon", r)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val a = pts.select($"id".as("id_a"), $"lat".as("la"), $"lon".as("loa"))
+      val b = pts.select($"id".as("id_b"), $"lat".as("lb"), $"lon".as("lob"))
+      val want = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("dist2", ($"la" - $"lb") * ($"la" - $"lb") +
+          ($"loa" - $"lob") * ($"loa" - $"lob"))
+        .filter($"dist2" <= lit(r * r))
+        .select("id_a", "id_b", "dist2")
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(got == want, s"regime r=$r spread=$spread: " +
+        s"${got.size} grid pairs vs ${want.size} brute pairs")
+      assert(want.nonEmpty, s"regime r=$r spread=$spread produced no pairs")
+    }
+  }
+
+  test("property: weightedJaccardPairs matches a driver-side multiset reference") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val docs = samples(docGen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.Dedup.weightedJaccardPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        minSimPpm = 0L, maxTokenDocFreq = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    def tf(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tfs = docs.map { case (i, t) => i -> tf(t) }.toMap
+    for ((i, ti) <- tfs; (j, tj) <- tfs if i < j) {
+      val keys = ti.keySet ++ tj.keySet
+      val mn = keys.toSeq.map(k => math.min(ti.getOrElse(k, 0L), tj.getOrElse(k, 0L))).sum
+      val mx = keys.toSeq.map(k => math.max(ti.getOrElse(k, 0L), tj.getOrElse(k, 0L))).sum
+      val expected = if (mn == 0) None else Some(mn * 1000000L / mx)
+      assert(got.get((i, j)) == expected,
+        s"pair ($i,$j): got ${got.get((i, j))}, want $expected")
+    }
+  }
 }
