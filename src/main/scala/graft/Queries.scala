@@ -7858,6 +7858,26 @@ object Queries {
     graft.streaming.StreamReadback.scd2(s, d)
   }
 
+  /** Streaming grid density ≡ batch (5th readback gate): order-free
+    * per-cell sums make stream ≡ batch a theorem; the gate witnesses
+    * Spark's BUILT-IN streaming-aggregation state (vs the TWS /
+    * foreachBatch-merge machinery of the other four) by running the
+    * IDENTICAL Geo.cellDensity code over four custkey%4 micro-batches
+    * in complete mode and hash-comparing the final table.
+    */
+  val qStreamCellDensityReadback = q(
+    "q_stream_celldensity_readback",
+    """WITH hc AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
+      |  FROM customer WHERE c_custkey < 15000),
+      |c AS (SELECT id, h % 1000000 AS lat,
+      |             (h*h % 1000000007) % 1000000 AS lon FROM hc)
+      |SELECT lat // 100000 AS cx, lon // 100000 AS cy, COUNT(*) AS n
+      |FROM c GROUP BY 1, 2 ORDER BY cx, cy""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.cellDensity(s, d)
+  }
+
   /** Masking pass over the repeated spans (Dedup.maskRepeatedSpans —
     * what exact-substring dedup actually DOES to the corpus): cut
     * every repeated-span island out of each doc, emit the surviving
@@ -12528,7 +12548,7 @@ object Queries {
     qMmVideoMeta, qMmAudioEnergy, qMmFrameSample,
     qTDsirWeights, qO21DsirSample, qDRepeatedSpans, qXScd2Merge,
     qStreamDedupReadback, qStreamConcatCutReadback, qStreamScd2Readback,
-    qStreamDomainCapReadback,
+    qStreamDomainCapReadback, qStreamCellDensityReadback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

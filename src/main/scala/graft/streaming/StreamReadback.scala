@@ -243,6 +243,51 @@ object StreamReadback {
       .orderBy("host", "doc_id")
   }
 
+  /** Streaming grid-density readback (5th gate): per-cell counts are
+    * order-free sums, so stream ≡ batch is a THEOREM — what this gate
+    * witnesses is the machinery: Spark's BUILT-IN streaming
+    * aggregation state (the other four gates cover TWS/RocksDB custom
+    * state and the foreachBatch-merge sink) across four custkey%4
+    * micro-batches in complete output mode, the result table
+    * overwritten per batch, drained by AvailableNow's own
+    * termination. The streaming query runs the IDENTICAL operator
+    * code — Geo.cellDensity on the unbounded frame — and the final
+    * table must hash-equal the batch answer over the same population.
+    */
+  def cellDensity(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = memo.computeIfAbsent(s"celldens|$sfDir", _ => {
+      rocksDb(s)
+      val landing = freshDir("sr-cell-in")
+      val h = (pmod(col("c_custkey"), lit(1000000007L)) * 69069L +
+        12345L) % 1000000007L
+      val base = graft.Tables.customer(s, sfDir)
+        .filter(col("c_custkey") < 15000)
+        .select(col("c_custkey"), (h % 1000000L).as("lat"),
+          (h * h % 1000000007L % 1000000L).as("lon"))
+      landBatches(landing, (0 until 4).map(i =>
+        base.filter(pmod(col("c_custkey"), lit(4L)) === i)))
+      val out = freshDir("sr-cell-out")
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema("c_custkey LONG, lat LONG, lon LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+        val q = graft.operators.Geo.cellDensity(in, "lat", "lon", 100000L)
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$out/ckpt")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/table"): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        drain(q)
+      }
+      s"$out/table"
+    })
+    s.read.parquet(outDir).select("cx", "cy", "n").orderBy("cx", "cy")
+  }
+
   /** SCD2 versioned-dimension readback: the events change-log
     * arrives as two micro-batches split at the q_x_scd2_merge cut
     * (all-late second batch — the merge contract), the sink folds
