@@ -78,6 +78,25 @@ object Bench {
     // distinguishable from one that got loaded midway.
     val loadAtStart = readLoadavg()
 
+    // Calibration probe (r11 continuation): a fixed, DATA-INDEPENDENT
+    // reference computation timed 3x (median) at run start — the same
+    // arithmetic on every box, so the ratio of two artifacts'
+    // calib_sec is the box-speed factor between their runs. Four
+    // same-HEAD full runs this session read 305/243/329/306 s with
+    // nothing code-side changing; this field lets a future reader
+    // normalize that out instead of adjudicating ghosts.
+    val calibSec: Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 50000000L, 1L, cpus.toInt)
+          .selectExpr("sum(id % 1000007 * 31 + 7) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val xs = Seq(once(), once(), once()).sorted
+      xs(1)
+    }
+
     // Optional comma-separated name filter for targeted iteration
     // (SPARK_GRAFT_ONLY=q_a,q_b); full catalog when unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -285,7 +304,7 @@ object Bench {
       } catch { case _: Throwable => -1L }
       s"""{"loadavg_start":"$loadAtStart","loadavg_end":"${readLoadavg()}",""" +
         s""""mem_avail_mb":$memAvailMb,"gc_count":$gcCount,""" +
-        f""""gc_sec":${gcMs / 1000.0}%.1f}"""
+        f""""gc_sec":${gcMs / 1000.0}%.1f,"calib_sec":$calibSec%.3f}"""
     }
     val contention =
       s"""{"flagged":$nFlagged,"confirmed_over":$nConfirmed$priorNote,"verdict":"${

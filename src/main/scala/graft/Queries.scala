@@ -12188,7 +12188,10 @@ object Queries {
       |             (h*h % 1000000007) % 1000000 AS lon FROM hs)""".stripMargin
 
   /** Grid-cell radius self-join (Geo.radiusJoin): all supplier-station
-    * pairs within 50k micro-degrees, exact integer squared distance.
+    * pairs within 150k micro-degrees, exact integer squared distance
+    * (radius sized so the 10-supplier sf0.001 smoke keeps >= 1 pair:
+    * its two closest stations sit 105k/123k apart — measured, not
+    * estimated; 294 pairs at sf0.01, ~31k at sf0.1).
     * The Spark plan is the Sedona-style 3x3 cell-neighborhood hash
     * join (complete by the cell-side = radius argument, each pair
     * emitted exactly once via replica-vs-home asymmetry); the oracle
@@ -12202,12 +12205,12 @@ object Queries {
       |       (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS dist2
       |FROM s a JOIN s b ON a.id < b.id
       |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
-      |      <= CAST(50000 AS BIGINT) * 50000
+      |      <= CAST(150000 AS BIGINT) * 150000
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val (la, lo) = geoCoords(col("s_suppkey"), 784320987L, 423187231L)
     val pts = Tables.supplier(s, d)
       .select(col("s_suppkey").as("id"), la.as("lat"), lo.as("lon"))
-    graft.operators.Geo.radiusJoin(pts, "id", "lat", "lon", 50000L)
+    graft.operators.Geo.radiusJoin(pts, "id", "lat", "lon", 150000L)
       .orderBy("id_a", "id_b")
   }
 
