@@ -12257,6 +12257,48 @@ object Queries {
       "lat", "lon", 120000L).orderBy("qid")
   }
 
+  /** k-nearest-sites join (Geo.knnWithin, k = 3): distances to the 3
+    * closest stations per customer — the geo feature-engineering op,
+    * ranked by exact integer (dist2, site_id) on the TopKPerGroup
+    * HEAP plan (no window sort). Same fixed-network scope as
+    * q_geo_nearest_station; oracle = brute ROW_NUMBER <= 3, proving
+    * candidate completeness, ordering, and the tie-break at every
+    * rank.
+    */
+  val qGeoKnnStations = q(
+    "q_geo_knn_stations",
+    s"""WITH ${geoSupplierSql(" WHERE s_suppkey < 1000")},
+      |hc AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey % 1000000007) * 69069 + 12345) % 1000000007 AS h
+      |  FROM customer),
+      |c AS (SELECT id, h % 1000000 AS lat,
+      |             (h*h % 1000000007) % 1000000 AS lon FROM hc),
+      |cand AS (
+      |  SELECT c.id AS qid, s.id AS site_id,
+      |         (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon) AS dist2
+      |  FROM c JOIN s ON
+      |    (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon)
+      |      <= CAST(120000 AS BIGINT) * 120000)
+      |SELECT qid, site_id, dist2, rn FROM (
+      |  SELECT qid, site_id, dist2,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY dist2, site_id) AS rn
+      |  FROM cand) WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val (sla, slo) = geoCoords(col("s_suppkey"), 784320987L, 423187231L)
+    val sites = Tables.supplier(s, d)
+      .filter(col("s_suppkey") < 1000)
+      .select(col("s_suppkey").as("id"), sla.as("lat"), slo.as("lon"))
+    val (cla, clo) = geoCoords(col("c_custkey"), 69069L, 12345L)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("qid"), cla.as("lat"), clo.as("lon"))
+    graft.operators.Geo.knnWithin(cust, "qid", sites, "id",
+      "lat", "lon", radius = 120000L, k = 3)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("qid", "rn")
+  }
+
   /** Grid density histogram (Geo.cellDensity): customers per 100k-unit
     * cell — the hotspot monitor over the SAME grid the joins shard on
     * (one map-side-combinable groupBy).
@@ -12501,8 +12543,8 @@ object Queries {
   }
 
   val specs: Seq[QSpec] = Seq(
-    qGeoRadiusJoin, qGeoNearestStation, qGeoCellDensity, qGeoDbscan,
-    qDWeightedJaccard, qXConformal, qUCidrLookup,
+    qGeoRadiusJoin, qGeoNearestStation, qGeoKnnStations, qGeoCellDensity,
+    qGeoDbscan, qDWeightedJaccard, qXConformal, qUCidrLookup,
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
     qJ1JoinAgg, qJ2LeftJoin, qJ3AntiJoin, qJ4AsOf, qJ5StarJoin, qJ6RangeJoin,

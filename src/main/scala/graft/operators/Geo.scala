@@ -89,6 +89,42 @@ object Geo {
     */
   def nearestWithin(queries: DataFrame, qIdCol: String, sites: DataFrame,
       sIdCol: String, latCol: String, lonCol: String,
+      radius: Long): DataFrame =
+    candidatesWithin(queries, qIdCol, sites, sIdCol, latCol, lonCol, radius)
+      .groupBy("qid")
+      .agg(min(struct(col("dist2"), col("site_id"))).as("best"))
+      .select(col("qid"), col("best.site_id").as("site_id"),
+        col("best.dist2").as("dist2"))
+
+  /** k-nearest-sites join within `radius` — the feature-engineering
+    * face of [[nearestWithin]] ("distances to the 3 closest stations"
+    * as model inputs): per query point, the k closest sites by exact
+    * integer squared distance, ranked 1..k, ties to the smaller site
+    * id; queries with fewer than k sites in radius return what exists
+    * (the radius is the candidate-completeness contract). The top-k
+    * itself runs on the catalog's TopKPerGroup HEAP plan (partial/
+    * final two-phase, one exchange) rather than a window sort — per-
+    * query candidate lists are radius-bounded but the query COUNT is
+    * corpus-scale, exactly the regime the heap operator exists for.
+    */
+  def knnWithin(queries: DataFrame, qIdCol: String, sites: DataFrame,
+      sIdCol: String, latCol: String, lonCol: String,
+      radius: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = candidatesWithin(queries, qIdCol, sites, sIdCol,
+      latCol, lonCol, radius)
+    TopK.perGroup(cand, Seq("qid"),
+      Seq(col("dist2").asc, col("site_id").asc), k)
+      .select("qid", "site_id", "dist2", "rn")
+  }
+
+  /** Shared complete candidate generator for [[nearestWithin]] /
+    * [[knnWithin]]: queries replicated into the 3x3 cell
+    * neighborhood, joined against site home cells, exact-distance
+    * filtered. Output: (qid, site_id, dist2).
+    */
+  private def candidatesWithin(queries: DataFrame, qIdCol: String,
+      sites: DataFrame, sIdCol: String, latCol: String, lonCol: String,
       radius: Long): DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")
     val q0 = withCell(
@@ -114,10 +150,7 @@ object Geo {
     repl.join(home, Seq("jx", "jy"))
       .withColumn("dist2", d2)
       .filter(col("dist2") <= lit(radius * radius))
-      .groupBy("qid")
-      .agg(min(struct(col("dist2"), col("site_id"))).as("best"))
-      .select(col("qid"), col("best.site_id").as("site_id"),
-        col("best.dist2").as("dist2"))
+      .select("qid", "site_id", "dist2")
   }
 
   /** Grid DBSCAN (Ester et al. KDD'96) with DETERMINISTIC border

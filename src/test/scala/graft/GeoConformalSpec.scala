@@ -92,6 +92,41 @@ class GeoConformalSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("knnWithin == brute-force window top-k, partial groups returned as-is") {
+    import org.apache.spark.sql.expressions.Window
+    val r = 80000L
+    val q0 = scatter.select(col("id").as("qid"),
+      col("lat"), col("lon")).filter(col("qid") <= 30)
+    val s0 = scatter.select(col("id").as("sid"),
+      col("lat"), col("lon")).filter(col("sid") > 30)
+    val got = Geo.knnWithin(q0, "qid", s0, "sid", "lat", "lon", r, k = 3)
+      .orderBy("qid", "rn").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    val cand = q0.select(col("qid"), col("lat").as("qla"), col("lon").as("qlo"))
+      .crossJoin(s0.select(col("sid"), col("lat").as("sla"), col("lon").as("slo")))
+      .withColumn("dist2",
+        (col("qla") - col("sla")) * (col("qla") - col("sla")) +
+          (col("qlo") - col("slo")) * (col("qlo") - col("slo")))
+      .filter(col("dist2") <= lit(r * r))
+    val want = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist2"), col("sid"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("sid"), col("dist2"), col("rn"))
+      .orderBy("qid", "rn").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    // ranks are contiguous 1..n and capped at k
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted == (1 to g.size) && g.size <= 3)
+    }
+    // partial groups (fewer than k in radius) surface as-is: shrink the
+    // radius until some covered query has < 3 candidates and re-check
+    val tight = Geo.knnWithin(q0, "qid", s0, "sid", "lat", "lon", 40000L, k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3))).toSeq
+    assert(tight.nonEmpty && tight.groupBy(_._1).exists(_._2.size < 3))
+  }
+
   test("cellDensity: counts partition the point set; negative coords floor correctly") {
     val rows = Geo.cellDensity(scatter, "lat", "lon", 50000L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
