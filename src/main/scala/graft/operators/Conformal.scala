@@ -62,9 +62,16 @@ object Conformal {
     val e = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
         col(hourCol).as("hr"), col(valCol).cast("long").as("v"))
       .withColumn("split", pmod(col("id"), lit(3L)))
+    // FLOOR-division group mean (ADVICE r11): the DuckDB oracle's `//`
+    // floors while Spark's bare `div` truncates toward zero — they
+    // coincide only for nonnegative sums. Spelled as
+    // (a - pmod(a, n)) div n the numerator is exactly divisible, so
+    // the truncating div returns the true floor for EITHER sign and
+    // the two engines agree on signed value domains too.
     val fit = e.filter(col("split") === 0)
       .groupBy("grp", "hr")
-      .agg(expr("sum(v) div count(1)").as("yhat"))
+      .agg(expr("(sum(v) - pmod(sum(v), count(1))) div count(1)")
+        .as("yhat"))
     val cal = e.filter(col("split") === 1)
       .join(fit, Seq("grp", "hr"))
       .select(col("grp"), abs(col("v") - col("yhat")).as("r"), col("id"))

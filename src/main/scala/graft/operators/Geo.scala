@@ -24,9 +24,44 @@ import org.apache.spark.sql.functions._
   * occupancy-bounded (never all-pairs). The join is a plain shuffle
   * hash join on the cell key: at 100 TB it shards by cell across
   * executors, and AQE's skew split handles hot cells (urban cores).
-  * Long bound: coordinates up to +-2^31 keep dx*dx + dy*dy < 2^63.
+  *
+  * Long bound (ADVICE r11 — the previously documented +-2^31 was
+  * wrong: per-axis diffs reach 2^32 there and dx*dx alone overflows):
+  * the ENFORCED contract is |coordinate| <= 2^30 - 1, which keeps
+  * each diff <= 2^31 - 2, each square < 2^62, and dx*dx + dy*dy
+  * < 2^63 — exact in Long with no silent negative-dist2 wraparound.
+  * The distance-computing operators ([[radiusJoin]], [[nearestWithin]]
+  * / [[knnWithin]], [[dbscan]]) raise per-row on a violating
+  * coordinate (two codegen'd integer compares — negligible beside the
+  * grid join) and require radius <= 3037000499 (isqrt(Long.Max), so
+  * radius*radius cannot overflow). [[cellDensity]] computes no
+  * distance; its only bound is floorDiv's |coord| < 2^53 exactness.
   */
 object Geo {
+
+  /** Enforced coordinate bound for exact-integer dist2 (object doc). */
+  val MaxCoord: Long = (1L << 30) - 1
+
+  /** Largest radius whose square fits in a Long. */
+  val MaxRadius: Long = 3037000499L
+
+  /** Per-row coordinate guard: pass `c` through, raising with a
+    * descriptive message when |c| exceeds [[MaxCoord]] — the cost of
+    * a silent overflow here is dropped AND phantom pairs, the worst
+    * failure mode for an exactness-contract operator.
+    */
+  private def checkedCoord(c: Column, what: String): Column =
+    when(abs(c) > MaxCoord,
+      raise_error(concat(
+        lit(s"Geo: |$what| exceeds the 2^30-1 exact-dist2 coordinate bound: "),
+        c.cast("string"))))
+      .otherwise(c)
+
+  private def requireRadius(radius: Long): Unit = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    require(radius <= MaxRadius,
+      s"radius*radius overflows Long past $MaxRadius, got $radius")
+  }
 
   /** Exact floor division (toward -inf), safe for negative
     * coordinates: pmod's non-negative remainder makes the numerator
@@ -52,11 +87,11 @@ object Geo {
     */
   def radiusJoin(points: DataFrame, idCol: String, latCol: String,
       lonCol: String, radius: Long): DataFrame = {
-    require(radius > 0, s"radius must be positive, got $radius")
+    requireRadius(radius)
     val p = withCell(
       points.select(col(idCol).as("id"),
-        col(latCol).cast("long").as("lat"),
-        col(lonCol).cast("long").as("lon")),
+        checkedCoord(col(latCol).cast("long"), latCol).as("lat"),
+        checkedCoord(col(lonCol).cast("long"), lonCol).as("lon")),
       "lat", "lon", radius)
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
@@ -126,11 +161,11 @@ object Geo {
   private def candidatesWithin(queries: DataFrame, qIdCol: String,
       sites: DataFrame, sIdCol: String, latCol: String, lonCol: String,
       radius: Long): DataFrame = {
-    require(radius > 0, s"radius must be positive, got $radius")
+    requireRadius(radius)
     val q0 = withCell(
       queries.select(col(qIdCol).as("qid"),
-        col(latCol).cast("long").as("qlat"),
-        col(lonCol).cast("long").as("qlon")),
+        checkedCoord(col(latCol).cast("long"), latCol).as("qlat"),
+        checkedCoord(col(lonCol).cast("long"), lonCol).as("qlon")),
       "qlat", "qlon", radius)
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
@@ -141,8 +176,8 @@ object Geo {
         (col("cy") + col("o.dy")).as("jy"))
     val home = withCell(
       sites.select(col(sIdCol).as("site_id"),
-        col(latCol).cast("long").as("slat"),
-        col(lonCol).cast("long").as("slon")),
+        checkedCoord(col(latCol).cast("long"), latCol).as("slat"),
+        checkedCoord(col(lonCol).cast("long"), lonCol).as("slon")),
       "slat", "slon", radius)
       .withColumnRenamed("cx", "jx").withColumnRenamed("cy", "jy")
     val d2 = (col("qlat") - col("slat")) * (col("qlat") - col("slat")) +

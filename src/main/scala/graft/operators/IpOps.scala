@@ -79,9 +79,22 @@ object IpOps {
     val spark = df.sparkSession
     import spark.implicits._
     val byLen = rules.groupBy(_.len)
+    // ADVICE r11: the join key is the MASKED prefix (base >> hostBits),
+    // so the guards must hold there — a CidrRule constructed directly
+    // with nonzero host bits would alias another rule's prefix and fan
+    // out the stream despite a raw-base distinctness check.
     byLen.foreach { case (len, rs) =>
-      require(rs.map(_.base).distinct.size == rs.size,
-        s"duplicate rules at /$len")
+      val hostBits = 32 - len
+      rs.foreach { r =>
+        require(r.base >= 0L && r.base < 4294967296L,
+          s"rule base out of IPv4 range at /$len: ${r.base}")
+        require((r.base >> hostBits) << hostBits == r.base,
+          s"rule base has nonzero host bits below /$len: ${r.base} " +
+            "(parseCidr zeroes them; direct CidrRule construction must too)")
+      }
+      val prefixes = rs.map(_.base >> hostBits)
+      require(prefixes.distinct.size == prefixes.size,
+        s"duplicate rules at /$len (same masked prefix)")
     }
     val lens = byLen.keys.toSeq.sorted(Ordering[Int].reverse)
     val joined = lens.foldLeft(df) { (acc, len) =>

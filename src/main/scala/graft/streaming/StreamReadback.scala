@@ -323,4 +323,158 @@ object StreamReadback {
         col("is_current"))
       .orderBy("user_id", "vf_sec", "event_id")
   }
+
+  /** Shared r12 drain shape for the four aggregation-state gates
+    * below (ewma/holt/drift/expectations — judge r11 ask #4): land
+    * `batches` as pinned-order micro-batch files, run the streaming
+    * aggregation `agg` over the file stream in COMPLETE mode, finish
+    * each trigger's full state with `finish` (shared arithmetic with
+    * the batch operator — the house bit-exact contract), overwrite
+    * the result table per batch, drain by AvailableNow's own
+    * termination. The FINAL table is the finish of the complete
+    * drained state = the batch operator over the union of batches,
+    * which the DuckDB oracle replays directly.
+    */
+  private def aggGate(s: SparkSession, memoKey: String, schema: String,
+      batches: => Seq[DataFrame], agg: DataFrame => DataFrame,
+      finish: DataFrame => DataFrame): String =
+    memo.computeIfAbsent(memoKey, _ => {
+      rocksDb(s)
+      val landing = freshDir(s"sr-agg-in")
+      landBatches(landing, batches)
+      val out = freshDir(s"sr-agg-out")
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+        val q = agg(in)
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$out/ckpt")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            finish(df).write.mode("overwrite").parquet(s"$out/table"): Unit
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        drain(q)
+      }
+      s"$out/table"
+    })
+
+  /** Streaming EWMA readback: per-type hourly cents bucket sums
+    * maintained as built-in streaming-aggregation state over four
+    * event_id%4 micro-batches, finished per trigger with the SHARED
+    * batch arithmetic (Stats.ewmaFromSums — StreamEwma's contract).
+    * Late rows fold into their own bucket, so the drained state
+    * finishes to the bit-exact batch groupedEwma of all events — the
+    * oracle is q_w_ewma's, verbatim.
+    */
+  def ewma(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"ewma|$sfDir", "g STRING, b LONG, v LONG",
+      {
+        val base = graft.Tables.events(s, sfDir).select(
+          col("event_type").as("g"),
+          expr("unix_timestamp(ts) div 3600").as("b"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"),
+          col("event_id"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("event_id"), lit(4L)) === i).drop("event_id"))
+      },
+      in => StreamEwma.bucketSums(in, "g", col("b"), col("v")),
+      st => StreamEwma.ewmaFrom(st, window = 6, num = 3, den = 4))
+    s.read.parquet(outDir).select("g", "b", "v", "ewma_micros")
+      .orderBy("g", "b")
+  }
+
+  /** Streaming Holt readback: daily order-revenue period sums as
+    * streaming-aggregation state over four o_orderkey%4 micro-batches;
+    * each trigger re-folds the periods-sized series with the SHARED
+    * batch recursion (Stats.holtLinearSummary — StreamHolt's
+    * contract). Final table = the batch Holt summary of all orders;
+    * oracle is q_w_holt_forecast's, verbatim.
+    */
+  def holt(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"holt|$sfDir", "t DATE, x LONG",
+      {
+        val base = graft.Tables.orders(s, sfDir).select(
+          col("o_orderdate").cast("date").as("t"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("x"),
+          col("o_orderkey"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("o_orderkey"), lit(4L)) === i)
+            .drop("o_orderkey"))
+      },
+      in => StreamHolt.bucketSums(in, col("t"), col("x")),
+      st => StreamHolt.holtFrom(st))
+    s.read.parquet(outDir).select("n_scored", "sae_holt", "sae_naive",
+      "mae_holt", "mae_naive", "skill_micros", "level_end", "trend_end")
+  }
+
+  /** Streaming PSI drift readback: the 1996 current slice streams in
+    * four l_orderkey%4 micro-batches into StreamDrift's bounded bin
+    * counters (<= nBins state keys); each trigger finishes against
+    * the FIXED 1995 reference histogram with the SHARED batch
+    * arithmetic (Drift.psiFromCounts). Final table = the batch
+    * psiNumeric of the full slices; oracle is q_x_psi_drift's,
+    * verbatim.
+    */
+  def drift(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"drift|$sfDir", "l_quantity DOUBLE",
+      {
+        val li = graft.Tables.lineitem(s, sfDir)
+          .select(col("l_quantity"), col("l_orderkey"),
+            year(col("l_shipdate")).as("y"))
+        val cur = li.filter(col("y") === 1996)
+        (0 until 4).map(i =>
+          cur.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+            .select(col("l_quantity").cast("double")))
+      },
+      in => StreamDrift.binCounters(in, "l_quantity", lo = 1.0, hi = 51.0,
+        nBins = 10),
+      st => {
+        val ref = graft.operators.Drift.binCounts(
+          graft.Tables.lineitem(s, sfDir)
+            .filter(year(col("l_shipdate")) === 1995)
+            .select(col("l_quantity").cast("double").as("l_quantity")),
+          "l_quantity", lo = 1.0, hi = 51.0, nBins = 10, "n_ref")
+        StreamDrift.psiAgainst(ref, st, nBins = 10)
+      })
+    s.read.parquet(outDir)
+      .select("bin", "n_ref", "n_cur", "psi_bin", "psi_total")
+      .orderBy("bin")
+  }
+
+  /** Streaming data-quality expectations readback: the four
+    * q_x_expectations row rules over lineitem, their (n_checked,
+    * n_violations) counters maintained as streaming-aggregation
+    * state (one row per RULE — bounded key domain) across four
+    * l_orderkey%4 micro-batches. Final table = the batch auditRows
+    * of the full table; oracle is q_x_expectations' row-rule half.
+    */
+  def expectations(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Expectations.RowRule
+    val rules = Seq(
+      RowRule("r1_qty_range", !col("l_quantity").between(1, 45)),
+      RowRule("r2_discount_range", !col("l_discount").between(0.0, 0.08)),
+      RowRule("r3_shipdate_not_null", col("l_shipdate").isNull),
+      RowRule("r4_price_floor", col("l_extendedprice") < 1000))
+    val outDir = aggGate(s, s"expect|$sfDir",
+      "l_quantity DOUBLE, l_discount DOUBLE, l_shipdate DATE, " +
+        "l_extendedprice DOUBLE",
+      {
+        val li = graft.Tables.lineitem(s, sfDir)
+        (0 until 4).map(i =>
+          li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+            .select(col("l_quantity").cast("double"),
+              col("l_discount").cast("double"),
+              col("l_shipdate").cast("date"),
+              col("l_extendedprice").cast("double")))
+      },
+      in => StreamExpectations.auditCounters(in, rules),
+      st => st)
+    s.read.parquet(outDir).select("rule", "n_checked", "n_violations")
+      .orderBy("rule")
+  }
 }

@@ -308,4 +308,61 @@ class GeoConformalSpec extends SparkSpec {
       assert(row.getLong(2) == rs((k - 1).toInt), s"$grp qhat mismatch")
     }
   }
+
+  test("Geo guards: oversized radius rejected, coordinate past 2^30-1 raises per-row") {
+    intercept[IllegalArgumentException] {
+      Geo.radiusJoin(scatter, "id", "lat", "lon", Geo.MaxRadius + 1)
+    }
+    // a coordinate past the bound must raise, not silently wrap dist2
+    val bad = Seq((1L, Geo.MaxCoord + 1, 0L), (2L, 0L, 0L))
+      .toDF("id", "lat", "lon")
+    val ex = intercept[Exception] {
+      Geo.radiusJoin(bad, "id", "lat", "lon", 100L).collect()
+    }
+    assert(ex.getMessage != null)
+    // at the bound itself everything still works exactly
+    val edge = Seq((1L, Geo.MaxCoord, Geo.MaxCoord),
+      (2L, Geo.MaxCoord - 3, Geo.MaxCoord - 4)).toDF("id", "lat", "lon")
+    val got = Geo.radiusJoin(edge, "id", "lat", "lon", 100L).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 25L)
+  }
+
+  test("cidrLookupJoin rejects direct CidrRules with host bits / masked-prefix aliases") {
+    import graft.operators.IpOps
+    val ips = Seq(("a", "10.0.0.1")).toDF("tag", "s")
+      .select(col("tag"), IpOps.ipv4ToLong(col("s")).as("ip"))
+    // nonzero host bits below the prefix — parseCidr would zero them,
+    // direct construction must be rejected, not silently alias
+    intercept[IllegalArgumentException] {
+      IpOps.cidrLookupJoin(ips, "ip",
+        Seq(IpOps.CidrRule(10L * 16777216L + 1L, 8, "x")))
+    }
+    // two rules distinct in raw base but identical once masked
+    intercept[IllegalArgumentException] {
+      IpOps.cidrLookupJoin(ips, "ip",
+        Seq(IpOps.CidrRule(10L * 16777216L, 8, "x"),
+          IpOps.CidrRule(10L * 16777216L + 256L, 8, "y")))
+    }
+  }
+
+  test("splitConformal fit mean FLOORS on signed values (DuckDB // parity)") {
+    // group (g, hr=0) split-0 rows sum to -7 over 2 rows: floor(-3.5)
+    // = -4 (DuckDB -7 // 2), while truncation would give -3. Residuals
+    // and coverage then differ between the two conventions, so pin the
+    // qhat: split-0 ids 0,3 (values -3,-4), split-1 ids 1,4, split-2
+    // ids 2,5.
+    val rows = Seq(
+      (0L, "g", 0L, -3L), (3L, "g", 0L, -4L),  // fit: yhat = -4
+      (1L, "g", 0L, -4L), (4L, "g", 0L, -1L),  // cal: r = 0, 3
+      (2L, "g", 0L, -4L), (5L, "g", 0L, -9L)   // eval: |.-yhat| = 0, 5
+    ).toDF("id", "grp", "hr", "v")
+    val out = Conformal.splitConformal(rows, "id", "grp", "hr", "v",
+      alphaPpm = 500000L).collect()
+    assert(out.length == 1)
+    // n_cal = 2, k = ceil(3 * 0.5) = 2 -> qhat = 2nd smallest residual = 3
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getLong(2) == 3L, "qhat must come from FLOORED yhat = -4")
+    // eval: residuals 0 and 5 vs qhat 3 -> 1 of 2 covered
+    assert(out(0).getLong(3) == 2L && out(0).getLong(4) == 1L)
+  }
 }
