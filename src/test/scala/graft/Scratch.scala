@@ -31,30 +31,19 @@ object Scratch {
 
     // ---- current experiment (edit freely) ----
     {
-      import graft.operators.IpOps
-      val h = (pmod(col("event_id"), lit(1000000007L)) * 69069L + 12345L) %
-        1000000007L
-      val ip0 = lit(167772160L) + h % 16777216L
-      val ipStr = IpOps.longToIpv4(ip0)
-      val rules = Seq(
-        IpOps.parseCidr("10.0.0.0/8", "corp"),
-        IpOps.parseCidr("10.64.0.0/10", "blockA"),
-        IpOps.parseCidr("10.96.0.0/11", "blockB"),
-        IpOps.parseCidr("10.112.0.0/12", "blockC"),
-        IpOps.parseCidr("10.120.0.0/13", "blockD"))
-      def ev = Tables.events(spark, d)
-      time("ip0 only") { ev.select(col("event_id"), ip0.as("ip")) }
-      time("ipStr only") { ev.select(col("event_id"), ipStr.as("s")) }
-      time("parse(ipStr)") {
-        ev.select(col("event_id"), IpOps.ipv4ToLong(ipStr).as("ip")) }
-      time("parse(materialized str)") {
-        ev.select(col("event_id"), ipStr.as("s"))
-          .select(col("event_id"), IpOps.ipv4ToLong(col("s")).as("ip")) }
-      time("lookup on ip0 (no parse)") {
-        IpOps.cidrLookupJoin(
-          ev.select(col("event_id"), ip0.as("ip")), "ip", rules) }
-      time("full entry") {
-        Queries.specs.find(_.name == "q_u_cidr_lookup").get.fn(spark, d) }
+      // r12: hot-cell radius join — the q_geo_radius_skew fixture vs
+      // its uniform twin (q_geo_radius_join), wall-clock side by side.
+      val pts = Queries.geoSkewPoints(spark, d)
+      time("radius_skew degree profile") {
+        val pr = graft.operators.Geo
+          .radiusJoin(pts, "id", "lat", "lon", 50000L)
+        pr.select(col("id_a").as("id"), col("dist2"))
+          .union(pr.select(col("id_b").as("id"), col("dist2")))
+          .groupBy("id").agg(count(lit(1)).as("n"), sum("dist2").as("s"))
+      }
+      time("radius_join uniform twin") {
+        Queries.specs.find(_.name == "q_geo_radius_join").get.fn(spark, d)
+      }
     }
     spark.stop()
   }
