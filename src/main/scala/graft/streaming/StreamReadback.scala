@@ -446,6 +446,51 @@ object StreamReadback {
       .orderBy("bin")
   }
 
+  /** Streaming online-winsorize readback (6th TWS gate — the MapState
+    * sketch machinery, a state shape none of the other TWS gates
+    * cover): events stream in four event_id%4 micro-batches keyed by
+    * event_type; each batch ingests into the per-group HDR bucket
+    * sketch (TWS MapState/RocksDB) and clamps the batch with bounds
+    * INCLUDING its own rows. Bounds per (group, batch) are therefore
+    * a pure function of the batch prefix, which the oracle replays
+    * via the shared bucket arithmetic (Sketch.quantileOracleSql's
+    * bin-length/mantissa-shift chain) — the gate hash-proves the
+    * sketch state evolution across micro-batches AND the per-batch
+    * rank selection.
+    */
+  def winsorize(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = memo.computeIfAbsent(s"wins|$sfDir", _ => {
+      rocksDb(s)
+      val landing = freshDir("sr-wins-in")
+      val base = graft.Tables.events(s, sfDir).select(
+        col("event_type"), col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      landBatches(landing, (0 until 4).map(i =>
+        base.filter(pmod(col("event_id"), lit(4L)) === i)))
+      val out = freshDir("sr-wins-out")
+      import s.implicits._
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema("event_type STRING, event_id LONG, cents LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .as[StreamWinsorize.EventIn]
+        val q = StreamWinsorize.clamp(in)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/table")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .start()
+        drainTws(q)
+      }
+      s"$out/table"
+    })
+    s.read.parquet(outDir)
+      .select("event_type", "event_id", "cents", "cents_w", "lo", "hi")
+      .orderBy("event_type", "event_id")
+  }
+
   /** Streaming data-quality expectations readback: the four
     * q_x_expectations row rules over lineitem, their (n_checked,
     * n_violations) counters maintained as streaming-aggregation

@@ -31,19 +31,20 @@ object Scratch {
 
     // ---- current experiment (edit freely) ----
     {
-      // r12: hot-cell radius join — the q_geo_radius_skew fixture vs
-      // its uniform twin (q_geo_radius_join), wall-clock side by side.
-      val pts = Queries.geoSkewPoints(spark, d)
-      time("radius_skew degree profile") {
-        val pr = graft.operators.Geo
-          .radiusJoin(pts, "id", "lat", "lon", 50000L)
-        pr.select(col("id_a").as("id"), col("dist2"))
-          .union(pr.select(col("id_b").as("id"), col("dist2")))
-          .groupBy("id").agg(count(lit(1)).as("n"), sum("dist2").as("s"))
+      // r12 sf10 spill A/B: the pair-family entries spill ~60GB at
+      // sf10 under the bench's fixed shuffle.partitions=32; the same
+      // plan at 256 partitions should shard the sort buffers under
+      // the per-task memory and collapse the spill/wall.
+      Seq("32", "256").foreach { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          Queries.specs.find(_.name == "q_d_minhash_pairs").get.fn(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[scratch] minhash_pairs parts=$n run$i ${(System.nanoTime()-t0)/1e9}%.1f s")
+        }
       }
-      time("radius_join uniform twin") {
-        Queries.specs.find(_.name == "q_geo_radius_join").get.fn(spark, d)
-      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     spark.stop()
   }
