@@ -1475,6 +1475,12 @@ object Queries {
       .filter(col("src") % 13 =!= 0 && col("dst") % 13 =!= 0)
     val additions = sparse.filter(col("src") % 7 === 0)
       .filter(col("src") % 13 =!= 0 && col("dst") % 13 =!= 0)
+    // warm rounds: the full 14 — probed: 6 rounds leave 35 extra
+    // nodes, 10 leave 10. The pin only covers core(B∖D); every OTHER
+    // surviving node re-adjudicates from scratch once additions land,
+    // and that mass peels at the full cascade depth. The warm win is
+    // the pinned kernel dropping out of per-round adjudication, not a
+    // shallower fixpoint.
     KCore.peelWarm(survivorsBase.unionByName(additions), "src", "dst",
         core1, k = 4, iters = 14)
       .orderBy("node")
@@ -1487,8 +1493,11 @@ object Queries {
            |WHERE src % 13 != 0 AND dst % 13 != 0""".stripMargin,
         k = 4, iters = 14)}
        |ORDER BY node""".stripMargin,
-    benchFn = Some((s, d) =>
-      kcoreMixedFinal(s, d, kcoreWarmPriorLocal(s, d)))) { (s, d) =>
+    // bench=false: correctness composition proof; its two legs are
+    // already priced by q_g_kcore_delete + q_g_kcore_warm, and the
+    // composed 28-round entry (~18 s) would add catalog wall without
+    // new plan information
+    bench = false) { (s, d) =>
     val (sparse, clique) = kcoreGraphParts(s, d)
     val base = sparse.filter(col("src") % 7 =!= 0).unionByName(clique)
     val prior = graft.operators.KCore

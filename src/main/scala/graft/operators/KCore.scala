@@ -71,10 +71,8 @@ object KCore {
     // ~40 s of DRIVER CPU per bench run (42.8 s vs ~2 s). Rebuilding
     // a fresh scan over the checkpointed rows restores unknown-size
     // defaults; cost is one row conversion per materialized table.
-    def ckptReset(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      c.sparkSession.createDataFrame(c.rdd, c.schema)
-    }
+    def ckptReset(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftStatsSever.sever(df.localCheckpoint())
     var e = ckptReset(edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -136,12 +134,21 @@ object KCore {
       checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    var e = edges
+    // same ckptReset as [[peel]] — r12: the r11 stats-reset house rule
+    // was applied to peel's rounds but NOT here, and the warm loop's
+    // per-round `alive` checkpoints compound the same ~3×-digits/round
+    // sizeInBytes estimate; invisible at the warm gate's 8 rounds,
+    // q_g_kcore_mixed's first bench at 14 rounds read 136 s of driver
+    // stats-walk vs ~5 s of real work (the 42.8 s kcore_delete
+    // incident, round three — ANY fixed-point loop that checkpoints
+    // must reset stats at the checkpoint, no exceptions).
+    def ckptReset(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftStatsSever.sever(df.localCheckpoint())
+    var e = ckptReset(edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // STATS RESET, not just a lineage cut: Dataset.localCheckpoint
     // carries the PRE-checkpoint sizeInBytes ESTIMATE into the
     // LogicalRDD it returns (not the materialized size). A prior core
@@ -154,17 +161,16 @@ object KCore {
     // fresh scan over the already-checkpointed rows restores
     // unknown-size defaults, at the cost of one row conversion per
     // use of the node-sized pinned table.
-    val ckpt = priorCore.select(col("node").cast("long"))
-      .distinct().localCheckpoint()
-    val pinned = ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+    val pinned = ckptReset(
+      priorCore.select(col("node").cast("long")).distinct())
     for (i <- 1 to iters) {
-      val alive = degrees(e).filter(col("degree") >= k).select("node")
-        .unionAll(pinned).distinct().localCheckpoint()
+      val alive = ckptReset(degrees(e).filter(col("degree") >= k)
+        .select("node").unionAll(pinned).distinct())
       e = e
         .join(alive.select(col("node").as("u")), Seq("u"))
         .join(alive.select(col("node").as("v")), Seq("v"))
         .select("u", "v")
-      if (i % checkpointEvery == 0 && i < iters) e = e.localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) e = ckptReset(e)
     }
     degrees(e).filter(col("degree") >= k)
   }
@@ -212,11 +218,11 @@ object KCore {
     // same stats-reset treatment as peelWarm: a checkpoint-carried
     // size estimate on the prior core would compound through the
     // peel's per-round checkpoints
-    val keepCk = priorCore.select(col("node").cast("long"))
-      .distinct()
-      .join(del, Seq("node"), "left_anti")
-      .localCheckpoint()
-    val keep = keepCk.sparkSession.createDataFrame(keepCk.rdd, keepCk.schema)
+    val keep = org.apache.spark.sql.GraftStatsSever.sever(
+      priorCore.select(col("node").cast("long"))
+        .distinct()
+        .join(del, Seq("node"), "left_anti")
+        .localCheckpoint())
     val h = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))

@@ -31,20 +31,46 @@ object Scratch {
 
     // ---- current experiment (edit freely) ----
     {
-      // r12 sf10 spill A/B: the pair-family entries spill ~60GB at
-      // sf10 under the bench's fixed shuffle.partitions=32; the same
-      // plan at 256 partitions should shard the sort buffers under
-      // the per-task memory and collapse the spill/wall.
-      Seq("32", "256").foreach { n =>
-        spark.conf.set("spark.sql.shuffle.partitions", n)
-        (1 to 2).foreach { i =>
-          val t0 = System.nanoTime()
-          Queries.specs.find(_.name == "q_d_minhash_pairs").get.fn(spark, d)
-            .write.format("noop").mode("overwrite").save()
-          println(f"[scratch] minhash_pairs parts=$n run$i ${(System.nanoTime()-t0)/1e9}%.1f s")
-        }
+      import graft.operators.KCore
+      def parts() = {
+        val sparse = Tables.lineitem(spark, d)
+          .filter(col("l_linenumber") === 1)
+          .select((col("l_orderkey") % 3000).as("src"),
+            ((col("l_orderkey") * 7 + col("l_partkey")) % 3000).as("dst"))
+        val n1 = Tables.nation(spark, d).select(col("n_nationkey"))
+        val clique = n1.as("a").join(n1.as("b"),
+          col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").as("src"),
+            col("b.n_nationkey").as("dst"))
+        (sparse, clique)
       }
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val (sparse, clique) = parts()
+      val base = sparse.filter(col("src") % 7 =!= 0).unionByName(clique)
+      import spark.implicits._
+      val prior = KCore.peel(base, "src", "dst", 4, 8).select("node")
+        .collect().map(_.getLong(0)).toSeq.toDF("node")
+      val deleted = spark.range(0, 3000).toDF().filter(col("id") % 13 === 0)
+      var t0 = System.nanoTime()
+      val core1 = KCore.peelAfterDeletions(base, "src", "dst", prior,
+        deleted, k = 4, iters = 14).select("node")
+      core1.write.format("noop").mode("overwrite").save()
+      println(f"[scratch] leg1 delete peel ${(System.nanoTime()-t0)/1e9}%.1f s")
+      val survivorsBase = base
+        .filter(col("src") % 13 =!= 0 && col("dst") % 13 =!= 0)
+      val additions = sparse.filter(col("src") % 7 === 0)
+        .filter(col("src") % 13 =!= 0 && col("dst") % 13 =!= 0)
+      t0 = System.nanoTime()
+      KCore.peelWarm(survivorsBase.unionByName(additions), "src", "dst",
+          core1, k = 4, iters = 14)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scratch] leg2 warm peel ${(System.nanoTime()-t0)/1e9}%.1f s")
+      // variant: sever core1 through a local relation before pinning
+      t0 = System.nanoTime()
+      val core1Local = core1.collect().map(_.getLong(0)).toSeq.toDF("node")
+      KCore.peelWarm(survivorsBase.unionByName(additions), "src", "dst",
+          core1Local, k = 4, iters = 14)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scratch] leg2 warm peel (local pin) ${(System.nanoTime()-t0)/1e9}%.1f s")
     }
     spark.stop()
   }
