@@ -44,13 +44,20 @@ object ConnectedComponents {
     // Canonical undirected edge set: (src < dst), self-loops dropped.
     // Checkpointed once so the (possibly expensive) upstream pair
     // generation runs exactly once; `nodes` derives from this set.
-    val canonical = edges
+    // sever: localCheckpoint carries the pre-checkpoint sizeInBytes
+    // estimate, which compounds per contraction round (the KCore
+    // stats-walk hazard, r12 house rule: EVERY fixed-point loop
+    // severs stats at its checkpoints — GraftStatsSever rewraps the
+    // checkpointed InternalRow RDD at zero conversion cost)
+    def sever(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftStatsSever.sever(df)
+    val canonical = sever(edges
       .select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("src"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
 
     val nodes = canonical.select(col("src").as("id"))
       .union(canonical.select(col("dst").as("id")))
@@ -62,7 +69,7 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = sever(smallStar(largeStar(e)).localCheckpoint())
       val sig = fingerprint(next)
       converged = sig == prev
       prev = sig
