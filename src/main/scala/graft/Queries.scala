@@ -2503,9 +2503,16 @@ object Queries {
       |       len(list_filter(regexp_split_to_array(text, '\s+'),
       |                       t -> len(t) > 0)) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // null-safe wrapper (fuzz r13): Spark's size() renders NULL input
+    // as -1 under the session's legacy sizeOfNull, while the oracle's
+    // len() is NULL-propagating — on a corpus with null texts the two
+    // silently diverge. The documents table has no null text, but at
+    // 100 TB a null-text shard is a matter of time, not chance.
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        when(col("text").isNull, lit(null).cast("int"))
+          .otherwise(
+            size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
           .as("n_tokens"))
       .orderBy("doc_id")
   }
@@ -11022,7 +11029,7 @@ object Queries {
       s"""WITH src AS ($srcSql),
          |st AS (SELECT g, COUNT(*) AS n,
          |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
-         |    SUM(CAST(t AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sty,
+         |    SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS sty,
          |    CAST(SUM(t * t) AS BIGINT) AS stt
          |  FROM src GROUP BY g),
          |pooled AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
@@ -12970,8 +12977,13 @@ object Queries {
       |         event_id % 3 AS split
       |  FROM events),
       |fit AS (
+      |  -- pre-adjusted floor division (fuzz r13: DuckDB's bare //
+      |  -- TRUNCATES toward zero, so on a negative non-divisible sum
+      |  -- it would disagree with the Spark side's exact floor)
       |  SELECT event_type, hr,
-      |         CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT) AS yhat
+      |         CAST((CAST(SUM(cents) AS HUGEINT)
+      |               - ((CAST(SUM(cents) AS HUGEINT) % COUNT(*)) + COUNT(*))
+      |                 % COUNT(*)) // COUNT(*) AS BIGINT) AS yhat
       |  FROM e WHERE split = 0 GROUP BY 1, 2),
       |cal AS (
       |  SELECT e.event_type AS et, ABS(cents - yhat) AS r, e.event_id

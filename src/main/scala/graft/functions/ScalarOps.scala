@@ -62,6 +62,11 @@ object ScalarOps {
     * yyyy-M-d (pandas tries '%d-%m-%Y' then '%Y-%m-%d';
     * ref: extract_from_raw_data.py:35-38). Non-ANSI mode yields null
     * on mismatch, so coalesce expresses the try/except chain.
+    *
+    * Domain note (fuzz r13): the year field must be exactly 4 digits.
+    * Spark's strict `yyyy` rejects 1–3-digit years that strptime `%Y`
+    * accepts ('1-1-1' is null here, 0001-01-01 under DuckDB/pandas
+    * strptime) — an oracle mirror must gate on the 4-digit-year shape.
     */
   def parseDateMulti(c: Column): Column =
     coalesce(to_date(c, "d-M-yyyy"), to_date(c, "yyyy-M-d"))

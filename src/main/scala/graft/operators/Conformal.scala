@@ -62,12 +62,13 @@ object Conformal {
     val e = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
         col(hourCol).as("hr"), col(valCol).cast("long").as("v"))
       .withColumn("split", pmod(col("id"), lit(3L)))
-    // FLOOR-division group mean (ADVICE r11): the DuckDB oracle's `//`
-    // floors while Spark's bare `div` truncates toward zero — they
-    // coincide only for nonnegative sums. Spelled as
-    // (a - pmod(a, n)) div n the numerator is exactly divisible, so
-    // the truncating div returns the true floor for EITHER sign and
-    // the two engines agree on signed value domains too.
+    // FLOOR-division group mean, spelled as (a - pmod(a, n)) div n:
+    // the numerator is exactly divisible, so the truncating div
+    // returns the true floor for either sign. Correction (fuzz r13):
+    // DuckDB's bare `//` TRUNCATES toward zero (the r11 note claiming
+    // it floors was wrong), so the ORACLE needs the same pre-adjusted
+    // numerator — bare `//` over a negative non-divisible sum would
+    // read one higher than this floor.
     val fit = e.filter(col("split") === 0)
       .groupBy("grp", "hr")
       .agg(expr("(sum(v) - pmod(sum(v), count(1))) div count(1)")

@@ -49,9 +49,15 @@ object Geo {
     * descriptive message when |c| exceeds [[MaxCoord]] — the cost of
     * a silent overflow here is dropped AND phantom pairs, the worst
     * failure mode for an exactness-contract operator.
+    *
+    * Two-sided compare, NOT abs(): with ANSI off (GraftSession.tune)
+    * abs(Long.MinValue) wraps to Long.MinValue (negative) and would
+    * sail past an `abs(c) > MaxCoord` check — and Long.MinValue is
+    * reachable because non-ANSI casts clamp any double <= -2^63 to
+    * it (ADVICE r12).
     */
   private def checkedCoord(c: Column, what: String): Column =
-    when(abs(c) > MaxCoord,
+    when(c > MaxCoord || c < -MaxCoord,
       raise_error(concat(
         lit(s"Geo: |$what| exceeds the 2^30-1 exact-dist2 coordinate bound: "),
         c.cast("string"))))

@@ -84,6 +84,12 @@ object IpOps {
     // with nonzero host bits would alias another rule's prefix and fan
     // out the stream despite a raw-base distinctness check.
     byLen.foreach { case (len, rs) =>
+      // ADVICE r12: a directly constructed CidrRule can carry any len;
+      // a negative shift count is masked mod 64 by the JVM, so the
+      // masked-prefix checks below would pass nonsensically. Validate
+      // per length group before shifting.
+      require(len >= 0 && len <= 32,
+        s"CIDR prefix length out of range: /$len (must be 0..32)")
       val hostBits = 32 - len
       rs.foreach { r =>
         require(r.base >= 0L && r.base < 4294967296L,

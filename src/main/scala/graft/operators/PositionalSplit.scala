@@ -96,7 +96,15 @@ object PositionalSplit {
   def firstNWithRank(
       df: DataFrame, k1: String, k2: String, n: Long,
       maxBoundaryKeys: Int = DefaultMaxBoundaryKeys): DataFrame =
-    boundary(df, k1, k2, n, maxBoundaryKeys) match {
+    // n <= 0 short-circuit (fuzz r13, positional_split s6/s12): the
+    // boundary path computes the residual rank r = 0 there, so the
+    // "r-th smallest k2" probe is max() over LIMIT 0 = NULL, and the
+    // NULL boundary makes `k2 <= K` three-valued — first-group rows
+    // vanished from BOTH splits. Only n <= 0 can reach r = 0 (for
+    // n >= 1 the first qualifying group has r = n - cum >= 1).
+    if (n <= 0L)
+      df.withColumn("rn", lit(0L)).filter(lit(false))
+    else boundary(df, k1, k2, n, maxBoundaryKeys) match {
       case Some((offsets, b)) =>
         val spark = df.sparkSession
         val schema = StructType(Seq(
@@ -125,7 +133,9 @@ object PositionalSplit {
   def splitAt(
       df: DataFrame, k1: String, k2: String, n: Long,
       maxBoundaryKeys: Int = DefaultMaxBoundaryKeys): (DataFrame, DataFrame) =
-    boundary(df, k1, k2, n, maxBoundaryKeys) match {
+    // n <= 0: empty train, everything test (see firstNWithRank note)
+    if (n <= 0L) (df.filter(lit(false)), df)
+    else boundary(df, k1, k2, n, maxBoundaryKeys) match {
       case Some((_, b)) =>
         val keep = keepPred(k1, k2, b)
         (df.filter(keep), df.filter(!keep))

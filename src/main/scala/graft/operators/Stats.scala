@@ -22,7 +22,16 @@ object Stats {
     * and flooring division agree (exact on negative numerators too),
     * and the arithmetic never leaves integers/decimals (a Column `/`
     * would detour through double and drift past 2⁵³). Oracle
-    * spelling: `(x - (((x % d) + d) % d)) // d`.
+    * spelling: `(x - (((x % d) + d) % d)) // d` — the pre-adjustment
+    * is REQUIRED there too: DuckDB's bare `//` TRUNCATES toward zero
+    * (-7 // 3 = -2, verified on 1.0.0; fuzz r13 caught an oracle that
+    * assumed it floors), so only the exactly-divisible numerator
+    * makes the two engines agree on signed values.
+    *
+    * Contract: den > 0. Spark's pmod returns the remainder in
+    * [0, |den|), so for den < 0 the exact quotient of the adjusted
+    * numerator is the CEILING, not the floor. Every caller divides
+    * by a count.
     */
   def fdivExact(numer: Column, den: Column): Column = {
     val adj = numer - pmod(numer, den)
@@ -698,9 +707,11 @@ object Stats {
        |md AS (${quantilesOracleSql("d", group, "dev", Seq(0.5))}),
        |f AS (SELECT d.*, md.p50 AS mad FROM d JOIN md USING ($group))
        |SELECT ${keep.mkString(", ")},
-       |       0.6745 * (xl - med) / mad AS z
+       |       CAST(0.6745 AS DOUBLE) * CAST(xl - med AS DOUBLE)
+       |         / CAST(mad AS DOUBLE) AS z
        |FROM f
-       |WHERE mad > 0 AND abs(0.6745 * (xl - med) / mad) > $zMax""".stripMargin
+       |WHERE mad > 0 AND abs(CAST(0.6745 AS DOUBLE)
+       |    * CAST(xl - med AS DOUBLE) / CAST(mad AS DOUBLE)) > $zMax""".stripMargin
 
   /** DuckDB rendering of `zscoreOutliers` (identical op order), for
     * oracle replay: same floor quantization, same exact integer
@@ -712,7 +723,7 @@ object Stats {
     s"""WITH b AS (SELECT *, CAST($xIntSql AS BIGINT) AS xl FROM $table),
        |st AS (SELECT $group, CAST(COUNT(*) AS DOUBLE) AS n,
        |         CAST(SUM(xl) AS BIGINT) AS sx,
-       |         SUM(CAST(xl AS DECIMAL(18,0)) * CAST(xl AS DECIMAL(18,0))) AS sxx
+       |         SUM(CAST(xl AS HUGEINT) * CAST(xl AS HUGEINT)) AS sxx
        |       FROM b GROUP BY $group),
        |sd AS (SELECT $group,
        |         CAST(sx AS DOUBLE) / n AS mean_c,
@@ -740,7 +751,7 @@ object Stats {
        |    CAST(SUM(xl) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
        |    CAST(SUM(xl * yl) AS BIGINT) AS sxy,
        |    CAST(SUM(xl * xl) AS BIGINT) AS sxx,
-       |    SUM(CAST(yl AS DECIMAL(18,0)) * CAST(yl AS DECIMAL(18,0))) AS syy
+       |    SUM(CAST(yl AS HUGEINT) * CAST(yl AS HUGEINT)) AS syy
        |  FROM (SELECT $group,
        |          CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT) AS xl,
        |          CAST(CAST($y AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl
@@ -839,7 +850,7 @@ object Stats {
        |FROM (
        |  SELECT g, COUNT(*) AS n,
        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
-       |    SUM(CAST(t AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sty,
+       |    SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS sty,
        |    CAST(SUM(t * t) AS BIGINT) AS stt
        |  FROM ($srcSql) GROUP BY g)""".stripMargin
 
@@ -1184,12 +1195,12 @@ object Stats {
        |st AS (SELECT ser.g, sh.lag, COUNT(*) AS n,
        |         CAST(SUM(ser.v) AS BIGINT) AS sx,
        |         CAST(SUM(sh.y) AS BIGINT) AS sy,
-       |         SUM(CAST(ser.v AS DECIMAL(18,0))
-       |             * CAST(sh.y AS DECIMAL(18,0))) AS sxy,
-       |         SUM(CAST(ser.v AS DECIMAL(18,0))
-       |             * CAST(ser.v AS DECIMAL(18,0))) AS sxx,
-       |         SUM(CAST(sh.y AS DECIMAL(18,0))
-       |             * CAST(sh.y AS DECIMAL(18,0))) AS syy
+       |         SUM(CAST(ser.v AS HUGEINT)
+       |             * CAST(sh.y AS HUGEINT)) AS sxy,
+       |         SUM(CAST(ser.v AS HUGEINT)
+       |             * CAST(ser.v AS HUGEINT)) AS sxx,
+       |         SUM(CAST(sh.y AS HUGEINT)
+       |             * CAST(sh.y AS HUGEINT)) AS syy
        |       FROM ser JOIN sh ON ser.g = sh.g AND ser.b = sh.b
        |       GROUP BY 1, 2)
        |SELECT g, lag, n,

@@ -522,4 +522,200 @@ object StreamReadback {
     s.read.parquet(outDir).select("rule", "n_checked", "n_violations")
       .orderBy("rule")
   }
+
+  /** Streaming OLS trend readback (r13): per-type (n, Σt, Σy, Σty,
+    * Σt²) sufficient statistics as streaming-aggregation state over
+    * four event_id%4 micro-batches; each trigger finishes the
+    * groups-sized state with the SHARED batch arithmetic
+    * (Stats.olsSlopeFromStats — StreamTrend's contract). Final table
+    * = the batch groupedOlsSlope of all events; oracle is
+    * q_w_group_trend's, verbatim.
+    */
+  def trend(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"trend|$sfDir", "g STRING, t LONG, y LONG",
+      {
+        val base = graft.Tables.events(s, sfDir).select(
+          col("event_type").as("g"),
+          expr("unix_timestamp(ts) div 86400").as("t"),
+          floor(col("value") * 100).cast("long").as("y"),
+          col("event_id"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("event_id"), lit(4L)) === i).drop("event_id"))
+      },
+      in => StreamTrend.sufficientStats(in, "g", col("t"), col("y")),
+      st => StreamTrend.slopesFrom(st))
+    s.read.parquet(outDir)
+      .select(col("g").as("event_type"), col("n"),
+        col("slope").as("slope_cents_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming isotonic-calibration readback (r13): the ≤50
+    * (bin, n, Σy) counters as streaming-aggregation state over four
+    * doc_id%4 micro-batches; each trigger runs the SHARED PAV finish
+    * (Stats.isotonicFromCounts — StreamCalibration's contract) on
+    * the bins-sized state. Final table = the batch isotonicCalibrate
+    * of all documents; oracle is q_t_isotonic_calibration's,
+    * verbatim.
+    */
+  def calibration(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"calib|$sfDir", "score DOUBLE, label INT",
+      {
+        val base = graft.Tables.documents(s, sfDir).select(
+          least(length(col("text")), lit(999)).cast("double").as("score"),
+          (col("doc_id") % 10 <
+            least(lit(9), expr("length(text) div 120"))).cast("int")
+            .as("label"),
+          col("doc_id"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("doc_id"), lit(4L)) === i).drop("doc_id"))
+      },
+      in => StreamCalibration.binCounters(in, col("score"), col("label"),
+        lo = 0.0, hi = 1000.0, nBins = 50),
+      st => StreamCalibration.calibrationFrom(st))
+    s.read.parquet(outDir)
+      .select("bin", "n", "sy", "p_raw_micros", "p_cal_micros")
+      .orderBy("bin")
+  }
+
+  /** Streaming Kaplan–Meier readback (r13): per-user (min first_s,
+    * max last_s) extents as streaming-aggregation state over four
+    * event_id%4 micro-batches; each trigger folds the users-sized
+    * state through the SHARED curve arithmetic
+    * (Survival.kaplanMeierFromExtents — StreamSurvival's contract).
+    * Final table = the batch kaplanMeier of all events; oracle is
+    * q_w_kaplan_meier's, verbatim (censor gap 7 days).
+    */
+  def survival(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"surv|$sfDir", "u LONG, sec LONG",
+      {
+        val base = graft.Tables.events(s, sfDir).select(
+          col("user_id").as("u"),
+          unix_timestamp(col("ts")).as("sec"),
+          col("event_id"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("event_id"), lit(4L)) === i).drop("event_id"))
+      },
+      in => StreamSurvival.userExtents(in, "u", col("sec")),
+      st => StreamSurvival.curveFrom(st, censorGapDays = 7))
+    s.read.parquet(outDir)
+  }
+
+  /** Streaming CDC readback (r13): latest-change-per-key state
+    * (max(struct(ts_us, event_id, op, value)), count) as
+    * streaming-aggregation state over four event_id%4 micro-batches —
+    * arrival order across batches is immaterial because the seq
+    * columns totally order changes within a key (StreamCdc's
+    * contract). ts lands as MICROS-long so the stream's argmax orders
+    * exactly like the batch twin's micros timestamp. Final table =
+    * the batch Cdc.applyLatest of the full feed; oracle is
+    * q_x_cdc_apply's, verbatim.
+    */
+  def cdc(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"cdc|$sfDir",
+      "user_id LONG, tsus LONG, event_id LONG, op STRING, value DOUBLE",
+      {
+        val base = graft.Tables.events(s, sfDir).select(
+          col("user_id"),
+          unix_micros(col("ts")).as("tsus"),
+          col("event_id"),
+          when(col("event_type") === "purchase", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("event_id"), lit(4L)) === i))
+      },
+      in => StreamCdc.latestState(in, "user_id", Seq("tsus", "event_id"),
+        "op", Seq("value")),
+      st => StreamCdc.finish(st, "user_id", Seq("tsus", "event_id"),
+        "op", Seq("value")))
+    s.read.parquet(outDir)
+      .select(col("user_id"), expr("tsus div 1000000").as("sec"),
+        col("event_id"), col("value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming embedding-diversity readback (r13): per-label
+    * (pos, Σ quantized component, Σ‖·‖², count) moment state as
+    * streaming-aggregation state over four vec_id%4 micro-batches;
+    * each trigger finishes the O(labels·dim) state with the SHARED
+    * moment identity (Similarity.meanPairwiseCosineFromSums —
+    * StreamDiversity's contract). Final table = the batch
+    * meanPairwiseCosine of all embeddings; oracle is
+    * q_e_mean_pairwise_cosine's, verbatim.
+    */
+  def diversity(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"divers|$sfDir",
+      "label INT, embedding ARRAY<FLOAT>",
+      {
+        val base = graft.Tables.embeddings(s, sfDir)
+          .select(col("label"), col("embedding"), col("vec_id"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("vec_id"), lit(4L)) === i).drop("vec_id"))
+      },
+      in => StreamDiversity.posSums(in, "label", "embedding"),
+      st => StreamDiversity.diversityFrom(st, "label"))
+    s.read.parquet(outDir).orderBy("label")
+  }
+
+  /** Stream-stream interval-join readback (r13): signups and
+    * purchases land as TWO file streams (four event_id%4 micro-batch
+    * files each) joined by StreamJoin.intervalJoin on user equality
+    * plus a 7-day time-range — the attribution shape. The watermark
+    * delay (3650 days) exceeds the fixture's whole time span, so no
+    * state is ever evicted and the drained append-mode output is
+    * EXACTLY the batch inner interval join of the two slices — each
+    * pair emitted once, regardless of which side's micro-batch
+    * arrived first. The oracle replays the join as plain SQL over
+    * micros timestamps (the same resolution the stream buffers).
+    */
+  def join(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = memo.computeIfAbsent(s"join|$sfDir", _ => {
+      rocksDb(s)
+      val ev = graft.Tables.events(s, sfDir)
+      def side(kind: String, cols: Seq[org.apache.spark.sql.Column]) = {
+        val base = ev.filter(col("event_type") === kind).select(
+          cols :+ col("event_id").as("__b"): _*)
+        (0 until 4).map(i =>
+          base.filter(pmod(col("__b"), lit(4L)) === i).drop("__b"))
+      }
+      val lLanding = freshDir("sr-join-l")
+      landBatches(lLanding, side("signup", Seq(
+        col("event_id").as("lid"), col("user_id").as("u"),
+        unix_micros(col("ts")).as("lus"))))
+      val rLanding = freshDir("sr-join-r")
+      landBatches(rLanding, side("purchase", Seq(
+        col("event_id").as("rid"), col("user_id").as("ru"),
+        unix_micros(col("ts")).as("rus"), col("value").as("rval"))))
+      val out = freshDir("sr-join-out")
+      withStatePartitions(s, 8) {
+        val left = s.readStream.schema("lid LONG, u LONG, lus LONG")
+          .option("maxFilesPerTrigger", "1").parquet(lLanding.toString)
+          .withColumn("lts", timestamp_micros(col("lus")))
+        val right = s.readStream
+          .schema("rid LONG, ru LONG, rus LONG, rval DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(rLanding.toString)
+          .withColumn("rts", timestamp_micros(col("rus")))
+        val q = StreamJoin.intervalJoin(left, right,
+            leftTs = "lts", rightTs = "rts",
+            leftWatermark = "3650 days", rightWatermark = "3650 days",
+            keyExpr = "u = ru", maxLag = "7 days")
+          .select("lid", "rid", "u", "lus", "rus", "rval")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/table")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        drain(q)
+      }
+      s"$out/table"
+    })
+    s.read.parquet(outDir)
+      .select(col("lid"), col("rid"), col("u"),
+        expr("lus div 1000000").as("signup_sec"),
+        expr("rus div 1000000").as("purchase_sec"), col("rval"))
+      .orderBy("lid", "rid")
+  }
 }
