@@ -8300,6 +8300,134 @@ object Queries {
     graft.streaming.StreamReadback.expectations(s, d)
   }
 
+  /** Streaming OLS-trend readback (r13): q_w_group_trend's oracle
+    * verbatim against StreamTrend's drained streaming-agg state
+    * finished with the shared batch arithmetic.
+    */
+  val qStreamTrendReadback = q(
+    "q_stream_trend_readback",
+    s"""SELECT g AS event_type, n, slope AS slope_cents_per_day
+       |FROM (${graft.operators.Stats.olsSlopeOracleSql(
+      """SELECT event_type AS g,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS t,
+        |       CAST(FLOOR(value * 100) AS BIGINT) AS y
+        |FROM events""".stripMargin)})
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.trend(s, d)
+  }
+
+  /** Streaming isotonic-calibration readback (r13):
+    * q_t_isotonic_calibration's oracle verbatim against
+    * StreamCalibration's drained bin-counter state + shared PAV.
+    */
+  val qStreamCalibrationReadback = q(
+    "q_stream_calibration_readback",
+    s"""WITH ${graft.operators.Stats.isotonicOracleSql(
+      """SELECT CAST(LEAST(length(text), 999) AS DOUBLE) AS x,
+        |       CASE WHEN doc_id % 10 < LEAST(9, length(text) // 120)
+        |            THEN 1 ELSE 0 END AS y
+        |FROM documents""".stripMargin, 0.0, 1000.0, 50)}
+       |SELECT p.bin, p.n, p.sy, p.sy * 1000000 // p.n AS p_raw_micros,
+       |       iso.p_cal_micros
+       |FROM p JOIN iso ON p.bin = iso.ib ORDER BY bin""".stripMargin) {
+    (s, d) => graft.streaming.StreamReadback.calibration(s, d)
+  }
+
+  /** Streaming Kaplan–Meier readback (r13): q_w_kaplan_meier's oracle
+    * verbatim against StreamSurvival's drained per-user extent state
+    * + shared curve fold (censor gap 7).
+    */
+  val qStreamSurvivalReadback = q(
+    "q_stream_survival_readback",
+    graft.operators.Survival.kaplanMeierOracleSql(
+      """SELECT user_id AS u,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec
+        |FROM events""".stripMargin, 7)) { (s, d) =>
+    graft.streaming.StreamReadback.survival(s, d)
+  }
+
+  /** Streaming CDC readback (r13): q_x_cdc_apply's oracle verbatim
+    * against StreamCdc's drained latest-change argmax state.
+    */
+  val qStreamCdcReadback = q(
+    "q_stream_cdc_readback",
+    """WITH log AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+      |    value
+      |  FROM events),
+      |last AS (SELECT user_id, ts, event_id, op, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM log)
+      |SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS sec,
+      |       event_id, value, CAST(n_changes AS BIGINT) AS n_changes
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.cdc(s, d)
+  }
+
+  /** Streaming embedding-diversity readback (r13):
+    * q_e_mean_pairwise_cosine's oracle verbatim against
+    * StreamDiversity's drained moment-sum state.
+    */
+  val qStreamDiversityReadback = q(
+    "q_stream_diversity_readback",
+    s"""WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |nr AS (SELECT label, e, sqrt(${duckDot("e", "e")}) AS nrm FROM v),
+       |qv AS (SELECT label,
+       |         list_transform(e, x -> CASE WHEN nrm > 0
+       |           THEN CAST(FLOOR(x / nrm * 1000000.0) AS BIGINT)
+       |           ELSE 0 END) AS qarr
+       |       FROM nr),
+       |rws AS (SELECT label, qarr,
+       |          list_reduce(list_prepend(0::BIGINT,
+       |            list_transform(qarr, q -> q * q)), (a, v) -> a + v)
+       |            AS diag
+       |        FROM qv),
+       |dims AS (SELECT unnest(range(64)) AS pos),
+       |ps AS (SELECT label, pos,
+       |         SUM(qarr[CAST(pos AS INT) + 1]) AS s
+       |       FROM rws CROSS JOIN dims GROUP BY label, pos),
+       |g AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS s2
+       |      FROM ps GROUP BY label),
+       |dg AS (SELECT label, CAST(SUM(diag) AS HUGEINT) AS dd,
+       |              COUNT(*) AS n
+       |       FROM rws GROUP BY label),
+       |f AS (SELECT g.label, n, s2, dd,
+       |        CAST(n AS HUGEINT) * (n - 1) * 1000000 AS den
+       |      FROM g JOIN dg USING (label))
+       |SELECT label, n,
+       |       CASE WHEN n > 1 THEN CAST(
+       |         (s2 - dd - (((s2 - dd) % den + den) % den)) // den
+       |         AS BIGINT) END AS mean_cos_ppm
+       |FROM f ORDER BY label""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.diversity(s, d)
+  }
+
+  /** Stream-stream interval-join readback (r13): the attribution
+    * shape (purchase within 7 days after signup, same user) drained
+    * from a REAL two-sided watermarked stream-stream join — the
+    * oracle replays it as a plain inner join over micros timestamps.
+    */
+  val qStreamJoinReadback = q(
+    "q_stream_join_readback",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      |l AS (SELECT event_id AS lid, user_id AS u, us AS lus
+      |      FROM e WHERE event_type = 'signup'),
+      |r AS (SELECT event_id AS rid, user_id AS ru, us AS rus,
+      |             value AS rval
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT lid, rid, u, lus // 1000000 AS signup_sec,
+      |       rus // 1000000 AS purchase_sec, rval
+      |FROM l JOIN r ON u = ru AND rus >= lus
+      |              AND rus <= lus + 604800000000
+      |ORDER BY lid, rid""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.join(s, d)
+  }
+
   /** Masking pass over the repeated spans (Dedup.maskRepeatedSpans —
     * what exact-substring dedup actually DOES to the corpus): cut
     * every repeated-span island out of each doc, emit the surviving
@@ -13075,6 +13203,9 @@ object Queries {
     qStreamDomainCapReadback, qStreamCellDensityReadback,
     qStreamEwmaReadback, qStreamHoltReadback, qStreamDriftReadback,
     qStreamExpectationsReadback, qStreamWinsorizeReadback,
+    qStreamTrendReadback, qStreamCalibrationReadback,
+    qStreamSurvivalReadback, qStreamCdcReadback,
+    qStreamDiversityReadback, qStreamJoinReadback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

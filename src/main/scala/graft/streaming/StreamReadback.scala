@@ -617,7 +617,7 @@ object StreamReadback {
       {
         val base = graft.Tables.events(s, sfDir).select(
           col("user_id"),
-          unix_micros(col("ts")).as("tsus"),
+          unix_micros(col("ts").cast("timestamp")).as("tsus"),
           col("event_id"),
           when(col("event_type") === "purchase", lit("D"))
             .otherwise(lit("U")).as("op"),
@@ -682,11 +682,11 @@ object StreamReadback {
       val lLanding = freshDir("sr-join-l")
       landBatches(lLanding, side("signup", Seq(
         col("event_id").as("lid"), col("user_id").as("u"),
-        unix_micros(col("ts")).as("lus"))))
+        unix_micros(col("ts").cast("timestamp")).as("lus"))))
       val rLanding = freshDir("sr-join-r")
       landBatches(rLanding, side("purchase", Seq(
         col("event_id").as("rid"), col("user_id").as("ru"),
-        unix_micros(col("ts")).as("rus"), col("value").as("rval"))))
+        unix_micros(col("ts").cast("timestamp")).as("rus"), col("value").as("rval"))))
       val out = freshDir("sr-join-out")
       withStatePartitions(s, 8) {
         val left = s.readStream.schema("lid LONG, u LONG, lus LONG")
