@@ -5610,6 +5610,60 @@ object Queries {
        |$duckBandJaccardTail""".stripMargin
   }
 
+  /** Pair-BUDGETED variant of [[duckBandJaccardTail]] (r13): per-band-
+    * bucket candidate mass (cool C(cnt,2), hot star cnt−1), then a
+    * cumulative keep in ascending (cand, band, key) order while the
+    * running estimate fits `budget` — whole buckets only, the exact
+    * keep rule of Dedup.bandCandidatePairsBudgeted. The ROWS frame is
+    * spelled out because (cand, band, key) is a total order the Spark
+    * window also uses row-wise.
+    */
+  private def duckBandJaccardTailBudgeted(budget: Long): String =
+    s"""b2 AS (SELECT doc_id, band,
+       |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, band*4+1, band*4+4)),
+       |           (a, v) -> (a * 31 + v) % 1000000007) AS key
+       |       FROM (SELECT doc_id, unnest(range(16)) AS band, sig FROM s)),
+       |bc AS (SELECT band, key, COUNT(*) AS cnt FROM b2 GROUP BY band, key),
+       |bstat AS (SELECT band, key, cnt,
+       |            CASE WHEN cnt <= $dedupMaxBucket THEN cnt * (cnt - 1) // 2
+       |                 ELSE cnt - 1 END AS cand
+       |          FROM bc),
+       |keep AS (SELECT band, key FROM (
+       |           SELECT band, key,
+       |             SUM(cand) OVER (ORDER BY cand, band, key
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |           FROM bstat)
+       |         WHERE cum <= $budget),
+       |bb AS (SELECT b2.doc_id, b2.band, b2.key, bc.cnt
+       |       FROM b2 JOIN bc USING (band, key) JOIN keep USING (band, key)),
+       |coolp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bb a JOIN bb b ON a.band = b.band AND a.key = b.key
+       |          WHERE a.cnt <= $dedupMaxBucket AND a.doc_id < b.doc_id),
+       |reps AS (SELECT band, key, MIN(doc_id) AS id_a
+       |         FROM bb WHERE cnt > $dedupMaxBucket GROUP BY band, key),
+       |hotp AS (SELECT reps.id_a, bb.doc_id AS id_b
+       |         FROM bb JOIN reps USING (band, key)
+       |         WHERE bb.cnt > $dedupMaxBucket AND bb.doc_id <> reps.id_a),
+       |pairs AS (SELECT DISTINCT id_a, id_b
+       |          FROM (SELECT * FROM coolp UNION ALL SELECT * FROM hotp)),
+       |j AS (SELECT id_a, id_b,
+       |        len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS inter,
+       |        len(ha.hs) AS la, len(hb.hs) AS lb
+       |      FROM pairs JOIN hd ha ON ha.doc_id = id_a
+       |                 JOIN hd hb ON hb.doc_id = id_b)""".stripMargin
+
+  private def duckMinhashPairChainBudgeted(budget: Long): String = {
+    val (ca, cb) = graft.expressions.MinHashSig.coefficients(64)
+    s"""${duckShingleHashes(3)},
+       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM h),
+       |coef AS (SELECT ${ca.mkString("[", ", ", "]")}::BIGINT[] AS ca,
+       |                ${cb.mkString("[", ", ", "]")}::BIGINT[] AS cb),
+       |s AS (SELECT doc_id, list_transform(range(64), i ->
+       |        list_min(list_transform(hs, x -> (x * ca[i+1] + cb[i+1]) % 1000000007))) AS sig
+       |      FROM hd CROSS JOIN coef),
+       |${duckBandJaccardTailBudgeted(budget)}""".stripMargin
+  }
+
   /** The OPH sibling of [[duckMinhashPairChain]]: ONE permutation,
     * bin = ⌊v·64/P⌋ minima, rotation densification in its closed form
     * (slot i = min over j of binmin[(i+j) mod 64] + j·P — NULL bins
@@ -5801,6 +5855,100 @@ object Queries {
       Tables.documents(s, d), "doc_id", "text", maxDist = 64,
       jaccardFloor = 0.4)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Pair-budget CAPPED minhash pairs (r13, VERDICT ask #5): the same
+    * stack as q_d_minhash_pairs, but the candidate stage keeps whole
+    * band buckets cheapest-first while the estimated pair mass fits
+    * the budget — the output is a documented deterministic PREFIX of
+    * the full pair set, and the oracle replays the keep rule exactly.
+    * Budget 150 vs the sf0.01 estimate of ~357, so the cap genuinely
+    * drops buckets at the Verify scale. The refusal face (throwing
+    * with the hottest buckets named) is gated in PairBudgetSpec.
+    */
+  val qDMinhashPairsBudget = q(
+    "q_d_minhash_pairs_budget",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |${duckMinhashPairChainBudgeted(150L)}
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.minhashNearDupsPolyBudgeted(
+      Tables.documents(s, d), "doc_id", "text",
+      pairBudget = 150L, refuse = false)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Pair-budget CAPPED edit-distance pairs (r13): q_d_editdist_pairs
+    * through the budgeted candidate stage (budget 150, capped mode) —
+    * Jaccard gate + thresholded Levenshtein run only on the
+    * affordable prefix.
+    */
+  val qDEditdistBudget = q(
+    "q_d_editdist_budget",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |${duckMinhashPairChainBudgeted(150L)},
+       |jg AS (SELECT id_a, id_b FROM j
+       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.4),
+       |ed AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS dist
+       |       FROM jg JOIN documents da ON da.doc_id = id_a
+       |                JOIN documents db ON db.doc_id = id_b)
+       |SELECT id_a, id_b, dist FROM ed WHERE dist <= 64
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.editDistanceNearDupsBudgeted(
+      Tables.documents(s, d), "doc_id", "text",
+      pairBudget = 150L, refuse = false, maxDist = 64, jaccardFloor = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Pair-budget CAPPED interval-overlap join (r13): q_j9 through the
+    * budgeted bucket stage — buckets kept cheapest-first while
+    * Σ(nl·nr) fits the budget (800 vs the sf0.01 estimate of ~1946),
+    * and a pair survives iff its canonical meeting bucket survived.
+    * Epoch seconds are nonnegative, so the oracle's truncating `//`
+    * equals the operator's floor bucketing.
+    */
+  val qJ9IntervalOverlapBudget = q(
+    "q_j9_interval_overlap_budget",
+    """WITH e AS (SELECT event_id, event_type,
+      |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS s
+      |           FROM events),
+      |p AS (SELECT event_id AS p_id, s AS s1, s + 300 AS e1
+      |      FROM e WHERE event_type = 'purchase'),
+      |er AS (SELECT event_id AS e_id, s AS s2, s + 300 AS e2
+      |       FROM e WHERE event_type = 'error'),
+      |pb AS (SELECT unnest(range(s1 // 300, (e1 - 1) // 300 + 1)) AS bkt
+      |       FROM p),
+      |eb AS (SELECT unnest(range(s2 // 300, (e2 - 1) // 300 + 1)) AS bkt
+      |       FROM er),
+      |st AS (SELECT bkt, nl * nr AS cand FROM
+      |         (SELECT bkt, COUNT(*) AS nl FROM pb GROUP BY 1)
+      |         JOIN (SELECT bkt, COUNT(*) AS nr FROM eb GROUP BY 1)
+      |         USING (bkt)),
+      |keep AS (SELECT bkt FROM (
+      |           SELECT bkt, SUM(cand) OVER (ORDER BY cand, bkt
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |           FROM st)
+      |         WHERE cum <= 800)
+      |SELECT p_id, e_id, least(e1, e2) - greatest(s1, s2) AS overlap_sec
+      |FROM p JOIN er ON s1 < e2 AND s2 < e1
+      |WHERE greatest(s1, s2) // 300 IN (SELECT bkt FROM keep)
+      |ORDER BY p_id, e_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("sec", unix_timestamp(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("sec").as("s1"),
+        (col("sec") + 300).as("e1"))
+    val er = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("sec").as("s2"),
+        (col("sec") + 300).as("e2"))
+    graft.operators.RangeJoin.intervalOverlapBudgeted(
+        p, er, "s1", "e1", "s2", "e2", bucket = 300L,
+        pairBudget = 800L, refuse = false)
+      .select(col("p_id"), col("e_id"),
+        (least(col("e1"), col("e2"))
+          - greatest(col("s1"), col("s2"))).as("overlap_sec"))
+      .orderBy("p_id", "e_id")
   }
 
   /** Blocked fuzzy record linkage (operators/RecordLinkage) over the
@@ -13218,5 +13366,6 @@ object Queries {
     qGModularity, qXSequentialLooks, qTRakeKeywords, qXDiffInDiff,
     qXQte, qO28IpfRaking, qPipeExperimentReadout,
     qXSimpsonAudit, qO29BottomkSample, qO30WeightedBottomk, qO31Rendezvous,
+    qDMinhashPairsBudget, qDEditdistBudget, qJ9IntervalOverlapBudget,
   )
 }
