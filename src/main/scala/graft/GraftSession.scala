@@ -16,9 +16,20 @@ import org.apache.spark.sql.types._
   */
 object GraftSession {
 
+  /** ANSI override hook for the r13 forward-compat profile
+    * (AnsiProfileSpec): tune() pins ansi=false — the catalog
+    * contract — unless this JVM property asks for ANSI-on, letting
+    * the identical catalog entries run under Spark's drifting
+    * default so the entries that LEGITIMATELY require non-ANSI
+    * semantics stay pinned by a test instead of discovered in an
+    * upgrade.
+    */
+  val AnsiOverrideProp = "graft.ansi.override"
+
   /** Apply runtime confs we rely on. Safe to call repeatedly. */
   def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled",
+      sys.props.getOrElse(AnsiOverrideProp, "false"))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet stores TIMESTAMP(NANOS); Spark's TimestampType is
     // micros. Read nanos as raw Long and convert explicitly (Tables.events).
