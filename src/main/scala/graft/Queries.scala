@@ -8576,6 +8576,29 @@ object Queries {
     graft.streaming.StreamReadback.join(s, d)
   }
 
+  /** TWS bottom-k sampling readback (r13): q_o29_bottomk_sample's
+    * oracle verbatim against StreamBottomK's drained per-shard
+    * k-minima ValueState (RocksDB) — the mergeability theorem makes
+    * the union-of-emissions global bottom-k equal the batch sample.
+    */
+  val qStreamBottomkReadback = q(
+    "q_stream_bottomk_readback",
+    s"""WITH h AS (SELECT doc_id,
+       |    CAST(${graft.operators.Sampling.orderHashSql("doc_id")} AS BIGINT)
+       |      AS pri
+       |  FROM documents),
+       |r AS (SELECT doc_id, pri,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS INT)
+       |      AS sample_rank
+       |  FROM h),
+       |s AS (SELECT * FROM r WHERE sample_rank <= 100),
+       |e AS (SELECT ${99L * graft.operators.Sampling.P} // MAX(pri)
+       |        AS distinct_est FROM s)
+       |SELECT doc_id, pri, sample_rank, distinct_est
+       |FROM s CROSS JOIN e ORDER BY sample_rank""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.bottomk(s, d)
+  }
+
   /** Masking pass over the repeated spans (Dedup.maskRepeatedSpans —
     * what exact-substring dedup actually DOES to the corpus): cut
     * every repeated-span island out of each doc, emit the surviving
@@ -13354,6 +13377,7 @@ object Queries {
     qStreamTrendReadback, qStreamCalibrationReadback,
     qStreamSurvivalReadback, qStreamCdcReadback,
     qStreamDiversityReadback, qStreamJoinReadback,
+    qStreamBottomkReadback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

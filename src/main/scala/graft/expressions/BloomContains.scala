@@ -70,15 +70,28 @@ object BloomContains {
     */
   val SeedMix = 0x9e3779b97f4a7c15L
 
+  /** Double-hash reduction modulus (r13 ANSI profile): the classic
+    * `(h1 + i·h2) mod 2^64` chain wraps by design, which the BUILDER's
+    * Column rendering cannot express under ANSI mode (long-overflow
+    * raise). Reducing both hashes mod 2^31−1 FIRST keeps every
+    * intermediate below 2^35 — overflow-free in either engine mode —
+    * and Kirsch–Mitzenmacher double hashing is unaffected for
+    * m ≪ 2^31. Builder (BloomPrune.pos) and this prober must use the
+    * IDENTICAL chain.
+    */
+  val HashMod = 2147483647L
+
   /** Called from eval and generated code. */
   def contains(key: Long, bits: Array[Long], k: Int): Boolean = {
     val mBits = bits.length.toLong * 64L
     val h1 = XXH64.hashLong(key, 42L)
     val h2 = XXH64.hashLong(SeedMix, h1)
+    // pmod semantics, mirrored by the builder's pmod(h, HashMod)
+    val r1 = ((h1 % HashMod) + HashMod) % HashMod
+    val r2 = ((h2 % HashMod) + HashMod) % HashMod
     var i = 0
     while (i < k) {
-      val raw = (h1 + i.toLong * h2) % mBits
-      val pos = if (raw < 0) raw + mBits else raw
+      val pos = (r1 + i.toLong * r2) % mBits
       if (((bits((pos / 64L).toInt) >>> (pos % 64L).toInt) & 1L) == 0L)
         return false
       i += 1

@@ -49,7 +49,11 @@ object BloomPrune {
     val k = key.cast("long")
     val h1 = xxhash64(k)
     val h2 = xxhash64(k, lit(graft.expressions.BloomContains.SeedMix))
-    pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))
+    // reduce mod 2^31-1 before combining (r13 ANSI profile): every
+    // intermediate stays < 2^35, so the chain is overflow-free under
+    // ANSI too — MUST stay byte-identical to BloomContains.contains
+    val q = lit(graft.expressions.BloomContains.HashMod)
+    pmod(pmod(h1, q) + lit(i.toLong) * pmod(h2, q), lit(mBits.toLong))
   }
 
   // the functions-API shiftleft/shiftright only take an Int literal

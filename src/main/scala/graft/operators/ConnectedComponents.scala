@@ -279,10 +279,20 @@ object ConnectedComponents {
     * `maxIter` bounds the loop regardless.
     */
   private def fingerprint(e: DataFrame): (Long, Long) = {
+    // ANSI-safe checksum (r13 ANSI profile): the old sum(xxhash64)
+    // wrapped mod 2^64 by design — a fine checksum, but ANSI mode
+    // throws on the wrap. Sum the two 32-bit halves separately (each
+    // sum bounded by rows·2^32 < 2^63, can never overflow in EITHER
+    // mode) and recombine on the driver with plain JVM arithmetic,
+    // which ANSI does not govern. Discriminating power is the same or
+    // better: (lo, hi) carry strictly more information than the
+    // wrapped 64-bit sum.
+    val h = xxhash64(col("src"), col("dst"))
     val r = e.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+      coalesce(sum(h.bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)).as("lo"),
+      coalesce(sum(shiftrightunsigned(h, 32)), lit(0L)).as("hi"))
       .head()
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1) + 31L * r.getLong(2))
   }
 }

@@ -718,4 +718,64 @@ object StreamReadback {
         expr("rus div 1000000").as("purchase_sec"), col("rval"))
       .orderBy("lid", "rid")
   }
+
+  /** TWS bottom-k sampling readback (r13): per-shard k-minima
+    * ValueState (StreamBottomK, RocksDB) over four doc_id%4
+    * micro-batches; append mode emits each shard's refined minima per
+    * trigger. Finish: the global bottom-k of ALL emissions equals the
+    * batch bottomKSample of all rows seen — a global bottom-k row is
+    * inside its shard's k-minima from its arrival onward (the
+    * mergeability theorem SamplingSpec proves), so it appears in the
+    * union, and every emitted (pri, id) is a true seen row, so the
+    * final global rank cuts the rest. Oracle is
+    * q_o29_bottomk_sample's, verbatim, including the KMV estimate
+    * from the k-th retained hash.
+    */
+  def bottomk(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val outDir = memo.computeIfAbsent(s"bottomk|$sfDir", _ => {
+      rocksDb(s)
+      val landing = freshDir("sr-bottomk-in")
+      val base = graft.Tables.documents(s, sfDir).select(
+        (col("doc_id") % 8).cast("int").as("shard"),
+        Sampling.orderHash(col("doc_id")).as("pri"),
+        col("doc_id").as("id"))
+      landBatches(landing, (0 until 4).map(i =>
+        base.filter(pmod(col("id"), lit(4L)) === i)))
+      val out = freshDir("sr-bottomk-out")
+      import s.implicits._
+      withStatePartitions(s, 8) {
+        val in = s.readStream
+          .schema("shard INT, pri LONG, id LONG")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+          .as[StreamBottomK.RowIn]
+        val q = StreamBottomK.perShardMinima(in, 100)
+          .toDF()
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/table")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .start()
+        drainTws(q)
+      }
+      s"$out/table"
+    })
+    val seen = s.read.parquet(outDir)
+      .select(explode(arrays_zip(col("pris"), col("ids"))).as("z"))
+      .select(col("z.pris").as("pri"), col("z.ids").as("doc_id"))
+      .dropDuplicates("pri", "doc_id")
+    val sample = seen
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("pri", "doc_id")))
+      .filter(col("sample_rank") <= 100)
+      .localCheckpoint() // 100 rows; feeds output + the estimate
+    sample
+      .crossJoin(broadcast(Sampling.bottomKDistinctEstimate(sample, 100)))
+      .select(col("doc_id"), col("pri"), col("sample_rank"),
+        col("distinct_est"))
+      .orderBy("sample_rank")
+  }
 }
