@@ -8599,6 +8599,84 @@ object Queries {
     graft.streaming.StreamReadback.bottomk(s, d)
   }
 
+  /** Streaming ACF readback (r13): q_w_acf's oracle verbatim against
+    * the drained shared bucket-sum state + batch ACF finish.
+    */
+  val qStreamAcfReadback = q(
+    "q_stream_acf_readback",
+    graft.operators.Stats.groupedAcfOracleSql(
+      """SELECT event_type AS g,
+        |       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 3600 AS b,
+        |       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |FROM events""".stripMargin, maxLag = 6)
+      + "\nORDER BY g, lag") { (s, d) =>
+    graft.streaming.StreamReadback.acf(s, d)
+  }
+
+  /** Streaming EMD drift readback (r13): q_x_emd_drift's oracle
+    * verbatim against StreamEmd's drained bin counters + the fixed
+    * 1995 reference, exact-integer EMD finish.
+    */
+  val qStreamEmdReadback = q(
+    "q_stream_emd_readback",
+    """WITH r AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_ref
+      |           FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      |c AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT), 0), 9) AS bin,
+      |             COUNT(*) AS n_cur
+      |      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+      |j AS (SELECT bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      |      FROM r FULL OUTER JOIN c USING (bin)),
+      |t AS (SELECT CAST(SUM(n_ref) AS HUGEINT) AS tr,
+      |             CAST(SUM(n_cur) AS HUGEINT) AS tc FROM j),
+      |cm AS (SELECT bin, n_ref, n_cur,
+      |         ABS(CAST(SUM(n_ref) OVER (ORDER BY bin
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS HUGEINT) * tc
+      |           - CAST(SUM(n_cur) OVER (ORDER BY bin
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS HUGEINT) * tr) AS dabs, tr, tc
+      |       FROM j CROSS JOIN t),
+      |g AS (SELECT CAST((SUM(dabs) * 1000000) // (MAX(tr) * MAX(tc))
+      |             AS BIGINT) AS emd_ppm_total,
+      |             CAST((MAX(dabs) * 1000000) // (MAX(tr) * MAX(tc))
+      |             AS BIGINT) AS ks_ppm_total FROM cm)
+      |SELECT bin, n_ref, n_cur,
+      |       CAST((dabs * 1000000) // (tr * tc) AS BIGINT) AS cdf_diff_ppm,
+      |       emd_ppm_total, ks_ppm_total
+      |FROM cm CROSS JOIN g ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.emd(s, d)
+  }
+
+  /** Streaming embedding-drift readback (r13): q_x_embedding_drift's
+    * oracle verbatim against StreamEmbeddingDrift's drained per-dim
+    * stats + the fixed reference side.
+    */
+  val qStreamEmbeddingDriftReadback = q(
+    "q_stream_embdrift_readback",
+    graft.operators.Drift.embeddingDriftOracleSql(
+      "SELECT label < 5 AS is_ref, embedding AS v FROM embeddings")
+      + "\nORDER BY pos") { (s, d) =>
+    graft.streaming.StreamReadback.embeddingDrift(s, d)
+  }
+
+  /** Streaming HLL readback (r13): q_a5_hll_sketch's oracle verbatim
+    * against StreamSketch's drained max-rank registers + shared
+    * estimate finish.
+    */
+  val qStreamHllReadback = q(
+    "q_stream_hll_readback",
+    s"""WITH hll AS (${graft.operators.Sketch
+         .hllOracleSql("lineitem", "l_returnflag", "l_partkey")}),
+       |ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+       |         AS exact_parts FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, hll_est, exact_parts,
+       |       CAST(abs(hll_est - exact_parts) AS DOUBLE) / exact_parts AS rel_err
+       |FROM hll JOIN ex USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    graft.streaming.StreamReadback.hll(s, d)
+  }
+
   /** Masking pass over the repeated spans (Dedup.maskRepeatedSpans —
     * what exact-substring dedup actually DOES to the corpus): cut
     * every repeated-span island out of each doc, emit the surviving
@@ -13377,7 +13455,8 @@ object Queries {
     qStreamTrendReadback, qStreamCalibrationReadback,
     qStreamSurvivalReadback, qStreamCdcReadback,
     qStreamDiversityReadback, qStreamJoinReadback,
-    qStreamBottomkReadback,
+    qStreamBottomkReadback, qStreamAcfReadback, qStreamEmdReadback,
+    qStreamEmbeddingDriftReadback, qStreamHllReadback,
     qTMaskSpans, qA19SetOverlap, qA27ThetaSetops, qXScd2Lookup, qTBpeTrain, qTBigramLp, qGLabelProp, qPipeDsirMask, qO22DsirPropSample,
     qXCdcApply, qXExpectations, qXPsiDrift, qXEmdDrift, qXRankSumDrift, qTZipfSlope, qWMarkovTransitions,
     qEPcaPower, qXKAnonymity, qWLateData, qGAssortativity,

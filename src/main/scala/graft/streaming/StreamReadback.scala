@@ -719,6 +719,121 @@ object StreamReadback {
       .orderBy("lid", "rid")
   }
 
+  /** Streaming ACF readback (r13): the SAME (g, b, v) bucket-sum
+    * state as the EWMA gate (shared state contract), finished per
+    * trigger with the batch ACF arithmetic (Stats.acfFromSums —
+    * StreamAcf's contract). Final table = batch groupedAcf of all
+    * events; oracle is q_w_acf's, verbatim (maxLag 6).
+    */
+  def acf(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"acf|$sfDir", "g STRING, b LONG, v LONG",
+      {
+        val base = graft.Tables.events(s, sfDir).select(
+          col("event_type").as("g"),
+          expr("unix_timestamp(ts) div 3600").as("b"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("v"),
+          col("event_id"))
+        (0 until 4).map(i =>
+          base.filter(pmod(col("event_id"), lit(4L)) === i).drop("event_id"))
+      },
+      in => StreamAcf.bucketSums(in, "g", col("b"), col("v")),
+      st => StreamAcf.acfFrom(st, maxLag = 6))
+    s.read.parquet(outDir).orderBy("g", "lag")
+  }
+
+  /** Streaming EMD drift readback (r13): the 1996 current slice
+    * streams into StreamEmd's bounded bin counters (≤ nBins state
+    * keys) over four l_orderkey%4 micro-batches; each trigger
+    * finishes against the FIXED 1995 reference histogram with the
+    * exact-integer EMD arithmetic (Drift.emdFromSides). Final table =
+    * batch emdFromCounts of the full slices; oracle is
+    * q_x_emd_drift's, verbatim.
+    */
+  def emd(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"emd|$sfDir", "l_quantity DOUBLE",
+      {
+        val li = graft.Tables.lineitem(s, sfDir)
+          .select(col("l_quantity"), col("l_orderkey"),
+            year(col("l_shipdate")).as("y"))
+        val cur = li.filter(col("y") === 1996)
+        (0 until 4).map(i =>
+          cur.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+            .select(col("l_quantity").cast("double")))
+      },
+      in => StreamEmd.binCounters(in, "l_quantity", lo = 1.0, hi = 51.0,
+        nBins = 10),
+      st => {
+        val ref = graft.operators.Drift.binCounts(
+          graft.Tables.lineitem(s, sfDir)
+            .filter(year(col("l_shipdate")) === 1995)
+            .select(col("l_quantity").cast("double").as("l_quantity")),
+          "l_quantity", lo = 1.0, hi = 51.0, nBins = 10, "n_ref")
+        StreamEmd.emdAgainst(ref, st)
+      })
+    s.read.parquet(outDir).orderBy("bin")
+  }
+
+  /** Streaming embedding-drift readback (r13): the current slice
+    * (label ≥ 5) streams into StreamEmbeddingDrift's per-dim
+    * (pos, Σmicros, n) state over four vec_id%4 micro-batches; each
+    * trigger finishes against the FIXED reference dim-stats (label <
+    * 5) with the shared floor-division means
+    * (Drift.embeddingDriftFromStats). Final table = batch
+    * embeddingDrift of the full table; oracle is
+    * q_x_embedding_drift's, verbatim.
+    */
+  def embeddingDrift(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"embdrift|$sfDir",
+      "embedding ARRAY<FLOAT>",
+      {
+        val cur = graft.Tables.embeddings(s, sfDir)
+          .filter(col("label") >= 5)
+          .select(col("embedding"), col("vec_id"))
+        (0 until 4).map(i =>
+          cur.filter(pmod(col("vec_id"), lit(4L)) === i).drop("vec_id"))
+      },
+      in => StreamEmbeddingDrift.dimStats(in, col("embedding")),
+      st => {
+        val ref = graft.operators.Drift.embeddingDimStats(
+          graft.Tables.embeddings(s, sfDir).filter(col("label") < 5),
+          col("embedding"))
+        StreamEmbeddingDrift.driftFrom(ref, st)
+      })
+    s.read.parquet(outDir).orderBy("pos")
+  }
+
+  /** Streaming HLL sketch readback (r13): per-(flag, bucket) max-rank
+    * registers — max is the canonical order-free merge — as
+    * streaming-aggregation state over four l_orderkey%4
+    * micro-batches; each trigger finishes the registers-sized state
+    * with the shared estimate arithmetic (Sketch.hllFinish) and joins
+    * the batch exact side for the relative-error face. Final table =
+    * the batch q_a5 output; oracle verbatim.
+    */
+  def hll(s: SparkSession, sfDir: String): DataFrame = {
+    val outDir = aggGate(s, s"hll|$sfDir",
+      "l_returnflag STRING, l_partkey LONG",
+      {
+        val li = graft.Tables.lineitem(s, sfDir)
+          .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"))
+        (0 until 4).map(i =>
+          li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+            .drop("l_orderkey"))
+      },
+      in => StreamSketch.hllRegisters(in, Seq("l_returnflag"), "l_partkey"),
+      st => {
+        val est = StreamSketch.hllFinish(st, Seq("l_returnflag"))
+        val exact = graft.Tables.lineitem(s, sfDir)
+          .select("l_returnflag", "l_partkey").distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+        est.join(exact, Seq("l_returnflag"))
+          .withColumn("rel_err",
+            abs(col("hll_est") - col("exact_parts")).cast("double")
+              / col("exact_parts"))
+      })
+    s.read.parquet(outDir).orderBy("l_returnflag")
+  }
+
   /** TWS bottom-k sampling readback (r13): per-shard k-minima
     * ValueState (StreamBottomK, RocksDB) over four doc_id%4
     * micro-batches; append mode emits each shard's refined minima per

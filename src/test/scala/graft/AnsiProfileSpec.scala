@@ -51,7 +51,10 @@ class AnsiProfileSpec extends SparkSpec {
     "q_stream_expectations_readback", "q_stream_winsorize_readback",
     "q_stream_trend_readback", "q_stream_calibration_readback",
     "q_stream_survival_readback", "q_stream_cdc_readback",
-    "q_stream_diversity_readback", "q_stream_join_readback", "q_stream_bottomk_readback",
+    "q_stream_diversity_readback", "q_stream_join_readback",
+    "q_stream_bottomk_readback", "q_stream_acf_readback",
+    "q_stream_emd_readback", "q_stream_embdrift_readback",
+    "q_stream_hll_readback",
     "q_pipe_serve_latency", "q_k_star_readback")
 
   private def canon(df: DataFrame): Seq[String] = {
