@@ -535,9 +535,16 @@ object Stats {
       .withColumn("rg", expr("pct_milli * ng div 1000"))
       .join(broadcast(ghist),
         col("rg") >= col("cum0") && col("rg") < col("cum0") + col("c"))
+      // UNROUNDED on purpose (fuzz r13): every term is exact —
+      // mn/mx/bkt·range are exactly-representable longs (< 2^53) and
+      // the one divide + one add are correctly rounded identically in
+      // any IEEE engine — while a final ROUND(x, 6) is NOT
+      // cross-engine at |x| ≳ 2^43: DuckDB rounds via x·1e6 in double
+      // (lossy there), Spark via exact BigDecimal. Rounding removed
+      // from BOTH sides; they now agree bitwise on the full domain.
       .select(keep.map(col) ++ Seq(col("pct_milli"),
-        round(col("mn") + col("bkt") * (col("mx") - col("mn"))
-          / lit(B.toDouble), 6).as("norm_x")): _*)
+        (col("mn") + col("bkt") * (col("mx") - col("mn"))
+          / lit(B.toDouble)).as("norm_x")): _*)
   }
 
   /** Poisson-bootstrap thresholds for λ=1 in integer MICROS of the
@@ -664,7 +671,7 @@ object Stats {
        |tg AS (SELECT pr.*, CAST(pct_milli * ng // 1000 AS BIGINT) AS rg
        |       FROM pr CROSS JOIN gex)
        |SELECT ${keep.mkString(", ")}, pct_milli,
-       |       ROUND(mn + bkt * (mx - mn) / $B.0, 6) AS norm_x
+       |       mn + bkt * (mx - mn) / $B.0 AS norm_x
        |FROM tg JOIN gcu ON rg >= cum0 AND rg < cum0 + c
        |CROSS JOIN gex""".stripMargin
   }

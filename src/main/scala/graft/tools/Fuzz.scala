@@ -861,7 +861,91 @@ object Fuzz {
         |FROM t GROUP BY k""".stripMargin)
   })
 
+  /** grouped OLS slope on signed integer (t, y) incl. constant-t
+    * groups (zero denominator) and singletons. */
+  private val statsOls = Family("stats_ols_slope", (spark, rng) => {
+    val rows = (0 until nRows(rng)).map { _ =>
+      val g = "g" + rng.nextInt(4)
+      val t = if (g == "g0") 5L else advLong(rng, 100000L)
+      Row(g, Long.box(t), Long.box(advLong(rng, 1000000L)))
+    }
+    Built(
+      Map("tt" -> mkDf(spark,
+        StructType(Seq(sStr("g"), sLong("t"), sLong("y"))), rows)),
+      m => Stats.groupedOlsSlope(m("tt"), "g", col("t"), col("y"))
+        .select(col("g"), col("n"), round(col("slope"), 6).as("slope")),
+      Stats.olsSlopeOracleSql("SELECT g, t, y FROM tt"))
+  })
+
+  /** Theil–Sen slope (pairwise median) on small signed series. */
+  private val statsTheilSen = Family("stats_theilsen", (spark, rng) => {
+    val n = 2 + rng.nextInt(25)
+    val ts = rng.shuffle((0 until 200).toList).take(n)
+    val rows = ts.map(t =>
+      Row(Long.box(t.toLong), Long.box(advLong(rng, 100000L))))
+    Built(
+      Map("tt" -> mkDf(spark,
+        StructType(Seq(sLong("t"), sLong("y"))), rows)),
+      m => Stats.theilSenSlope(m("tt"), col("t"), col("y")),
+      Stats.theilSenOracleSql("SELECT t, y FROM tt"))
+  })
+
+  /** isotonic calibration (PAV) with adversarial monotonicity
+    * violations and empty bins. */
+  private val statsIsotonic = Family("stats_isotonic", (spark, rng) => {
+    val nBins = Seq(5, 10, 25)(rng.nextInt(3))
+    val rows = (0 until nRows(rng, allowEmpty = false)).map { _ =>
+      Row(Double.box(advQuarter(rng, 499).max(0.0).min(999.0)),
+        Int.box(rng.nextInt(2)))
+    }
+    Built(
+      Map("t" -> mkDf(spark, StructType(Seq(sDbl("x"),
+        StructField("y", IntegerType, nullable = true))), rows)),
+      m => graft.operators.Stats.isotonicCalibrate(
+        m("t"), col("x"), col("y"), lo = 0.0, hi = 1000.0, nBins = nBins),
+      s"""WITH ${Stats.isotonicOracleSql(
+        "SELECT x, y FROM t", 0.0, 1000.0, nBins)}
+         |SELECT p.bin, p.n, p.sy, p.sy * 1000000 // p.n AS p_raw_micros,
+         |       iso.p_cal_micros
+         |FROM p JOIN iso ON p.bin = iso.ib""".stripMargin)
+  })
+
+  /** quantile normalization (histogram percentile path), fuzzed
+    * buckets, all-equal groups. */
+  private val statsQNorm = Family("stats_qnorm", (spark, rng) => {
+    val buckets = Seq(16, 64)(rng.nextInt(2))
+    val rows = (0 until nRows(rng)).zipWithIndex.map { case (_, i) =>
+      val g = "g" + rng.nextInt(3)
+      val v = if (g == "g0") -9L else advLong(rng, 1L << 40)
+      Row(g, Long.box(i.toLong), Long.box(v))
+    }
+    Built(
+      Map("t" -> mkDf(spark,
+        StructType(Seq(sStr("g"), sLong("id"), sLong("v"))), rows)),
+      m => Stats.quantileNormalize(m("t"), "g", col("v"),
+        Seq("g", "id"), buckets),
+      Stats.quantileNormalizeOracleSql("t", "g", "v",
+        Seq("g", "id"), buckets))
+  })
+
+  /** Kaplan–Meier survival on fuzzed signed user extents, fuzzed
+    * censor gap — incl. single-user and all-simultaneous regimes. */
+  private val survivalKm = Family("survival_km", (spark, rng) => {
+    val gap = Seq(1, 7, 30)(rng.nextInt(3))
+    val rows = (0 until nRows(rng, allowEmpty = false)).map { _ =>
+      Row("u" + rng.nextInt(6),
+        Long.box(advLong(rng, 1000000000L).max(-1000000000L)))
+    }
+    Built(
+      Map("t" -> mkDf(spark, StructType(Seq(sStr("u"), sLong("sec"))), rows)),
+      m => graft.operators.Survival.kaplanMeier(
+        m("t"), "u", col("sec"), gap),
+      graft.operators.Survival.kaplanMeierOracleSql(
+        "SELECT u, sec FROM t", gap))
+  })
+
   val families: Seq[Family] = Seq(
+    statsOls, statsTheilSen, statsIsotonic, statsQNorm, survivalKm,
     aggGroupSum, aggAvg, aggMinMaxBy, aggDistinct,
     joinInnerDup, joinLeft, joinAntiSemi, unionDistinct,
     topkPerGroup, windowLag, windowRolling, windowSession,

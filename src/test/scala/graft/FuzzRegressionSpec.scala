@@ -115,6 +115,24 @@ class FuzzRegressionSpec extends SparkSpec {
     assert(got === Seq(None, None, Some("2279-08-12"), None))
   }
 
+  // ---- stats_qnorm s0/s6: ROUND(x, 6) is not cross-engine at ----
+  // |x| >~ 2^43 (DuckDB rounds via x*1e6 in double; Spark via exact
+  // BigDecimal). quantileNormalize now emits the UNROUNDED norm_x,
+  // whose ops are all exactly-representable or correctly-rounded
+  // identically in any IEEE engine.
+
+  test("quantileNormalize norm_x is exact at 2^40 magnitudes") {
+    val df = Seq(("g", 1L, -1099511627775L), ("g", 2L, 1099511627775L),
+      ("g", 3L, 0L))
+      .toDF("g", "id", "v")
+    val got = Stats.quantileNormalize(df, "g", col("v"), Seq("g", "id"), 16)
+      .select("id", "norm_x").orderBy("id")
+      .as[(Long, Double)].collect().toMap
+    // bkt=0 rows read exactly mn — no .0001-style rounding residue
+    assert(got(1L) === -1099511627775.0)
+    assert(got(1L).toString === "-1.099511627775E12")
+  }
+
   // ---- fuzz determinism: a cell regenerates byte-identically ----
 
   test("fuzz cells are replayable (same seed, same rows)") {
